@@ -1,0 +1,312 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.Comparator
+
+/** Invalid item key (reference: ItemKeyError, oakstore/store.py:45-46). */
+class ItemKeyError(msg: String) extends IllegalArgumentException(msg)
+
+/** Schema conflict or normalization failure (reference: SchemaError,
+  * oakstore/store.py:41-42).
+  */
+class SchemaError(msg: String) extends IllegalArgumentException(msg)
+
+/** Item already exists on initial write (reference raises ValueError,
+  * oakstore/store.py:203-204).
+  */
+class ItemExistsError(msg: String) extends IllegalArgumentException(msg)
+
+object Store {
+
+  /** Reference key charset: `^[-a-zA-Z0-9_.]+\Z` (oakstore/store.py:28). */
+  val KeyRegex = "^[-a-zA-Z0-9_.]+$".r
+
+  /** Default OHLCV schema (oakstore/store.py:19-26): float OHLC + int
+    * VOLUME, datetime index DATE.
+    */
+  val DefaultIndex = "DATE"
+  val DefaultColumns: Seq[(String, DataType)] = Seq(
+    "OPEN" -> DoubleType,
+    "HIGH" -> DoubleType,
+    "LOW" -> DoubleType,
+    "CLOSE" -> DoubleType,
+    "VOLUME" -> LongType
+  )
+
+  /** Earliest default query bound — pandas' minimum representable year
+    * (oakstore/store.py:250-251 uses datetime(1678, 1, 1)).
+    */
+  val MinStart: Timestamp = Timestamp.valueOf("1678-01-01 00:00:00")
+
+  private val SchemaFile = "schema.json"
+  private val ItemsDir = "items"
+
+  /** Open or create a store at `basePath` (reference Store.__init__,
+    * oakstore/store.py:80-128). The schema (value columns + time index)
+    * is persisted as JSON on first create and enforced on reopen:
+    * passing a conflicting schema to an existing store raises
+    * [[SchemaError]] (store.py:113-117).
+    */
+  def open(
+      spark: SparkSession,
+      basePath: String,
+      cols: Option[Seq[(String, DataType)]] = None,
+      index: Option[String] = None
+  ): Store = {
+    val base = Paths.get(basePath)
+    Files.createDirectories(base.resolve(ItemsDir))
+    val schemaPath = base.resolve(SchemaFile)
+    val requested = cols.map(cs =>
+      buildSchema(cs, index.getOrElse(DefaultIndex))
+    )
+    if (Files.exists(schemaPath)) {
+      val persisted = readSchema(schemaPath)
+      requested.foreach { r =>
+        if (r.json != persisted.json)
+          throw new SchemaError(
+            s"store at $basePath already has schema ${persisted.catalogString}; " +
+              s"conflicting schema ${r.catalogString} requested"
+          )
+      }
+      new Store(spark, base, persisted)
+    } else {
+      val schema = requested.getOrElse(
+        buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
+      )
+      Files.write(
+        schemaPath,
+        schema.json.getBytes(StandardCharsets.UTF_8)
+      )
+      new Store(spark, base, schema)
+    }
+  }
+
+  /** Index column first (TimestampType), then value columns, all
+    * uppercased — the reference uppercases names at ingest
+    * (store.py:159-160) and keys on disk (store.py:191).
+    */
+  private def buildSchema(
+      cols: Seq[(String, DataType)],
+      index: String
+  ): StructType =
+    StructType(
+      StructField(index.toUpperCase, TimestampType) +:
+        cols.map { case (n, t) => StructField(n.toUpperCase, t) }
+    )
+
+  private def readSchema(p: Path): StructType =
+    DataType.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+}
+
+/** A keyed, schema-enforced, append-only, time-partitioned Parquet store —
+  * the reference's single abstraction (oakstore/store.py) re-expressed on
+  * Spark. Each item is a Parquet dataset directory under `items/<KEY>`;
+  * reads are lazy DataFrames; the time index is an ordinary TimestampType
+  * column used for range-partitioned writes and pushdown range queries.
+  *
+  * Scale posture: writes are `repartitionByRange` on the index so Parquet
+  * row-group min/max stats are selective (the reference's 1M-row sorted
+  * chunks, store.py:27,174); range queries push `>=`/`<=` filters into the
+  * Parquet scan (store.py:255-264 equivalent comes free from Catalyst);
+  * appends have an O(new) anti-join path instead of the reference's
+  * O(history) rewrite (store.py:225-236).
+  */
+class Store private[sources] (
+    val spark: SparkSession,
+    val base: Path,
+    val schema: StructType
+) {
+  import Store._
+
+  /** Time-index column name (always schema head). */
+  val indexName: String = schema.fields.head.name
+
+  private def itemPath(key: String, mustExist: Boolean): Path = {
+    val k = validateKey(key)
+    val p = base.resolve("items").resolve(k)
+    if (mustExist && !Files.exists(p))
+      throw new ItemKeyError(s"no such item: $k")
+    p
+  }
+
+  /** Reference `_validate_key` (store.py:183-194): regex-check, then
+    * case-fold to upper for the on-disk directory name.
+    */
+  def validateKey(key: String): String = key match {
+    case KeyRegex() => key.toUpperCase
+    case _ => throw new ItemKeyError(s"invalid item key: '$key'")
+  }
+
+  def exists(key: String): Boolean = Files.exists(itemPath(key, mustExist = false))
+
+  def listItems(): Seq[String] = {
+    val items = base.resolve("items")
+    val s = Files.list(items)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+    } finally s.close()
+  }
+
+  /** Schema normalization (reference `_to_internal_type`,
+    * store.py:141-174): case-insensitive match of every schema column
+    * (missing → [[SchemaError]]), extra columns silently dropped,
+    * names uppercased, values cast to the declared types (the reference
+    * discards its `astype` result at store.py:168 — a bug; we really
+    * cast), index coerced to timestamp, rows range-partitioned + sorted
+    * by the index.
+    */
+  def normalize(df: DataFrame): DataFrame = {
+    val byLower: Map[String, String] =
+      df.columns.map(c => c.toLowerCase -> c).toMap
+    val projected = schema.fields.map { f =>
+      val src = byLower.getOrElse(
+        f.name.toLowerCase,
+        throw new SchemaError(
+          s"input is missing required column '${f.name}' " +
+            s"(have: ${df.columns.mkString(", ")})"
+        )
+      )
+      val c = col(src)
+      val castC =
+        if (f.name == indexName) c.cast(TimestampType)
+        else c.cast(f.dataType)
+      castC.as(f.name)
+    }
+    df.select(projected.toIndexedSeq: _*)
+      .repartitionByRange(col(indexName))
+      .sortWithinPartitions(col(indexName))
+  }
+
+  /** Initial write — CREATE TABLE AS (reference `_write`,
+    * store.py:196-212): fails with [[ItemExistsError]] if the item
+    * exists; normalizes; writes snappy Parquet.
+    */
+  def write(key: String, df: DataFrame): Unit = {
+    val p = itemPath(key, mustExist = false)
+    if (Files.exists(p))
+      throw new ItemExistsError(
+        s"item ${validateKey(key)} already exists; use append"
+      )
+    normalize(df).write
+      .option("compression", "snappy")
+      .mode("errorifexists")
+      .parquet(p.toString)
+  }
+
+  /** Lazy handle: full scan of one item (reference `_Item`,
+    * store.py:49-71 — no I/O until an action).
+    */
+  def apply(key: String): DataFrame =
+    spark.read.schema(schema).parquet(itemPath(key, mustExist = true).toString)
+
+  /** Exact reference append semantics (`_append`, store.py:214-236):
+    * union old+new, drop full-row duplicates with old rows winning
+    * (`keep='first'`, store.py:230), rewrite atomically via a temp dir
+    * and swap. O(history) per append — kept for small/compat use; the
+    * scalable path is [[appendNewOnly]].
+    */
+  def append(key: String, df: DataFrame): Unit = {
+    val p = itemPath(key, mustExist = false)
+    if (!Files.exists(p))
+      throw new ItemKeyError(
+        s"item ${validateKey(key)} does not exist; write it first"
+      )
+    val old = this(key).withColumn("__prov", lit(0))
+    val incoming = normalize(df).withColumn("__prov", lit(1))
+    // old-wins tie-break: min(__prov) row per full-row key. dropDuplicates
+    // keeps an arbitrary row, so order provenance explicitly.
+    val valueCols = schema.fieldNames.toIndexedSeq
+    val merged = old
+      .unionByName(incoming)
+      .groupBy(valueCols.map(col): _*)
+      .agg(min(col("__prov")).as("__prov"))
+      .drop("__prov")
+      .repartitionByRange(col(indexName))
+      .sortWithinPartitions(col(indexName))
+    val tmp = base.resolve("items").resolve(
+      validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
+    )
+    merged.write
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    val trash = base.resolve("items").resolve(
+      validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
+    )
+    Files.move(p, trash, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+  }
+
+  /** Scalable append: left-anti join the incoming batch against existing
+    * rows and append only genuinely-new files — O(new ⋈ old-overlap)
+    * instead of the reference's O(history) rewrite. Equivalent end state
+    * to [[append]] (duplicates never written; old rows untouched, so
+    * "old wins" trivially holds).
+    */
+  def appendNewOnly(key: String, df: DataFrame): Unit = {
+    val p = itemPath(key, mustExist = false)
+    if (!Files.exists(p))
+      throw new ItemKeyError(
+        s"item ${validateKey(key)} does not exist; write it first"
+      )
+    val incoming = normalize(df).dropDuplicates()
+    val valueCols = schema.fieldNames.toIndexedSeq
+    val fresh = incoming.join(this(key), valueCols, "left_anti")
+    fresh.write
+      .option("compression", "snappy")
+      .mode("append")
+      .parquet(p.toString)
+  }
+
+  /** Inclusive time-range scan (reference `_query`, store.py:238-267):
+    * bounds inclusive on BOTH ends; Catalyst pushes the predicates to
+    * Parquet row-group stats (the reference passes explicit pyarrow
+    * filters, store.py:255-264). `None` bounds = unbounded — the
+    * reference's non-deterministic `datetime.now()` upper default
+    * (store.py:253) lives only in [[sliceCompat]].
+    */
+  def query(
+      key: String,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None
+  ): DataFrame = {
+    val df = this(key)
+    val idx = col(indexName)
+    val lo = start.map(s => idx >= lit(s))
+    val hi = end.map(e => idx <= lit(e))
+    (lo ++ hi).reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  /** Reference-default bounds: start=1678-01-01 (store.py:250-251),
+    * end=now (store.py:252-253) — future-dated rows invisible, as
+    * asserted by the reference's tests (tests/test_store.py:62).
+    */
+  def sliceCompat(
+      key: String,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None
+  ): DataFrame =
+    query(
+      key,
+      Some(start.getOrElse(MinStart)),
+      Some(end.getOrElse(new Timestamp(System.currentTimeMillis())))
+    )
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try {
+        s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      } finally s.close()
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.sources.{ItemKeyError, SchemaError, Store}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Example/demo driver for the Store API: ingests the `events` table from
+  * a testdata dir into a fresh store, then exercises range query, append
+  * idempotence, and the error surface. Run:
+  *   sbt "runMain graft.tools.StoreDemo /root/testdata/sf0.001 /tmp/storedemo"
+  */
+object StoreDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, baseDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores ts as TIMESTAMP(NANOS) which Spark 4 rejects;
+      // read as long nanos and convert (lossless: testdata is µs-aligned).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val store = Store.open(
+      spark, baseDir,
+      cols = Some(Seq(
+        "EVENT_ID" -> LongType, "USER_ID" -> LongType,
+        "EVENT_TYPE" -> StringType, "VALUE" -> DoubleType)),
+      index = Some("TS"))
+    println(s"[demo] schema: ${store.schema.catalogString}")
+
+    import org.apache.spark.sql.functions.{col, expr}
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (!store.exists("events")) store.write("events", events)
+    println(s"[demo] total rows: ${store("EVENTS").count()}")
+
+    val t0 = Timestamp.valueOf("2024-01-10 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-20 00:00:00")
+    val ranged = store.query("events", Some(t0), Some(t1))
+    println(s"[demo] rows in [$t0, $t1]: ${ranged.count()}")
+    import org.apache.spark.sql.functions._
+    ranged.agg(min(col("TS")), max(col("TS"))).show(false)
+    ranged.explain("formatted")
+
+    store.append("events", events)
+    println(s"[demo] after re-append (idempotent): ${store("events").count()}")
+    store.appendNewOnly("events", events)
+    println(s"[demo] after appendNewOnly same batch: ${store("events").count()}")
+
+    try store.write("bad key!", events)
+    catch { case e: ItemKeyError => println(s"[demo] bad key rejected: ${e.getMessage}") }
+    try Store.open(spark, baseDir, cols = Some(Seq("X" -> DoubleType)), index = Some("D"))
+    catch { case e: SchemaError => println(s"[demo] schema conflict rejected: ${e.getMessage}") }
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.sources.{ItemExistsError, ItemKeyError, SchemaError, Store}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Ports the reference's five behavioral tests
+  * (/root/reference/tests/test_store.py:35-82) against a deterministic
+  * fixture — the reference downloads live MSFT bars from yfinance
+  * (testing/yfinance.py:6-19), which is non-hermetic; we use a seeded
+  * random walk instead. The reference's equality assertions are vacuous
+  * (`(a == b).all` without parens, test_store.py:50,68); here they are
+  * real checks.
+  */
+class StoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  /** ~1000 daily OHLCV bars from 2015-01-01, seeded random walk. */
+  def bars(n: Int = 1000, seed: Long = 7, startDay: String = "2015-01-01"): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val t0 = java.time.LocalDate.parse(startDay).atStartOfDay(java.time.ZoneOffset.UTC)
+    var px = 100.0
+    (0 until n).map { i =>
+      px = math.max(1.0, px + rnd.nextGaussian())
+      val o = px; val h = px + rnd.nextDouble(); val l = px - rnd.nextDouble()
+      val c = px + rnd.nextGaussian() * 0.2
+      val v = 1000L + rnd.nextInt(100000)
+      (Timestamp.from(t0.plusDays(i).toInstant), o, h, l, c, v)
+    }.toDF("date", "open", "high", "low", "close", "volume")
+  }
+
+  def tmpDir(): String =
+    Files.createTempDirectory("graft-store").toString
+
+  test("create: store layout + schema persistence + conflict detection") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "items")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "schema.json")))
+    assert(s.indexName == "DATE")
+    assert(s.schema.fieldNames.toSeq ==
+      Seq("DATE", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME"))
+    // reopen with same schema: fine; with conflicting: SchemaError
+    Store.open(spark, dir)
+    Store.open(spark, dir, cols = Some(Store.DefaultColumns), index = Some("DATE"))
+    intercept[SchemaError] {
+      Store.open(spark, dir, cols = Some(Seq("X" -> DoubleType)), index = Some("TS"))
+    }
+  }
+
+  test("write + read-back equality (reference test_write_data, :47-50)") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    val df = bars(500)
+    s.write("MSFT", df)
+    val back = s("MSFT")
+    assert(back.count() == 500)
+    // full-row equality vs normalized input (order-independent)
+    val want = s.normalize(df)
+    assert(back.exceptAll(want).count() == 0)
+    assert(want.exceptAll(back).count() == 0)
+    // rewrite of an existing item is an error (store.py:203-204)
+    intercept[ItemExistsError] { s.write("msft", df) } // case-folded key
+  }
+
+  test("query: inclusive range + empty-future-range (reference :53-62)") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(400))
+    val t0 = Timestamp.valueOf("2015-02-01 00:00:00")
+    val t1 = Timestamp.valueOf("2015-03-01 00:00:00")
+    val q = s.query("MSFT", Some(t0), Some(t1))
+    val n = q.count()
+    assert(n == 29, "inclusive on both ends: Feb 1 .. Mar 1 = 29 daily bars")
+    val bounds = q.agg(min($"DATE"), max($"DATE")).as[(Timestamp, Timestamp)].head()
+    assert(bounds._1 == t0 && bounds._2 == t1)
+    // unbounded query returns everything
+    assert(s.query("MSFT").count() == 400)
+    // compat slice: rows dated after now() are invisible (store.py:253)
+    val future = bars(10, seed = 9, startDay = "2300-01-01")
+    s.append("MSFT", future)
+    assert(s.query("MSFT").count() == 410)
+    assert(s.sliceCompat("MSFT").count() == 400)
+  }
+
+  test("append: dedup idempotence, both paths (reference :65-68)") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    val a = bars(300)
+    val b = bars(500) // superset: first 300 rows identical
+    s.write("K1", a)
+    s.append("K1", b)
+    assert(s("K1").count() == 500)
+    s.append("K1", b) // idempotent
+    assert(s("K1").count() == 500)
+
+    val s2 = Store.open(spark, tmpDir())
+    s2.write("K1", a)
+    s2.appendNewOnly("K1", b)
+    assert(s2("K1").count() == 500)
+    s2.appendNewOnly("K1", b)
+    assert(s2("K1").count() == 500)
+    // both paths converge to the same rows
+    assert(s("K1").exceptAll(s2("K1")).count() == 0)
+  }
+
+  test("key validation (reference :71-82)") {
+    val s = Store.open(spark, tmpDir())
+    for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
+      intercept[ItemKeyError] { s.validateKey(bad) }
+    assert(s.validateKey("msft-2.b_x") == "MSFT-2.B_X")
+    intercept[ItemKeyError] { s("NOPE") }
+  }
+
+  test("normalize: case-insensitive match, extra cols dropped, real cast, missing col error") {
+    val s = Store.open(spark, tmpDir())
+    val df = Seq(
+      ("2020-01-01 00:00:00", 1, 2, 0, 1, "5", "junk")
+    ).toDF("Date", "oPen", "HIGH", "low", "close", "volume", "extra")
+      .withColumn("Date", $"Date".cast(TimestampType))
+    val out = s.normalize(df)
+    assert(out.columns.toSeq == Seq("DATE", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME"))
+    assert(out.schema("OPEN").dataType == DoubleType) // int really cast (store.py:168 bug fixed)
+    assert(out.schema("VOLUME").dataType == LongType) // string "5" cast to long
+    assert(out.as[(Timestamp, Double, Double, Double, Double, Long)].head()._6 == 5L)
+    intercept[SchemaError] { s.normalize(df.drop("close")) }
+  }
+}
