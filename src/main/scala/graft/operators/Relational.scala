@@ -1,0 +1,557 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scan / filter / join / aggregate / window / sort / set-op surface —
+  * the reference's storage semantics (oakstore/store.py R4/R6/R7)
+  * generalized to the TPC-H-ish corpus, plain DataFrame combinators so
+  * Catalyst owns pushdown, pruning, join strategy and AQE (SURVEY.md §4).
+  *
+  * Determinism contract with the DuckDB oracle: every query ends in an
+  * ORDER BY over a unique key, float aggregates are rounded, int-width
+  * mismatches (Spark int vs DuckDB BIGINT fns) are cast to long.
+  */
+object Relational {
+  import Tables._
+
+  private val t0 = "2024-01-10 00:00:00"
+  private val t1 = "2024-01-20 00:00:00"
+
+  val all: Seq[Q] = Seq(
+    // R7: inclusive time-range scan; predicates reach the parquet reader
+    // (store.py:238-267 — pushdown comes free from Catalyst).
+    Q(
+      "scan_range",
+      (s, d) =>
+        events(s, d)
+          .filter(col("ts") >= lit(t0).cast("timestamp") &&
+            col("ts") <= lit(t1).cast("timestamp"))
+          .orderBy("event_id"),
+      Some(
+        s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
+           |WHERE ts >= TIMESTAMP '$t0' AND ts <= TIMESTAMP '$t1'
+           |ORDER BY event_id""".stripMargin
+      )
+    ),
+    // R4: schema projection — keep declared columns, drop the rest,
+    // uppercase names (store.py:154-160).
+    Q(
+      "scan_project",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_id").as("EVENT_ID"),
+            col("user_id").as("USER_ID"),
+            col("value").as("VAL")
+          )
+          .orderBy("EVENT_ID"),
+      Some(
+        """SELECT event_id AS EVENT_ID, user_id AS USER_ID, value AS VAL
+          |FROM events ORDER BY EVENT_ID""".stripMargin
+      )
+    ),
+    // R7 residual filter: conjunctive numeric + string + time predicates.
+    Q(
+      "filter_pred",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(
+            col("l_quantity") >= 10 && col("l_quantity") <= 24 &&
+              col("l_returnflag") === "R" &&
+              col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          )
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+          |FROM lineitem
+          |WHERE l_quantity >= 10 AND l_quantity <= 24 AND l_returnflag = 'R'
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      )
+    ),
+    // R6: append + full-row duplicate elimination over overlapping batches
+    // (store.py:230; exact-dedup semantics, set-level).
+    Q(
+      "append_dedup",
+      (s, d) => {
+        val e = events(s, d)
+        val old = e.filter(col("ts") < lit(t1).cast("timestamp"))
+        val neu = e.filter(col("ts") >= lit(t0).cast("timestamp"))
+        old.unionByName(neu).dropDuplicates().orderBy("event_id")
+      },
+      Some(
+        s"""SELECT DISTINCT * FROM (
+           |  SELECT * FROM events WHERE ts < TIMESTAMP '$t1'
+           |  UNION ALL
+           |  SELECT * FROM events WHERE ts >= TIMESTAMP '$t0'
+           |) ORDER BY event_id""".stripMargin
+      )
+    ),
+    // Exact distinct (north-star dedup baseline).
+    Q(
+      "distinct_rows",
+      (s, d) =>
+        events(s, d).select("user_id", "event_type").distinct()
+          .orderBy("user_id", "event_type"),
+      Some(
+        "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
+      )
+    ),
+    // Equi join; AQE picks broadcast vs SMJ by size.
+    Q(
+      "join_inner",
+      (s, d) =>
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("c_mktsegment"), round(col("o_totalprice"), 2).as("total")
+          )
+          .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+          |       round(o_totalprice, 2) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin
+      )
+    ),
+    // Star join with explicitly broadcast dims: at 100 TB the fact side
+    // never shuffles for dim joins.
+    Q(
+      "join_broadcast",
+      (s, d) =>
+        lineitem(s, d)
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name").isin("ASIA", "EUROPE"))
+          .groupBy("n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("n_name"),
+      Some(
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name IN ('ASIA', 'EUROPE')
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
+      )
+    ),
+    // Semi join = EXISTS.
+    Q(
+      "join_semi",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi"
+          )
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ),
+    // Anti join = NOT EXISTS — the scalable form of R6 append-dedup.
+    Q(
+      "join_anti",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ),
+    // Hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
+    Q(
+      "agg_hash",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base"),
+            // 4dp: summands are on the 1e-4 grid (2dp × 2dp), so the true
+            // sum is grid-aligned at 4dp; fp error (~1e-5) ≪ half-step.
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+            round(avg("l_quantity"), 6).as("avg_qty"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       round(sum(l_extendedprice), 2) AS sum_base,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+          |       round(avg(l_quantity), 6) AS avg_qty,
+          |       round(avg(l_discount), 6) AS avg_disc,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      )
+    ),
+    // Exact distinct counts per group (expand + two-phase agg in Spark).
+    Q(
+      "agg_distinct",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("parts"),
+            countDistinct(col("l_suppkey")).as("supps"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
+          |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      )
+    ),
+    // HLL sketch distinct — no exact oracle by construction (rows-only).
+    Q(
+      "agg_approx_distinct",
+      (s, d) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("event_type"),
+      None
+    ),
+    Q(
+      "agg_rollup",
+      (s, d) =>
+        lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+      )
+    ),
+    Q(
+      "agg_cube",
+      (s, d) =>
+        lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+      )
+    ),
+    // Ranking window functions.
+    Q(
+      "win_rank",
+      (s, d) => {
+        val byPrice = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc)
+        val stable = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            rank().over(byPrice).cast("long").as("rnk"),
+            dense_rank().over(byPrice).cast("long").as("drnk"),
+            row_number().over(stable).cast("long").as("rn")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+          |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+          |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+      )
+    ),
+    // Analytic window: lag + bounded moving average (7-row frame).
+    Q(
+      "win_analytic",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            round(lag("value", 1).over(w), 6).as("prev_value"),
+            round(avg("value").over(w.rowsBetween(-6, 0)), 6).as("mavg7")
+          )
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, user_id,
+          |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value,
+          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg7
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ),
+    // Cumulative frame: running sum, unbounded preceding.
+    Q(
+      "win_cume",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            round(sum("value").over(w), 4).as("running_sum"),
+            count(lit(1)).over(w).as("running_n")
+          )
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, user_id,
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+          |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ),
+    // ORDER BY + LIMIT → TakeOrderedAndProject (no global sort at scale).
+    Q(
+      "sort_limit",
+      (s, d) =>
+        lineitem(s, d)
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price")
+          )
+          .limit(100),
+      Some(
+        """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+          |FROM lineitem
+          |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+          |LIMIT 100""".stripMargin
+      )
+    ),
+    // Top-k per group via ranking window (single shuffle on the group key).
+    Q(
+      "topk_pergroup",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total"),
+            row_number().over(w).cast("long").as("rn")
+          )
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+      )
+    ),
+    Q(
+      "set_union",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .union(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |UNION
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |ORDER BY o_custkey""".stripMargin
+      )
+    ),
+    Q(
+      "set_intersect",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |ORDER BY o_custkey""".stripMargin
+      )
+    ),
+    Q(
+      "set_except",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |ORDER BY o_custkey""".stripMargin
+      )
+    ),
+    // Scalar string functions (key-normalization lineage, store.py:159-191).
+    Q(
+      "fn_string",
+      (s, d) =>
+        customer(s, d)
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("uname"),
+            lower(col("c_mktsegment")).as("lseg"),
+            substring(col("c_name"), 1, 8).as("pre"),
+            concat(col("c_mktsegment"), lit("-"), col("c_custkey").cast("string")).as("tag"),
+            length(col("c_name")).cast("long").as("len"),
+            regexp_replace(col("c_name"), "#", "@").as("repl"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits")
+          )
+          .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+          |       substr(c_name, 1, 8) AS pre,
+          |       concat(c_mktsegment, '-', CAST(c_custkey AS VARCHAR)) AS tag,
+          |       CAST(length(c_name) AS BIGINT) AS len,
+          |       replace(c_name, '#', '@') AS repl,
+          |       regexp_extract(c_name, '([0-9]+)', 1) AS digits
+          |FROM customer ORDER BY c_custkey""".stripMargin
+      )
+    ),
+    // Scalar date/time functions (store.py:170,251-253 lineage).
+    Q(
+      "fn_date",
+      (s, d) =>
+        orders(s, d)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            date_trunc("month", col("o_orderdate")).as("mstart"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due")
+          )
+          .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey,
+          |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+          |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+          |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+          |       date_trunc('month', o_orderdate) AS mstart,
+          |       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since,
+          |       o_orderdate + INTERVAL 30 DAY AS due
+          |FROM orders ORDER BY o_orderkey""".stripMargin
+      )
+    ),
+    // Scalar math functions; the TPC-H discounted-charge expression.
+    Q(
+      "fn_math",
+      (s, d) =>
+        lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            // 6dp: inputs are 2dp-aligned so the exact product sits ON the
+            // 1e-6 grid — grid-aligned rounding can't hit a half-boundary
+            // (where Spark HALF_UP and DuckDB disagree).
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+            round(abs(col("l_discount") - 0.05), 6).as("adisc"),
+            ceil(col("l_extendedprice")).cast("long").as("cp"),
+            floor(col("l_extendedprice")).cast("long").as("fp"),
+            round(log(lit(1) + col("l_extendedprice")), 6).as("lnp"),
+            round(sqrt(col("l_quantity")), 6).as("sq"),
+            round(pow(col("l_discount"), 2), 8).as("d2")
+          )
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+          |       round(abs(l_discount - 0.05), 6) AS adisc,
+          |       CAST(ceil(l_extendedprice) AS BIGINT) AS cp,
+          |       CAST(floor(l_extendedprice) AS BIGINT) AS fp,
+          |       round(ln(1 + l_extendedprice), 6) AS lnp,
+          |       round(sqrt(l_quantity), 6) AS sq,
+          |       round(pow(l_discount, 2), 8) AS d2
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      )
+    ),
+    // Higher-order array functions over the embedding column — all
+    // codegen-friendly native expressions, double-precision accumulation
+    // in strict element order (matches DuckDB's sequential list fns).
+    Q(
+      "fn_array",
+      (s, d) => {
+        val emb = transform(col("embedding"), x => x.cast("double"))
+        embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(element_at(emb, 1), 6).as("first_val"),
+            round(aggregate(emb, lit(0.0), (a: Column, x: Column) => a + x), 4).as("vsum"),
+            round(sqrt(aggregate(emb, lit(0.0), (a: Column, x: Column) => a + x * x)), 6).as("l2")
+          )
+          .orderBy("vec_id")
+      },
+      Some(
+        """SELECT vec_id,
+          |       CAST(len(embedding) AS BIGINT) AS dim,
+          |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+          |       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vsum,
+          |       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2
+          |FROM embeddings ORDER BY vec_id""".stripMargin
+      )
+    ),
+    // JSON field extraction from the events.props string column.
+    Q(
+      "fn_json",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_val")
+          )
+          .orderBy("event_id"),
+      Some(
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    )
+  )
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators — the reference's actual domain (a "highspeed
+  * timeseries … database", README.md:7). Spark has no built-in ASOF
+  * join; [[asOfJoin]] is the union + last-over-window rewrite (one
+  * shuffle on the key, no row explosion — SURVEY.md §2.b `join_asof`).
+  */
+object TimeSeries {
+  import Tables._
+
+  /** Generic left as-of join: for every left row, the latest right row
+    * with `rightTs <= leftTs` sharing the key. Implemented by unioning
+    * both sides tagged with a side marker, then `last(..., ignoreNulls)`
+    * over a window ordered by (ts, side) — right rows sort before left
+    * rows at equal ts, so the bound is inclusive. One hash shuffle on
+    * the key; scales to any partition count with no correlated
+    * subquery or row explosion.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[(String, String)] // (rightCol -> outName)
+  ): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r0 = right.select(
+      (col(key) +: col(rightTs).as("__ts") +:
+        rightPayload.map { case (c, out) => col(c).as(s"__p_$out") }): _*
+    )
+    val lCols = left.columns
+    val l1 = l.withColumn("__ts", col(leftTs))
+    val r1 = r0.withColumn("__side", lit(0))
+    // align schemas for unionByName(allowMissingColumns)
+    val unioned = l1.unionByName(r1, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(unioned) { case (df, (_, out)) =>
+      df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }: _*)
+  }
+
+  val all: Seq[Q] = Seq(
+    // As-of join: for each purchase, the latest click at-or-before it by
+    // the same user. Oracle = DuckDB ASOF LEFT JOIN.
+    Q(
+      "join_asof",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id")
+        val clicks = e.filter(col("event_type") === "click")
+        asOfJoin(
+          purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("event_id" -> "click_id", "ts" -> "click_ts")
+        ).orderBy("event_id")
+      },
+      Some(
+        """SELECT p.event_id, p.ts, p.user_id,
+          |       c.event_id AS click_id, c.ts AS click_ts
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts
+          |ORDER BY p.event_id""".stripMargin
+      )
+    ),
+    // Interval/theta join: click→purchase attribution within 30 minutes.
+    // Equi-join on the key with the range as a residual predicate — at
+    // scale the join shuffles only on user_id, never a cross product.
+    Q(
+      "join_range",
+      (s, d) => {
+        val e = events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        clicks
+          .join(
+            purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") > col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+          )
+          .select("click_id", "purchase_id", "user_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some(
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id AND p.ts > c.ts
+          | AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |ORDER BY click_id, purchase_id""".stripMargin
+      )
+    ),
+    // Resample ticks → daily OHLCV bars per event_type — the reference's
+    // raison d'être (README.md:20-37) on Spark: two deterministic ranking
+    // windows pick open/close, plain aggregates do high/low/volume.
+    Q(
+      "resample_ohlcv",
+      (s, d) => {
+        val e = events(s, d).withColumn("day", date_trunc("day", col("ts")))
+        val wAsc = Window.partitionBy("day", "event_type").orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy("day", "event_type").orderBy(col("ts").desc, col("event_id").desc)
+        e.withColumn("rn_a", row_number().over(wAsc))
+          .withColumn("rn_d", row_number().over(wDesc))
+          .groupBy("day", "event_type")
+          .agg(
+            max(when(col("rn_a") === 1, col("value"))).as("open"),
+            round(max("value"), 6).as("high"),
+            round(min("value"), 6).as("low"),
+            max(when(col("rn_d") === 1, col("value"))).as("close"),
+            round(sum("value"), 4).as("volume"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("day", "event_type")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT date_trunc('day', ts) AS day, event_type, value,
+          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+          |                       ORDER BY ts, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+          |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+          |  FROM events)
+          |SELECT day, event_type,
+          |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          |       round(max(value), 6) AS high,
+          |       round(min(value), 6) AS low,
+          |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+          |       round(sum(value), 4) AS volume,
+          |       count(*) AS n
+          |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+      )
+    )
+  )
+}

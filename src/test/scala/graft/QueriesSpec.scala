@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape checks for every registered query at sf0.001. The real
+  * correctness gate is the DuckDB oracle diff (tools/oracle_check.py,
+  * driver-run at sf0.01); this spec catches compile-time/runtime rot fast.
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle query has matching column names in queries map") {
+    // weak static check: oracleSql keys ⊆ queries keys
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for (q <- SparkEntry.allQueries) {
+    test(s"${q.name} runs and returns rows at sf0.001") {
+      val df = SparkEntry.queries(q.name)(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("asof join semantics: latest at-or-before, left-preserving") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 12:00:00"), 1L),
+      (3L, ts("2024-01-01 09:00:00"), 2L) // no click at-or-before
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (101L, 1L, ts("2024-01-01 09:00:00")),
+      (102L, 1L, ts("2024-01-01 11:00:00")),
+      (103L, 1L, ts("2024-01-01 12:00:00")), // equal ts → inclusive match
+      (201L, 2L, ts("2024-01-01 09:30:00")) // after left row → no match
+    ).toDF("click_eid", "user_id", "cts")
+    val got = graft.operators.TimeSeries
+      .asOfJoin(left, right, "user_id", "ts", "cts", Seq("click_eid" -> "click_id"))
+      .orderBy("event_id")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toSeq
+    assert(got == Seq((1L, Some(101L)), (2L, Some(103L)), (3L, None)))
+  }
+}
