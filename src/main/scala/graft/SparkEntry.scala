@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, TimeSeries}
+import graft.operators.{LlmOps, Relational, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All registered engine queries. */
   def allQueries: Seq[Q] =
-    Relational.all ++ TimeSeries.all
+    Relational.all ++ TimeSeries.all ++ LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue rollup: lineitem ⋈ broadcast(orders-dims) — exercises scan,

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators — all native Column
+  * expressions (codegen'd, no UDFs): tokenization, shingling, MinHash
+  * signatures, SimHash, language-ID heuristic, quality scoring.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens — matches DuckDB `string_split(text, ' ')` exactly
+    * (the oracle side), so token counts agree.
+    */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokens: lowercased alnum runs, empties dropped — the BPE-ish
+    * robust tokenizer (matches DuckDB regexp_split_to_array + filter).
+    */
+  def reTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct word k-shingles from whitespace tokens; empty array when
+    * the doc has fewer than k tokens (guards Spark's descending
+    * `sequence` when stop < start).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks)
+    when(
+      n >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), n - lit(k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k independent "permutations" simulated by
+    * seeding xxhash64 with the permutation index; signature element i =
+    * min hash over the shingle set. Estimated Jaccard of two docs =
+    * fraction of equal signature positions.
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH band key: hash of one `rowsPerBand`-wide slice of the MinHash
+    * signature (band index mixed in). Two docs sharing any band key are
+    * near-dup candidates.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** 64-bit SimHash over a token array: bit j of the result is set iff
+    * the sum over tokens of ±1 (sign of bit j of the token's xxhash64)
+    * is positive. Near-dup docs differ in few bits (Hamming distance).
+    */
+  def simhash64(tokens: Column): Column = {
+    val hs = transform(tokens, t => xxhash64(t))
+    (0 until 64)
+      .map { j =>
+        val contrib = aggregate(
+          hs,
+          lit(0L),
+          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+        )
+        when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic (corpus langs: en de fr es zh).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "que"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "en"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /** Predicted language: argmax over per-language stopword hit counts
+    * (ties broken by language code, deterministic). */
+  def langId(text: Column): Column = {
+    val toks = reTokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isInCollection(words)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    // struct max: compares score first, then lang (desc tie → max lang);
+    // deterministic either way.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Composite document quality score in [0,1]: stopword ratio, mean
+    * word length (capped), alphabetic-character ratio. Mirrors the
+    * SQL-expressible oracle formula exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val avgWordLen = (nChars - (nTok - 1)) / nTok
+    val stopRatio =
+      size(filter(toks, t => t.isInCollection(stopwords("en")))).cast("double") / nTok
+    val alphaRatio = length(regexp_replace(text, "[^a-z ]", "")).cast("double") / nChars
+    round(
+      lit(0.4) * stopRatio + lit(0.3) * least(avgWordLen / 10.0, lit(1.0)) +
+        lit(0.3) * alphaRatio,
+      6
+    )
+  }
+}

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over ArrayType(FloatType) embedding columns — native
+  * higher-order functions (codegen-friendly, no UDFs). All math is done
+  * in double precision with strict left-to-right accumulation, which is
+  * bit-identical to DuckDB's sequential list kernels (the oracle side).
+  */
+object VectorFunctions {
+
+  /** Cast a float array to double elementwise. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+
+  /** Cosine similarity of two double arrays: dot / (|a|·|b|). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity of two raw float-array columns. */
+  def cosineF(a: Column, b: Column): Column = cosine(toDouble(a), toDouble(b))
+}
