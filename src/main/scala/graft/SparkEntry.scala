@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{LlmOps, Relational, TimeSeries}
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +13,7 @@ object SparkEntry {
 
   /** All registered engine queries. */
   def allQueries: Seq[Q] =
-    Relational.all ++ TimeSeries.all ++ LlmOps.all
+    Relational.all ++ TimeSeries.all ++ LlmOps.all ++ Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue rollup: lineitem ⋈ broadcast(orders-dims) — exercises scan,

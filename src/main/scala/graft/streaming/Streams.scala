@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming surface — the streaming analogue of the
+  * reference's incremental `+=` ingest (oakstore/store.py:57-59,214-236)
+  * generalized to watermarked windowed aggregation and stateful dedup.
+  *
+  * Each query drives the events table through a real streaming pipeline
+  * (`readStream` → transform → `writeStream`) with `Trigger.AvailableNow`
+  * and a memory sink, so a batch of parquet exercises the exact code a
+  * 24/7 stream would run; correctness is checked by batch-equivalence
+  * (no SQL oracle — the driver records rows-only).
+  */
+object Streams {
+
+  /** Raw schema of events.parquet under nanosAsLong (ts = long nanos). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  private val counter = new AtomicInteger(0)
+
+  /** Streaming read of events with `ts` converted to TimestampType. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(rawSchema)
+      // file stream source requires a directory; select just the events
+      // file out of the sf dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Run `out` to completion under AvailableNow into a memory sink and
+    * return the materialized result.
+    */
+  def runToBatch(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour windows per event_type with a 10-minute watermark.
+    * Complete mode so the tail windows (beyond the final watermark) are
+    * present — that makes the result equal to the batch computation,
+    * which the spec asserts.
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    runToBatch(s, agg, "complete")
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n"), col("sum_value")
+      )
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Session windows (30-minute gap) per user. */
+  def session(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    runToBatch(s, agg, "complete")
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value")
+      )
+      .orderBy("user_id", "s_start")
+  }
+
+  /** Stateful streaming dedup: the source unioned with itself (every
+    * event duplicated) then `dropDuplicatesWithinWatermark` on the key —
+    * the streaming form of the reference's append-dedup (R6). Result
+    * must equal the distinct batch row set.
+    */
+  def dedupState(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsStream(s, dir)
+    val doubled = e.unionByName(e).withWatermark("ts", "10 minutes")
+    val deduped = doubled.dropDuplicatesWithinWatermark("event_id")
+    runToBatch(s, deduped.select("event_id", "ts", "user_id", "event_type", "value"), "append")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("stream_tumbling", (s, d) => tumbling(s, d), None),
+    Q("stream_session", (s, d) => session(s, d), None),
+    Q("stream_dedup_state", (s, d) => dedupState(s, d), None)
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.streaming.Streams
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ops are not oracle-checkable; correctness is asserted by
+  * batch-equivalence (SURVEY.md §5.4): the streamed result must equal
+  * the identical computation done as a plain batch query.
+  */
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("stream_tumbling equals batch tumbling aggregation") {
+    val streamed = Streams.tumbling(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("stream_session equals batch session windows") {
+    val streamed = Streams.session(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value")
+      )
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stream_dedup_state removes the injected duplicates exactly") {
+    val streamed = Streams.dedupState(spark, dir)
+    val n = Tables.events(spark, dir).count()
+    assert(streamed.count() == n, "every event exactly once after doubling+dedup")
+    assert(streamed.select("event_id").distinct().count() == n)
+  }
+}
