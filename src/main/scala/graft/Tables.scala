@@ -16,11 +16,30 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` as a proper TimestampType column. */
+  /** events with `ts` as a proper TimestampType column.
+    *
+    * NB: predicates placed on the converted `ts` do NOT reach the
+    * parquet scan (the conversion expression blocks pushdown) — for
+    * time-range scans use [[eventsInRange]], which filters in the raw
+    * nanos domain so row-group min/max pruning works at scale.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () } // static conf already set at build time
     table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Inclusive UTC time-range scan of events with the range predicate
+    * pushed into the parquet reader (applied to the raw nanos column
+    * before the timestamp conversion).
+    */
+  def eventsInRange(spark: SparkSession, dir: String, loUtc: String, hiUtc: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    def ns(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000000L
+    table(spark, dir, "events")
+      .filter(col("ts") >= ns(loUtc) && col("ts") <= ns(hiUtc))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

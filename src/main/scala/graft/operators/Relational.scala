@@ -26,9 +26,7 @@ object Relational {
     Q(
       "scan_range",
       (s, d) =>
-        events(s, d)
-          .filter(col("ts") >= lit(t0).cast("timestamp") &&
-            col("ts") <= lit(t1).cast("timestamp"))
+        Tables.eventsInRange(s, d, "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
           .orderBy("event_id"),
       Some(
         s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
@@ -78,9 +76,13 @@ object Relational {
     Q(
       "append_dedup",
       (s, d) => {
-        val e = events(s, d)
-        val old = e.filter(col("ts") < lit(t1).cast("timestamp"))
-        val neu = e.filter(col("ts") >= lit(t0).cast("timestamp"))
+        // filter in the raw nanos domain so both branch scans prune
+        def ns(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000000L
+        val raw = Tables.table(s, d, "events")
+        val conv = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val old = conv(raw.filter(col("ts") < ns("2024-01-20T00:00:00Z")))
+        val neu = conv(raw.filter(col("ts") >= ns("2024-01-10T00:00:00Z")))
         old.unionByName(neu).dropDuplicates().orderBy("event_id")
       },
       Some(
