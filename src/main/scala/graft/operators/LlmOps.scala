@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.CosineSimilarity
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -82,14 +83,14 @@ object LlmOps {
       .filter(col("jacc_raw") >= JaccardThreshold)
   }
 
-  /** (doc_id, sh, sig): MinHash signatures via explode + 64 codegen'd
-    * min-aggregates (no interpreted HOFs in the hot path). Each
-    * "permutation" re-hashes the shingle's 8-byte base hash with a
-    * distinct seed — fixed-width hashing, so no ANSI long-overflow (a
-    * multiply-shift permutation would wrap, which Spark 4's default
-    * ANSI mode rejects), and far cheaper than re-hashing the string 64×.
+  /** (doc_id, sig): MinHash signatures from the exploded shingle table
+    * via 64 codegen'd min-aggregates (no interpreted HOFs in the hot
+    * path). Each "permutation" re-hashes the shingle's 8-byte base hash
+    * with a distinct seed — fixed-width hashing, so no ANSI
+    * long-overflow (a multiply-shift permutation would wrap, which
+    * Spark 4's default ANSI mode rejects), and far cheaper than
+    * re-hashing the string 64×.
     */
-  /** (doc_id, sig) MinHash signatures from the exploded shingle table. */
   private def minhashSigs(inv: DataFrame): DataFrame = {
     val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val aggs = (0 until MinhashPerms).map { i =>
@@ -406,7 +407,7 @@ object LlmOps {
           .crossJoin(broadcast(probe))
           .select(
             col("vec_id"),
-            round(cosine(toDouble(col("embedding")), col("probe")), 6).as("score")
+            round(CosineSimilarity.cosineSim(toDouble(col("embedding")), col("probe")), 6).as("score")
           )
           .orderBy(col("score").desc, col("vec_id"))
           .limit(10)
@@ -433,13 +434,13 @@ object LlmOps {
           .select(col("vec_id").as("cid"), col("emb").as("cemb"))
         val assigned = e
           .crossJoin(broadcast(cents))
-          .withColumn("csim", cosine(col("emb"), col("cemb")))
+          .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
           .groupBy("vec_id")
           .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
         val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe"))
         val probeClusters = cents
           .crossJoin(broadcast(probe))
-          .orderBy(cosine(col("cemb"), col("probe")).desc, col("cid"))
+          .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
           .limit(4)
           .select(col("cid").as("cluster"))
         e.join(assigned, "vec_id")
@@ -448,7 +449,7 @@ object LlmOps {
           .crossJoin(broadcast(probe))
           .select(
             col("vec_id"), col("cluster"),
-            round(cosine(col("emb"), col("probe")), 6).as("score")
+            round(CosineSimilarity.cosineSim(col("emb"), col("probe")), 6).as("score")
           )
           .orderBy(col("score").desc, col("vec_id"))
           .limit(10)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.Store
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Property-based checks from SURVEY.md §5.3:
+  *  - append-dedup idempotence: append(x); append(x) ≡ append(x)
+  *  - range-query partition invariant: q[a,b] ⊎ q(b,c] ≡ q[a,c]
+  *  - schema normalization is case-insensitive in column names
+  * Row counts kept small — each case drives real Spark jobs.
+  */
+object StoreProps extends Properties("Store") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def bars(n: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val t0 = java.time.LocalDate.parse("2020-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    (0 until n).map { i =>
+      (Timestamp.from(t0.plusDays(i).toInstant),
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        rnd.nextDouble() * 100, rnd.nextInt(1000).toLong)
+    }.toDF("date", "open", "high", "low", "close", "volume")
+  }
+
+  private def freshStore(): Store =
+    Store.open(spark, Files.createTempDirectory("graft-prop").toString)
+
+  private val smallN = Gen.choose(5, 25)
+
+  property("append idempotence") = forAll(smallN, Gen.choose(1L, 999L)) { (n, seed) =>
+    val s = freshStore()
+    val a = bars(n, seed)
+    val b = bars(n + 7, seed) // superset: same seed, longer walk prefix-equal dates
+    s.write("K", a)
+    s.append("K", b)
+    val once = s("K").count()
+    s.append("K", b)
+    val twice = s("K").count()
+    once == twice && once == (n + 7)
+  }
+
+  property("range partition invariant: q[a,b] ⊎ q(b,c] = q[a,c]") =
+    forAll(Gen.choose(10, 30), Gen.choose(1L, 999L)) { (n, seed) =>
+      val s = freshStore()
+      s.write("K", bars(n, seed))
+      def day(i: Int) = Timestamp.from(
+        java.time.LocalDate.parse("2020-01-01").atStartOfDay(java.time.ZoneOffset.UTC)
+          .plusDays(i).toInstant)
+      val (a, b, c) = (day(1), day(n / 2), day(n - 1))
+      val bPlus = new Timestamp(b.getTime + 1) // just past the inclusive bound
+      val left = s.query("K", Some(a), Some(b)).count()
+      val right = s.query("K", Some(bPlus), Some(c)).count()
+      val whole = s.query("K", Some(a), Some(c)).count()
+      left + right == whole
+    }
+
+  property("normalization is case-insensitive in column names") =
+    forAll(Gen.choose(5, 15), Gen.choose(1L, 999L)) { (n, seed) =>
+      val s = freshStore()
+      val canonical = bars(n, seed)
+      val mangled = canonical.toDF(
+        canonical.columns.map { c =>
+          c.zipWithIndex.map { case (ch, i) =>
+            if ((seed + i) % 2 == 0) ch.toUpper else ch.toLower
+          }.mkString
+        }.toIndexedSeq: _*
+      )
+      val a = s.normalize(canonical)
+      val b = s.normalize(mangled)
+      a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+    }
+}
