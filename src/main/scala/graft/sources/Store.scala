@@ -45,23 +45,46 @@ object Store {
   val MinStart: Timestamp = Timestamp.valueOf("1678-01-01 00:00:00")
 
   private val SchemaFile = "schema.json"
+  private val LayoutFile = "layout.json"
   private val ItemsDir = "items"
+
+  /** Time-bucket granularities for directory partitioning. Formats are
+    * zero-padded so lexicographic string comparison equals time order —
+    * that is what makes partition pruning expressible as a string range
+    * predicate on the bucket column.
+    */
+  val BucketFormats: Map[String, String] = Map(
+    "day" -> "yyyy-MM-dd",
+    "month" -> "yyyy-MM",
+    "year" -> "yyyy"
+  )
 
   /** Open or create a store at `basePath` (reference Store.__init__,
     * oakstore/store.py:80-128). The schema (value columns + time index)
     * is persisted as JSON on first create and enforced on reopen:
     * passing a conflicting schema to an existing store raises
     * [[SchemaError]] (store.py:113-117).
+    *
+    * `bucket` (None | "day" | "month" | "year") selects directory-level
+    * time partitioning: items are written `partitionBy` a derived bucket
+    * column so range queries prune whole directories before any file I/O
+    * — the at-scale complement of the reference's row-group-stat pruning
+    * (store.py:255-264). Persisted and enforced like the schema.
     */
   def open(
       spark: SparkSession,
       basePath: String,
       cols: Option[Seq[(String, DataType)]] = None,
-      index: Option[String] = None
+      index: Option[String] = None,
+      bucket: Option[String] = None
   ): Store = {
+    bucket.foreach { b =>
+      require(BucketFormats.contains(b), s"bucket must be one of ${BucketFormats.keys}")
+    }
     val base = Paths.get(basePath)
     Files.createDirectories(base.resolve(ItemsDir))
     val schemaPath = base.resolve(SchemaFile)
+    val layoutPath = base.resolve(LayoutFile)
     val requested = cols.map(cs =>
       buildSchema(cs, index.getOrElse(DefaultIndex))
     )
@@ -74,16 +97,25 @@ object Store {
               s"conflicting schema ${r.catalogString} requested"
           )
       }
-      new Store(spark, base, persisted)
+      val persistedBucket =
+        if (Files.exists(layoutPath))
+          Option(new String(Files.readAllBytes(layoutPath), StandardCharsets.UTF_8).trim)
+            .filter(_.nonEmpty)
+        else None
+      bucket.foreach { b =>
+        if (!persistedBucket.contains(b))
+          throw new SchemaError(
+            s"store at $basePath has bucket layout $persistedBucket; conflicting bucket '$b' requested"
+          )
+      }
+      new Store(spark, base, persisted, persistedBucket)
     } else {
       val schema = requested.getOrElse(
         buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
       )
-      Files.write(
-        schemaPath,
-        schema.json.getBytes(StandardCharsets.UTF_8)
-      )
-      new Store(spark, base, schema)
+      Files.write(schemaPath, schema.json.getBytes(StandardCharsets.UTF_8))
+      bucket.foreach(b => Files.write(layoutPath, b.getBytes(StandardCharsets.UTF_8)))
+      new Store(spark, base, schema, bucket)
     }
   }
 
@@ -121,12 +153,33 @@ object Store {
 class Store private[sources] (
     val spark: SparkSession,
     val base: Path,
-    val schema: StructType
+    val schema: StructType,
+    val bucket: Option[String] = None
 ) {
   import Store._
 
   /** Time-index column name (always schema head). */
   val indexName: String = schema.fields.head.name
+
+  private val BucketCol = "__bucket"
+  private def bucketFmt: Option[String] = bucket.map(BucketFormats)
+
+  /** Add the derived partition column when the store is bucketed. */
+  private def withBucket(df: DataFrame): DataFrame =
+    bucketFmt.fold(df)(f =>
+      df.withColumn(BucketCol, date_format(col(indexName), f)))
+
+  private def writer(df: DataFrame) = {
+    val w = withBucket(df).write.option("compression", "snappy")
+    bucket.fold(w)(_ => w.partitionBy(BucketCol))
+  }
+
+  /** Raw read keeping the partition column (for pruning predicates). */
+  private def loadRaw(key: String): DataFrame = {
+    val p = itemPath(key, mustExist = true).toString
+    if (bucket.isDefined) spark.read.parquet(p)
+    else spark.read.schema(schema).parquet(p)
+  }
 
   private def itemPath(key: String, mustExist: Boolean): Path = {
     val k = validateKey(key)
@@ -195,17 +248,14 @@ class Store private[sources] (
       throw new ItemExistsError(
         s"item ${validateKey(key)} already exists; use append"
       )
-    normalize(df).write
-      .option("compression", "snappy")
-      .mode("errorifexists")
-      .parquet(p.toString)
+    writer(normalize(df)).mode("errorifexists").parquet(p.toString)
   }
 
   /** Lazy handle: full scan of one item (reference `_Item`,
     * store.py:49-71 — no I/O until an action).
     */
   def apply(key: String): DataFrame =
-    spark.read.schema(schema).parquet(itemPath(key, mustExist = true).toString)
+    loadRaw(key).drop(BucketCol).select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Exact reference append semantics (`_append`, store.py:214-236):
     * union old+new, drop full-row duplicates with old rows winning
@@ -234,10 +284,7 @@ class Store private[sources] (
     val tmp = base.resolve("items").resolve(
       validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
     )
-    merged.write
-      .option("compression", "snappy")
-      .mode("overwrite")
-      .parquet(tmp.toString)
+    writer(merged).mode("overwrite").parquet(tmp.toString)
     val trash = base.resolve("items").resolve(
       validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
     )
@@ -261,10 +308,7 @@ class Store private[sources] (
     val incoming = normalize(df).dropDuplicates()
     val valueCols = schema.fieldNames.toIndexedSeq
     val fresh = incoming.join(this(key), valueCols, "left_anti")
-    fresh.write
-      .option("compression", "snappy")
-      .mode("append")
-      .parquet(p.toString)
+    writer(fresh).mode("append").parquet(p.toString)
   }
 
   /** Inclusive time-range scan (reference `_query`, store.py:238-267):
@@ -279,11 +323,25 @@ class Store private[sources] (
       start: Option[Timestamp] = None,
       end: Option[Timestamp] = None
   ): DataFrame = {
-    val df = this(key)
+    val df = loadRaw(key)
     val idx = col(indexName)
-    val lo = start.map(s => idx >= lit(s))
-    val hi = end.map(e => idx <= lit(e))
-    (lo ++ hi).reduceOption(_ && _).map(df.filter).getOrElse(df)
+    // directory-level pruning first (bucketed stores): the bucket format
+    // is lexicographically ordered, so the time range maps to a string
+    // range on the partition column and Spark prunes whole directories
+    // (bucket strings are written by date_format under the session's UTC
+    // timezone; the same UTC formatter here keeps the bounds aligned)
+    val bucketPreds = bucketFmt.toSeq.flatMap { f =>
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(f)
+        .withZone(java.time.ZoneOffset.UTC)
+      start.map(s => col(BucketCol) >= fmt.format(s.toInstant)).toSeq ++
+        end.map(e => col(BucketCol) <= fmt.format(e.toInstant)).toSeq
+    }
+    // row-group pruning + residual exactness (reference store.py:255-266)
+    val tsPreds = start.map(s => idx >= lit(s)).toSeq ++ end.map(e => idx <= lit(e)).toSeq
+    val preds = bucketPreds ++ tsPreds
+    preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
+      .drop(BucketCol)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Reference-default bounds: start=1678-01-01 (store.py:250-251),

@@ -29,7 +29,8 @@ object StoreDemo {
       cols = Some(Seq(
         "EVENT_ID" -> LongType, "USER_ID" -> LongType,
         "EVENT_TYPE" -> StringType, "VALUE" -> DoubleType)),
-      index = Some("TS"))
+      index = Some("TS"),
+      bucket = Some("day")) // directory partitioning: __bucket=yyyy-MM-dd/
     println(s"[demo] schema: ${store.schema.catalogString}")
 
     import org.apache.spark.sql.functions.{col, expr}

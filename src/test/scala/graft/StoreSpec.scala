@@ -109,6 +109,40 @@ class StoreSpec extends AnyFunSuite {
     assert(s("K1").exceptAll(s2("K1")).count() == 0)
   }
 
+  test("bucketed layout: directory partition pruning on range queries") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(400)) // ~13 months from 2015-01-01
+    assert(s("MSFT").count() == 400)
+    assert(s("MSFT").columns.toSeq == s.schema.fieldNames.toSeq, "partition col hidden")
+    // reopening with a conflicting bucket fails
+    intercept[graft.sources.SchemaError] {
+      Store.open(spark, dir, bucket = Some("day"))
+    }
+    // bucket layout visible on disk
+    val item = java.nio.file.Paths.get(dir, "items", "MSFT")
+    val parts = java.nio.file.Files.list(item).iterator()
+    var sawBucketDir = false
+    while (parts.hasNext) {
+      if (parts.next().getFileName.toString.startsWith("__bucket=")) sawBucketDir = true
+    }
+    assert(sawBucketDir, "expected __bucket=... partition directories")
+    // range query: correct inclusive result + PartitionFilters in plan
+    val t0 = Timestamp.valueOf("2015-02-01 00:00:00")
+    val t1 = Timestamp.valueOf("2015-03-01 00:00:00")
+    val q = s.query("MSFT", Some(t0), Some(t1))
+    assert(q.count() == 29)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"expected partition pruning in plan:\n$plan")
+    // append paths preserve the bucketed layout
+    s.append("MSFT", bars(450))
+    assert(s("MSFT").count() == 450)
+    s.appendNewOnly("MSFT", bars(470))
+    assert(s("MSFT").count() == 470)
+    assert(s.query("MSFT", Some(t0), Some(t1)).count() == 29)
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
