@@ -3,10 +3,22 @@ package graft.streaming
 import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import java.util.concurrent.atomic.AtomicInteger
+
+/** Typed event row for the custom-state operator. */
+case class EventRow(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double
+)
+
+/** Per-user running aggregate carried in the state store. */
+case class UserState(n: Long, sum: Double)
 
 /** Structured Streaming surface — the streaming analogue of the
   * reference's incremental `+=` ingest (oakstore/store.py:57-59,214-236)
@@ -103,9 +115,42 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** Arbitrary stateful processing via flatMapGroupsWithState: a
+    * per-user running (count, sum) carried in the state store across
+    * micro-batches, emitting the updated totals each time a user's
+    * group is touched. The last emission per user equals the batch
+    * aggregate (asserted by the spec).
+    */
+  def customState(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val typed = eventsStream(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+    val updated = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          var n = 0L
+          var sum = 0.0
+          it.foreach { e => n += 1; sum += e.value }
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val next = UserState(prev.n + n, prev.sum + sum)
+          state.update(next)
+          Iterator.single((uid, next.n, next.sum))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+    runToBatch(s, updated, "append")
+      .groupBy("user_id") // keep only the final emission per user
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events"), round(col("fin.sum_value"), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d), None),
     Q("stream_session", (s, d) => session(s, d), None),
-    Q("stream_dedup_state", (s, d) => dedupState(s, d), None)
+    Q("stream_dedup_state", (s, d) => dedupState(s, d), None),
+    Q("stream_custom_state", (s, d) => customState(s, d), None)
   )
 }

@@ -38,6 +38,22 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream_custom_state final totals equal batch per-user aggregates") {
+    val streamed = Streams.customState(spark, dir)
+      .select("user_id", "n_events", "sum_value")
+    val batch = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    // counts must match exactly; sums to float tolerance (stream order differs)
+    val joined = streamed.as("s").join(batch.as("b"), "user_id")
+      .select(
+        (col("s.n_events") === col("b.n_events")).as("n_ok"),
+        (abs(col("s.sum_value") - col("b.sum_value")) < 1e-6).as("sum_ok")
+      )
+    assert(streamed.count() == batch.count())
+    assert(joined.filter(!col("n_ok") || !col("sum_ok")).count() == 0)
+  }
+
   test("stream_dedup_state removes the injected duplicates exactly") {
     val streamed = Streams.dedupState(spark, dir)
     val n = Tables.events(spark, dir).count()
