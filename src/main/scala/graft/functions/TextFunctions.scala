@@ -108,6 +108,12 @@ object TextFunctions {
   /** Composite document quality score in [0,1]: stopword ratio, mean
     * word length (capped), alphabetic-character ratio. Mirrors the
     * SQL-expressible oracle formula exactly.
+    *
+    * Known boundary: the score is a small-denominator rational, so a
+    * doc can land exactly on a half of the rounding grid (observed at
+    * sf0.1: 0.4596875 → engines disagree in the last rounded digit for
+    * 2 of 5000 docs). The sf0.01 oracle gate is deterministic-clean;
+    * exact cross-engine parity would require integer-scaled scoring.
     */
   def qualityScore(text: Column): Column = {
     val toks = wsTokens(text)

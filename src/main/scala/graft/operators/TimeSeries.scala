@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.{OhlcAggregator, Tick}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -125,6 +126,59 @@ object TimeSeries {
             max(when(col("rn_d") === 1, col("value"))).as("close"),
             round(sum("value"), 4).as("volume"),
             count(lit(1)).as("n")
+          )
+          .orderBy("day", "event_type")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT date_trunc('day', ts) AS day, event_type, value,
+          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+          |                       ORDER BY ts, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+          |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+          |  FROM events)
+          |SELECT day, event_type,
+          |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          |       round(max(value), 6) AS high,
+          |       round(min(value), 6) AS low,
+          |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+          |       round(sum(value), 4) AS volume,
+          |       count(*) AS n
+          |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+      )
+    ),
+    // Same resample semantics through a one-pass typed Aggregator
+    // (graft.functions.OhlcAggregator): open/close tracked by ordering
+    // key inside the aggregation buffer → ONE shuffle with map-side
+    // partial aggregation, instead of two ranking windows + a hash agg.
+    // The scalable form for high-cardinality (day, key) resampling;
+    // shares the window variant's oracle since the results are equal.
+    Q(
+      "resample_ohlcv_agg",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val ds = events(s, d)
+          .select(
+            date_trunc("day", col("ts")).as("day"),
+            col("event_type"),
+            expr("unix_micros(ts) * 1000L").as("tsNanos"),
+            col("event_id"),
+            col("value")
+          )
+          .as[(java.sql.Timestamp, String, Long, Long, Double)]
+        ds.groupByKey(t => (t._1, t._2))
+          .mapValues(t => Tick(t._3, t._4, t._5))
+          .agg(OhlcAggregator.toColumn.name("ohlc"))
+          .toDF("key", "ohlc")
+          .select(
+            col("key._1").as("day"), col("key._2").as("event_type"),
+            col("ohlc.open").as("open"),
+            round(col("ohlc.high"), 6).as("high"),
+            round(col("ohlc.low"), 6).as("low"),
+            col("ohlc.close").as("close"),
+            round(col("ohlc.volume"), 4).as("volume"),
+            col("ohlc.n").as("n")
           )
           .orderBy("day", "event_type")
       },
