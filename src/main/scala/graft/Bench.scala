@@ -23,7 +23,7 @@ object Bench {
     "agg_hash", "agg_distinct", "agg_rollup",
     "join_inner", "join_broadcast", "join_semi", "join_asof", "join_range",
     "win_rank", "win_analytic", "win_cume", "topk_pergroup", "sort_limit",
-    "resample_ohlcv", "fn_math", "fn_json", "fn_array",
+    "resample_ohlcv", "resample_ohlcv_agg", "fn_math", "fn_json", "fn_array",
     "text_stats", "text_tokens", "text_quality", "text_fingerprint",
     "dedup_minhash", "dedup_ngram", "dedup_simhash", "dedup_embedding",
     "sim_cosine_topk", "sim_ann_ivf", "stream_tumbling"

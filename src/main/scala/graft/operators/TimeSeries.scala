@@ -28,7 +28,8 @@ object TimeSeries {
       key: String,
       leftTs: String,
       rightTs: String,
-      rightPayload: Seq[(String, String)] // (rightCol -> outName)
+      rightPayload: Seq[(String, String)], // (rightCol -> outName)
+      tolerance: Option[String] = None // e.g. "30 minutes": match only if rightTs >= leftTs - tolerance
   ): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r0 = right.select(
@@ -47,7 +48,21 @@ object TimeSeries {
     val filled = rightPayload.foldLeft(unioned) { case (df, (_, out)) =>
       df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
     }
-    filled
+    // tolerance: drop matches older than leftTs - tolerance (the matched
+    // right timestamp rides along in the same window pass)
+    val bounded = tolerance.fold(filled) { tol =>
+      val withMatchTs = filled.withColumn(
+        "__match_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
+      )
+      rightPayload.foldLeft(withMatchTs) { case (df, (_, out)) =>
+        df.withColumn(
+          out,
+          when(col("__match_ts") >= col(leftTs) - expr(s"INTERVAL $tol"), col(out))
+        )
+      }
+    }
+    bounded
       .filter(col("__side") === 1)
       .select(lCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }: _*)
   }

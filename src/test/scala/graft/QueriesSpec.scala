@@ -50,5 +50,16 @@ class QueriesSpec extends AnyFunSuite {
       .collect()
       .toSeq
     assert(got == Seq((1L, Some(101L)), (2L, Some(103L)), (3L, None)))
+    // with a 30-minute tolerance, the 10:00 purchase no longer matches
+    // the 09:00 click; equal-ts and recent matches survive
+    val tol = graft.operators.TimeSeries
+      .asOfJoin(left, right, "user_id", "ts", "cts",
+        Seq("click_eid" -> "click_id"), tolerance = Some("30 minutes"))
+      .orderBy("event_id")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toSeq
+    assert(tol == Seq((1L, None), (2L, Some(103L)), (3L, None)))
   }
 }
