@@ -222,6 +222,22 @@ object LlmOps {
       None
     ),
     // ---- dedup ---------------------------------------------------------
+    // Exact dedup by content hash (hash-groupBy): one survivor per
+    // distinct text, plus the duplicate count — the O(n) baseline every
+    // near-dup method is layered on.
+    Q(
+      "dedup_exact",
+      (s, d) =>
+        documents(s, d)
+          .groupBy(md5(col("text")).as("chk"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+          .select(col("keep_id"), col("chk"), col("n"))
+          .orderBy("keep_id"),
+      Some(
+        """SELECT min(doc_id) AS keep_id, md5(text) AS chk, count(*) AS n
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+      )
+    ),
     // MinHash + LSH near-dup pairs: signature → band keys → bucket
     // equi-join candidates → exact-Jaccard verify. Approximate candidate
     // recall ⇒ no SQL oracle (rows-only); exactness of survivors is
