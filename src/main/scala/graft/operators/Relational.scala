@@ -431,6 +431,122 @@ object Relational {
           |ORDER BY o_custkey""".stripMargin
       )
     ),
+    // Full outer join with one-sided nulls (customers without 'F' orders).
+    Q(
+      "join_outer",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"),
+            "full_outer"
+          )
+          .select(
+            col("c_custkey"), col("c_name"), col("o_orderkey"),
+            coalesce(col("o_orderstatus"), lit("NONE")).as("status")
+          )
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey")),
+      Some(
+        """SELECT c_custkey, c_name, o_orderkey,
+          |       coalesce(o_orderstatus, 'NONE') AS status
+          |FROM customer FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+          |  ON c_custkey = o_custkey
+          |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+      )
+    ),
+    // Distribution window functions.
+    Q(
+      "win_dist",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile")
+          )
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey,
+          |  round(percent_rank() OVER w, 6) AS pr,
+          |  round(cume_dist() OVER w, 6) AS cd,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin
+      )
+    ),
+    // Statistical aggregates (sample stddev/variance, correlation, exact
+    // interpolated median).
+    Q(
+      "agg_stats",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
+            round(expr("corr(l_quantity, l_extendedprice)"), 6).as("co"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       round(stddev_samp(l_extendedprice), 4) AS sd,
+          |       round(corr(l_quantity, l_extendedprice), 6) AS co,
+          |       round(quantile_cont(l_extendedprice, 0.5), 4) AS med,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      )
+    ),
+    // Collect aggregates — set-valued results serialized to a sorted
+    // joined string so cross-engine comparison is representation-free.
+    Q(
+      "agg_collect",
+      (s, d) =>
+        orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("o_custkey"),
+      Some(
+        """SELECT o_custkey,
+          |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+          |       count(*) AS n
+          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+      )
+    ),
+    // Conditional scalar functions (CASE/nullif/coalesce/greatest/least).
+    Q(
+      "fn_cond",
+      (s, d) =>
+        lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high").as("band"),
+            coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
+            greatest(col("l_tax"), col("l_discount")).as("g"),
+            least(col("l_tax"), col("l_discount")).as("l")
+          )
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       CASE WHEN l_quantity < 10 THEN 'low'
+          |            WHEN l_quantity < 30 THEN 'mid'
+          |            ELSE 'high' END AS band,
+          |       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+          |       greatest(l_tax, l_discount) AS g,
+          |       least(l_tax, l_discount) AS l
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      )
+    ),
     // Scalar string functions (key-normalization lineage, store.py:159-191).
     Q(
       "fn_string",
