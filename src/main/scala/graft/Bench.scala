@@ -41,6 +41,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet ts is TIMESTAMP(NANOS); see graft.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))
       )
     )
+    e.injectOptimizerRule(_ => NanosRangePushdown)
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The NanosRangePushdown optimizer rule must make natural-form range
+  * filters on the converted events `ts` reach the parquet scan, with
+  * results identical to the residual-only plan.
+  */
+class NanosPushdownSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  def lit_ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  test("natural-form ts range filter is pushed to the scan in nanos") {
+    val q = Tables.events(spark, dir)
+      .filter(col("ts") >= lit_ts("2024-01-10 00:00:00") &&
+        col("ts") <= lit_ts("2024-01-20 00:00:00"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(
+      plan.contains("GreaterThanOrEqual(ts,1704844799999999001")
+        && plan.contains("LessThanOrEqual(ts,1705708800000000999"),
+      s"expected nanos-domain pushed range:\n$plan"
+    )
+    // result equality with the hand-pushed helper
+    val expect = Tables.eventsInRange(spark, dir, "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+    assert(q.count() == expect.count())
+    assert(q.exceptAll(expect).count() == 0)
+  }
+
+  test("strict bounds and mixed predicates stay exact") {
+    val q = Tables.events(spark, dir)
+      .filter(col("ts") > lit_ts("2024-01-10 00:00:00") &&
+        col("ts") < lit_ts("2024-01-20 00:00:00") &&
+        col("event_type") === "click")
+    val plain = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .filter(col("ts") > lit_ts("2024-01-10 00:00:00"))
+      .filter(col("ts") < lit_ts("2024-01-20 00:00:00"))
+    assert(q.count() == plain.count())
+    // the toString elides long PushedFilters lists; check the full
+    // formatted explain output instead
+    val full = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(full.contains("GreaterThanOrEqual(ts,1704844800000000001"), full)
+  }
+}
