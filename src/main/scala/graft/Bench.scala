@@ -21,6 +21,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "scan_range", "filter_pred", "append_dedup", "distinct_rows",
     "agg_hash", "agg_distinct", "agg_rollup", "agg_stats", "agg_collect",
+    "agg_pivot", "agg_unpivot", "fn_explode",
     "join_inner", "join_broadcast", "join_semi", "join_asof", "join_range", "join_outer",
     "win_rank", "win_analytic", "win_cume", "win_dist", "topk_pergroup", "sort_limit",
     "fn_cond", "dedup_exact",

@@ -431,6 +431,59 @@ object Relational {
           |ORDER BY o_custkey""".stripMargin
       )
     ),
+    // Generator / UDTF class: positional explode of an array column.
+    Q(
+      "fn_explode",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+          .orderBy("doc_id", "pos"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+          |       unnest(toks) AS tok
+          |FROM t ORDER BY doc_id, pos""".stripMargin
+      )
+    ),
+    // Pivot: wide-format aggregation (one column per pivoted value).
+    Q(
+      "agg_pivot",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum("l_quantity"), 2))
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS F,
+          |       round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS O
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      )
+    ),
+    // Unpivot/melt: wide → long.
+    Q(
+      "agg_unpivot",
+      (s, d) =>
+        lineitem(s, d)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric",
+            "val"
+          )
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some(
+        """SELECT l_orderkey, l_linenumber, metric, val FROM (
+          |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      )
+    ),
     // Full outer join with one-sided nulls (customers without 'F' orders).
     Q(
       "join_outer",
