@@ -64,6 +64,26 @@ object StoreProps extends Properties("Store") {
       left + right == whole
     }
 
+  property("bucketed range query ≡ flat range query (non-aligned bounds)") =
+    forAll(Gen.choose(20, 40), Gen.choose(1L, 999L), Gen.choose(0, 86399),
+      Gen.choose(0, 86399)) { (n, seed, s1, s2) =>
+      val data = bars(n, seed)
+      val flat = freshStore()
+      val bucketed = Store.open(
+        spark, Files.createTempDirectory("graft-prop-b").toString,
+        bucket = Some("day"))
+      flat.write("K", data)
+      bucketed.write("K", data)
+      // bounds at arbitrary intra-day second offsets, possibly inverted
+      def at(day: Int, sec: Int) = Timestamp.from(
+        java.time.LocalDate.parse("2020-01-01").atStartOfDay(java.time.ZoneOffset.UTC)
+          .plusDays(day).plusSeconds(sec).toInstant)
+      val (a, b) = (at(2, math.min(s1, s2)), at(n - 2, math.max(s1, s2)))
+      val f = flat.query("K", Some(a), Some(b))
+      val g = bucketed.query("K", Some(a), Some(b))
+      f.count() == g.count() && f.exceptAll(g).count() == 0
+    }
+
   property("normalization is case-insensitive in column names") =
     forAll(Gen.choose(5, 15), Gen.choose(1L, 999L)) { (n, seed) =>
       val s = freshStore()
