@@ -53,20 +53,36 @@ object Bench {
     // untimed warm-up: JVM + codegen + parquet footer caches
     try materialize("agg_hash") catch { case _: Throwable => () }
 
-    // best-of-2 per query: one timing sample on a shared box is noisy
-    // (background load, first-touch codegen); min-of-2 records the
-    // steady-state cost. Caches cleared between queries so each timing
-    // is self-contained.
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val samples = (1 to 2).map { _ =>
+    // best-of-3 per query: one timing sample on a shared box is noisy
+    // (background load, first-touch codegen); min-of-3 records the
+    // steady-state cost. Caches cleared + a short settle (GC and CPU
+    // quiesce) between samples so each timing is self-contained, and the
+    // per-query sample spread is printed so a contaminated run is
+    // self-diagnosing (spread = max/min; >2 means ambient load skewed
+    // the samples and the min is the trustworthy number).
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    val allSamples = headline.filter(SparkEntry.queries.contains).map { name =>
+      val samples = (1 to nSamples).map { _ =>
         spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(200) // settle: let GC/compilation/background IO drain
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.min
+      System.err.println(
+        f"[bench] $name%-22s min=${samples.min}%.3fs max=${samples.max}%.3fs " +
+          f"spread=${samples.max / samples.min}%.2fx samples=" +
+          samples.map(v => f"$v%.3f").mkString("[", ",", "]"))
+      name -> samples
     }
+    val results = allSamples.map { case (n, ss) => n -> ss.min }
+    val contaminated = allSamples.filter { case (_, ss) => ss.max / ss.min > 2.0 }
+    if (contaminated.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: high sample spread (ambient load?) on: " +
+          contaminated.map(_._1).mkString(", "))
     // storage-layer timings: the reference's core value prop is keyed
     // ingest + pushdown range slicing (README.md:7,44) — track both.
     val storeResults = {
@@ -97,8 +113,11 @@ object Bench {
     val qs = (results ++ storeResults)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spreads = allSamples
+      .map { case (k, ss) => "\"" + k + "\":" + f"${ss.max / ss.min}%.2f" }
+      .mkString("{", ",", "}")
     val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

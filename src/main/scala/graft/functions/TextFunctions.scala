@@ -20,66 +20,20 @@ object TextFunctions {
   def reTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct word k-shingles from whitespace tokens; empty array when
-    * the doc has fewer than k tokens (guards Spark's descending
-    * `sequence` when stop < start).
-    */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = wsTokens(text)
-    val n = size(toks)
-    when(
-      n >= k,
-      array_distinct(
-        transform(
-          sequence(lit(1), n - lit(k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k)))
-        )
-      )
-    ).otherwise(array().cast("array<string>"))
-  }
-
-  /** MinHash signature: k independent "permutations" simulated by
-    * seeding xxhash64 with the permutation index; signature element i =
-    * min hash over the shingle set. Estimated Jaccard of two docs =
-    * fraction of equal signature positions.
-    */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))
-    }: _*)
-
   /** LSH band key: hash of one `rowsPerBand`-wide slice of the MinHash
     * signature (band index mixed in). Two docs sharing any band key are
     * near-dup candidates.
+    *
+    * NOTE: the per-array shingle/minhash/simhash HOF variants that used
+    * to live here were removed — higher-order functions are
+    * CodegenFallback (interpreted, 10-100× slower); the production
+    * pipelines build signatures via explode + codegen'd aggregates in
+    * [[graft.operators.LlmOps]].
     */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
-
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
-  }
-
-  /** 64-bit SimHash over a token array: bit j of the result is set iff
-    * the sum over tokens of ±1 (sign of bit j of the token's xxhash64)
-    * is positive. Near-dup docs differ in few bits (Hamming distance).
-    */
-  def simhash64(tokens: Column): Column = {
-    val hs = transform(tokens, t => xxhash64(t))
-    (0 until 64)
-      .map { j =>
-        val contrib = aggregate(
-          hs,
-          lit(0L),
-          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
-        )
-        when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }
-      .reduce(_ bitwiseOR _)
-  }
 
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic (corpus langs: en de fr es zh).
@@ -109,24 +63,34 @@ object TextFunctions {
     * word length (capped), alphabetic-character ratio. Mirrors the
     * SQL-expressible oracle formula exactly.
     *
-    * Known boundary: the score is a small-denominator rational, so a
-    * doc can land exactly on a half of the rounding grid (observed at
-    * sf0.1: 0.4596875 → engines disagree in the last rounded digit for
-    * 2 of 5000 docs). The sf0.01 oracle gate is deterministic-clean;
-    * exact cross-engine parity would require integer-scaled scoring.
+    * Scored in EXACT integer arithmetic to kill cross-engine round-half
+    * divergence (a small-denominator rational can land exactly on a half
+    * of the 6dp grid — observed 2/5000 docs at sf0.1 with the
+    * floating-point formulation): with n = tokens, c = chars,
+    * s = stopword hits, a = alphabetic chars,
+    *
+    *   score = (40·s·c + 3·min((c−n+1)·c, 10·n·c) + 30·a·n) / (100·n·c)
+    *
+    * is the same rational, and the emitted value is
+    * round-half-up(score·1e6) computed as the integer
+    * ⌊(2·num·1e6 + den) / (2·den)⌋, divided by 1e6. Every intermediate
+    * stays ≤ 2^53 for n·c ≲ 1e8 (a 100k-char doc), so the floor of the
+    * correctly-rounded double division equals the exact integer floor:
+    * the nonzero fractional parts are ≥ 1/(2·den) ≈ 5e-9, far above the
+    * ~5e-11 division ulp. DuckDB computes the identical integer with
+    * BIGINT `//`, then the identical double by the same /1e6.
     */
   def qualityScore(text: Column): Column = {
     val toks = wsTokens(text)
-    val nTok = size(toks).cast("double")
-    val nChars = length(text).cast("double")
-    val avgWordLen = (nChars - (nTok - 1)) / nTok
-    val stopRatio =
-      size(filter(toks, t => t.isInCollection(stopwords("en")))).cast("double") / nTok
-    val alphaRatio = length(regexp_replace(text, "[^a-z ]", "")).cast("double") / nChars
-    round(
-      lit(0.4) * stopRatio + lit(0.3) * least(avgWordLen / 10.0, lit(1.0)) +
-        lit(0.3) * alphaRatio,
-      6
-    )
+    val n = size(toks).cast("long")
+    val c = length(text).cast("long")
+    val s = size(filter(toks, t => t.isInCollection(stopwords("en")))).cast("long")
+    val a = length(regexp_replace(text, "[^a-z ]", "")).cast("long")
+    val num = lit(40L) * s * c +
+      lit(3L) * least((c - n + lit(1L)) * c, lit(10L) * n * c) +
+      lit(30L) * a * n
+    val den = lit(100L) * n * c
+    val ppm = floor((num * lit(2000000L) + den).cast("double") / (den * lit(2L)).cast("double"))
+    ppm.cast("double") / lit(1000000.0)
   }
 }

@@ -31,6 +31,14 @@ object LlmOps {
   private val RowsPerBand = 8
   private val JaccardThreshold = 0.8
   private val CosineDupThreshold = 0.45 // corpus max pairwise cosine ≈ 0.51
+  // dedup_embedding block-pair fan-out: B(B+1)/2 tasks, each holding two
+  // blocks of ~n/B vectors. Constant here; at 100 TB size B so a block
+  // fits an executor (the quadratic work is inherent to exact all-pairs).
+  private val EmbedBlocks = 8
+  // sim_ann_ivf: constant-size centroid set + probe width, independent of
+  // n — keeps the centroid broadcast O(k) and assignment O(n·k).
+  private val IvfCentroids = 16
+  private val IvfProbes = 4
 
   /** Distinct word-K-shingles as exploded rows (doc_id, shingle, sz)
     * where sz = |distinct shingle set| of the doc.
@@ -172,16 +180,20 @@ object LlmOps {
           .select(col("doc_id"), qualityScore(col("text")).as("quality"))
           .orderBy("doc_id"),
       Some(
-        """SELECT doc_id,
-          |  round(
-          |    0.4 * (len(list_filter(string_split(text, ' '),
-          |            t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
-          |           / len(string_split(text, ' ')))
-          |  + 0.3 * least(((length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
-          |                 / len(string_split(text, ' '))) / 10, 1.0)
-          |  + 0.3 * (length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
-          |           / length(text)), 6) AS quality
-          |FROM documents ORDER BY doc_id""".stripMargin
+        // integer-scaled score (see TextFunctions.qualityScore): both
+        // engines compute the identical BIGINT round-half-up(score·1e6),
+        // then the identical double via /1e6 — no round-half boundary
+        """WITH t AS (SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          |  CAST(length(text) AS BIGINT) AS c,
+          |  CAST(len(list_filter(string_split(text, ' '),
+          |       w -> w IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS s,
+          |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS a
+          |  FROM documents)
+          |SELECT doc_id,
+          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |    // (2*100*n*c)) / 1000000.0 AS quality
+          |FROM t ORDER BY doc_id""".stripMargin
       )
     ),
     // Document fingerprints: whole-doc md5 + min shingle-hash (1-perm
@@ -361,39 +373,58 @@ object LlmOps {
     Q(
       "dedup_embedding",
       (s, d) => {
-        // Dense pairwise kernel: the small side (it's the self-join of
-        // one table) is broadcast as primitive arrays and each partition
-        // runs a tight double-precision loop — dense linear algebra is
-        // the one place mapPartitions beats interpreted HOF expressions
-        // by ~100×. Accumulation order (dims left-to-right, dot/(na·nb))
-        // matches DuckDB's list_cosine_similarity bit-for-bit.
+        // Distributed block-pair all-pairs: vectors are hashed into B
+        // fixed blocks, every unordered block pair {i,j} becomes ONE row
+        // of a tiny B(B+1)/2-row work table joined (equi-join on block
+        // id) against the packed block payloads, and each task runs the
+        // tight double-precision kernel over its two blocks. Nothing is
+        // collected to the driver, memory per task is bounded by two
+        // blocks, and the B²/2 tasks spread across the cluster — at
+        // 100 TB you raise B so a block stays ~executor-sized (the
+        // all-pairs work itself is inherently O(n²); this shape is how
+        // it distributes). Dense linear algebra in mapPartitions-style
+        // loops beats interpreted HOF expressions ~100×; accumulation
+        // order (dims left-to-right, dot/(na·nb)) matches DuckDB's
+        // list_cosine_similarity bit-for-bit.
         val sp = s
         import sp.implicits._
-        val vecs = embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])]
-        val all = vecs.collect().sortBy(_._1).map { case (id, v) =>
-          val a = v.map(_.toDouble)
-          var n2 = 0.0; var i = 0
-          while (i < a.length) { n2 += a(i) * a(i); i += 1 }
-          (id, a, math.sqrt(n2))
-        }
-        val bc = s.sparkContext.broadcast(all)
+        val B = EmbedBlocks
+        val blocks = embeddings(s, d)
+          .groupBy(pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"))
+          .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("blk"))
+        val pairIds = (for { a <- 0 until B; b <- a until B } yield (a, b))
+          .toDF("ba", "bb")
+          .repartition(B * (B + 1) / 2)
+        val work = pairIds
+          .join(blocks.select(col("bid").as("ba"), col("blk").as("blka")), "ba")
+          .join(blocks.select(col("bid").as("bb"), col("blk").as("blkb")), "bb")
+          .select(col("blka"), col("blkb"), (col("ba") === col("bb")).as("same"))
+          .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])], Boolean)]
         val thr = CosineDupThreshold
-        vecs
-          .mapPartitions { it =>
-            val b = bc.value
-            it.flatMap { case (ida, va) =>
-              val a = va.map(_.toDouble)
-              var n2 = 0.0; var i = 0
-              while (i < a.length) { n2 += a(i) * a(i); i += 1 }
-              val na = math.sqrt(n2)
-              b.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-                var dot = 0.0; var j = 0
-                while (j < a.length) { dot += a(j) * vb(j); j += 1 }
-                val cos = dot / (na * nb)
-                if (cos >= thr) Iterator.single((ida, idb, cos)) else Iterator.empty
-              }
+        def prep(xs: Seq[(Long, Array[Float])]): Array[(Long, Array[Double], Double)] =
+          xs.iterator.map { case (id, v) =>
+            val a = v.map(_.toDouble)
+            var n2 = 0.0; var i = 0
+            while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+            (id, a, math.sqrt(n2))
+          }.toArray.sortBy(_._1)
+        work
+          .flatMap { case (xa, xb, same) =>
+            val pa = prep(xa)
+            val pb = if (same) pa else prep(xb)
+            // each unordered {i,j} lives in exactly one block pair, so no
+            // cross-task dedup is needed; within a block emit i<j once
+            pa.iterator.flatMap { case (ida, va, na) =>
+              pb.iterator
+                .filter(p => if (same) p._1 > ida else p._1 != ida)
+                .flatMap { case (idb, vb, nb) =>
+                  var dot = 0.0; var j = 0
+                  while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+                  val cos = dot / (na * nb)
+                  if (cos >= thr)
+                    Iterator.single((math.min(ida, idb), math.max(ida, idb), cos))
+                  else Iterator.empty
+                }
             }
           }
           .toDF("id_a", "id_b", "cos_raw")
@@ -437,16 +468,20 @@ object LlmOps {
           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
       )
     ),
-    // IVF approximate nearest neighbors: coarse-quantize to deterministic
-    // centroids (every 25th vector), probe the 4 nearest clusters, exact
-    // cosine only within candidates. At 100 TB the assignment is a
-    // broadcast join on a small centroid table and the probe touches a
-    // bounded fraction of partitions. Approximate ⇒ rows-only check.
+    // IVF approximate nearest neighbors: coarse-quantize to a CONSTANT-k
+    // deterministic centroid sample (the k smallest xxhash64(vec_id) —
+    // a TakeOrdered, O(n log k), independent of table size), probe the
+    // nearest clusters, exact cosine only within candidates. At 100 TB
+    // the assignment is a broadcast join on a k-row centroid table and
+    // the probe touches a bounded fraction of partitions. Approximate ⇒
+    // rows-only check; recall vs the exact sim_cosine_topk is spec'd.
     Q(
       "sim_ann_ivf",
       (s, d) => {
         val e = embeddings(s, d).withColumn("emb", toDouble(col("embedding")))
-        val cents = e.filter(col("vec_id") % 25 === 0)
+        val cents = e
+          .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+          .limit(IvfCentroids)
           .select(col("vec_id").as("cid"), col("emb").as("cemb"))
         val assigned = e
           .crossJoin(broadcast(cents))
@@ -457,7 +492,7 @@ object LlmOps {
         val probeClusters = cents
           .crossJoin(broadcast(probe))
           .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
-          .limit(4)
+          .limit(IvfProbes)
           .select(col("cid").as("cluster"))
         e.join(assigned, "vec_id")
           .join(broadcast(probeClusters), "cluster")
@@ -498,6 +533,11 @@ object LlmOps {
     // audio codecs, so a deterministic fake (byte-histogram "features",
     // fixed "frame" sampling) stands in — the schema, partitioning and
     // batch shape are the real thing.
+    //
+    // Output is long-form (doc_id, channel, value, n_frames) rows: the
+    // feature vector is exploded to scalar rows so every column is
+    // hashable/sortable by any downstream consumer (a raw ARRAY<FLOAT>
+    // column is not, e.g. for pandas-side row hashing).
     Q(
       "multimodal_features",
       (s, d) => {
@@ -525,7 +565,18 @@ object LlmOps {
             }
           }
           .toDF("doc_id", "features", "n_frames")
-          .orderBy("doc_id")
+          .select(
+            col("doc_id"),
+            posexplode(col("features")).as(Seq("channel", "value")),
+            col("n_frames")
+          )
+          .select(
+            col("doc_id"),
+            col("channel").cast("long").as("channel"),
+            round(col("value").cast("double"), 6).as("value"),
+            col("n_frames").cast("long").as("n_frames")
+          )
+          .orderBy("doc_id", "channel")
       },
       None
     )

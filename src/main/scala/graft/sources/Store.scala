@@ -69,22 +69,33 @@ object Store {
     * time partitioning: items are written `partitionBy` a derived bucket
     * column so range queries prune whole directories before any file I/O
     * — the at-scale complement of the reference's row-group-stat pruning
-    * (store.py:255-264). Persisted and enforced like the schema.
+    * (store.py:255-264). Persisted and enforced like the schema. Bucket
+    * strings are rendered in the session timezone at write AND query
+    * time; the creating session's timezone is persisted alongside the
+    * bucket and a reopen under a different timezone fails fast (silently
+    * mis-pruned partitions otherwise).
+    *
+    * `chunkRows` caps rows per written Parquet file — the reference pins
+    * 1 M-row sorted chunks (store.py:27, applied store.py:174) so
+    * row-group min/max stats stay uniformly selective; same default.
     */
   def open(
       spark: SparkSession,
       basePath: String,
       cols: Option[Seq[(String, DataType)]] = None,
       index: Option[String] = None,
-      bucket: Option[String] = None
+      bucket: Option[String] = None,
+      chunkRows: Long = 1000000L
   ): Store = {
     bucket.foreach { b =>
       require(BucketFormats.contains(b), s"bucket must be one of ${BucketFormats.keys}")
     }
+    require(chunkRows > 0, "chunkRows must be positive")
     val base = Paths.get(basePath)
     Files.createDirectories(base.resolve(ItemsDir))
     val schemaPath = base.resolve(SchemaFile)
     val layoutPath = base.resolve(LayoutFile)
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     val requested = cols.map(cs =>
       buildSchema(cs, index.getOrElse(DefaultIndex))
     )
@@ -97,25 +108,37 @@ object Store {
               s"conflicting schema ${r.catalogString} requested"
           )
       }
-      val persistedBucket =
+      val layoutLines =
         if (Files.exists(layoutPath))
-          Option(new String(Files.readAllBytes(layoutPath), StandardCharsets.UTF_8).trim)
-            .filter(_.nonEmpty)
-        else None
+          new String(Files.readAllBytes(layoutPath), StandardCharsets.UTF_8)
+            .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty
+      val persistedBucket = layoutLines.headOption
       bucket.foreach { b =>
         if (!persistedBucket.contains(b))
           throw new SchemaError(
             s"store at $basePath has bucket layout $persistedBucket; conflicting bucket '$b' requested"
           )
       }
-      new Store(spark, base, persisted, persistedBucket)
+      // timezone guard: bucket directory names were rendered under the
+      // creating session's timezone — a different one would silently
+      // prune the wrong directories
+      layoutLines.drop(1).headOption.foreach { tz =>
+        if (persistedBucket.isDefined && tz != sessionTz)
+          throw new SchemaError(
+            s"store at $basePath was bucketed under timezone '$tz'; " +
+              s"session timezone is '$sessionTz' — set spark.sql.session.timeZone to match"
+          )
+      }
+      new Store(spark, base, persisted, persistedBucket, chunkRows)
     } else {
       val schema = requested.getOrElse(
         buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
       )
       Files.write(schemaPath, schema.json.getBytes(StandardCharsets.UTF_8))
-      bucket.foreach(b => Files.write(layoutPath, b.getBytes(StandardCharsets.UTF_8)))
-      new Store(spark, base, schema, bucket)
+      bucket.foreach(b =>
+        Files.write(layoutPath, s"$b\n$sessionTz".getBytes(StandardCharsets.UTF_8)))
+      new Store(spark, base, schema, bucket, chunkRows)
     }
   }
 
@@ -154,7 +177,8 @@ class Store private[sources] (
     val spark: SparkSession,
     val base: Path,
     val schema: StructType,
-    val bucket: Option[String] = None
+    val bucket: Option[String] = None,
+    val chunkRows: Long = 1000000L
 ) {
   import Store._
 
@@ -170,7 +194,11 @@ class Store private[sources] (
       df.withColumn(BucketCol, date_format(col(indexName), f)))
 
   private def writer(df: DataFrame) = {
-    val w = withBucket(df).write.option("compression", "snappy")
+    val w = withBucket(df).write
+      .option("compression", "snappy")
+      // reference 1 M-row chunk contract (store.py:27,174): cap rows per
+      // file so row-group stats stay selective without a driver count
+      .option("maxRecordsPerFile", chunkRows)
     bucket.fold(w)(_ => w.partitionBy(BucketCol))
   }
 
@@ -262,6 +290,13 @@ class Store private[sources] (
     * (`keep='first'`, store.py:230), rewrite atomically via a temp dir
     * and swap. O(history) per append — kept for small/compat use; the
     * scalable path is [[appendNewOnly]].
+    *
+    * Documented divergence: the dedup key here is the FULL row including
+    * the time index; the reference dedups on value columns only (its
+    * `drop_duplicates` runs after `set_index`, store.py:229-230), so two
+    * rows with identical values at different times collapse there but
+    * are both kept here. The reference behavior loses legitimately
+    * repeated observations; ours is the safer contract for a time store.
     */
   def append(key: String, df: DataFrame): Unit = {
     val p = itemPath(key, mustExist = false)
@@ -281,11 +316,15 @@ class Store private[sources] (
       .drop("__prov")
       .repartitionByRange(col(indexName))
       .sortWithinPartitions(col(indexName))
-    val tmp = base.resolve("items").resolve(
+    // staging lives OUTSIDE items/ so a crash mid-swap can never leak a
+    // half-written directory into listItems()
+    val staging = base.resolve(".staging")
+    Files.createDirectories(staging)
+    val tmp = staging.resolve(
       validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
     )
     writer(merged).mode("overwrite").parquet(tmp.toString)
-    val trash = base.resolve("items").resolve(
+    val trash = staging.resolve(
       validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
     )
     Files.move(p, trash, StandardCopyOption.ATOMIC_MOVE)
@@ -297,7 +336,9 @@ class Store private[sources] (
     * rows and append only genuinely-new files — O(new ⋈ old-overlap)
     * instead of the reference's O(history) rewrite. Equivalent end state
     * to [[append]] (duplicates never written; old rows untouched, so
-    * "old wins" trivially holds).
+    * "old wins" trivially holds). The anti-join matches per column with
+    * `<=>` (null-safe equality): a plain `usingColumns` join is
+    * null-unsafe, so NULL-bearing rows would re-append forever.
     */
   def appendNewOnly(key: String, df: DataFrame): Unit = {
     val p = itemPath(key, mustExist = false)
@@ -305,9 +346,14 @@ class Store private[sources] (
       throw new ItemKeyError(
         s"item ${validateKey(key)} does not exist; write it first"
       )
-    val incoming = normalize(df).dropDuplicates()
-    val valueCols = schema.fieldNames.toIndexedSeq
-    val fresh = incoming.join(this(key), valueCols, "left_anti")
+    val incoming = normalize(df).dropDuplicates().as("i")
+    val existing = this(key).as("e")
+    val cond = schema.fieldNames
+      .map(c => col(s"i.$c") <=> col(s"e.$c"))
+      .reduce(_ && _)
+    val fresh = incoming
+      .join(existing, cond, "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     writer(fresh).mode("append").parquet(p.toString)
   }
 
@@ -327,12 +373,14 @@ class Store private[sources] (
     val idx = col(indexName)
     // directory-level pruning first (bucketed stores): the bucket format
     // is lexicographically ordered, so the time range maps to a string
-    // range on the partition column and Spark prunes whole directories
-    // (bucket strings are written by date_format under the session's UTC
-    // timezone; the same UTC formatter here keeps the bounds aligned)
+    // range on the partition column and Spark prunes whole directories.
+    // Bucket strings are written by date_format, which renders in the
+    // SESSION timezone — derive the query-side bounds from the same
+    // timezone (persisted + enforced at open) so a non-UTC session never
+    // silently drops partitions.
     val bucketPreds = bucketFmt.toSeq.flatMap { f =>
-      val fmt = java.time.format.DateTimeFormatter.ofPattern(f)
-        .withZone(java.time.ZoneOffset.UTC)
+      val tz = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(f).withZone(tz)
       start.map(s => col(BucketCol) >= fmt.format(s.toInstant)).toSeq ++
         end.map(e => col(BucketCol) <= fmt.format(e.toInstant)).toSeq
     }
