@@ -533,7 +533,9 @@ object Relational {
       )
     ),
     // Statistical aggregates (sample stddev/variance, correlation, exact
-    // interpolated median).
+    // interpolated median). The exact `percentile` buffers per-group
+    // values — fine when groups fit an executor; the 100 TB path is
+    // agg_stats_approx below.
     Q(
       "agg_stats",
       (s, d) =>
@@ -554,6 +556,25 @@ object Relational {
           |       count(*) AS n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       )
+    ),
+    // Scale path for percentiles: approx_percentile (KLL-style sketch,
+    // constant memory per group, mergeable map-side) — what you run at
+    // 100 TB instead of the exact value-buffering percentile. Sketch ⇒
+    // engine-specific values ⇒ rows-only check; the exact variant above
+    // stays the oracle-checked baseline.
+    Q(
+      "agg_stats_approx",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("med_approx"),
+            round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4).as("p99_approx"),
+            approx_count_distinct(col("l_orderkey")).as("orders_approx"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("l_returnflag"),
+      None
     ),
     // Collect aggregates — set-valued results serialized to a sorted
     // joined string so cross-engine comparison is representation-free.

@@ -285,6 +285,24 @@ class Store private[sources] (
   def apply(key: String): DataFrame =
     loadRaw(key).drop(BucketCol).select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** Assignment sugar: `store("KEY") = df` — Scala's `update` desugaring
+    * mirrors the reference's `store['KEY'] = df` (`__setitem__`,
+    * store.py:130-139): initial write if the item is new; the
+    * reference's `store[k] += df` no-op-setitem trick (append via
+    * `__iadd__` on the same handle) maps to [[item]]`("KEY") += df`.
+    */
+  def update(key: String, df: DataFrame): Unit = write(key, df)
+
+  /** Mutable-looking handle for the reference's `store[k] += df` append
+    * idiom: `store.item("KEY") += df`. Reads stay lazy via [[toDF]].
+    */
+  final class Item private[Store] (key: String) {
+    def +=(df: DataFrame): Unit = append(key, df)
+    def toDF: DataFrame = Store.this.apply(key)
+  }
+
+  def item(key: String): Item = new Item(validateKey(key))
+
   /** Exact reference append semantics (`_append`, store.py:214-236):
     * union old+new, drop full-row duplicates with old rows winning
     * (`keep='first'`, store.py:230), rewrite atomically via a temp dir

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted checks for the LLM-pipeline operators' scale posture and
+  * semantics, beyond the smoke coverage in QueriesSpec:
+  *  - dedup_embedding is fully distributed (no cartesian product, no
+  *    driver-side materialization) yet still EXACT — verified against an
+  *    in-test brute-force over the same vectors;
+  *  - sim_ann_ivf (constant-k centroids) keeps recall vs the exact
+  *    brute-force top-k;
+  *  - multimodal_features emits only scalar columns (hashable/sortable
+  *    by any downstream consumer — the long-form contract).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("dedup_embedding: distributed plan (no cartesian product) and exact results") {
+    import spark.implicits._
+    val df = SparkEntry.queries("dedup_embedding")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+
+    // exact brute-force oracle computed here, in the test, over the same
+    // vectors — the operator itself never materializes the table to the
+    // driver (block-pair equi-join)
+    val vecs = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+    } yield {
+      val (ida, a) = vecs(i); val (idb, b) = vecs(j)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      (ida, idb, dot / (math.sqrt(na) * math.sqrt(nb)))
+    }).filter(_._3 >= 0.45)
+      .map { case (a, b, c) => (a, b, math.rint(c * 1e6) / 1e6) }
+      .toSeq
+    val got = df.as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("sim_ann_ivf: recall >= 0.8 vs exact brute-force top-10") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = SparkEntry.queries("sim_ann_ivf")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF recall vs exact top-10: $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
+  }
+
+  test("multimodal_features: long-form output, every column scalar") {
+    val df = SparkEntry.queries("multimodal_features")(spark, dir)
+    df.schema.fields.foreach { f =>
+      assert(
+        f.dataType.typeName match {
+          case "array" | "map" | "struct" => false
+          case _ => true
+        },
+        s"column ${f.name} has non-scalar type ${f.dataType.catalogString}"
+      )
+    }
+    // 8 channels per doc
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(df.count() == nDocs * 8)
+  }
+}

@@ -84,6 +84,32 @@ object StoreProps extends Properties("Store") {
       f.count() == g.count() && f.exceptAll(g).count() == 0
     }
 
+  property("append idempotence with NULL-bearing rows, both paths") =
+    forAll(Gen.choose(5, 20), Gen.choose(1L, 999L)) { (n, seed) =>
+      // every 3rd row carries NULLs in two value columns: a null-unsafe
+      // anti-join (plain = semantics) never matches those rows, so they
+      // would re-append forever
+      val rnd = new scala.util.Random(seed)
+      val t0 = java.time.LocalDate.parse("2021-01-01")
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      val data = (0 until n).map { i =>
+        (Timestamp.from(t0.plusDays(i).toInstant),
+          rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(),
+          if (i % 3 == 0) None else Some(rnd.nextDouble()),
+          if (i % 3 == 0) None else Some(rnd.nextInt(1000).toLong))
+      }.toDF("date", "open", "high", "low", "close", "volume")
+      val viaAppend = freshStore()
+      viaAppend.write("K", data)
+      viaAppend.append("K", data)
+      viaAppend.append("K", data)
+      val viaNewOnly = freshStore()
+      viaNewOnly.write("K", data)
+      viaNewOnly.appendNewOnly("K", data)
+      viaNewOnly.appendNewOnly("K", data)
+      viaAppend("K").count() == n && viaNewOnly("K").count() == n &&
+        viaAppend("K").exceptAll(viaNewOnly("K")).count() == 0
+    }
+
   property("normalization is case-insensitive in column names") =
     forAll(Gen.choose(5, 15), Gen.choose(1L, 999L)) { (n, seed) =>
       val s = freshStore()

@@ -143,6 +143,62 @@ class StoreSpec extends AnyFunSuite {
     assert(s.query("MSFT", Some(t0), Some(t1)).count() == 29)
   }
 
+  test("bucketed store is timezone-safe: non-UTC session correct, cross-tz reopen fails fast") {
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val dir = tmpDir()
+      val s = Store.open(spark, dir, bucket = Some("day"))
+      // bars timestamped at 00:00 UTC = 19:00 previous day in New York —
+      // every row straddles the tz day boundary, so a UTC-formatted
+      // query bound against NY-formatted bucket dirs would mis-prune
+      s.write("MSFT", bars(100))
+      val t0 = Timestamp.valueOf("2015-01-10 00:00:00")
+      val t1 = Timestamp.valueOf("2015-02-10 00:00:00")
+      val got = s.query("MSFT", Some(t0), Some(t1)).count()
+      // flat store = ground truth (no bucket pruning involved)
+      val flat = Store.open(spark, tmpDir())
+      flat.write("MSFT", bars(100))
+      assert(got == flat.query("MSFT", Some(t0), Some(t1)).count())
+      assert(got == 32, "Jan 10 .. Feb 10 inclusive = 32 daily bars")
+      // reopening the NY-bucketed store under UTC fails fast instead of
+      // silently pruning the wrong directories
+      spark.conf.set(tzKey, "UTC")
+      intercept[SchemaError] { Store.open(spark, dir) }
+    } finally spark.conf.set(tzKey, orig)
+  }
+
+  test("chunkRows caps rows per written file (reference 1M-row chunks, store.py:27)") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, chunkRows = 100L)
+    s.write("MSFT", bars(1000))
+    assert(s("MSFT").count() == 1000)
+    val files = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "items", "MSFT"))
+      .iterator()
+    var nFiles = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        nFiles += 1
+        val n = spark.read.parquet(f.toString).count()
+        assert(n <= 100, s"file $f has $n rows > chunkRows=100")
+      }
+    }
+    assert(nFiles >= 10, s"expected >= 10 capped files, saw $nFiles")
+  }
+
+  test("assignment sugar: store(k) = df writes, store.item(k) += df appends (store.py:130-139)") {
+    val s = Store.open(spark, tmpDir())
+    s("MSFT") = bars(300) // update desugaring = reference __setitem__
+    assert(s("MSFT").count() == 300)
+    intercept[ItemExistsError] { s("MSFT") = bars(300) }
+    s.item("MSFT") += bars(500) // reference += idiom
+    assert(s("MSFT").count() == 500)
+    assert(s.item("msft").toDF.count() == 500) // lazy read, case-folded
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
