@@ -334,14 +334,20 @@ class Store private[sources] (
       .drop("__prov")
       .repartitionByRange(col(indexName))
       .sortWithinPartitions(col(indexName))
-    // staging lives OUTSIDE items/ so a crash mid-swap can never leak a
-    // half-written directory into listItems()
+    stagedOverwrite(key, p, merged)
+  }
+
+  /** Atomically replace item dir `p` with the (eagerly written) result
+    * of `df`. Staging lives OUTSIDE items/ so a crash mid-swap can never
+    * leak a half-written directory into listItems().
+    */
+  private def stagedOverwrite(key: String, p: Path, df: DataFrame): Unit = {
     val staging = base.resolve(".staging")
     Files.createDirectories(staging)
     val tmp = staging.resolve(
       validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
     )
-    writer(merged).mode("overwrite").parquet(tmp.toString)
+    writer(df).mode("overwrite").parquet(tmp.toString)
     val trash = staging.resolve(
       validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
     )
@@ -373,6 +379,23 @@ class Store private[sources] (
       .join(existing, cond, "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     writer(fresh).mode("append").parquet(p.toString)
+  }
+
+  /** Rewrite one item into the canonical layout: range-partitioned and
+    * sorted by the time index, files capped at [[chunkRows]] rows.
+    * [[appendNewOnly]] trades the reference's O(history) rewrite-per-
+    * append for small appended files; at scale those accumulate (more
+    * footers to read, weaker row-group stats), and compaction is the
+    * periodic maintenance step that restores the 1 M-row sorted-chunk
+    * contract (store.py:27,174) without paying it on every append.
+    * Atomic: same staged-swap as [[append]].
+    */
+  def compact(key: String): Unit = {
+    val p = itemPath(key, mustExist = true)
+    val canonical = this(key)
+      .repartitionByRange(col(indexName))
+      .sortWithinPartitions(col(indexName))
+    stagedOverwrite(key, p, canonical)
   }
 
   /** Inclusive time-range scan (reference `_query`, store.py:238-267):

@@ -199,6 +199,33 @@ class StoreSpec extends AnyFunSuite {
     assert(s.item("msft").toDF.count() == 500) // lazy read, case-folded
   }
 
+  test("compact: merges small appended files back to the chunk contract, rows unchanged") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, chunkRows = 1000L)
+    s.write("MSFT", bars(200))
+    // 8 tiny appends → small-file accumulation (the appendNewOnly trade)
+    for (i <- 1 to 8)
+      s.appendNewOnly("MSFT", bars(200 + i * 25))
+    val before = s("MSFT")
+    val beforeRows = before.collect().toSet
+    def parquetFiles() = {
+      val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "items", "MSFT"))
+      try {
+        import scala.jdk.CollectionConverters._
+        fs.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      } finally fs.close()
+    }
+    val nBefore = parquetFiles()
+    s.compact("MSFT")
+    val nAfter = parquetFiles()
+    assert(nAfter < nBefore, s"expected fewer files after compact ($nBefore -> $nAfter)")
+    assert(s("MSFT").collect().toSet == beforeRows, "compaction must not change data")
+    // still prunable + sorted: a range query behaves identically
+    val t0 = Timestamp.valueOf("2015-02-01 00:00:00")
+    val t1 = Timestamp.valueOf("2015-03-01 00:00:00")
+    assert(s.query("MSFT", Some(t0), Some(t1)).count() == 29)
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
