@@ -147,10 +147,37 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both sides —
+    * exactly what lets Spark expire join state instead of buffering
+    * either stream forever (the property that keeps state bounded on a
+    * 24/7 pipeline). Append mode; result equals the batch join (spec).
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(
+      clicks,
+      col("user_id") === col("c_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+    )
+    runToBatch(s, joined.select("p_id", "c_id", "user_id", "p_ts", "c_ts"), "append")
+      .orderBy("p_id", "c_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d), None),
     Q("stream_session", (s, d) => session(s, d), None),
     Q("stream_dedup_state", (s, d) => dedupState(s, d), None),
-    Q("stream_custom_state", (s, d) => customState(s, d), None)
+    Q("stream_custom_state", (s, d) => customState(s, d), None),
+    Q("stream_join", (s, d) => streamJoin(s, d), None)
   )
 }

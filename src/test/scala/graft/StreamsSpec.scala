@@ -54,6 +54,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(joined.filter(!col("n_ok") || !col("sum_ok")).count() == 0)
   }
 
+  test("stream_join (watermarked interval join) equals batch interval join") {
+    val streamed = Streams.streamJoin(spark, dir)
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(
+      c,
+      col("user_id") === col("c_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+    ).select("p_id", "c_id", "user_id", "p_ts", "c_ts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream_dedup_state removes the injected duplicates exactly") {
     val streamed = Streams.dedupState(spark, dir)
     val n = Tables.events(spark, dir).count()
