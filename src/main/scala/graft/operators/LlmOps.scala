@@ -229,15 +229,38 @@ object LlmOps {
            |FROM t ORDER BY doc_id""".stripMargin
       )
     ),
-    // Language-ID heuristic — stopword-profile scoring (no SQL oracle;
-    // rows-only check).
+    // Language-ID heuristic — stopword-profile argmax. Fully
+    // SQL-expressible, so it IS oracle-checked: the oracle's CASE chain
+    // (zh → fr → es → en → de) replicates Spark's
+    // array_max(struct(score, lang)) tie-break exactly (max score, then
+    // lexicographically max lang; note zh text tokenizes to nothing
+    // under [a-z0-9] so all-zero scores tie-break to 'zh').
     Q(
       "text_langid",
       (s, d) =>
         documents(s, d)
           .select(col("doc_id"), langId(col("text")).as("lang_pred"), col("lang"))
           .orderBy("doc_id"),
-      None
+      Some(
+        """WITH t AS (SELECT doc_id, lang,
+          |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '') AS toks
+          |  FROM documents),
+          |s AS (SELECT doc_id, lang,
+          |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+          |  len(list_filter(toks, w -> w IN ('der','die','das','und','ist','von','mit','ein'))) AS s_de,
+          |  len(list_filter(toks, w -> w IN ('le','la','les','et','un','une','est','que'))) AS s_fr,
+          |  len(list_filter(toks, w -> w IN ('el','los','las','y','un','una','es','en'))) AS s_es,
+          |  len(list_filter(toks, w -> w IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+          |  FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN s_zh >= greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+          |       WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+          |       WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+          |       WHEN s_en >= s_de THEN 'en'
+          |       ELSE 'de' END AS lang_pred,
+          |  lang
+          |FROM s ORDER BY doc_id""".stripMargin
+      )
     ),
     // ---- dedup ---------------------------------------------------------
     // Exact dedup by content hash (hash-groupBy): one survivor per
