@@ -536,6 +536,40 @@ object LlmOps {
       },
       None
     ),
+    // Deterministic stratified sampling — downsample overrepresented
+    // strata (here: language) with REPRODUCIBLE membership: a row is in
+    // the sample iff md5(doc_id) mod 10k falls under its stratum's
+    // threshold. No RNG, no seed-state: membership is a pure function of
+    // the key, so re-runs, retries and incremental reprocessing at
+    // 100 TB select the identical sample (rate-change = superset/subset,
+    // monotone in the threshold). One scan + filter, no shuffle; the
+    // same expression runs in DuckDB, so it is oracle-checked exactly.
+    Q(
+      "sample_stratified",
+      (s, d) => {
+        val bucket =
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000
+        val threshold = when(col("lang") === "en", 2000)
+          .when(col("lang") === "de", 4000)
+          .when(col("lang") === "fr", 6000)
+          .when(col("lang") === "es", 8000)
+          .otherwise(10000)
+        documents(s, d)
+          .filter(bucket < threshold)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang,
+          |  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10000 AS bucket
+          |FROM documents
+          |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10000 <
+          |  CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 4000
+          |            WHEN 'fr' THEN 6000 WHEN 'es' THEN 8000 ELSE 10000 END
+          |ORDER BY doc_id""".stripMargin
+      )
+    ),
     // ---- multimodal ----------------------------------------------------
     // Opaque binary payloads with typed metadata: byte length + checksum
     // derived entirely inside the engine (oracle-checked).

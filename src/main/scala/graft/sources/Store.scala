@@ -294,11 +294,20 @@ class Store private[sources] (
   def update(key: String, df: DataFrame): Unit = write(key, df)
 
   /** Mutable-looking handle for the reference's `store[k] += df` append
-    * idiom: `store.item("KEY") += df`. Reads stay lazy via [[toDF]].
+    * idiom: `store.item("KEY") += df`. Reads stay lazy via [[toDF]];
+    * `store.item("KEY")(t0, t1)` mirrors the reference's item slicing
+    * `store[k][t0:t1]` (`_Item.__getitem__`, store.py:61-68), including
+    * its defaulted bounds (1678-01-01 .. now, via [[sliceCompat]]).
     */
   final class Item private[Store] (key: String) {
     def +=(df: DataFrame): Unit = append(key, df)
     def toDF: DataFrame = Store.this.apply(key)
+    def apply(start: Timestamp, end: Timestamp): DataFrame =
+      sliceCompat(key, Some(start), Some(end))
+    def slice(
+        start: Option[Timestamp] = None,
+        end: Option[Timestamp] = None
+    ): DataFrame = sliceCompat(key, start, end)
   }
 
   def item(key: String): Item = new Item(validateKey(key))

@@ -197,6 +197,11 @@ class StoreSpec extends AnyFunSuite {
     s.item("MSFT") += bars(500) // reference += idiom
     assert(s("MSFT").count() == 500)
     assert(s.item("msft").toDF.count() == 500) // lazy read, case-folded
+    // item slicing mirrors store[k][t0:t1] incl. sliceCompat defaults
+    assert(s.item("MSFT")(
+      Timestamp.valueOf("2015-02-01 00:00:00"),
+      Timestamp.valueOf("2015-03-01 00:00:00")).count() == 29)
+    assert(s.item("MSFT").slice().count() == 500) // all rows predate now()
   }
 
   test("compact: merges small appended files back to the chunk contract, rows unchanged") {
