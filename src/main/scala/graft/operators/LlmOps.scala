@@ -138,6 +138,37 @@ object LlmOps {
     sums.select(col("doc_id"), sig.as("sig")).persist()
   }
 
+  /** Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jacc_raw ≥ τ)
+    * with PPJoin-style prefix filtering: index each doc only by its
+    * (|sh| - ⌈τ·|sh|⌉ + 1) globally-rarest shingles. Complete for
+    * Jaccard ≥ τ (two sets meeting the threshold must share a prefix
+    * element), and the rare-shingle buckets keep candidate pairs
+    * bounded — this is what survives a 100× scale-up, unlike a full
+    * inverted index over frequent shingles.
+    */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    // persist the exploded shingle table: freq, ranking, both sides
+    // of the candidate join and both intersection joins all read it
+    val inv = shingleRows(s, d).persist()
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = inv
+      .join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * JaccardThreshold) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix
+      .as("x")
+      .join(
+        prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id")
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(cand, inv)
+  }
+
   val all: Seq[Q] = Seq(
     // ---- text analysis -------------------------------------------------
     Q(
@@ -351,36 +382,10 @@ object LlmOps {
     // trim the candidate explosion from frequent shingles.
     Q(
       "dedup_ngram",
-      (s, d) => {
-        // PPJoin-style prefix filtering: index each doc only by its
-        // (|sh| - ⌈τ·|sh|⌉ + 1) globally-rarest shingles. Complete for
-        // Jaccard ≥ τ (two sets meeting the threshold must share a
-        // prefix element), and the rare-shingle buckets keep candidate
-        // pairs bounded — this is what survives a 100× scale-up, unlike
-        // a full inverted index over frequent shingles.
-        // persist the exploded shingle table: freq, ranking, both sides
-        // of the candidate join and both intersection joins all read it
-        val inv = shingleRows(s, d).persist()
-        val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-        val prefix = inv
-          .join(freq, "shingle")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= col("sz") - ceil(col("sz") * JaccardThreshold) + 1)
-          .select("doc_id", "shingle")
-        val cand = prefix
-          .as("x")
-          .join(
-            prefix.as("y"),
-            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id")
-          )
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        verifiedPairs(cand, inv)
+      (s, d) =>
+        ngramPairs(s, d)
           .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 6).as("jacc"))
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            |s AS (SELECT doc_id,
@@ -394,6 +399,68 @@ object LlmOps {
            |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
            |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
            |ORDER BY doc_a, doc_b""".stripMargin
+      )
+    ),
+    // Near-dup cluster assignment: connected components over the exact
+    // n-gram pair graph — what a dedup pipeline actually consumes (pick
+    // one survivor per transitive cluster, not per pair). Iterative
+    // min-label propagation: each round every node takes the min label
+    // among itself and its neighbors; converges in O(component diameter)
+    // rounds — near-dup clusters are shallow, so a handful of
+    // equi-join+groupBy shuffles at any scale (the standard Pregel-style
+    // pattern; the only driver-side value per round is the 1-row
+    // convergence count, never data). Oracle: DuckDB recursive CTE
+    // computing min reachable node — exact match.
+    Q(
+      "dedup_clusters",
+      (s, d) => {
+        val pairs = ngramPairs(s, d).select("doc_a", "doc_b")
+        val edges = pairs
+          .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst")
+          .persist()
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 25) {
+          val neighborMin = edges
+            .join(labels, edges("dst") === labels("id"))
+            .groupBy(col("src"))
+            .agg(min(col("lbl")).as("nlbl"))
+          val next = labels
+            .join(neighborMin, labels("id") === neighborMin("src"), "left")
+            .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            .persist()
+          val changed = next.as("n")
+            .join(labels.as("o"), col("n.id") === col("o.id"))
+            .filter(col("n.lbl") < col("o.lbl"))
+            .count() // 1-row aggregate, not a data collect
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |        list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
+           |          i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS sh
+           |      FROM t WHERE len(toks) >= $ShingleK),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+           |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold),
+           |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+           |      UNION SELECT doc_b, doc_a FROM p),
+           |reach(s, t) AS (
+           |  SELECT s, t FROM e
+           |  UNION
+           |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+           |SELECT s AS doc_id, CAST(least(s, min(t)) AS BIGINT) AS cluster
+           |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
       )
     ),
     // Embedding cosine near-dup pairs — exact pairwise (oracle-checked).

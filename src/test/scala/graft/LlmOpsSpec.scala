@@ -58,6 +58,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("dedup_clusters: transitive closure of the pair graph, cluster id = min member") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_ngram")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // union-find ground truth over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    assert(clusters == want)
+    // every pair co-clustered; every cluster id is its own min member
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("multimodal_features: long-form output, every column scalar") {
     val df = SparkEntry.queries("multimodal_features")(spark, dir)
     df.schema.fields.foreach { f =>
