@@ -637,6 +637,49 @@ object LlmOps {
           |ORDER BY doc_id""".stripMargin
       )
     ),
+    // Composite corpus-cleaning pipeline — the end-to-end shape a
+    // training-data job actually runs: exact-dedup survivors ⋈ quality
+    // gate ⋈ language gate, emitting the kept docs with their stats.
+    // One aggregation (dedup survivors) + one broadcast-able join back
+    // to the doc table + codegen'd scalar filters; every stage is a
+    // shuffle already bounded by its operator. Oracle-checked end to end.
+    Q(
+      "corpus_clean",
+      (s, d) => {
+        val survivors = documents(s, d)
+          .groupBy(md5(col("text")).as("chk"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        documents(s, d)
+          .join(survivors, "doc_id")
+          .filter(col("lang") === "en")
+          .withColumn("quality", qualityScore(col("text")))
+          .filter(col("quality") >= 0.46)
+          .select(
+            col("doc_id"), col("quality"),
+            size(wsTokens(col("text"))).cast("long").as("n_tokens")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |q AS (SELECT d.doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          |  CAST(length(text) AS BIGINT) AS c,
+          |  CAST(len(list_filter(string_split(text, ' '),
+          |       w -> w IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS s,
+          |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS a
+          |  FROM documents d JOIN surv USING (doc_id) WHERE lang = 'en')
+          |SELECT doc_id,
+          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |    // (2*100*n*c)) / 1000000.0 AS quality,
+          |  n AS n_tokens
+          |FROM q
+          |WHERE (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |        // (2*100*n*c)) / 1000000.0 >= 0.46
+          |ORDER BY doc_id""".stripMargin
+      )
+    ),
     // ---- multimodal ----------------------------------------------------
     // Opaque binary payloads with typed metadata: byte length + checksum
     // derived entirely inside the engine (oracle-checked).
