@@ -68,6 +68,71 @@ object TimeSeries {
   }
 
   val all: Seq[Q] = Seq(
+    // Gap-based sessionization (batch): a new session starts when the
+    // user's inter-event gap exceeds 30 minutes; session index = running
+    // count of session starts. Two window passes over ONE hash shuffle
+    // on user_id (lag, then running sum share the partitioning); epoch-µs
+    // integer arithmetic so both engines agree exactly.
+    Q(
+      "sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn(
+            "is_start",
+            when(
+              col("prev_us").isNull ||
+                unix_micros(col("ts")) - col("prev_us") > 1800000000L,
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn("session_idx", sum(col("is_start")).over(run))
+          .select("event_id", "user_id", "ts", "session_idx")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH t AS (SELECT event_id, user_id, ts,
+          |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT event_id, user_id, ts,
+          |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          |FROM t ORDER BY event_id""".stripMargin
+      )
+    ),
+    // Rolling time-window aggregate: per user, the sum/count of events in
+    // the trailing hour — a RANGE frame over epoch-µs (Spark rangeBetween
+    // needs a numeric ordering column; DuckDB's RANGE INTERVAL frame over
+    // the timestamp is value-identical since (user_id, ts) is unique).
+    // One hash shuffle on user_id; inputs are 2dp-gridded so round(…, 2)
+    // is exact cross-engine.
+    Q(
+      "win_rolling_time",
+      (s, d) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("tss"))
+          .rangeBetween(-3600000000L, 0L)
+        events(s, d)
+          .withColumn("tss", unix_micros(col("ts")))
+          .withColumn("roll_sum", round(sum(col("value")).over(w), 2))
+          .withColumn("roll_n", count(lit(1)).over(w))
+          .select("event_id", "user_id", "ts", "roll_sum", "roll_n")
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, user_id, ts,
+          |  round(sum(value) OVER w, 2) AS roll_sum,
+          |  count(*) OVER w AS roll_n
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin
+      )
+    ),
     // As-of join: for each purchase, the latest click at-or-before it by
     // the same user. Oracle = DuckDB ASOF LEFT JOIN.
     Q(
