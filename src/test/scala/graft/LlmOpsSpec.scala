@@ -84,6 +84,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_stratified: membership is deterministic and under-threshold per stratum") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sample_stratified")(spark, dir)
+      .as[(Long, String, Long)].collect()
+    val thresholds = Map("en" -> 2000L, "de" -> 4000L, "fr" -> 6000L, "es" -> 8000L, "zh" -> 10000L)
+    out.foreach { case (_, lang, bucket) =>
+      assert(bucket < thresholds(lang), s"bucket $bucket >= threshold for $lang")
+    }
+    // re-run selects the identical sample (no RNG state anywhere)
+    val again = SparkEntry.queries("sample_stratified")(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+    // rates actually differentiate strata: en keeps less than zh (=100%)
+    val kept = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(kept("en") < kept.getOrElse("zh", Int.MaxValue))
+  }
+
   test("multimodal_features: long-form output, every column scalar") {
     val df = SparkEntry.queries("multimodal_features")(spark, dir)
     df.schema.fields.foreach { f =>
