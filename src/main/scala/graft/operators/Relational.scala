@@ -274,6 +274,28 @@ object Relational {
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
       )
     ),
+    // Explicit GROUPING SETS (the general form rollup/cube desugar to):
+    // per-flag totals, per-status totals, and the grand total in ONE
+    // pass — Spark expands the sets map-side, so it stays a single
+    // two-phase hash aggregation, not three scans.
+    Q(
+      "agg_grouping_sets",
+      (s, d) =>
+        lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus")
+          )
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+          |       count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+      )
+    ),
     // Ranking window functions.
     Q(
       "win_rank",
@@ -505,6 +527,30 @@ object Relational {
           |FROM customer FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
           |  ON c_custkey = o_custkey
           |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+      )
+    ),
+    // Salted join for hot keys: Skew.saltedJoin splits each left key
+    // across `salt` reducers and replicates the (small) right side per
+    // sub-key — the explicit remedy for the pathological hot-key joins
+    // AQE's runtime skew handling can miss. Semantics-preserving by
+    // construction, which the oracle (a plain join) checks exactly.
+    Q(
+      "join_skew_salted",
+      (s, d) => {
+        val fact = events(s, d).select("event_id", "user_id", "value")
+        val dim = events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("tot_value"))
+        Skew.saltedJoin(fact, dim, Seq("user_id"), salt = 8)
+          .select("event_id", "user_id", "n_events", "tot_value")
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT e.event_id, e.user_id, d.n_events, d.tot_value
+          |FROM events e JOIN (
+          |  SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS tot_value
+          |  FROM events GROUP BY user_id) d USING (user_id)
+          |ORDER BY event_id""".stripMargin
       )
     ),
     // Distribution window functions.
