@@ -61,6 +61,7 @@ object Bench {
     // self-diagnosing (spread = max/min; >2 means ambient load skewed
     // the samples and the min is the trustworthy number).
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    require(nSamples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $nSamples")
     val allSamples = headline.filter(SparkEntry.queries.contains).map { name =>
       val samples = (1 to nSamples).map { _ =>
         spark.catalog.clearCache()

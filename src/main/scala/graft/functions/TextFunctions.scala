@@ -73,14 +73,16 @@ object TextFunctions {
     *
     * is the same rational, and the emitted value is
     * round-half-up(score·1e6) computed as the integer
-    * ⌊(2·num·1e6 + den) / (2·den)⌋, divided by 1e6. Every intermediate
-    * stays ≤ 2^53 for n·c ≲ 1e8 (a 100k-char doc), so the floor of the
-    * correctly-rounded double division equals the exact integer floor:
-    * the nonzero fractional parts are ≥ 1/(2·den) ≈ 5e-9, far above the
-    * ~5e-11 division ulp. DuckDB computes the identical integer with
-    * BIGINT `//`, then the identical double by the same /1e6.
+    * ⌊(2·num·1e6 + den) / (2·den)⌋ in pure LONG arithmetic (a native
+    * IntegralDivide — doubles would lose exactness past 2^53, i.e. for
+    * n·c ≳ 4.5e7), divided by 1e6. DuckDB computes the identical
+    * integer with BIGINT `//`, then the identical double by the same
+    * /1e6. Zero-length text (den = 0) yields NULL in both engines
+    * instead of a division error / NaN.
     */
   def qualityScore(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     val toks = wsTokens(text)
     val n = size(toks).cast("long")
     val c = length(text).cast("long")
@@ -90,7 +92,10 @@ object TextFunctions {
       lit(3L) * least((c - n + lit(1L)) * c, lit(10L) * n * c) +
       lit(30L) * a * n
     val den = lit(100L) * n * c
-    val ppm = floor((num * lit(2000000L) + den).cast("double") / (den * lit(2L)).cast("double"))
-    ppm.cast("double") / lit(1000000.0)
+    def intDiv(x: Column, y: Column): Column =
+      Bridge.column(IntegralDivide(Bridge.expression(x), Bridge.expression(y)))
+    val ppm = intDiv(num * lit(2000000L) + den, den * lit(2L))
+    when(c === 0, lit(null).cast("double"))
+      .otherwise(ppm.cast("double") / lit(1000000.0))
   }
 }

@@ -228,8 +228,9 @@ object LlmOps {
           |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS a
           |  FROM documents)
           |SELECT doc_id,
+          |  CASE WHEN c = 0 THEN NULL ELSE
           |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
-          |    // (2*100*n*c)) / 1000000.0 AS quality
+          |    // (2*100*n*c)) END / 1000000.0 AS quality
           |FROM t ORDER BY doc_id""".stripMargin
       )
     ),
@@ -441,6 +442,11 @@ object LlmOps {
           converged = changed == 0
           iter += 1
         }
+        // a silent cap-exit would report one real cluster as several
+        if (!converged)
+          throw new IllegalStateException(
+            s"dedup_clusters: label propagation did not converge in $iter rounds " +
+              "(component diameter exceeds the cap); raise the iteration cap")
         labels.select(col("id").as("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
       },
       Some(
@@ -485,9 +491,13 @@ object LlmOps {
         val sp = s
         import sp.implicits._
         val B = EmbedBlocks
+        // persist: the packed payloads are joined under two aliases —
+        // without it the scan + shuffle + collect_list (the heaviest
+        // stage) runs twice
         val blocks = embeddings(s, d)
           .groupBy(pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"))
           .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("blk"))
+          .persist()
         val pairIds = (for { a <- 0 until B; b <- a until B } yield (a, b))
           .toDF("ba", "bb")
           .repartition(B * (B + 1) / 2)
@@ -671,12 +681,14 @@ object LlmOps {
           |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS a
           |  FROM documents d JOIN surv USING (doc_id) WHERE lang = 'en')
           |SELECT doc_id,
+          |  CASE WHEN c = 0 THEN NULL ELSE
           |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
-          |    // (2*100*n*c)) / 1000000.0 AS quality,
+          |    // (2*100*n*c)) END / 1000000.0 AS quality,
           |  n AS n_tokens
           |FROM q
-          |WHERE (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
-          |        // (2*100*n*c)) / 1000000.0 >= 0.46
+          |WHERE CASE WHEN c = 0 THEN FALSE ELSE
+          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |    // (2*100*n*c)) / 1000000.0 >= 0.46 END
           |ORDER BY doc_id""".stripMargin
       )
     ),

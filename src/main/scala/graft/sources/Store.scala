@@ -122,15 +122,16 @@ object Store {
       }
       // timezone guard: bucket directory names were rendered under the
       // creating session's timezone — a different one would silently
-      // prune the wrong directories
-      layoutLines.drop(1).headOption.foreach { tz =>
-        if (persistedBucket.isDefined && tz != sessionTz)
-          throw new SchemaError(
-            s"store at $basePath was bucketed under timezone '$tz'; " +
-              s"session timezone is '$sessionTz' — set spark.sql.session.timeZone to match"
-          )
-      }
-      new Store(spark, base, persisted, persistedBucket, chunkRows)
+      // prune the wrong directories. Stores from before the tz line was
+      // persisted carried the then-hard-coded UTC invariant, so a
+      // missing line means UTC, not "skip the check".
+      val storeTz = layoutLines.drop(1).headOption.getOrElse("UTC")
+      if (persistedBucket.isDefined && storeTz != sessionTz)
+        throw new SchemaError(
+          s"store at $basePath was bucketed under timezone '$storeTz'; " +
+            s"session timezone is '$sessionTz' — set spark.sql.session.timeZone to match"
+        )
+      new Store(spark, base, persisted, persistedBucket, chunkRows, storeTz)
     } else {
       val schema = requested.getOrElse(
         buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
@@ -138,7 +139,7 @@ object Store {
       Files.write(schemaPath, schema.json.getBytes(StandardCharsets.UTF_8))
       bucket.foreach(b =>
         Files.write(layoutPath, s"$b\n$sessionTz".getBytes(StandardCharsets.UTF_8)))
-      new Store(spark, base, schema, bucket, chunkRows)
+      new Store(spark, base, schema, bucket, chunkRows, sessionTz)
     }
   }
 
@@ -178,7 +179,8 @@ class Store private[sources] (
     val base: Path,
     val schema: StructType,
     val bucket: Option[String] = None,
-    val chunkRows: Long = 1000000L
+    val chunkRows: Long = 1000000L,
+    val storeTz: String = "UTC"
 ) {
   import Store._
 
@@ -188,12 +190,29 @@ class Store private[sources] (
   private val BucketCol = "__bucket"
   private def bucketFmt: Option[String] = bucket.map(BucketFormats)
 
+  /** The open() guard pins the session timezone once, but
+    * `spark.sql.session.timeZone` is runtime-mutable — re-check at every
+    * bucketed write/query so a mid-session change fails fast instead of
+    * rendering bucket strings (write) or bounds (query) in a drifted
+    * timezone and silently mis-pruning.
+    */
+  private def requireTzAligned(): Unit =
+    if (bucket.isDefined) {
+      val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+      if (sessionTz != storeTz)
+        throw new SchemaError(
+          s"store at $base is bucketed under timezone '$storeTz' but the session " +
+            s"timezone is now '$sessionTz' — set spark.sql.session.timeZone to match"
+        )
+    }
+
   /** Add the derived partition column when the store is bucketed. */
   private def withBucket(df: DataFrame): DataFrame =
     bucketFmt.fold(df)(f =>
       df.withColumn(BucketCol, date_format(col(indexName), f)))
 
   private def writer(df: DataFrame) = {
+    requireTzAligned()
     val w = withBucket(df).write
       .option("compression", "snappy")
       // reference 1 M-row chunk contract (store.py:27,174): cap rows per
@@ -425,12 +444,14 @@ class Store private[sources] (
     // is lexicographically ordered, so the time range maps to a string
     // range on the partition column and Spark prunes whole directories.
     // Bucket strings are written by date_format, which renders in the
-    // SESSION timezone — derive the query-side bounds from the same
-    // timezone (persisted + enforced at open) so a non-UTC session never
-    // silently drops partitions.
+    // session timezone — requireTzAligned() (also called by the write
+    // path) pins the session to the store's persisted timezone, and the
+    // bounds here are derived from that same persisted timezone, so a
+    // non-UTC or drifted session can never silently drop partitions.
+    requireTzAligned()
     val bucketPreds = bucketFmt.toSeq.flatMap { f =>
-      val tz = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-      val fmt = java.time.format.DateTimeFormatter.ofPattern(f).withZone(tz)
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(f)
+        .withZone(java.time.ZoneId.of(storeTz))
       start.map(s => col(BucketCol) >= fmt.format(s.toInstant)).toSeq ++
         end.map(e => col(BucketCol) <= fmt.format(e.toInstant)).toSeq
     }

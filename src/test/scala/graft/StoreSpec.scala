@@ -166,6 +166,10 @@ class StoreSpec extends AnyFunSuite {
       // silently pruning the wrong directories
       spark.conf.set(tzKey, "UTC")
       intercept[SchemaError] { Store.open(spark, dir) }
+      // ... and so does an already-open handle after a mid-session tz
+      // change (session timeZone is runtime-mutable)
+      intercept[SchemaError] { s.query("MSFT", Some(t0), Some(t1)) }
+      intercept[SchemaError] { s.appendNewOnly("MSFT", bars(100)) }
     } finally spark.conf.set(tzKey, orig)
   }
 
