@@ -529,6 +529,24 @@ object Relational {
           |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
       )
     ),
+    // Cryptographic hash functions — content addressing / checksumming
+    // (md5 + sha256), the primitives the dedup and fingerprint operators
+    // build on. All codegen'd; DuckDB computes identical digests.
+    Q(
+      "fn_hash",
+      (s, d) =>
+        customer(s, d)
+          .select(
+            col("c_custkey"),
+            md5(col("c_name")).as("h_md5"),
+            sha2(col("c_name"), 256).as("h_sha256")
+          )
+          .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+          |FROM customer ORDER BY c_custkey""".stripMargin
+      )
+    ),
     // Salted join for hot keys: Skew.saltedJoin splits each left key
     // across `salt` reducers and replicates the (small) right side per
     // sub-key — the explicit remedy for the pathological hot-key joins

@@ -426,6 +426,26 @@ class Store private[sources] (
     stagedOverwrite(key, p, canonical)
   }
 
+  /** Streaming tail-read of one item: every Parquet file appended to the
+    * item after the stream starts becomes a micro-batch — the streaming
+    * analogue of re-running `store[k][t0:]` forever, and the natural
+    * consumer of [[appendNewOnly]]'s incremental files. Schema is the
+    * store schema (bucket column hidden); pair with a watermark on the
+    * index column for windowed aggregation downstream.
+    */
+  def readStream(key: String): DataFrame = {
+    val p = itemPath(key, mustExist = true)
+    requireTzAligned()
+    // recursiveFileLookup descends into __bucket=... directories; the
+    // bucket value is directory metadata, not file content, so the
+    // store schema (which never includes it) is the file schema
+    spark.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(p.toString)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Inclusive time-range scan (reference `_query`, store.py:238-267):
     * bounds inclusive on BOTH ends; Catalyst pushes the predicates to
     * Parquet row-group stats (the reference passes explicit pyarrow

@@ -235,6 +235,34 @@ class StoreSpec extends AnyFunSuite {
     assert(s.query("MSFT", Some(t0), Some(t1)).count() == 29)
   }
 
+  test("readStream: streaming tail-read of an item equals batch; appends arrive incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100))
+    // one shared checkpoint + file sink (memory sink cannot resume from
+    // a checkpoint): the second run must process ONLY the files appended
+    // since the first — a full reprocess would double-write the history
+    val out = s"$dir/.stream-out"
+    def runOnce(): Long = {
+      val q = s.readStream("MSFT").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$dir/.chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema(s.schema).parquet(out).count()
+    }
+    assert(runOnce() == 100)
+    // batch equality on full content
+    val streamed = spark.read.schema(s.schema).parquet(out)
+    assert(streamed.exceptAll(s("MSFT")).count() == 0)
+    assert(s("MSFT").exceptAll(streamed).count() == 0)
+    // incremental: resume adds exactly the 50-row delta (150 total)
+    s.appendNewOnly("MSFT", bars(150))
+    assert(runOnce() == 150)
+    assert(s("MSFT").count() == 150)
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
