@@ -647,6 +647,45 @@ object LlmOps {
           |ORDER BY doc_id""".stripMargin
       )
     ),
+    // Intra-document repetition removal — the within-doc cleaning step
+    // (dedup repeated tokens keeping FIRST occurrence, order preserved):
+    // explode with position → min-position per distinct token (one
+    // map-side-combinable aggregation) → re-assemble in first-seen
+    // order. The per-doc re-assembly (sort_array + transform over an
+    // already-deduped array) is interpreted but O(|doc|); the heavy
+    // lifting — explode + min-agg — is codegen'd and shuffles once.
+    Q(
+      "text_dedup_words",
+      (s, d) => {
+        val firstSeen = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+          .groupBy("doc_id", "tok")
+          .agg(min(col("pos")).as("mpos"))
+        firstSeen
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_unique"),
+            sort_array(collect_list(struct(col("mpos"), col("tok")))).as("ordered")
+          )
+          .select(
+            col("doc_id"),
+            concat_ws(" ", transform(col("ordered"), e => e.getField("tok"))).as("clean_text"),
+            col("n_unique")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |e AS (SELECT doc_id, unnest(toks) AS tok,
+          |             unnest(range(1, len(toks) + 1)) AS ord FROM t),
+          |u AS (SELECT doc_id, tok, min(ord) AS mpos FROM e GROUP BY doc_id, tok)
+          |SELECT doc_id,
+          |  string_agg(tok, ' ' ORDER BY mpos) AS clean_text,
+          |  count(*) AS n_unique
+          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ),
     // Composite corpus-cleaning pipeline — the end-to-end shape a
     // training-data job actually runs: exact-dedup survivors ⋈ quality
     // gate ⋈ language gate, emitting the kept docs with their stats.
