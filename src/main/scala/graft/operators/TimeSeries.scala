@@ -133,6 +133,73 @@ object TimeSeries {
           |ORDER BY event_id""".stripMargin
       )
     ),
+    // Interval-overlap join: concurrent sessions across users. Naively
+    // O(n²) (every interval against every interval); the scale path is
+    // GRID BUCKETING — each interval explodes to the 1-hour cells it
+    // covers, candidates come from an EQUI-join on the cell id (any
+    // overlap point lies in a cell both intervals cover, so the
+    // candidate set is complete), and the exact overlap predicate +
+    // distinct run only on cell-collocated pairs. Explode factor is
+    // bounded by interval duration / cell width; no cross product at
+    // any scale.
+    Q(
+      "join_interval",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cellUs = 3600000000L // 1-hour grid
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn(
+            "is_start",
+            when(
+              col("prev_us").isNull ||
+                unix_micros(col("ts")) - col("prev_us") > 1800000000L,
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn("sidx", sum(col("is_start")).over(run))
+          .groupBy("user_id", "sidx")
+          .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+          .withColumn("c0", (unix_micros(col("s")) / cellUs).cast("long"))
+          .withColumn("c1", (unix_micros(col("e")) / cellUs).cast("long"))
+        val cells = sess.withColumn("cell", explode(sequence(col("c0"), col("c1"))))
+        val a = cells.select(
+          col("cell"), col("user_id").as("user_a"), col("sidx").as("sidx_a"),
+          col("s").as("s_a"), col("e").as("e_a"))
+        val b = cells.select(
+          col("cell"), col("user_id").as("user_b"), col("sidx").as("sidx_b"),
+          col("s").as("s_b"), col("e").as("e_b"))
+        a.join(b, Seq("cell"))
+          .filter(
+            col("user_a") < col("user_b") &&
+              col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+          .select(
+            col("user_a"), col("sidx_a"), col("user_b"), col("sidx_b"),
+            greatest(col("s_a"), col("s_b")).as("o_start"),
+            least(col("e_a"), col("e_b")).as("o_end"))
+          .distinct()
+          .orderBy("user_a", "sidx_a", "user_b", "sidx_b")
+      },
+      Some(
+        """WITH t AS (SELECT event_id, user_id, ts,
+          |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |se AS (SELECT user_id, ts,
+          |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sidx
+          |  FROM t),
+          |sess AS (SELECT user_id, sidx, min(ts) AS s, max(ts) AS e
+          |         FROM se GROUP BY user_id, sidx)
+          |SELECT a.user_id AS user_a, a.sidx AS sidx_a,
+          |       b.user_id AS user_b, b.sidx AS sidx_b,
+          |       greatest(a.s, b.s) AS o_start, least(a.e, b.e) AS o_end
+          |FROM sess a JOIN sess b
+          |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+          |ORDER BY user_a, sidx_a, user_b, sidx_b""".stripMargin
+      )
+    ),
     // As-of join: for each purchase, the latest click at-or-before it by
     // the same user. Oracle = DuckDB ASOF LEFT JOIN.
     Q(
