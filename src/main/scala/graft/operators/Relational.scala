@@ -529,6 +529,56 @@ object Relational {
           |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
       )
     ),
+    // argmin/argmax aggregates (min_by/max_by ↔ DuckDB arg_min/arg_max).
+    // Ties on the raw price would make the winner nondeterministic, so
+    // the ordering key is the exact integer (price·100, on-grid) widened
+    // to include the orderkey — unique, hence deterministic in both
+    // engines.
+    Q(
+      "agg_argminmax",
+      (s, d) => {
+        // explicit round before the cast: price·100 in doubles can land
+        // at x.9999…, and Spark's double→long cast truncates while
+        // DuckDB's rounds — rounding first makes both exact
+        val key =
+          round(col("l_extendedprice") * 100).cast("long") * lit(10000000L) + col("l_orderkey")
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            max_by(col("l_orderkey"), key).as("top_order"),
+            min_by(col("l_orderkey"), key).as("bottom_order"),
+            round(max(col("l_extendedprice")), 2).as("max_price")
+          )
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  arg_max(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey) AS top_order,
+          |  arg_min(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey) AS bottom_order,
+          |  round(max(l_extendedprice), 2) AS max_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      )
+    ),
+    // String formatting surface (format_string ↔ printf, padding, case).
+    Q(
+      "fn_format",
+      (s, d) =>
+        customer(s, d)
+          .select(
+            col("c_custkey"),
+            format_string("C-%07d/%s", col("c_custkey"), upper(col("c_mktsegment"))).as("ident"),
+            lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+            concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined")
+          )
+          .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey,
+          |  printf('C-%07d/%s', c_custkey, upper(c_mktsegment)) AS ident,
+          |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+          |  concat_ws('|', c_mktsegment, c_name) AS joined
+          |FROM customer ORDER BY c_custkey""".stripMargin
+      )
+    ),
     // Cryptographic hash functions — content addressing / checksumming
     // (md5 + sha256), the primitives the dedup and fingerprint operators
     // build on. All codegen'd; DuckDB computes identical digests.
