@@ -647,6 +647,63 @@ object LlmOps {
           |ORDER BY doc_id""".stripMargin
       )
     ),
+    // Corpus-wide top-k word bigrams — the frequency table a tokenizer
+    // (BPE-style merge selection) or collocation analysis starts from.
+    // posexplode + lead window builds bigrams codegen'd; the count is a
+    // two-phase hash aggregate and the top-k a TakeOrdered — no global
+    // sort of the full bigram table.
+    Q(
+      "text_ngram_topk",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(100)
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |b AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+          |      FROM t, unnest(range(1, len(toks))) r(i))
+          |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+          |ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+      )
+    ),
+    // Corpus vocabulary statistics — size, hapax legomena, type/token
+    // ratio: the health metrics of a tokenizer-training corpus. One
+    // explode + two hash aggregations.
+    Q(
+      "text_vocab_stats",
+      (s, d) => {
+        val toks = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(explode(wsTokens(col("text"))).as("tok"))
+        toks
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            sum(col("n")).as("total_tokens"),
+            count(lit(1)).as("vocab_size"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+            round(count(lit(1)).cast("double") / sum(col("n")), 6).as("type_token_ratio")
+          )
+      },
+      Some(
+        """WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |v AS (SELECT tok, count(*) AS n FROM e GROUP BY tok)
+          |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+          |       count(*) AS vocab_size,
+          |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          |       round(count(*)::DOUBLE / sum(n), 6) AS type_token_ratio
+          |FROM v""".stripMargin
+      )
+    ),
     // Intra-document repetition removal — the within-doc cleaning step
     // (dedup repeated tokens keeping FIRST occurrence, order preserved):
     // explode with position → min-position per distinct token (one
