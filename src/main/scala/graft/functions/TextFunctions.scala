@@ -80,9 +80,18 @@ object TextFunctions {
     * /1e6. Zero-length text (den = 0) yields NULL in both engines
     * instead of a division error / NaN.
     */
-  def qualityScore(text: Column): Column = {
+  /** Exact long integer division (a native IntegralDivide) — the
+    * cross-engine-safe way to scale rationals to fixed-point integers
+    * (float round() implementations disagree on half boundaries; integer
+    * division cannot).
+    */
+  def intDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  def qualityScore(text: Column): Column = {
     val toks = wsTokens(text)
     val n = size(toks).cast("long")
     val c = length(text).cast("long")
@@ -92,8 +101,6 @@ object TextFunctions {
       lit(3L) * least((c - n + lit(1L)) * c, lit(10L) * n * c) +
       lit(30L) * a * n
     val den = lit(100L) * n * c
-    def intDiv(x: Column, y: Column): Column =
-      Bridge.column(IntegralDivide(Bridge.expression(x), Bridge.expression(y)))
     val ppm = intDiv(num * lit(2000000L) + den, den * lit(2L))
     when(c === 0, lit(null).cast("double"))
       .otherwise(ppm.cast("double") / lit(1000000.0))

@@ -684,14 +684,22 @@ object LlmOps {
         val toks = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(explode(wsTokens(col("text"))).as("tok"))
+        // ratio as integer ppm (floor of vocab·1e6/total) — a float
+        // round() of the off-grid rational is exactly the cross-engine
+        // round-half hazard the integer-scaled quality score exists to
+        // avoid
         toks
           .groupBy("tok")
           .agg(count(lit(1)).as("n"))
           .agg(
             sum(col("n")).as("total_tokens"),
             count(lit(1)).as("vocab_size"),
-            sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
-            round(count(lit(1)).cast("double") / sum(col("n")), 6).as("type_token_ratio")
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax")
+          )
+          .select(
+            col("total_tokens"), col("vocab_size"), col("hapax"),
+            intDiv(col("vocab_size") * lit(1000000L), col("total_tokens"))
+              .as("ttr_ppm")
           )
       },
       Some(
@@ -700,7 +708,7 @@ object LlmOps {
           |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
           |       count(*) AS vocab_size,
           |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-          |       round(count(*)::DOUBLE / sum(n), 6) AS type_token_ratio
+          |       CAST((count(*) * 1000000) // sum(n) AS BIGINT) AS ttr_ppm
           |FROM v""".stripMargin
       )
     ),

@@ -539,9 +539,11 @@ object Relational {
       (s, d) => {
         // explicit round before the cast: price·100 in doubles can land
         // at x.9999…, and Spark's double→long cast truncates while
-        // DuckDB's rounds — rounding first makes both exact
+        // DuckDB's rounds — rounding first makes both exact. The 1e10
+        // multiplier keeps the key unique up to orderkey < 1e10 and
+        // price·100 < 9e8 (long max 9.2e18).
         val key =
-          round(col("l_extendedprice") * 100).cast("long") * lit(10000000L) + col("l_orderkey")
+          round(col("l_extendedprice") * 100).cast("long") * lit(10000000000L) + col("l_orderkey")
         lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
@@ -553,8 +555,8 @@ object Relational {
       },
       Some(
         """SELECT l_returnflag,
-          |  arg_max(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey) AS top_order,
-          |  arg_min(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey) AS bottom_order,
+          |  arg_max(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000000 + l_orderkey) AS top_order,
+          |  arg_min(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000000 + l_orderkey) AS bottom_order,
           |  round(max(l_extendedprice), 2) AS max_price
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       )

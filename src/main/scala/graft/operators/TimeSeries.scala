@@ -67,31 +67,39 @@ object TimeSeries {
       .select(lCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }: _*)
   }
 
+  /** Session gap: a new session starts after 30 idle minutes. */
+  private val SessionGapUs = 1800000000L
+
+  /** Events with their gap-based session index: lag + running sum of
+    * session starts, two window passes sharing ONE hash shuffle on
+    * user_id. Epoch-µs integer arithmetic so any SQL engine agrees
+    * exactly. The single source of the session definition — consumed by
+    * both `sessionize` and `join_interval`.
+    */
+  private def sessionIndexed(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "is_start",
+        when(
+          col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > SessionGapUs,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("session_idx", sum(col("is_start")).over(run))
+  }
+
   val all: Seq[Q] = Seq(
-    // Gap-based sessionization (batch): a new session starts when the
-    // user's inter-event gap exceeds 30 minutes; session index = running
-    // count of session starts. Two window passes over ONE hash shuffle
-    // on user_id (lag, then running sum share the partitioning); epoch-µs
-    // integer arithmetic so both engines agree exactly.
+    // Gap-based sessionization (batch) — see [[sessionIndexed]].
     Q(
       "sessionize",
-      (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        events(s, d)
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-          .withColumn(
-            "is_start",
-            when(
-              col("prev_us").isNull ||
-                unix_micros(col("ts")) - col("prev_us") > 1800000000L,
-              1L
-            ).otherwise(0L)
-          )
-          .withColumn("session_idx", sum(col("is_start")).over(run))
+      (s, d) =>
+        sessionIndexed(s, d)
           .select("event_id", "user_id", "ts", "session_idx")
-          .orderBy("event_id")
-      },
+          .orderBy("event_id"),
       Some(
         """WITH t AS (SELECT event_id, user_id, ts,
           |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
@@ -145,25 +153,19 @@ object TimeSeries {
     Q(
       "join_interval",
       (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cellUs = 3600000000L // 1-hour grid
-        val sess = events(s, d)
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-          .withColumn(
-            "is_start",
-            when(
-              col("prev_us").isNull ||
-                unix_micros(col("ts")) - col("prev_us") > 1800000000L,
-              1L
-            ).otherwise(0L)
-          )
-          .withColumn("sidx", sum(col("is_start")).over(run))
-          .groupBy("user_id", "sidx")
+        import graft.functions.TextFunctions.intDiv
+        val cellUs = lit(3600000000L) // 1-hour grid
+        // exact integer cell ids (double division + cast would rest on an
+        // ULP-headroom argument that a finer grid or nanos domain breaks);
+        // persist: both sides of the self-join read the exploded cells —
+        // without it the whole sessionization pipeline runs twice
+        val cells = sessionIndexed(s, d)
+          .groupBy(col("user_id"), col("session_idx").as("sidx"))
           .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
-          .withColumn("c0", (unix_micros(col("s")) / cellUs).cast("long"))
-          .withColumn("c1", (unix_micros(col("e")) / cellUs).cast("long"))
-        val cells = sess.withColumn("cell", explode(sequence(col("c0"), col("c1"))))
+          .withColumn("c0", intDiv(unix_micros(col("s")), cellUs))
+          .withColumn("c1", intDiv(unix_micros(col("e")), cellUs))
+          .withColumn("cell", explode(sequence(col("c0"), col("c1"))))
+          .persist()
         val a = cells.select(
           col("cell"), col("user_id").as("user_a"), col("sidx").as("sidx_a"),
           col("s").as("s_a"), col("e").as("e_a"))

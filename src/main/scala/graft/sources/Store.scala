@@ -432,6 +432,13 @@ class Store private[sources] (
     * consumer of [[appendNewOnly]]'s incremental files. Schema is the
     * store schema (bucket column hidden); pair with a watermark on the
     * index column for windowed aggregation downstream.
+    *
+    * CONTRACT: valid producers while a stream is live are [[write]] and
+    * [[appendNewOnly]] (append-only files). [[append]] and [[compact]]
+    * REWRITE the item into freshly-named files — a file source would
+    * re-ingest the full history as new input (double-counting), and the
+    * atomic swap briefly unlinks the path. After either, restart the
+    * stream with a fresh checkpoint.
     */
   def readStream(key: String): DataFrame = {
     val p = itemPath(key, mustExist = true)
