@@ -202,6 +202,44 @@ object TimeSeries {
           |ORDER BY user_a, sidx_a, user_b, sidx_b""".stripMargin
       )
     ),
+    // Gap-filled resampling (forward fill) — the upsampling half of
+    // resample coverage: bucket observations to a 1-hour grid (max per
+    // slot), expand each series to its full dense grid, and carry the
+    // last observation forward across empty slots. One aggregation, a
+    // per-series grid explode (bounded by range/step), a left equi-join
+    // and one window pass — all key-partitioned on the series.
+    Q(
+      "resample_ffill",
+      (s, d) => {
+        import graft.functions.TextFunctions.intDiv
+        val cellUs = lit(3600000000L)
+        val b = events(s, d)
+          .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
+          .agg(round(max(col("value")), 2).as("v"))
+          .persist() // read by both the grid derivation and the join
+        val g = b.groupBy("event_type")
+          .agg(min("slot").as("lo"), max("slot").as("hi"))
+          .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+        val w = Window.partitionBy("event_type").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.join(b, Seq("event_type", "slot"), "left")
+          .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+          .select("event_type", "slot", "v_fill")
+          .orderBy("event_type", "slot")
+      },
+      Some(
+        """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+          |             round(max(value), 2) AS v
+          |           FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM b GROUP BY 1),
+          |g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS slot FROM r),
+          |j AS (SELECT g.event_type, g.slot, b.v FROM g LEFT JOIN b USING (event_type, slot))
+          |SELECT event_type, CAST(slot AS BIGINT) AS slot,
+          |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+          |FROM j ORDER BY event_type, slot""".stripMargin
+      )
+    ),
     // As-of join: for each purchase, the latest click at-or-before it by
     // the same user. Oracle = DuckDB ASOF LEFT JOIN.
     Q(
