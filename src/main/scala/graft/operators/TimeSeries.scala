@@ -240,6 +240,54 @@ object TimeSeries {
           |FROM j ORDER BY event_type, slot""".stripMargin
       )
     ),
+    // Exponentially weighted moving average — a sequential per-series
+    // recurrence (y = α·x + (1−α)·y_prev) no window frame expresses.
+    // The distributed shape is the classic SECONDARY SORT: repartition
+    // on the series key, sortWithinPartitions by (key, time), then one
+    // mapPartitions pass holding a single accumulator per key — state is
+    // O(1) per task regardless of series length, and each series lives
+    // in exactly one task. Accumulation order matches DuckDB's
+    // list_reduce over the time-ordered list bit-for-bit (same IEEE ops,
+    // same order), so the raw doubles compare exactly — no rounding.
+    Q(
+      "ts_ewma",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        // both weights as literals: (1 - 0.2) in doubles is NOT the
+        // literal 0.8, and the oracle's lambda uses the literal
+        val alpha = 0.2
+        val beta = 0.8
+        val sorted = events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+            col("event_id"), col("value"))
+          .repartition(col("event_type"))
+          .sortWithinPartitions("event_type", "tus", "event_id")
+          .as[(String, Long, Long, Double)]
+        sorted
+          .mapPartitions { it =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+            var key: String = null
+            var acc = 0.0
+            var n = 0L
+            def flush(): Unit = if (key != null) out += ((key, n, acc))
+            it.foreach { case (k, _, _, x) =>
+              if (k != key) { flush(); key = k; acc = x; n = 1L }
+              else { acc = alpha * x + beta * acc; n += 1L }
+            }
+            flush()
+            out.iterator
+          }
+          .toDF("event_type", "n", "ewma")
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  list_reduce(list(value ORDER BY ts, event_id),
+          |              (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ),
     // As-of join: for each purchase, the latest click at-or-before it by
     // the same user. Oracle = DuckDB ASOF LEFT JOIN.
     Q(
