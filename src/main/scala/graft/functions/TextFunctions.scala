@@ -80,18 +80,8 @@ object TextFunctions {
     * /1e6. Zero-length text (den = 0) yields NULL in both engines
     * instead of a division error / NaN.
     */
-  /** Exact long integer division (a native IntegralDivide) — the
-    * cross-engine-safe way to scale rationals to fixed-point integers
-    * (float round() implementations disagree on half boundaries; integer
-    * division cannot).
-    */
-  def intDiv(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
-  }
-
   def qualityScore(text: Column): Column = {
+    import MathFunctions.intDiv
     val toks = wsTokens(text)
     val n = size(toks).cast("long")
     val c = length(text).cast("long")

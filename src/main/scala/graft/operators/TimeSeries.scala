@@ -153,7 +153,7 @@ object TimeSeries {
     Q(
       "join_interval",
       (s, d) => {
-        import graft.functions.TextFunctions.intDiv
+        import graft.functions.MathFunctions.intDiv
         val cellUs = lit(3600000000L) // 1-hour grid
         // exact integer cell ids (double division + cast would rest on an
         // ULP-headroom argument that a finer grid or nanos domain breaks);
@@ -211,7 +211,7 @@ object TimeSeries {
     Q(
       "resample_ffill",
       (s, d) => {
-        import graft.functions.TextFunctions.intDiv
+        import graft.functions.MathFunctions.intDiv
         val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
@@ -258,7 +258,11 @@ object TimeSeries {
         // literal 0.8, and the oracle's lambda uses the literal
         val alpha = 0.2
         val beta = 0.8
+        // NULL keys/values are excluded on both sides (EWMA is defined
+        // over observed values; a null-key sentinel in the kernel would
+        // otherwise mis-seed the first group)
         val sorted = events(s, d)
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
           .select(col("event_type"), unix_micros(col("ts")).as("tus"),
             col("event_id"), col("value"))
           .repartition(col("event_type"))
@@ -267,12 +271,13 @@ object TimeSeries {
         sorted
           .mapPartitions { it =>
             val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+            var started = false
             var key: String = null
             var acc = 0.0
             var n = 0L
-            def flush(): Unit = if (key != null) out += ((key, n, acc))
+            def flush(): Unit = if (started) out += ((key, n, acc))
             it.foreach { case (k, _, _, x) =>
-              if (k != key) { flush(); key = k; acc = x; n = 1L }
+              if (!started || k != key) { flush(); key = k; acc = x; n = 1L; started = true }
               else { acc = alpha * x + beta * acc; n += 1L }
             }
             flush()
@@ -285,7 +290,9 @@ object TimeSeries {
         """SELECT event_type, count(*) AS n,
           |  list_reduce(list(value ORDER BY ts, event_id),
           |              (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+          |FROM events
+          |WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin
       )
     ),
     // As-of join: for each purchase, the latest click at-or-before it by
