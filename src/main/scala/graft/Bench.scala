@@ -62,7 +62,13 @@ object Bench {
     // the samples and the min is the trustworthy number).
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     require(nSamples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $nSamples")
-    val allSamples = headline.filter(SparkEntry.queries.contains).map { name =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (the
+    // driver never sets it, so the recorded headline set is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val allSamples = headline
+      .filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
       val samples = (1 to nSamples).map { _ =>
         spark.catalog.clearCache()
         System.gc()
@@ -86,7 +92,7 @@ object Bench {
           contaminated.map(_._1).mkString(", "))
     // storage-layer timings: the reference's core value prop is keyed
     // ingest + pushdown range slicing (README.md:7,44) — track both.
-    val storeResults = {
+    val storeResults = if (only.isDefined) Seq.empty[(String, Double)] else {
       import graft.sources.Store
       import org.apache.spark.sql.functions.{col, expr}
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
@@ -118,7 +124,15 @@ object Bench {
       .map { case (k, ss) => "\"" + k + "\":" + f"${ss.max / ss.min}%.2f" }
       .mkString("{", ",", "}")
     val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    println(line)
+    // also emit on the raw fd: under `sbt runMain` the in-process
+    // System.out is wrapped by sbt's logger, which prefixes "[info] " —
+    // unparseable as bare JSON; /dev/stdout bypasses the wrapper
+    try {
+      val fd = new java.io.FileOutputStream("/dev/stdout")
+      fd.write((line + "\n").getBytes("UTF-8")); fd.flush()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

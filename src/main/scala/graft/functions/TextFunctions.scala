@@ -20,20 +20,12 @@ object TextFunctions {
   def reTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** LSH band key: hash of one `rowsPerBand`-wide slice of the MinHash
-    * signature (band index mixed in). Two docs sharing any band key are
-    * near-dup candidates.
-    *
-    * NOTE: the per-array shingle/minhash/simhash HOF variants that used
+  /** NOTE: the per-array shingle/minhash/simhash HOF variants that used
     * to live here were removed — higher-order functions are
-    * CodegenFallback (interpreted, 10-100× slower); the production
-    * pipelines build signatures via explode + codegen'd aggregates in
-    * [[graft.operators.LlmOps]].
+    * CodegenFallback (interpreted, 10-100× slower). Signature and
+    * band-key construction now lives in [[TextKernels]] (JVM kernels
+    * that replicate the SQL xxhash64 fold order bit-for-bit).
     */
-  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))
-    }: _*)
 
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic (corpus langs: en de fr es zh).

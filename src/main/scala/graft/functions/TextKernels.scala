@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side text/sketch kernels for the dedup pipelines — tight
+  * primitive loops run inside `mapPartitions`/`flatMap`, replacing the
+  * wide codegen'd DAGs (posexplode + K lead-windows + dropDuplicates +
+  * 64 min-aggregates) whose dominant cost at bench scale is janino
+  * compilation of the generated 64-aggregate methods, not data.
+  *
+  * Every hash here goes through Spark's own [[XXH64]] with the SQL
+  * default seed 42 and the SQL fold order, so the signatures and LSH
+  * band keys are BIT-IDENTICAL to the previous
+  * `xxhash64(...)`-expression pipeline (asserted by TextKernelsSpec) —
+  * swapping the implementation cannot change any query's result set.
+  *
+  * Scale posture: each kernel is per-document work inside one narrow
+  * stage (no shuffle); the downstream candidate generation stays a
+  * bucketed band-key equi-join exactly as before.
+  */
+object TextKernels {
+
+  /** SQL `xxhash64` default seed. */
+  final val HashSeed = 42L
+
+  /** `split(text, ' ')` with Spark semantics (limit -1: empties kept). */
+  def wsTokens(text: String): Array[String] = text.split(" ", -1)
+
+  /** Distinct word-`k`-shingles in first-occurrence order — the exact
+    * string set of the SQL pipeline `posexplode(split(text,' ')) →
+    * lead×(k-1) → concat_ws(' ') → dropDuplicates`.
+    */
+  def distinctShingles(text: String, k: Int): Array[String] = {
+    val toks = wsTokens(text)
+    if (toks.length < k) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** SQL `xxhash64(stringCol)`: XXH64 over the UTF-8 bytes, seed 42. */
+  def hashString(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), HashSeed)
+
+  /** Sorted distinct shingle hashes of a document (sorted so pairwise
+    * intersection is a linear merge).
+    */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val sh = distinctShingles(text, k)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = hashString(sh(i)); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Per-permutation seeds replicating SQL `xxhash64(lit(i), h)`: the
+    * expression folds children left-to-right, so its value is
+    * `hashLong(h, hashInt(i, 42))` — precompute the inner term.
+    */
+  private def permSeeds(perms: Int): Array[Long] = {
+    val s = new Array[Long](perms)
+    var i = 0
+    while (i < perms) { s(i) = XXH64.hashInt(i, HashSeed); i += 1 }
+    s
+  }
+
+  /** MinHash signature: perm i = min over shingle hashes h of
+    * `hashLong(h, seed_i)` — bit-identical to the previous
+    * `min(xxhash64(lit(i), h))` 64-aggregate plan.
+    */
+  def minhashSig(hashes: Array[Long], perms: Int): Array[Long] = {
+    val seeds = permSeeds(perms)
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < hashes.length) {
+      val h = hashes(j)
+      var i = 0
+      while (i < perms) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** LSH band keys replicating SQL
+    * `xxhash64(lit(b), slice(sig, b*rpb+1, rpb))` (array args hash
+    * element-wise in order): `fold hashLong over the slice, seeded with
+    * hashInt(b, 42)`.
+    */
+  def bandKeys(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, HashSeed)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(sig(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Intersection size of two SORTED long arrays (linear merge). */
+  def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  /** Positions where two equal-length signatures agree. */
+  def sigAgreement(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var n = 0
+    while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** Regex tokens (lowercased alnum runs, empties dropped) — Spark
+    * `split(lower(text), "[^a-z0-9]+")` + non-empty filter semantics.
+    */
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  def reTokens(text: String): Array[String] =
+    NonAlnum.split(text.toLowerCase(java.util.Locale.ROOT), -1).filter(_.nonEmpty)
+
+  /** 64-bit SimHash over xxhash64'd regex tokens: bit j set iff more
+    * than half the tokens have bit j set — bit-identical to the
+    * previous 64-bit-sum aggregate plan (which hashed the same tokens
+    * with the same SQL xxhash64).
+    */
+  def simhashSig(text: String): Long = {
+    val toks = reTokens(text)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = hashString(toks(t))
+      var j = 0
+      while (j < 64) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 > toks.length) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}

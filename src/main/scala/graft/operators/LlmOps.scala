@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.CosineSimilarity
 import graft.functions.MathFunctions.intDiv
 import graft.functions.TextFunctions._
+import graft.functions.TextKernels
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,29 +51,28 @@ object LlmOps {
   /** Distinct word-K-shingles as exploded rows (doc_id, shingle, sz)
     * where sz = |distinct shingle set| of the doc.
     *
-    * Built fully codegen'd: posexplode tokens → K-1 `lead` windows →
-    * concat_ws. The array-HOF alternative (transform+slice per doc) is
-    * interpreted and ~10× slower, and the documents table is one small
-    * parquet file (a single input partition), so the repartition both
-    * spreads the work and feeds the window's hash partitioning.
+    * One narrow kernel stage ([[TextKernels.distinctShingles]] inside a
+    * typed flatMap) — replaces the former posexplode → K-1 lead-windows
+    * → dropDuplicates → count-window plan, whose three shuffles and
+    * janino-compiled window stages dominated at bench scale. Emits the
+    * exact same (doc_id, shingle, sz) rows (same tokenizer semantics,
+    * asserted by TextKernelsSpec). The documents table is one small
+    * parquet file (a single input partition), so the repartition
+    * spreads the kernel work.
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val toks = documents(s, d)
+    val sp = s
+    import sp.implicits._
+    documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
-    val withLeads = toks.select(
-      (col("doc_id") +: col("tok") +:
-        (1 until ShingleK).map(i => lead(col("tok"), i).over(w).as(s"l$i"))): _*
-    )
-    val parts = col("tok") +: (1 until ShingleK).map(i => col(s"l$i"))
-    withLeads
-      .filter(col(s"l${ShingleK - 1}").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
-      .dropDuplicates("doc_id", "shingle")
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = TextKernels.distinctShingles(text, ShingleK)
+        val sz = sh.length.toLong
+        sh.iterator.map(x => (id, x, sz))
+      }
+      .toDF("doc_id", "shingle", "sz")
   }
 
   /** Exact-Jaccard verification of candidate pairs by distributed
@@ -98,45 +98,45 @@ object LlmOps {
       .filter(col("jacc_raw") >= JaccardThreshold)
   }
 
-  /** (doc_id, sig): MinHash signatures from the exploded shingle table
-    * via 64 codegen'd min-aggregates (no interpreted HOFs in the hot
-    * path). Each "permutation" re-hashes the shingle's 8-byte base hash
-    * with a distinct seed — fixed-width hashing, so no ANSI
-    * long-overflow (a multiply-shift permutation would wrap, which
-    * Spark 4's default ANSI mode rejects), and far cheaper than
-    * re-hashing the string 64×.
+  /** (doc_id, shs, sig, bkeys): per-doc sorted shingle-hash set,
+    * 64-perm MinHash signature and LSH band keys, computed in ONE
+    * narrow kernel stage via [[TextKernels]]. The kernel replicates the
+    * SQL xxhash64 fold order exactly, so signatures and band keys are
+    * bit-identical to the former explode + 64-min-aggregate plan
+    * (asserted by TextKernelsSpec) — that plan's floor was janino
+    * compilation of the 64-aggregate generated code, not data.
     */
-  private def minhashSigs(inv: DataFrame): DataFrame = {
-    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val aggs = (0 until MinhashPerms).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    hashed
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val shs = TextKernels.shingleHashes(text, ShingleK)
+        val sig = TextKernels.minhashSig(shs, MinhashPerms)
+        (id, shs, sig, TextKernels.bandKeys(sig, Bands, RowsPerBand))
+      }
+      .toDF("doc_id", "shs", "sig", "bkeys")
   }
 
-  /** (doc_id, sig): 64-bit SimHash via explode + 64 codegen'd bit-sum
-    * aggregates — bit j set iff ones(j)*2 > n (equivalent to the ±1 sum
-    * being positive).
+  /** (doc_id, sig): 64-bit SimHash per doc — bit j set iff more than
+    * half the xxhash64'd regex tokens have bit j set. One narrow kernel
+    * stage ([[TextKernels.simhashSig]]); bit-identical to the former
+    * explode + 64-bit-sum-aggregate plan (TextKernelsSpec).
     */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    // explode + relational filter (codegen'd) rather than the
-    // interpreted filter-HOF inside reTokens
-    val hashed = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val aggs = count(lit(1)).as("n") +:
-      (0 until 64).map(j => sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"c$j"))
-    val sums = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until 64)
-      .map(j => when(col(s"c$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    val sp = s
+    import sp.implicits._
     // persist: consumed twice by the chunk self-join
-    sums.select(col("doc_id"), sig.as("sig")).persist()
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextKernels.simhashSig(text)) }
+      .toDF("doc_id", "sig")
+      .persist()
   }
 
   /** Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jacc_raw ≥ τ)
@@ -319,12 +319,12 @@ object LlmOps {
     Q(
       "dedup_minhash",
       (s, d) => {
-        val inv = shingleRows(s, d).persist()
-        val sigs = minhashSigs(inv).persist()
-        val bandsDf = sigs.select(
-          col("doc_id"),
-          explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("bkey")
-        )
+        val sp = s
+        import sp.implicits._
+        // persist: the signature table feeds the band-key explode plus
+        // both sides of the verify payload join
+        val sigs = minhashSigs(s, d).persist()
+        val bandsDf = sigs.select(col("doc_id"), explode(col("bkeys")).as("bkey"))
         val cand = bandsDf
           .as("x")
           .join(
@@ -333,16 +333,28 @@ object LlmOps {
           )
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val est = {
-          val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int"))
-          aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / MinhashPerms
-        }
-        verifiedPairs(cand, inv)
-          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        // exact-Jaccard verify as a per-pair merge kernel over the two
+        // sorted shingle-hash sets (collision-free at 64 bits for any
+        // real corpus) — replaces two relational intersection joins
+        val thr = JaccardThreshold
+        val perms = MinhashPerms
+        cand
+          .join(sigs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"), col("sig").as("sig_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"), col("sig_a"), col("sig_b"))
+          .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+          .flatMap { case (a, b, sa, sb, ga, gb) =>
+            val inter = TextKernels.intersectCount(sa, sb)
+            val uni = sa.length + sb.length - inter
+            val jacc = if (uni == 0) 0.0 else inter.toDouble / uni
+            if (jacc >= thr)
+              Iterator.single((a, b, TextKernels.sigAgreement(ga, gb).toDouble / perms, jacc))
+            else Iterator.empty
+          }
+          .toDF("doc_a", "doc_b", "est_raw", "jacc_raw")
           .select(
             col("doc_a"), col("doc_b"),
-            round(est, 6).as("est_jaccard"),
+            round(col("est_raw"), 6).as("est_jaccard"),
             round(col("jacc_raw"), 6).as("jacc")
           )
           .orderBy("doc_a", "doc_b")

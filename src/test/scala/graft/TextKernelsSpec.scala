@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.TextKernels
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the JVM kernels in [[TextKernels]] are BIT-IDENTICAL to the
+  * SQL-expression plans they replaced (posexplode + lead-windows +
+  * dropDuplicates shingling; explode + 64 min-agg MinHash; explode +
+  * 64 bit-sum SimHash) — so swapping implementation cannot change any
+  * query's result set, only its cost.
+  */
+class TextKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+  val K = 5
+  val Perms = 64
+  val Bands = 8
+  val RowsPerBand = 8
+
+  private def docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+  /** The former SQL shingle pipeline, verbatim. */
+  private def sqlShingleRows = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val withLeads = toks.select(
+      (col("doc_id") +: col("tok") +:
+        (1 until K).map(i => lead(col("tok"), i).over(w).as(s"l$i"))): _*
+    )
+    val parts = col("tok") +: (1 until K).map(i => col(s"l$i"))
+    withLeads
+      .filter(col(s"l${K - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+  }
+
+  test("distinctShingles matches the SQL explode+lead+concat_ws pipeline exactly") {
+    val sp = spark
+    import sp.implicits._
+    val k = K // locals: lambdas must not capture the (non-serializable) suite
+    val kernel = docs
+      .as[(Long, String)]
+      .flatMap { case (id, t) => TextKernels.distinctShingles(t, k).map(sh => (id, sh)) }
+      .toDF("doc_id", "shingle")
+    assert(kernel.exceptAll(sqlShingleRows).count() == 0)
+    assert(sqlShingleRows.exceptAll(kernel).count() == 0)
+  }
+
+  test("minhashSig + bandKeys are bit-identical to the SQL 64-min-agg plan") {
+    val sp = spark
+    import sp.implicits._
+    val hashed = sqlShingleRows.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until Perms).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sqlSigs = hashed
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until Perms).map(i => col(s"m$i")): _*).as("sig")
+      )
+      .withColumn(
+        "bkeys",
+        array((0 until Bands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+        }: _*)
+      )
+    val (k, perms, bands, rpb) = (K, Perms, Bands, RowsPerBand)
+    val kernel = docs
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val shs = TextKernels.shingleHashes(t, k)
+        val sig = TextKernels.minhashSig(shs, perms)
+        (id, sig, TextKernels.bandKeys(sig, bands, rpb))
+      }
+      .toDF("doc_id", "sig", "bkeys")
+      // docs with <K tokens have no shingles: the SQL agg plan emits no
+      // row for them, the kernel emits an all-MaxValue signature
+      .filter(size(col("sig")) > 0 && col("sig").getItem(0) =!= Long.MaxValue)
+    assert(kernel.exceptAll(sqlSigs).count() == 0)
+    assert(sqlSigs.exceptAll(kernel).count() == 0)
+  }
+
+  test("simhashSig is bit-identical to the SQL 64-bit-sum plan") {
+    val sp = spark
+    import sp.implicits._
+    val hashed = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 64).map(j => sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"c$j"))
+    val sums = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigExpr = (0 until 64)
+      .map(j => when(col(s"c$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sqlSigs = sums.select(col("doc_id"), sigExpr.as("sig"))
+    val kernel = docs
+      .as[(Long, String)]
+      .map { case (id, t) => (id, TextKernels.simhashSig(t)) }
+      .toDF("doc_id", "sig")
+      // SQL plan emits no row for docs with zero regex tokens
+      .join(sqlSigs.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(kernel.exceptAll(sqlSigs).count() == 0)
+    assert(sqlSigs.exceptAll(kernel).count() == 0)
+  }
+
+  test("intersectCount equals set intersection on sorted arrays") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      assert(TextKernels.intersectCount(a, b) == a.toSet.intersect(b.toSet).size)
+    }
+  }
+}
