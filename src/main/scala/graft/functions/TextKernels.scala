@@ -139,6 +139,29 @@ object TextKernels {
     n
   }
 
+  /** (nTokens, nDistinctTokens, topBigramCount) over whitespace tokens
+    * — the inputs of the Gopher-style repetition quality filters.
+    * topBigramCount is 0 when the doc has fewer than 2 tokens.
+    */
+  def repetitionStats(text: String): (Long, Long, Long) = {
+    val toks = wsTokens(text)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    var top = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer](n * 2)
+      var j = 0
+      while (j + 1 < n) {
+        val c = counts.merge(toks(j) + " " + toks(j + 1), 1, (a, b) => a + b)
+        if (c > top) top = c
+        j += 1
+      }
+    }
+    (n.toLong, distinct.size.toLong, top.toLong)
+  }
+
   /** Regex tokens (lowercased alnum runs, empties dropped) — Spark
     * `split(lower(text), "[^a-z0-9]+")` + non-empty filter semantics.
     */

@@ -881,6 +881,133 @@ object LlmOps {
           .orderBy("doc_id", "channel")
       },
       None
+    ),
+    // ---- training-prep ------------------------------------------------
+    // Token-budget shard assignment: per language, documents in stable
+    // (doc_id) order are concatenated into a token stream and each doc
+    // lands in the shard holding its first token — the
+    // concatenate-and-split sequence-packing layout of LLM pretraining
+    // loaders. One running-sum window per language partition (a single
+    // hash shuffle); shard ids come from exact BIGINT integral division
+    // of the token offset, so any engine agrees.
+    Q(
+      "pack_shards",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
+          .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+          .select(
+            col("doc_id"), col("lang"), col("n_tok"), col("off"),
+            intDiv(col("off"), lit(4096L)).as("shard")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, lang,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |o AS (SELECT doc_id, lang, n_tok,
+          |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+          |  FROM t)
+          |SELECT doc_id, lang, n_tok, CAST(off AS BIGINT) AS off,
+          |       CAST(off AS BIGINT) // 4096 AS shard
+          |FROM o ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // Gopher-style repetition quality metrics: duplicate-word fraction
+    // and top-bigram fraction per doc, emitted as exact fixed-point ppm
+    // (BIGINT rational, round-half-up — no float round-half boundary).
+    // One narrow kernel stage ([[TextKernels.repetitionStats]]); the
+    // oracle recomputes the same counts relationally.
+    Q(
+      "text_repetition",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val (n, nd, topb) = TextKernels.repetitionStats(text)
+            (id, n, nd, topb)
+          }
+          .toDF("doc_id", "n", "nd", "topb")
+          .select(
+            col("doc_id"),
+            col("n").as("n_tok"),
+            (intDiv((col("n") - col("nd")) * lit(2000000L) + col("n"), col("n") * lit(2L))
+              .cast("double") / 1000000.0).as("dup_word_frac"),
+            when(
+              col("n") >= 2,
+              intDiv(col("topb") * lit(2000000L) + (col("n") - lit(1L)), (col("n") - lit(1L)) * lit(2L))
+                .cast("double") / 1000000.0
+            ).as("top_bigram_frac")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |s AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+          |bg AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) AS b
+          |       FROM t),
+          |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+          |tb AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY doc_id)
+          |SELECT s.doc_id,
+          |  CAST(s.n AS BIGINT) AS n_tok,
+          |  ((s.n - s.nd)*2000000 + s.n) // (2*s.n) / 1000000.0 AS dup_word_frac,
+          |  CASE WHEN s.n >= 2 THEN
+          |    (tb.topb*2000000 + (s.n - 1)) // (2*(s.n - 1)) / 1000000.0
+          |  END AS top_bigram_frac
+          |FROM s LEFT JOIN tb ON s.doc_id = tb.doc_id
+          |ORDER BY s.doc_id""".stripMargin
+      )
+    ),
+    // Int8 scalar quantization of the embedding column — the standard
+    // compression step before shipping vectors to an ANN index at
+    // 100 TB (4× smaller than float32). Per-vector min/max scale, one
+    // codegen'd posexplode (no shuffle at all: scan → project →
+    // generate), long-form scalar rows so any engine can diff them.
+    // Both engines evaluate the identical double expression
+    // (float→double casts are exact), so the rounded codes agree.
+    Q(
+      "embed_quantize",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .withColumn("mn", array_min(col("embedding")).cast("double"))
+          .withColumn("mx", array_max(col("embedding")).cast("double"))
+        e.select(
+          col("vec_id"), col("mn"), col("mx"),
+          posexplode(col("embedding")).as(Seq("pos", "v"))
+        ).select(
+          col("vec_id"),
+          col("pos").cast("long").as("pos"),
+          when(
+            col("mx") > col("mn"),
+            round((col("v").cast("double") - col("mn")) * 254.0 / (col("mx") - col("mn")), 0)
+              .cast("long") - 127L
+          ).otherwise(0L).as("q")
+        ).orderBy("vec_id", "pos")
+      },
+      Some(
+        """WITH t AS (SELECT vec_id,
+          |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+          |  CAST(list_max(embedding) AS DOUBLE) AS mx,
+          |  unnest(range(0, len(embedding))) AS pos,
+          |  unnest(embedding) AS v
+          |  FROM embeddings)
+          |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+          |  CASE WHEN mx > mn THEN
+          |    CAST(round((CAST(v AS DOUBLE) - mn) * 254.0 / (mx - mn)) AS BIGINT) - 127
+          |  ELSE 0 END AS q
+          |FROM t ORDER BY vec_id, pos""".stripMargin
+      )
     )
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{OhlcAggregator, Tick}
+import graft.functions.MathFunctions.intDiv
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -440,6 +441,80 @@ object TimeSeries {
           |       round(sum(value), 4) AS volume,
           |       count(*) AS n
           |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+      )
+    ),
+    // Per-key first difference + relative return — the pandas
+    // diff()/pct_change() pair (reference domain: tick series). One lag
+    // window = one hash shuffle on the key. Exactness: values are
+    // 2dp-gridded, so both engines difference in integer cents
+    // (diff = Δcents/100.0 is one IEEE op), and the return is the exact
+    // BIGINT rational round-half-up((c/p)·1e6) via integral division —
+    // no float round-half boundary (values are strictly positive, so
+    // the scaled numerator stays non-negative).
+    Q(
+      "ts_diff",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+          .withColumn("p", lag(col("c"), 1).over(w))
+          .select(
+            col("event_id"), col("user_id"), col("ts"), col("value"),
+            ((col("c") - col("p")).cast("double") / 100.0).as("diff"),
+            // CASE guard (lazily evaluated) — a 0.00 previous value
+            // would make the ANSI integral division throw
+            when(
+              col("p") =!= 0L,
+              (intDiv(col("c") * lit(2000000L) + col("p"), col("p") * lit(2L)) -
+                lit(1000000L)).cast("double") / 1000000.0
+            ).as("ret")
+          )
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH t AS (SELECT event_id, user_id, ts, value,
+          |  CAST(round(value*100) AS BIGINT) AS c,
+          |  lag(CAST(round(value*100) AS BIGINT)) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS p
+          |  FROM events)
+          |SELECT event_id, user_id, ts, value,
+          |  (c - p) / 100.0 AS diff,
+          |  CASE WHEN p <> 0 THEN
+          |    ((c*2000000 + p) // (2*p) - 1000000) / 1000000.0
+          |  END AS ret
+          |FROM t ORDER BY event_id""".stripMargin
+      )
+    ),
+    // As-of join with a staleness bound: same purchases←clicks as-of
+    // match, but a click older than 30 minutes is no longer a valid
+    // match (the standard market-data "max staleness" contract). Same
+    // single-shuffle window rewrite — the matched right timestamp rides
+    // along in the window pass and the bound is a residual null-out.
+    Q(
+      "join_asof_tol",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id")
+        val clicks = e.filter(col("event_type") === "click")
+        asOfJoin(
+          purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("event_id" -> "click_id", "ts" -> "click_ts"),
+          tolerance = Some("30 minutes")
+        ).orderBy("event_id")
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT p.event_id, p.ts, p.user_id,
+          |         c.event_id AS cid, c.ts AS cts
+          |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+          |SELECT event_id, ts, user_id,
+          |  CASE WHEN cts >= ts - INTERVAL 30 MINUTE THEN cid END AS click_id,
+          |  CASE WHEN cts >= ts - INTERVAL 30 MINUTE THEN cts END AS click_ts
+          |FROM j ORDER BY event_id""".stripMargin
       )
     )
   )
