@@ -47,6 +47,42 @@ object LlmOps {
   // constants independent of table size, which is the 100 TB property.
   private val IvfCentroids = 16
   private val IvfProbes = 13
+  // sim_ann_lsh: signed-random-projection code width and multi-probe
+  // radius. Like the IVF knobs these are CONSTANTS independent of n —
+  // on this near-uniform synthetic corpus recall tracks the probed
+  // fraction (P(bit agrees) ≈ 2/3 at cosine ≈ 0.5), so a short code
+  // with Hamming-2 multi-probe is needed for recall ≥ 0.8; naturally
+  // clustered embeddings support longer codes and narrower probes.
+  private val LshBits = 4
+  private val LshProbe = 2
+
+  /** Signed-random-projection LSH code: bit i is the sign of the dot
+    * product with a Rademacher ±1 hyperplane derived deterministically
+    * from XXH64 — no stored projection matrix, any worker regenerates
+    * the same hyperplanes.
+    */
+  private[operators] def lshCode(v: Array[Float], bits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var code = 0
+    var i = 0
+    while (i < bits) {
+      var sum = 0.0
+      var j = 0
+      while (j < v.length) {
+        val sign = if ((XXH64.hashLong(i.toLong * 65536 + j, 42L) & 1L) == 0L) -1.0 else 1.0
+        sum += sign * v(j)
+        j += 1
+      }
+      if (sum >= 0) code |= (1 << i)
+      i += 1
+    }
+    code
+  }
+
+  /** All codes within `maxHamming` bit flips of `code` — the constant
+    * multi-probe set. */
+  private[operators] def probeCodes(code: Int, bits: Int, maxHamming: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(c => Integer.bitCount(c ^ code) <= maxHamming)
 
   /** Distinct word-K-shingles as exploded rows (doc_id, shingle, sz)
     * where sz = |distinct shingle set| of the doc.
@@ -620,6 +656,46 @@ object LlmOps {
           .select(
             col("vec_id"), col("cluster"),
             round(CosineSimilarity.cosineSim(col("emb"), col("probe")), 6).as("score")
+          )
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      None
+    ),
+    // LSH-bucketed approximate nearest neighbors — the second ANN
+    // family (random-hyperplane / signed random projection), bucketed
+    // by a CONSTANT-width code with a constant multi-probe radius: the
+    // corpus is coded in one narrow kernel stage, the query's probe
+    // codes broadcast (≤ 2^bits rows), candidates come from a bucketed
+    // equi-join on the code, and exact cosine re-ranks only candidates.
+    // At 100 TB: no centroid table at all (hyperplanes are regenerated
+    // from the hash), assignment is embarrassingly parallel, and the
+    // probe touches a bounded fraction of buckets. Approximate ⇒
+    // rows-only check; recall vs sim_cosine_topk is spec'd.
+    Q(
+      "sim_ann_lsh",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val bits = LshBits
+        val maxH = LshProbe
+        val coded = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, v) => (id, v, lshCode(v, bits)) }
+          .toDF("vec_id", "embedding", "code")
+        val qCodes = coded
+          .filter(col("vec_id") === 0)
+          .select(col("code"), toDouble(col("embedding")).as("qv"))
+          .as[(Int, Array[Double])]
+          .flatMap { case (qc, qv) => probeCodes(qc, bits, maxH).map(pc => (pc, qv)) }
+          .toDF("code", "qv")
+        coded
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(qCodes), "code")
+          .select(
+            col("vec_id"), col("code"),
+            round(CosineSimilarity.cosineSim(toDouble(col("embedding")), col("qv")), 6).as("score")
           )
           .orderBy(col("score").desc, col("vec_id"))
           .limit(10)

@@ -58,6 +58,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("sim_ann_lsh: recall >= 0.8 vs exact brute-force top-10") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = SparkEntry.queries("sim_ann_lsh")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"LSH recall vs exact top-10: $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
+  }
+
   test("dedup_clusters: transitive closure of the pair graph, cluster id = min member") {
     import spark.implicits._
     val pairs = SparkEntry.queries("dedup_ngram")(spark, dir)
