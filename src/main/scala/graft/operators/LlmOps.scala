@@ -111,27 +111,44 @@ object LlmOps {
       .toDF("doc_id", "shingle", "sz")
   }
 
-  /** Exact-Jaccard verification of candidate pairs by distributed
-    * intersection counting over the exploded shingle table (codegen'd
-    * joins; per-pair array_intersect is interpreted): |A∩B| = shared
-    * rows, |A∪B| = szA + szB − |A∩B|. Returns pairs ≥ threshold with
+  /** (doc_id, shs): per-doc sorted shingle-hash set (one narrow kernel
+    * stage) — the verify payload for the candidate pair joins.
+    */
+  private def shinglePayload(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextKernels.shingleHashes(text, ShingleK)) }
+      .toDF("doc_id", "shs")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: join each pair to
+    * the two sorted shingle-hash sets and merge-count the intersection
+    * in a per-pair kernel (|A∪B| = |A| + |B| − |A∩B|). Set sizes and
+    * intersections over 64-bit hashes equal those over the shingle
+    * strings up to hash collisions (~|distinct shingles|²/2⁶⁵ — never
+    * observed at any real corpus size). Returns pairs ≥ threshold with
     * `jacc_raw`.
     */
-  private def verifiedPairs(cand: DataFrame, inv: DataFrame): DataFrame = {
-    val exa = inv.select(col("doc_id").as("doc_a"), col("shingle"))
-    val exb = inv.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = cand
-      .join(exa, "doc_a")
-      .join(exb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    val sizes = inv.select("doc_id", "sz").distinct()
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jacc_raw",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jacc_raw") >= JaccardThreshold)
+  private def verifiedPairs(s: SparkSession, cand: DataFrame, payload: DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val thr = JaccardThreshold
+    cand
+      .join(payload.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(payload.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, sa, sb) =>
+        val inter = TextKernels.intersectCount(sa, sb)
+        val uni = sa.length + sb.length - inter
+        val jacc = if (uni == 0) 0.0 else inter.toDouble / uni
+        if (jacc >= thr) Iterator.single((a, b, jacc)) else Iterator.empty
+      }
+      .toDF("doc_a", "doc_b", "jacc_raw")
   }
 
   /** (doc_id, shs, sig, bkeys): per-doc sorted shingle-hash set,
@@ -184,8 +201,8 @@ object LlmOps {
     * inverted index over frequent shingles.
     */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    // persist the exploded shingle table: freq, ranking, both sides
-    // of the candidate join and both intersection joins all read it
+    // persist the exploded shingle table: the frequency table, the
+    // ranking window and both sides of the candidate join all read it
     val inv = shingleRows(s, d).persist()
     val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -203,7 +220,7 @@ object LlmOps {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifiedPairs(cand, inv)
+    verifiedPairs(s, cand, shinglePayload(s, d))
   }
 
   val all: Seq[Q] = Seq(
