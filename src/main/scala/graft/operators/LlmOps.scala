@@ -1062,6 +1062,44 @@ object LlmOps {
           |ORDER BY s.doc_id""".stripMargin
       )
     ),
+    // Benchmark decontamination: flag training documents sharing any
+    // word-K-shingle with a held-out benchmark set (here: every 20th
+    // doc stands in for the eval suite; production uses 13-grams of the
+    // actual benchmarks). Candidates come from a bucketed equi-join on
+    // the shingle — the benchmark side is tiny and broadcastable, the
+    // scan side never self-joins — so the op is one shuffle at any
+    // scale. Exact overlap counts ⇒ fully oracle-checked.
+    Q(
+      "text_decontaminate",
+      (s, d) => {
+        val sh = shingleRows(s, d).select("doc_id", "shingle")
+        val bench = sh
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("bench_id"), col("shingle"))
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), "shingle")
+          .groupBy("doc_id")
+          .agg(
+            countDistinct(col("shingle")).as("n_shared"),
+            countDistinct(col("bench_id")).as("n_bench")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |        unnest(list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
+           |          i -> array_to_string(toks[i:i+${ShingleK - 1}], ' ')))) AS shingle
+           |      FROM t WHERE len(toks) >= $ShingleK)
+           |SELECT tr.doc_id,
+           |       count(DISTINCT tr.shingle) AS n_shared,
+           |       count(DISTINCT b.doc_id) AS n_bench
+           |FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) tr
+           |JOIN (SELECT * FROM sh WHERE doc_id % 20 = 0) b
+           |  ON tr.shingle = b.shingle
+           |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+      )
+    ),
     // Int8 scalar quantization of the embedding column — the standard
     // compression step before shipping vectors to an ANN index at
     // 100 TB (4× smaller than float32). Per-vector min/max scale, one

@@ -692,6 +692,37 @@ object Relational {
           .orderBy("l_returnflag"),
       None
     ),
+    // Fixed-width histogram of the event values ($20 buckets) — the
+    // OLAP distribution profile. Bucket ids come from exact integer
+    // division of 2dp cents (a double divide-and-floor rests on ULP
+    // headroom; this does not), and the per-bucket sum is an exact
+    // BIGINT cents sum divided once — both engines agree bit-for-bit.
+    // Two-phase hash aggregate, one shuffle on the bucket id.
+    Q(
+      "agg_histogram",
+      (s, d) => {
+        import graft.functions.MathFunctions.intDiv
+        events(s, d)
+          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+          .withColumn("bucket", intDiv(col("c"), lit(2000L)))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(col("c")).cast("double") / 100.0).as("sum_value")
+          )
+          .withColumn("lo", (col("bucket") * 20L).cast("double"))
+          .select("bucket", "lo", "n", "sum_value")
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH t AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events)
+          |SELECT c // 2000 AS bucket,
+          |       CAST((c // 2000) * 20 AS DOUBLE) AS lo,
+          |       count(*) AS n,
+          |       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
+          |FROM t GROUP BY c // 2000 ORDER BY bucket""".stripMargin
+      )
+    ),
     // Collect aggregates — set-valued results serialized to a sorted
     // joined string so cross-engine comparison is representation-free.
     Q(

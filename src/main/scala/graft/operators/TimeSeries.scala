@@ -485,6 +485,60 @@ object TimeSeries {
           |FROM t ORDER BY event_id""".stripMargin
       )
     ),
+    // Trailing-window anomaly score: z-score of each event against the
+    // trailing hour of its key. Exactness trick: the rolling moments
+    // are EXACT integer sums over 2dp cents (S=Σc, Q=Σc², n), and both
+    // engines then evaluate the identical double expression
+    // (c−S/n)/sqrt((Q−S²/n)/(n−1)) from those integers — same IEEE ops
+    // in the same order, bit-identical result, so no float round-half
+    // hazard. One RANGE-frame window = one hash shuffle on the key.
+    // Variance is gated on the exact integer n·Q−S² > 0, never a float
+    // ≈0 test.
+    Q(
+      "ts_zscore",
+      (s, d) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("tss"))
+          .rangeBetween(-3600000000L, 0L)
+        val e = events(s, d)
+          .withColumn("tss", unix_micros(col("ts")))
+          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+          .withColumn("sn", sum(col("c")).over(w))
+          .withColumn("qn", sum(col("c") * col("c")).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+        val cD = col("c").cast("double")
+        val sD = col("sn").cast("double")
+        val qD = col("qn").cast("double")
+        val nD = col("n").cast("double")
+        e.select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("n").as("n_window"),
+          when(
+            col("n") >= 2 && col("n") * col("qn") - col("sn") * col("sn") > 0,
+            round((cD - sD / nD) / sqrt((qD - sD * sD / nD) / (nD - 1.0)), 6)
+          ).as("z")
+        ).orderBy("event_id")
+      },
+      Some(
+        """WITH t AS (SELECT event_id, user_id, ts, value,
+          |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+          |m AS (SELECT event_id, user_id, ts, value, c,
+          |    sum(c)   OVER w AS sn,
+          |    sum(c*c) OVER w AS qn,
+          |    count(*) OVER w AS n
+          |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+          |SELECT event_id, user_id, ts, value,
+          |  CAST(n AS BIGINT) AS n_window,
+          |  CASE WHEN n >= 2 AND n*qn - sn*sn > 0 THEN
+          |    round((CAST(c AS DOUBLE) - CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))
+          |      / sqrt((CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))
+          |             / (CAST(n AS DOUBLE) - 1.0)), 6)
+          |  END AS z
+          |FROM m ORDER BY event_id""".stripMargin
+      )
+    ),
     // As-of join with a staleness bound: same purchases←clicks as-of
     // match, but a click older than 30 minutes is no longer a valid
     // match (the standard market-data "max staleness" contract). Same
