@@ -460,11 +460,27 @@ class Store private[sources] (
     * reference's non-deterministic `datetime.now()` upper default
     * (store.py:253) lives only in [[sliceCompat]].
     */
+  /** @param columns optional projection (case-insensitive names from
+    *   the store schema; unknown names → [[SchemaError]]). The pruned
+    *   column set reaches the Parquet scan's ReadSchema, so a 2-column
+    *   read of a wide store only decodes 2 columns — at 100 TB the
+    *   difference between a column-pruned scan and a full-width one is
+    *   the whole game (asserted in StoreSpec).
+    */
   def query(
       key: String,
       start: Option[Timestamp] = None,
-      end: Option[Timestamp] = None
+      end: Option[Timestamp] = None,
+      columns: Option[Seq[String]] = None
   ): DataFrame = {
+    val outCols = columns.fold(schema.fieldNames.toSeq) { cs =>
+      cs.map { c =>
+        schema.fieldNames
+          .find(_.equalsIgnoreCase(c))
+          .getOrElse(throw new SchemaError(
+            s"unknown column '$c' (have: ${schema.fieldNames.mkString(", ")})"))
+      }
+    }
     val df = loadRaw(key)
     val idx = col(indexName)
     // directory-level pruning first (bucketed stores): the bucket format
@@ -487,7 +503,7 @@ class Store private[sources] (
     val preds = bucketPreds ++ tsPreds
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
       .drop(BucketCol)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(outCols.map(col).toIndexedSeq: _*)
   }
 
   /** Reference-default bounds: start=1678-01-01 (store.py:250-251),

@@ -263,6 +263,30 @@ class StoreSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 150)
   }
 
+  test("query projection: pruned columns reach the parquet ReadSchema") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars())
+    val q = s.query(
+      "MSFT",
+      Some(Timestamp.valueOf("2015-02-01 00:00:00")),
+      Some(Timestamp.valueOf("2015-03-01 00:00:00")),
+      columns = Some(Seq("close", "Volume")) // case-insensitive
+    )
+    assert(q.columns.toSeq == Seq("CLOSE", "VOLUME"))
+    assert(q.count() == 29) // inclusive bounds
+    // the scan must decode only the index (for the residual range
+    // filter) and the two requested columns — never the full width
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    val readSchema = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse(scan)
+    assert(readSchema.contains("CLOSE") && readSchema.contains("VOLUME"))
+    assert(!readSchema.contains("OPEN") && !readSchema.contains("HIGH") && !readSchema.contains("LOW"),
+      s"unpruned scan: $readSchema")
+    // unknown column fails fast
+    intercept[SchemaError](s.query("MSFT", None, None, Some(Seq("nope"))))
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
