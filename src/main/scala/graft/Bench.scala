@@ -128,9 +128,11 @@ object Bench {
     println(line)
     // also emit on the raw fd: under `sbt runMain` the in-process
     // System.out is wrapped by sbt's logger, which prefixes "[info] " —
-    // unparseable as bare JSON; /dev/stdout bypasses the wrapper
+    // unparseable as bare JSON; /dev/stdout bypasses the wrapper.
+    // append=true is load-bearing: without it, a shell redirect to a
+    // regular file would O_TRUNC the log that stdout already wrote
     try {
-      val fd = new java.io.FileOutputStream("/dev/stdout")
+      val fd = new java.io.FileOutputStream("/dev/stdout", true)
       fd.write((line + "\n").getBytes("UTF-8")); fd.flush()
     } catch { case _: Throwable => () }
     spark.stop()

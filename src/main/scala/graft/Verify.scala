@@ -22,6 +22,13 @@ object Verify {
     // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps a subset (the
     // driver never sets it, so the recorded gate covers every query)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a subset run into a dir holding a full manifest would silently
+    // shrink that manifest (later compares would check 1 query and
+    // report green) — demand a fresh outDir instead
+    if (only.isDefined && Files.exists(Paths.get(s"$outDir/oracle_sql.json")))
+      throw new IllegalStateException(
+        s"SPARK_GRAFT_VERIFY_ONLY set but $outDir already holds an oracle_sql.json; " +
+          "use a fresh outDir for subset runs")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -174,8 +174,11 @@ object TextKernels {
     * previous 64-bit-sum aggregate plan (which hashed the same tokens
     * with the same SQL xxhash64).
     */
-  def simhashSig(text: String): Long = {
-    val toks = reTokens(text)
+  def simhashSig(text: String): Long = simhashSigOf(reTokens(text))
+
+  /** SimHash over pre-tokenized input (lets callers tokenize once for
+    * both an emptiness guard and the signature). */
+  def simhashSigOf(toks: Array[String]): Long = {
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.length) {

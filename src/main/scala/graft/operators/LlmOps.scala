@@ -96,10 +96,17 @@ object LlmOps {
     * parquet file (a single input partition), so the repartition
     * spreads the kernel work.
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleRowsOf(s, documents(s, d))
+
+  /** Same, over an arbitrary (doc_id, text) frame — callers that only
+    * need a subset filter BEFORE this call so the predicate prunes at
+    * the parquet scan instead of dying above the opaque kernel stage.
+    */
+  private def shingleRowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val sp = s
     import sp.implicits._
-    documents(s, d)
+    docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -111,19 +118,17 @@ object LlmOps {
       .toDF("doc_id", "shingle", "sz")
   }
 
-  /** (doc_id, shs): per-doc sorted shingle-hash set (one narrow kernel
-    * stage) — the verify payload for the candidate pair joins.
+  /** (doc_id, shs): per-doc sorted shingle-hash set — the verify
+    * payload for the candidate pair joins, built FROM the (persisted)
+    * exploded shingle table so the corpus is scanned and shingled only
+    * once per query (`xxhash64` here equals the kernel's hash —
+    * TextKernelsSpec).
     */
-  private def shinglePayload(s: SparkSession, d: String): DataFrame = {
-    val sp = s
-    import sp.implicits._
-    documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, TextKernels.shingleHashes(text, ShingleK)) }
-      .toDF("doc_id", "shs")
-  }
+  private def shinglePayload(inv: DataFrame): DataFrame =
+    inv
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("shs"))
 
   /** Exact-Jaccard verification of candidate pairs: join each pair to
     * the two sorted shingle-hash sets and merge-count the intersection
@@ -166,10 +171,17 @@ object LlmOps {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
         val shs = TextKernels.shingleHashes(text, ShingleK)
-        val sig = TextKernels.minhashSig(shs, MinhashPerms)
-        (id, shs, sig, TextKernels.bandKeys(sig, Bands, RowsPerBand))
+        // docs with no shingle (< K tokens) emit NO row — exactly like
+        // the former aggregate plan; an all-MaxValue placeholder sig
+        // would funnel every short doc into the same LSH buckets and
+        // blow up the candidate join quadratically
+        if (shs.isEmpty) Iterator.empty
+        else {
+          val sig = TextKernels.minhashSig(shs, MinhashPerms)
+          Iterator.single((id, shs, sig, TextKernels.bandKeys(sig, Bands, RowsPerBand)))
+        }
       }
       .toDF("doc_id", "shs", "sig", "bkeys")
   }
@@ -187,7 +199,14 @@ object LlmOps {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, TextKernels.simhashSig(text)) }
+      .flatMap { case (id, text) =>
+        // docs with zero regex tokens emit NO row (like the former
+        // aggregate plan) — a shared sig=0 placeholder would pair every
+        // such doc as a spurious hamming-0 near-duplicate
+        val toks = TextKernels.reTokens(text)
+        if (toks.isEmpty) Iterator.empty
+        else Iterator.single((id, TextKernels.simhashSigOf(toks)))
+      }
       .toDF("doc_id", "sig")
       .persist()
   }
@@ -220,7 +239,7 @@ object LlmOps {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifiedPairs(s, cand, shinglePayload(s, d))
+    verifiedPairs(s, cand, shinglePayload(inv))
   }
 
   val all: Seq[Q] = Seq(
@@ -1072,11 +1091,14 @@ object LlmOps {
     Q(
       "text_decontaminate",
       (s, d) => {
-        val sh = shingleRows(s, d).select("doc_id", "shingle")
-        val bench = sh
-          .filter(col("doc_id") % 20 === 0)
+        // filter BEFORE the kernel stage: a predicate above the opaque
+        // typed flatMap cannot be pushed past it, which would shingle
+        // the whole corpus twice; these prune at the parquet scan
+        val docs = documents(s, d)
+        val bench = shingleRowsOf(s, docs.filter(col("doc_id") % 20 === 0))
           .select(col("doc_id").as("bench_id"), col("shingle"))
-        sh.filter(col("doc_id") % 20 =!= 0)
+        shingleRowsOf(s, docs.filter(col("doc_id") % 20 =!= 0))
+          .select("doc_id", "shingle")
           .join(broadcast(bench), "shingle")
           .groupBy("doc_id")
           .agg(

@@ -492,8 +492,10 @@ object TimeSeries {
     // (c−S/n)/sqrt((Q−S²/n)/(n−1)) from those integers — same IEEE ops
     // in the same order, bit-identical result, so no float round-half
     // hazard. One RANGE-frame window = one hash shuffle on the key.
-    // Variance is gated on the exact integer n·Q−S² > 0, never a float
-    // ≈0 test.
+    // Variance is gated on the exact integer max>min over the window
+    // (equivalent to variance > 0), never a float ≈0 test — and never
+    // an n·Q−S² LONG product that could overflow under ANSI on a
+    // dense window.
     Q(
       "ts_zscore",
       (s, d) => {
@@ -507,6 +509,11 @@ object TimeSeries {
           .withColumn("sn", sum(col("c")).over(w))
           .withColumn("qn", sum(col("c") * col("c")).over(w))
           .withColumn("n", count(lit(1)).over(w))
+          // variance>0 gate as max>min: exact, and never overflows —
+          // n·Q−S² in LONG would throw under ANSI on a dense window
+          // while the oracle's HUGEINT succeeds
+          .withColumn("cmx", max(col("c")).over(w))
+          .withColumn("cmn", min(col("c")).over(w))
         val cD = col("c").cast("double")
         val sD = col("sn").cast("double")
         val qD = col("qn").cast("double")
@@ -515,7 +522,7 @@ object TimeSeries {
           col("event_id"), col("user_id"), col("ts"), col("value"),
           col("n").as("n_window"),
           when(
-            col("n") >= 2 && col("n") * col("qn") - col("sn") * col("sn") > 0,
+            col("n") >= 2 && col("cmx") > col("cmn"),
             round((cD - sD / nD) / sqrt((qD - sD * sD / nD) / (nD - 1.0)), 6)
           ).as("z")
         ).orderBy("event_id")
@@ -526,12 +533,14 @@ object TimeSeries {
           |m AS (SELECT event_id, user_id, ts, value, c,
           |    sum(c)   OVER w AS sn,
           |    sum(c*c) OVER w AS qn,
-          |    count(*) OVER w AS n
+          |    count(*) OVER w AS n,
+          |    max(c)   OVER w AS cmx,
+          |    min(c)   OVER w AS cmn
           |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts
           |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
           |SELECT event_id, user_id, ts, value,
           |  CAST(n AS BIGINT) AS n_window,
-          |  CASE WHEN n >= 2 AND n*qn - sn*sn > 0 THEN
+          |  CASE WHEN n >= 2 AND cmx > cmn THEN
           |    round((CAST(c AS DOUBLE) - CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))
           |      / sqrt((CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))
           |             / (CAST(n AS DOUBLE) - 1.0)), 6)

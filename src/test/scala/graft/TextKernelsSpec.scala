@@ -69,15 +69,17 @@ class TextKernelsSpec extends AnyFunSuite {
     val (k, perms, bands, rpb) = (K, Perms, Bands, RowsPerBand)
     val kernel = docs
       .as[(Long, String)]
-      .map { case (id, t) =>
+      // like the production path: docs with <K tokens emit NO row,
+      // exactly as the SQL aggregate plan does
+      .flatMap { case (id, t) =>
         val shs = TextKernels.shingleHashes(t, k)
-        val sig = TextKernels.minhashSig(shs, perms)
-        (id, sig, TextKernels.bandKeys(sig, bands, rpb))
+        if (shs.isEmpty) Iterator.empty
+        else {
+          val sig = TextKernels.minhashSig(shs, perms)
+          Iterator.single((id, sig, TextKernels.bandKeys(sig, bands, rpb)))
+        }
       }
       .toDF("doc_id", "sig", "bkeys")
-      // docs with <K tokens have no shingles: the SQL agg plan emits no
-      // row for them, the kernel emits an all-MaxValue signature
-      .filter(size(col("sig")) > 0 && col("sig").getItem(0) =!= Long.MaxValue)
     assert(kernel.exceptAll(sqlSigs).count() == 0)
     assert(sqlSigs.exceptAll(kernel).count() == 0)
   }
@@ -98,10 +100,14 @@ class TextKernelsSpec extends AnyFunSuite {
     val sqlSigs = sums.select(col("doc_id"), sigExpr.as("sig"))
     val kernel = docs
       .as[(Long, String)]
-      .map { case (id, t) => (id, TextKernels.simhashSig(t)) }
+      // like the production path: zero-regex-token docs emit NO row,
+      // exactly as the SQL aggregate plan does
+      .flatMap { case (id, t) =>
+        val toks = TextKernels.reTokens(t)
+        if (toks.isEmpty) Iterator.empty
+        else Iterator.single((id, TextKernels.simhashSigOf(toks)))
+      }
       .toDF("doc_id", "sig")
-      // SQL plan emits no row for docs with zero regex tokens
-      .join(sqlSigs.select("doc_id"), Seq("doc_id"), "left_semi")
     assert(kernel.exceptAll(sqlSigs).count() == 0)
     assert(sqlSigs.exceptAll(kernel).count() == 0)
   }
