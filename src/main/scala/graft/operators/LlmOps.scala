@@ -27,10 +27,11 @@ object LlmOps {
   // 5-word shingles: the synthetic corpus has a ~50-word vocabulary, so
   // 3-shingles collide across unrelated docs; K=5 keeps the shingle
   // space sparse enough that rare-shingle blocking actually blocks.
-  private val ShingleK = 5
-  private val MinhashPerms = 64
-  private val Bands = 8
-  private val RowsPerBand = 8
+  // private[graft]: the streaming near-dup filter shares these knobs
+  private[graft] val ShingleK = 5
+  private[graft] val MinhashPerms = 64
+  private[graft] val Bands = 8
+  private[graft] val RowsPerBand = 8
   private val JaccardThreshold = 0.8
   private val CosineDupThreshold = 0.45 // corpus max pairwise cosine ≈ 0.51
   // dedup_embedding block-pair fan-out: B(B+1)/2 tasks, each holding two

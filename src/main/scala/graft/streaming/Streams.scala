@@ -8,6 +8,9 @@ import org.apache.spark.sql.types._
 
 import java.util.concurrent.atomic.AtomicInteger
 
+/** (doc_id, coarse LSH band key) for the streaming near-dup filter. */
+case class DocSig(doc_id: Long, bkey: Long)
+
 /** Typed event row for the custom-state operator. */
 case class EventRow(
     event_id: Long,
@@ -147,6 +150,62 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Raw schema of documents.parquet. */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Streaming near-duplicate filter — the ingestion-time form of
+    * MinHash dedup: each arriving document is signed with the SAME
+    * kernel the batch pipeline uses ([[graft.functions.TextKernels]]),
+    * reduced to its coarse LSH band key, and a per-bucket claimant
+    * (min doc_id, deterministic regardless of partition order) is
+    * carried in the state store; later docs landing in a claimed bucket
+    * are flagged with `dup_of`. State is one long per occupied bucket —
+    * bounded by corpus diversity, not stream length. Docs too short to
+    * shingle pass through unflagged (no signature ⇒ no bucket).
+    */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    import graft.functions.TextKernels
+    import graft.operators.LlmOps
+    val (k, perms, bands, rpb) =
+      (LlmOps.ShingleK, LlmOps.MinhashPerms, LlmOps.Bands, LlmOps.RowsPerBand)
+    val sigs = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val shs = TextKernels.shingleHashes(t, k)
+        if (shs.isEmpty) Iterator.empty
+        else {
+          val sig = TextKernels.minhashSig(shs, perms)
+          Iterator.single(DocSig(id, TextKernels.bandKeys(sig, bands, rpb)(0)))
+        }
+      }
+    val flagged = sigs
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bkey: Long, it: Iterator[DocSig],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val ids = it.map(_.doc_id).toArray
+          val claimant = math.min(ids.min, state.getOption.getOrElse(Long.MaxValue))
+          state.update(claimant)
+          ids.iterator.map { id =>
+            (id, bkey, id == claimant, if (id == claimant) None else Some(claimant))
+          }
+      }
+      .toDF("doc_id", "bkey", "keep", "dup_of")
+    runToBatch(s, flagged, "append").orderBy("doc_id")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Both sides carry
     * watermarks and the join condition bounds event time on both sides —
@@ -178,6 +237,7 @@ object Streams {
     Q("stream_session", (s, d) => session(s, d), None),
     Q("stream_dedup_state", (s, d) => dedupState(s, d), None),
     Q("stream_custom_state", (s, d) => customState(s, d), None),
-    Q("stream_join", (s, d) => streamJoin(s, d), None)
+    Q("stream_join", (s, d) => streamJoin(s, d), None),
+    Q("stream_minhash_dedup", (s, d) => minhashDedup(s, d), None)
   )
 }

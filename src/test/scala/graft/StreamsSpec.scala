@@ -72,6 +72,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream_minhash_dedup equals the batch per-bucket min-claimant computation") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    import graft.operators.LlmOps
+    val streamed = Streams.minhashDedup(spark, dir)
+    val (k, perms, bands, rpb) =
+      (LlmOps.ShingleK, LlmOps.MinhashPerms, LlmOps.Bands, LlmOps.RowsPerBand)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val shs = TextKernels.shingleHashes(t, k)
+        if (shs.isEmpty) Iterator.empty
+        else {
+          val sig = TextKernels.minhashSig(shs, perms)
+          Iterator.single((id, TextKernels.bandKeys(sig, bands, rpb)(0)))
+        }
+      }
+      .toDF("doc_id", "bkey")
+    val claims = sigs.groupBy("bkey").agg(min(col("doc_id")).as("claimant"))
+    val batch = sigs
+      .join(claims, "bkey")
+      .select(
+        col("doc_id"), col("bkey"),
+        (col("doc_id") === col("claimant")).as("keep"),
+        when(col("doc_id") =!= col("claimant"), col("claimant")).as("dup_of")
+      )
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+    // flagged duplicates exist in the fixture (it contains near-dups)
+    assert(streamed.filter(!col("keep")).count() > 0)
+  }
+
   test("stream_dedup_state removes the injected duplicates exactly") {
     val streamed = Streams.dedupState(spark, dir)
     val n = Tables.events(spark, dir).count()

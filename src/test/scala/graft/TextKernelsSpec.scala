@@ -112,6 +112,34 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(sqlSigs.exceptAll(kernel).count() == 0)
   }
 
+  test("distinctShingles equals the naive sliding-window reference on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "", "dd", "e") // incl. empty token
+    (1 to 200).foreach { _ =>
+      val toks = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val text = toks.mkString(" ")
+      val naive =
+        if (text.split(" ", -1).length < K) Array.empty[String]
+        else text.split(" ", -1).sliding(K).map(_.mkString(" ")).toArray.distinct
+      assert(TextKernels.distinctShingles(text, K).toSeq == naive.toSeq, s"text='$text'")
+    }
+  }
+
+  test("repetitionStats equals naive token/bigram counting on random docs") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("x", "y", "zz", "w")
+    (1 to 200).foreach { _ =>
+      val toks = Vector.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      val text = toks.mkString(" ")
+      val ws = text.split(" ", -1)
+      val bigrams = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val naiveTop = if (bigrams.isEmpty) 0L else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      val (n, nd, topb) = TextKernels.repetitionStats(text)
+      assert(n == ws.length.toLong && nd == ws.distinct.length.toLong && topb == naiveTop,
+        s"text='$text' got=($n,$nd,$topb)")
+    }
+  }
+
   test("intersectCount equals set intersection on sorted arrays") {
     val rnd = new scala.util.Random(7)
     (1 to 50).foreach { _ =>
