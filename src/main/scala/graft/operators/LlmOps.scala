@@ -1082,6 +1082,50 @@ object LlmOps {
           |ORDER BY s.doc_id""".stripMargin
       )
     ),
+    // TF-IDF keyword extraction: corpus document frequencies + per-doc
+    // top-3 terms by tf·ln(N/df). Two hash aggregates (term-frequency,
+    // document-frequency), a broadcast of the tiny df/N side at this
+    // vocabulary size, one ranking window — each shuffle is on a key
+    // that scales with vocabulary or documents, never pairs. Ranking
+    // compares the EXACT double score (identical expression both
+    // engines) with the term as tiebreaker, so rank and rounded output
+    // agree cross-engine.
+    Q(
+      "text_tfidf",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .withColumn(
+            "score",
+            col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double"))
+          )
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "term")
+      },
+      Some(
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+          |       FROM tf JOIN df USING (term) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, term) AS rn FROM sc)
+          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+          |       round(score, 6) AS score
+          |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+      )
+    ),
     // Benchmark decontamination: flag training documents sharing any
     // word-K-shingle with a held-out benchmark set (here: every 20th
     // doc stands in for the eval suite; production uses 13-grams of the

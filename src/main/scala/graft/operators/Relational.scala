@@ -692,6 +692,32 @@ object Relational {
           .orderBy("l_returnflag"),
       None
     ),
+    // Bitwise scalar functions over BIGINT keys — mask/shift/xor are
+    // the partitioner- and fingerprint-building primitives. Pure
+    // integer ops, bit-identical everywhere.
+    Q(
+      "fn_bitwise",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_id"),
+            (col("user_id").bitwiseAND(lit(255L))).as("band"),
+            (col("user_id").bitwiseOR(lit(4096L))).as("ored"),
+            (col("user_id").bitwiseXOR(col("event_id"))).as("mixed"),
+            shiftleft(col("user_id"), 4).as("shl"),
+            shiftright(col("event_id"), 2).as("shr")
+          )
+          .orderBy("event_id"),
+      Some(
+        """SELECT event_id,
+          |       user_id & 255 AS band,
+          |       user_id | 4096 AS ored,
+          |       xor(user_id, event_id) AS mixed,
+          |       user_id << 4 AS shl,
+          |       event_id >> 2 AS shr
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ),
     // Fixed-width histogram of the event values ($20 buckets) — the
     // OLAP distribution profile. Bucket ids come from exact integer
     // division of 2dp cents (a double divide-and-floor rests on ULP
