@@ -16,12 +16,15 @@ object TimeSeries {
   import Tables._
 
   /** Generic left as-of join: for every left row, the latest right row
-    * with `rightTs <= leftTs` sharing the key. Implemented by unioning
-    * both sides tagged with a side marker, then `last(..., ignoreNulls)`
-    * over a window ordered by (ts, side) — right rows sort before left
-    * rows at equal ts, so the bound is inclusive. One hash shuffle on
-    * the key; scales to any partition count with no correlated
-    * subquery or row explosion.
+    * with `rightTs <= leftTs` sharing the key (or, with
+    * `forward = true`, the EARLIEST right row with `rightTs >= leftTs`
+    * — pandas merge_asof's direction='forward'). Implemented by
+    * unioning both sides tagged with a side marker, then
+    * `last(..., ignoreNulls)` over a window ordered by (ts, side) —
+    * right rows sort before left rows at equal ts, so the bound is
+    * inclusive; the forward direction just inverts the timestamp
+    * ordering. One hash shuffle on the key; scales to any partition
+    * count with no correlated subquery or row explosion.
     */
   def asOfJoin(
       left: DataFrame,
@@ -30,7 +33,8 @@ object TimeSeries {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[(String, String)], // (rightCol -> outName)
-      tolerance: Option[String] = None // e.g. "30 minutes": match only if rightTs >= leftTs - tolerance
+      tolerance: Option[String] = None, // e.g. "30 minutes": bound match staleness
+      forward: Boolean = false
   ): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r0 = right.select(
@@ -42,25 +46,32 @@ object TimeSeries {
     val r1 = r0.withColumn("__side", lit(0))
     // align schemas for unionByName(allowMissingColumns)
     val unioned = l1.unionByName(r1, allowMissingColumns = true)
+    // backward: ascending ts — the last right row seen is the latest
+    //   with rightTs <= leftTs.
+    // forward: descending ts — rows already processed have HIGHER ts,
+    //   so the last right row seen is the earliest with
+    //   rightTs >= leftTs. Side stays ascending either way (right
+    //   before left at equal ts ⇒ inclusive bound).
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window
       .partitionBy(key)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(unioned) { case (df, (_, out)) =>
       df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
     }
-    // tolerance: drop matches older than leftTs - tolerance (the matched
-    // right timestamp rides along in the same window pass)
+    // tolerance: drop matches further than `tolerance` from leftTs (the
+    // matched right timestamp rides along in the same window pass)
     val bounded = tolerance.fold(filled) { tol =>
       val withMatchTs = filled.withColumn(
         "__match_ts",
         last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
       )
+      val inRange =
+        if (forward) col("__match_ts") <= col(leftTs) + expr(s"INTERVAL $tol")
+        else col("__match_ts") >= col(leftTs) - expr(s"INTERVAL $tol")
       rightPayload.foldLeft(withMatchTs) { case (df, (_, out)) =>
-        df.withColumn(
-          out,
-          when(col("__match_ts") >= col(leftTs) - expr(s"INTERVAL $tol"), col(out))
-        )
+        df.withColumn(out, when(inRange, col(out)))
       }
     }
     bounded
@@ -317,6 +328,33 @@ object TimeSeries {
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           |  ON p.user_id = c.user_id AND p.ts >= c.ts
+          |ORDER BY p.event_id""".stripMargin
+      )
+    ),
+    // Forward as-of join — each purchase matched to the user's NEXT
+    // click at-or-after it (pandas merge_asof direction='forward').
+    // Same single-shuffle window rewrite with the timestamp ordering
+    // inverted.
+    Q(
+      "join_asof_fwd",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id")
+        val clicks = e.filter(col("event_type") === "click")
+        asOfJoin(
+          purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("event_id" -> "click_id", "ts" -> "click_ts"),
+          forward = true
+        ).orderBy("event_id")
+      },
+      Some(
+        """SELECT p.event_id, p.ts, p.user_id,
+          |       c.event_id AS click_id, c.ts AS click_ts
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts <= c.ts
           |ORDER BY p.event_id""".stripMargin
       )
     ),

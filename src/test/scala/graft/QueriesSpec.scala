@@ -61,5 +61,27 @@ class QueriesSpec extends AnyFunSuite {
       .collect()
       .toSeq
     assert(tol == Seq((1L, None), (2L, Some(103L)), (3L, None)))
+    // forward direction: earliest click at-or-after each purchase
+    val fwd = graft.operators.TimeSeries
+      .asOfJoin(left, right, "user_id", "ts", "cts",
+        Seq("click_eid" -> "click_id"), forward = true)
+      .orderBy("event_id")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toSeq
+    // (1) 10:00 → next u1 click 11:00 = 102; (2) 12:00 → equal-ts 103
+    // inclusive; (3) u2 09:00 → 09:30 = 201
+    assert(fwd == Seq((1L, Some(102L)), (2L, Some(103L)), (3L, Some(201L))))
+    // forward + tolerance: (1)'s next click is 60 min away → nulled
+    val fwdTol = graft.operators.TimeSeries
+      .asOfJoin(left, right, "user_id", "ts", "cts",
+        Seq("click_eid" -> "click_id"), tolerance = Some("30 minutes"), forward = true)
+      .orderBy("event_id")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toSeq
+    assert(fwdTol == Seq((1L, None), (2L, Some(103L)), (3L, Some(201L))))
   }
 }
