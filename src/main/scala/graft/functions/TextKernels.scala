@@ -121,6 +121,20 @@ object TextKernels {
     out
   }
 
+  /** Coarse LSH bucket of one document: band 0 of its MinHash
+    * signature. Computes ONLY the first `rowsPerBand` permutations —
+    * [[minhashSig]]'s per-permutation seeds are a stable prefix, so
+    * this equals `bandKeys(minhashSig(shs, perms), bands,
+    * rowsPerBand)(0)` for any perms ≥ rowsPerBand at 1/bands of the
+    * hashing cost (asserted by TextKernelsSpec). None when the doc is
+    * too short to shingle.
+    */
+  def docBandKey(text: String, k: Int, rowsPerBand: Int): Option[Long] = {
+    val shs = shingleHashes(text, k)
+    if (shs.isEmpty) None
+    else Some(bandKeys(minhashSig(shs, rowsPerBand), 1, rowsPerBand)(0))
+  }
+
   /** Intersection size of two SORTED long arrays (linear merge). */
   def intersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

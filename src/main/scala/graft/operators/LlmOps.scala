@@ -1086,15 +1086,18 @@ object LlmOps {
     // top-3 terms by tf·ln(N/df). Two hash aggregates (term-frequency,
     // document-frequency), a broadcast of the tiny df/N side at this
     // vocabulary size, one ranking window — each shuffle is on a key
-    // that scales with vocabulary or documents, never pairs. Ranking
-    // compares the EXACT double score (identical expression both
-    // engines) with the term as tiebreaker, so rank and rounded output
-    // agree cross-engine.
+    // that scales with vocabulary or documents, never pairs. ln() is
+    // transcendental (not IEEE-reproducible across libms), so ranking
+    // compares the 6dp-QUANTIZED score with the term as tiebreaker: a
+    // 1-ulp cross-engine ln difference cannot flip rank (and
+    // mathematically-equal scores from different (tf, df) pairs
+    // quantize identically) — only the same 6dp half-boundary residual
+    // the fn_math oracle already accepts remains.
     Q(
       "text_tfidf",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+          .partitionBy("doc_id").orderBy(col("score6").desc, col("term"))
         val toks = documents(s, d)
           .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1103,12 +1106,12 @@ object LlmOps {
         tf.join(broadcast(df), "term")
           .crossJoin(broadcast(n))
           .withColumn(
-            "score",
-            col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double"))
+            "score6",
+            round(col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")), 6)
           )
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .select(col("doc_id"), col("term"), col("tf"), col("df"), round(col("score"), 6).as("score"))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score6").as("score"))
           .orderBy("doc_id", "term")
       },
       Some(
@@ -1117,12 +1120,13 @@ object LlmOps {
           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
           |n AS (SELECT count(*) AS n FROM documents),
           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-          |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+          |         round(CAST(tf.tf AS DOUBLE)
+          |           * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS score6
           |       FROM tf JOIN df USING (term) CROSS JOIN n),
           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-          |        ORDER BY score DESC, term) AS rn FROM sc)
+          |        ORDER BY score6 DESC, term) AS rn FROM sc)
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-          |       round(score, 6) AS score
+          |       score6 AS score
           |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
       )
     ),

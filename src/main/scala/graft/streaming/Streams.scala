@@ -160,22 +160,26 @@ object Streams {
   ))
 
   /** Streaming near-duplicate filter — the ingestion-time form of
-    * MinHash dedup: each arriving document is signed with the SAME
-    * kernel the batch pipeline uses ([[graft.functions.TextKernels]]),
-    * reduced to its coarse LSH band key, and a per-bucket claimant
-    * (min doc_id, deterministic regardless of partition order) is
-    * carried in the state store; later docs landing in a claimed bucket
-    * are flagged with `dup_of`. State is one long per occupied bucket —
-    * bounded by corpus diversity, not stream length. Docs too short to
-    * shingle pass through unflagged (no signature ⇒ no bucket).
+    * MinHash dedup: each arriving document is reduced to its coarse LSH
+    * band key by the SAME kernel the batch pipeline uses
+    * ([[graft.functions.TextKernels.docBandKey]], computing only the
+    * band-0 permutations), and a per-bucket claimant is carried in the
+    * state store; docs landing in a claimed bucket are flagged with
+    * `dup_of`. FIRST CLAIMANT WINS: once set, the claimant never
+    * changes (min doc_id only WITHIN the claiming micro-batch, for
+    * partition-order determinism) — emitted keep=true rows can never be
+    * retracted in append mode, so a stable claimant is the only
+    * consistent cross-batch semantic. State is one long per occupied
+    * bucket — bounded by corpus diversity, not stream length. Docs too
+    * short to shingle pass through unflagged (no signature ⇒ no
+    * bucket).
     */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     val sp = s
     import sp.implicits._
     import graft.functions.TextKernels
     import graft.operators.LlmOps
-    val (k, perms, bands, rpb) =
-      (LlmOps.ShingleK, LlmOps.MinhashPerms, LlmOps.Bands, LlmOps.RowsPerBand)
+    val (k, rpb) = (LlmOps.ShingleK, LlmOps.RowsPerBand)
     val sigs = s.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -183,12 +187,7 @@ object Streams {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val shs = TextKernels.shingleHashes(t, k)
-        if (shs.isEmpty) Iterator.empty
-        else {
-          val sig = TextKernels.minhashSig(shs, perms)
-          Iterator.single(DocSig(id, TextKernels.bandKeys(sig, bands, rpb)(0)))
-        }
+        TextKernels.docBandKey(t, k, rpb).map(DocSig(id, _)).iterator
       }
     val flagged = sigs
       .groupByKey(_.bkey)
@@ -196,7 +195,7 @@ object Streams {
         (bkey: Long, it: Iterator[DocSig],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val ids = it.map(_.doc_id).toArray
-          val claimant = math.min(ids.min, state.getOption.getOrElse(Long.MaxValue))
+          val claimant = state.getOption.getOrElse(ids.min)
           state.update(claimant)
           ids.iterator.map { id =>
             (id, bkey, id == claimant, if (id == claimant) None else Some(claimant))

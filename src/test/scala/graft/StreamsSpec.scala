@@ -77,18 +77,14 @@ class StreamsSpec extends AnyFunSuite {
     import graft.functions.TextKernels
     import graft.operators.LlmOps
     val streamed = Streams.minhashDedup(spark, dir)
-    val (k, perms, bands, rpb) =
-      (LlmOps.ShingleK, LlmOps.MinhashPerms, LlmOps.Bands, LlmOps.RowsPerBand)
+    // single AvailableNow batch ⇒ the first-claimant-wins streaming
+    // semantic coincides with the batch per-bucket min
+    val (k, rpb) = (LlmOps.ShingleK, LlmOps.RowsPerBand)
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val shs = TextKernels.shingleHashes(t, k)
-        if (shs.isEmpty) Iterator.empty
-        else {
-          val sig = TextKernels.minhashSig(shs, perms)
-          Iterator.single((id, TextKernels.bandKeys(sig, bands, rpb)(0)))
-        }
+        TextKernels.docBandKey(t, k, rpb).map((id, _)).iterator
       }
       .toDF("doc_id", "bkey")
     val claims = sigs.groupBy("bkey").agg(min(col("doc_id")).as("claimant"))

@@ -112,6 +112,18 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(sqlSigs.exceptAll(kernel).count() == 0)
   }
 
+  test("docBandKey equals band 0 of the full 64-perm signature (stable seed prefix)") {
+    val texts = Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0)).take(50)
+    texts.foreach { t =>
+      val shs = TextKernels.shingleHashes(t, K)
+      val full =
+        if (shs.isEmpty) None
+        else Some(TextKernels.bandKeys(TextKernels.minhashSig(shs, Perms), Bands, RowsPerBand)(0))
+      assert(TextKernels.docBandKey(t, K, RowsPerBand) == full)
+    }
+  }
+
   test("distinctShingles equals the naive sliding-window reference on random docs") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("a", "bb", "ccc", "", "dd", "e") // incl. empty token
