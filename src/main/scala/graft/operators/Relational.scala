@@ -692,6 +692,46 @@ object Relational {
           .orderBy("l_returnflag"),
       None
     ),
+    // Mode (most frequent value) per group — argmax-of-counts with a
+    // DETERMINISTIC tie-break (highest count, then highest key) via a
+    // struct-max aggregate: two two-phase hash aggregates, no ranking
+    // window, no per-group buffering — the shape that survives
+    // high-cardinality groups at scale. (Built-in mode() is
+    // tie-nondeterministic in both engines, so neither side uses it.)
+    Q(
+      "agg_mode",
+      (s, d) => {
+        val counts = events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("cnt"))
+        counts
+          .groupBy("event_type")
+          .agg(
+            max(struct(col("cnt"), col("user_id"))).as("m"),
+            sum(col("cnt")).as("n_events")
+          )
+          .select(
+            col("event_type"),
+            col("m.user_id").as("mode_user"),
+            col("m.cnt").as("mode_n"),
+            col("n_events")
+          )
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+          |           FROM events GROUP BY event_type, user_id),
+          |r AS (SELECT *,
+          |        row_number() OVER (PARTITION BY event_type
+          |          ORDER BY cnt DESC, user_id DESC) AS rn,
+          |        sum(cnt) OVER (PARTITION BY event_type) AS n_events
+          |      FROM c)
+          |SELECT event_type, user_id AS mode_user,
+          |       CAST(cnt AS BIGINT) AS mode_n,
+          |       CAST(n_events AS BIGINT) AS n_events
+          |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+      )
+    ),
     // Bitwise scalar functions over BIGINT keys — mask/shift/xor are
     // the partitioner- and fingerprint-building primitives. Pure
     // integer ops, bit-identical everywhere.

@@ -426,6 +426,13 @@ class Store private[sources] (
     stagedOverwrite(key, p, canonical)
   }
 
+  /** Drop one item entirely (maintenance op, like [[compact]]):
+    * deletes the item directory; [[ItemKeyError]] if absent. The store
+    * itself (schema, other items) is untouched.
+    */
+  def drop(key: String): Unit =
+    deleteRecursively(itemPath(key, mustExist = true))
+
   /** Streaming tail-read of one item: every Parquet file appended to the
     * item after the stream starts becomes a micro-batch — the streaming
     * analogue of re-running `store[k][t0:]` forever, and the natural

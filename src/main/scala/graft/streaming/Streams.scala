@@ -11,6 +11,14 @@ import java.util.concurrent.atomic.AtomicInteger
 /** (doc_id, coarse LSH band key) for the streaming near-dup filter. */
 case class DocSig(doc_id: Long, bkey: Long)
 
+/** Event projected to epoch-µs + integer cents for the streaming
+  * z-score (exact integer moments, like the batch ts_zscore). */
+case class ZEvent(event_id: Long, user_id: Long, tss: Long, value: Double, c: Long)
+
+/** Trailing-hour ring buffer carried per user: parallel arrays of
+  * (epoch-µs, cents), oldest first. */
+case class ZBuf(tss: Array[Long], cents: Array[Long])
+
 /** Typed event row for the custom-state operator. */
 case class EventRow(
     event_id: Long,
@@ -205,6 +213,63 @@ object Streams {
     runToBatch(s, flagged, "append").orderBy("doc_id")
   }
 
+  /** Streaming trailing-hour z-score — the 24/7 form of the batch
+    * `ts_zscore` anomaly detector. Per user, a ring buffer of
+    * (epoch-µs, integer cents) for the trailing hour rides in the state
+    * store; each arriving event is scored against the EXACT integer
+    * moments (S, Q, n, max, min) of its window and the identical double
+    * expression the batch query uses, so for in-order delivery the
+    * streamed scores are bit-identical to the batch RANGE-frame window
+    * (asserted by the spec). Events inside one micro-batch are sorted
+    * by (tss, event_id) before processing, so partition order never
+    * matters; state per user is bounded by the hour's event rate.
+    */
+  def zscore(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val windowUs = 3600000000L
+    val typed = eventsStream(s, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("tss"),
+        col("value"),
+        expr("CAST(round(value * 100) AS LONG)").as("c")
+      )
+      .as[ZEvent]
+    val scored = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[ZEvent],
+         state: org.apache.spark.sql.streaming.GroupState[ZBuf]) =>
+          val batch = it.toArray.sortBy(e => (e.tss, e.event_id))
+          val prev = state.getOption.getOrElse(ZBuf(Array.empty, Array.empty))
+          var buf = prev.tss.zip(prev.cents).toVector
+          val out = batch.iterator.map { e =>
+            buf = buf.dropWhile(_._1 < e.tss - windowUs) :+ (e.tss, e.c)
+            var sn = 0L; var qn = 0L
+            var mx = Long.MinValue; var mn = Long.MaxValue
+            buf.foreach { case (_, c) =>
+              sn += c; qn += c * c
+              if (c > mx) mx = c
+              if (c < mn) mn = c
+            }
+            val n = buf.length.toLong
+            val z =
+              if (n >= 2 && mx > mn) {
+                val cD = e.c.toDouble; val sD = sn.toDouble
+                val qD = qn.toDouble; val nD = n.toDouble
+                val raw = (cD - sD / nD) / math.sqrt((qD - sD * sD / nD) / (nD - 1.0))
+                Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              } else None
+            (e.event_id, uid, e.value, n, z)
+          }.toVector
+          state.update(ZBuf(buf.map(_._1).toArray, buf.map(_._2).toArray))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "value", "n_window", "z")
+    runToBatch(s, scored, "append").orderBy("event_id")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Both sides carry
     * watermarks and the join condition bounds event time on both sides —
@@ -237,6 +302,7 @@ object Streams {
     Q("stream_dedup_state", (s, d) => dedupState(s, d), None),
     Q("stream_custom_state", (s, d) => customState(s, d), None),
     Q("stream_join", (s, d) => streamJoin(s, d), None),
-    Q("stream_minhash_dedup", (s, d) => minhashDedup(s, d), None)
+    Q("stream_minhash_dedup", (s, d) => minhashDedup(s, d), None),
+    Q("stream_zscore", (s, d) => zscore(s, d), None)
   )
 }

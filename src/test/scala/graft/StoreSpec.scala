@@ -287,6 +287,21 @@ class StoreSpec extends AnyFunSuite {
     intercept[SchemaError](s.query("MSFT", None, None, Some(Seq("nope"))))
   }
 
+  test("drop removes one item, leaves the store and other items intact") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("AAA", bars(100))
+    s.write("BBB", bars(100))
+    s.drop("AAA")
+    assert(!s.exists("AAA") && s.exists("BBB"))
+    assert(s.listItems() == Seq("BBB"))
+    assert(s("BBB").count() == 100)
+    intercept[ItemKeyError](s.drop("AAA")) // already gone
+    // the key is reusable after a drop
+    s.write("AAA", bars(50))
+    assert(s("AAA").count() == 50)
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))

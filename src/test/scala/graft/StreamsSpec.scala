@@ -102,6 +102,15 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.filter(!col("keep")).count() > 0)
   }
 
+  test("stream_zscore is bit-identical to the batch ts_zscore window") {
+    val streamed = Streams.zscore(spark, dir)
+    val batch = SparkEntry.queries("ts_zscore")(spark, dir)
+      .select("event_id", "user_id", "value", "n_window", "z")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.filter(col("z").isNotNull).count() > 0)
+  }
+
   test("stream_dedup_state removes the injected duplicates exactly") {
     val streamed = Streams.dedupState(spark, dir)
     val n = Tables.events(spark, dir).count()
