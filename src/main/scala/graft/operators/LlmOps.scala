@@ -243,6 +243,9 @@ object LlmOps {
     verifiedPairs(s, cand, shinglePayload(inv))
   }
 
+  /** Containment threshold for the asymmetric near-dup query. */
+  private val ContainmentThreshold = 0.9
+
   val all: Seq[Q] = Seq(
     // ---- text analysis -------------------------------------------------
     Q(
@@ -485,6 +488,71 @@ object LlmOps {
            |FROM s a JOIN s b ON a.doc_id < b.doc_id
            |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
            |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
+      )
+    ),
+    // Asymmetric containment near-dups: pairs where the SMALLER shingle
+    // set is ≥ 90% contained in the other — catches sub-document
+    // duplication (quotes, boilerplate inclusion, doc-within-doc) that
+    // symmetric Jaccard misses (a short doc inside a long one has tiny
+    // Jaccard but containment ≈ 1). Candidates: each doc PROBES the
+    // inverted index with its ⌊(1−τ)·sz⌋+1 globally-rarest shingles —
+    // if containment ≥ τ, fewer than that many of its shingles are
+    // missing from the partner, so some probe shingle is shared, and
+    // the full index side guarantees the partner sees it (complete for
+    // τ; the probe side stays rare-shingle-bounded). Exact verify via
+    // the sorted-hash merge kernel.
+    Q(
+      "dedup_containment",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val inv = shingleRows(s, d).persist()
+        val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+        val probe = inv
+          .join(freq, "shingle")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("sz") - ceil(col("sz") * ContainmentThreshold) + 1)
+          .select(col("doc_id").as("p_id"), col("shingle"))
+        val cand = probe
+          .join(inv.select(col("doc_id").as("i_id"), col("shingle")), "shingle")
+          .filter(col("p_id") =!= col("i_id"))
+          .select(
+            least(col("p_id"), col("i_id")).as("doc_a"),
+            greatest(col("p_id"), col("i_id")).as("doc_b")
+          )
+          .distinct()
+        val thr = ContainmentThreshold
+        cand
+          .join(shinglePayload(inv).select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+          .join(shinglePayload(inv).select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"))
+          .as[(Long, Long, Array[Long], Array[Long])]
+          .flatMap { case (a, b, sa, sb) =>
+            val inter = TextKernels.intersectCount(sa, sb)
+            val m = math.min(sa.length, sb.length)
+            val cont = if (m == 0) 0.0 else inter.toDouble / m
+            if (cont >= thr) Iterator.single((a, b, inter.toLong, cont)) else Iterator.empty
+          }
+          .toDF("doc_a", "doc_b", "n_shared", "cont_raw")
+          .select(col("doc_a"), col("doc_b"), col("n_shared"), round(col("cont_raw"), 6).as("cont"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |        list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
+           |          i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS sh
+           |      FROM t WHERE len(toks) >= $ShingleK)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+           |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+           |        / least(len(a.sh), len(b.sh)), 6) AS cont
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+           |      / least(len(a.sh), len(b.sh)) >= $ContainmentThreshold
            |ORDER BY doc_a, doc_b""".stripMargin
       )
     ),
