@@ -131,30 +131,44 @@ object LlmOps {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("shs"))
 
-  /** Exact-Jaccard verification of candidate pairs: join each pair to
-    * the two sorted shingle-hash sets and merge-count the intersection
-    * in a per-pair kernel (|A∪B| = |A| + |B| − |A∩B|). Set sizes and
+  /** (doc_id, shingle) restricted to each doc's `sz − ⌈τ·sz⌉ + 1`
+    * globally-rarest shingles — the PPJoin-style prefix. Complete as a
+    * probe set for both Jaccard ≥ τ (prefix ⋈ prefix) and containment
+    * ≥ τ (prefix ⋈ full index): a qualifying pair must share one of
+    * these shingles, and rarity keeps the candidate join bounded.
+    */
+  private def rarePrefix(inv: DataFrame, tau: Double): DataFrame = {
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    inv
+      .join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select("doc_id", "shingle")
+  }
+
+  /** Exact intersection stats for candidate pairs: join each pair to
+    * the two sorted shingle-hash sets and merge-count in a per-pair
+    * kernel, emitting (doc_a, doc_b, inter, sz_a, sz_b) — every
+    * similarity score (Jaccard, containment, …) is a relational
+    * expression on top, so the kernel stays single-sourced. Sizes and
     * intersections over 64-bit hashes equal those over the shingle
     * strings up to hash collisions (~|distinct shingles|²/2⁶⁵ — never
-    * observed at any real corpus size). Returns pairs ≥ threshold with
-    * `jacc_raw`.
+    * observed at any real corpus size).
     */
-  private def verifiedPairs(s: SparkSession, cand: DataFrame, payload: DataFrame): DataFrame = {
+  private def pairStats(s: SparkSession, cand: DataFrame, payload: DataFrame): DataFrame = {
     val sp = s
     import sp.implicits._
-    val thr = JaccardThreshold
     cand
       .join(payload.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(payload.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
-      .flatMap { case (a, b, sa, sb) =>
-        val inter = TextKernels.intersectCount(sa, sb)
-        val uni = sa.length + sb.length - inter
-        val jacc = if (uni == 0) 0.0 else inter.toDouble / uni
-        if (jacc >= thr) Iterator.single((a, b, jacc)) else Iterator.empty
+      .map { case (a, b, sa, sb) =>
+        (a, b, TextKernels.intersectCount(sa, sb).toLong, sa.length.toLong, sb.length.toLong)
       }
-      .toDF("doc_a", "doc_b", "jacc_raw")
+      .toDF("doc_a", "doc_b", "inter", "sz_a", "sz_b")
   }
 
   /** (doc_id, shs, sig, bkeys): per-doc sorted shingle-hash set,

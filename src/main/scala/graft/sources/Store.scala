@@ -427,11 +427,23 @@ class Store private[sources] (
   }
 
   /** Drop one item entirely (maintenance op, like [[compact]]):
-    * deletes the item directory; [[ItemKeyError]] if absent. The store
-    * itself (schema, other items) is untouched.
+    * [[ItemKeyError]] if absent. The store itself (schema, other
+    * items) is untouched. Crash-safe like every destructive op here:
+    * the live directory is first ATOMIC_MOVEd out of items/ into
+    * .staging, so a kill mid-delete can never leave a half-deleted
+    * item visible to [[listItems]]/[[exists]] — the item is either
+    * fully present or fully gone.
     */
-  def drop(key: String): Unit =
-    deleteRecursively(itemPath(key, mustExist = true))
+  def drop(key: String): Unit = {
+    val p = itemPath(key, mustExist = true)
+    val staging = base.resolve(".staging")
+    Files.createDirectories(staging)
+    val trash = staging.resolve(
+      validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
+    )
+    Files.move(p, trash, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+  }
 
   /** Streaming tail-read of one item: every Parquet file appended to the
     * item after the stream starts becomes a micro-batch — the streaming

@@ -221,8 +221,12 @@ object Streams {
     * expression the batch query uses, so for in-order delivery the
     * streamed scores are bit-identical to the batch RANGE-frame window
     * (asserted by the spec). Events inside one micro-batch are sorted
-    * by (tss, event_id) before processing, so partition order never
-    * matters; state per user is bounded by the hour's event rate.
+    * by (tss, event_id) before processing, and runs of EQUAL
+    * timestamps are buffered before any of them is scored — the batch
+    * RANGE frame includes peer rows at the current tss, so the
+    * streamed window must too. State per user is bounded by the hour's
+    * event rate and evicted entirely after 2 idle hours (a processing-
+    * time timeout; by then every buffered entry is expired anyway).
     */
   def zscore(s: SparkSession, dir: String): DataFrame = {
     val sp = s
@@ -238,33 +242,76 @@ object Streams {
       .as[ZEvent]
     val scored = typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[ZEvent],
          state: org.apache.spark.sql.streaming.GroupState[ZBuf]) =>
-          val batch = it.toArray.sortBy(e => (e.tss, e.event_id))
-          val prev = state.getOption.getOrElse(ZBuf(Array.empty, Array.empty))
-          var buf = prev.tss.zip(prev.cents).toVector
-          val out = batch.iterator.map { e =>
-            buf = buf.dropWhile(_._1 < e.tss - windowUs) :+ (e.tss, e.c)
+          if (state.hasTimedOut) {
+            // idle user: drop the buffer — the next event rebuilds it,
+            // and every buffered entry would be expired by then anyway
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toArray.sortBy(e => (e.tss, e.event_id))
+            val prev = state.getOption.getOrElse(ZBuf(Array.empty, Array.empty))
+            val buf = scala.collection.mutable.ArrayDeque.from(prev.tss.zip(prev.cents))
+            // running moments maintained incrementally: O(w) once per
+            // (user, batch) here, then O(1) amortized per event — not a
+            // full O(w) rescan per event
             var sn = 0L; var qn = 0L
+            buf.foreach { case (_, c) => sn += c; qn += c * c }
             var mx = Long.MinValue; var mn = Long.MaxValue
-            buf.foreach { case (_, c) =>
-              sn += c; qn += c * c
+            def rescanMinMax(): Unit = {
+              mx = Long.MinValue; mn = Long.MaxValue
+              buf.foreach { case (_, c) =>
+                if (c > mx) mx = c
+                if (c < mn) mn = c
+              }
+            }
+            rescanMinMax()
+            def add(tss: Long, c: Long): Unit = {
+              buf.append((tss, c)); sn += c; qn += c * c
               if (c > mx) mx = c
               if (c < mn) mn = c
             }
-            val n = buf.length.toLong
-            val z =
-              if (n >= 2 && mx > mn) {
-                val cD = e.c.toDouble; val sD = sn.toDouble
-                val qD = qn.toDouble; val nD = n.toDouble
-                val raw = (cD - sD / nD) / math.sqrt((qD - sD * sD / nD) / (nD - 1.0))
-                Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              } else None
-            (e.event_id, uid, e.value, n, z)
-          }.toVector
-          state.update(ZBuf(buf.map(_._1).toArray, buf.map(_._2).toArray))
-          out.iterator
+            def evictBefore(lo: Long): Unit = {
+              var hitExtreme = false
+              while (buf.nonEmpty && buf.head._1 < lo) {
+                val (_, c) = buf.removeHead()
+                sn -= c; qn -= c * c
+                if (c == mx || c == mn) hitExtreme = true
+              }
+              if (hitExtreme) rescanMinMax()
+            }
+            // process runs of EQUAL timestamps together: the batch RANGE
+            // frame includes all peer rows at the current tss, so every
+            // peer must be in the buffer before any of them is scored
+            val out = Vector.newBuilder[(Long, Long, Double, Long, Option[Double])]
+            var i = 0
+            while (i < batch.length) {
+              var j = i
+              while (j < batch.length && batch(j).tss == batch(i).tss) j += 1
+              evictBefore(batch(i).tss - windowUs)
+              (i until j).foreach(x => add(batch(x).tss, batch(x).c))
+              val n = buf.length.toLong
+              (i until j).foreach { x =>
+                val e = batch(x)
+                val z =
+                  if (n >= 2 && mx > mn) {
+                    val cD = e.c.toDouble; val sD = sn.toDouble
+                    val qD = qn.toDouble; val nD = n.toDouble
+                    val raw = (cD - sD / nD) / math.sqrt((qD - sD * sD / nD) / (nD - 1.0))
+                    Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                  } else None
+                out += ((e.event_id, uid, e.value, n, z))
+              }
+              i = j
+            }
+            state.update(ZBuf(buf.map(_._1).toArray, buf.map(_._2).toArray))
+            // bound state for users who go silent: everything in the
+            // buffer is expired after windowUs of inactivity
+            state.setTimeoutDuration("2 hours")
+            out.result().iterator
+          }
       }
       .toDF("event_id", "user_id", "value", "n_window", "z")
     runToBatch(s, scored, "append").orderBy("event_id")
