@@ -238,14 +238,7 @@ object LlmOps {
     // persist the exploded shingle table: the frequency table, the
     // ranking window and both sides of the candidate join all read it
     val inv = shingleRows(s, d).persist()
-    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val prefix = inv
-      .join(freq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * JaccardThreshold) + 1)
-      .select("doc_id", "shingle")
+    val prefix = rarePrefix(inv, JaccardThreshold)
     val cand = prefix
       .as("x")
       .join(
@@ -254,7 +247,10 @@ object LlmOps {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifiedPairs(s, cand, shinglePayload(inv))
+    pairStats(s, cand, shinglePayload(inv))
+      .withColumn("jacc_raw", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jacc_raw") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jacc_raw")
   }
 
   /** Containment threshold for the asymmetric near-dup query. */
@@ -519,16 +515,8 @@ object LlmOps {
     Q(
       "dedup_containment",
       (s, d) => {
-        val sp = s
-        import sp.implicits._
         val inv = shingleRows(s, d).persist()
-        val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-        val probe = inv
-          .join(freq, "shingle")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= col("sz") - ceil(col("sz") * ContainmentThreshold) + 1)
+        val probe = rarePrefix(inv, ContainmentThreshold)
           .select(col("doc_id").as("p_id"), col("shingle"))
         val cand = probe
           .join(inv.select(col("doc_id").as("i_id"), col("shingle")), "shingle")
@@ -538,20 +526,15 @@ object LlmOps {
             greatest(col("p_id"), col("i_id")).as("doc_b")
           )
           .distinct()
-        val thr = ContainmentThreshold
-        cand
-          .join(shinglePayload(inv).select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
-          .join(shinglePayload(inv).select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"))
-          .as[(Long, Long, Array[Long], Array[Long])]
-          .flatMap { case (a, b, sa, sb) =>
-            val inter = TextKernels.intersectCount(sa, sb)
-            val m = math.min(sa.length, sb.length)
-            val cont = if (m == 0) 0.0 else inter.toDouble / m
-            if (cont >= thr) Iterator.single((a, b, inter.toLong, cont)) else Iterator.empty
-          }
-          .toDF("doc_a", "doc_b", "n_shared", "cont_raw")
-          .select(col("doc_a"), col("doc_b"), col("n_shared"), round(col("cont_raw"), 6).as("cont"))
+        pairStats(s, cand, shinglePayload(inv))
+          .withColumn("cont_raw", col("inter") / least(col("sz_a"), col("sz_b")))
+          .filter(col("cont_raw") >= ContainmentThreshold)
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            col("inter").as("n_shared"),
+            round(col("cont_raw"), 6).as("cont")
+          )
           .orderBy("doc_a", "doc_b")
       },
       Some(

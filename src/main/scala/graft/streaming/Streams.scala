@@ -13,7 +13,14 @@ case class DocSig(doc_id: Long, bkey: Long)
 
 /** Event projected to epoch-µs + integer cents for the streaming
   * z-score (exact integer moments, like the batch ts_zscore). */
-case class ZEvent(event_id: Long, user_id: Long, tss: Long, value: Double, c: Long)
+case class ZEvent(
+    event_id: Long,
+    user_id: Long,
+    ts: java.sql.Timestamp,
+    tss: Long,
+    value: Double,
+    c: Long
+)
 
 /** Trailing-hour ring buffer carried per user: parallel arrays of
   * (epoch-µs, cents), oldest first. */
@@ -225,8 +232,15 @@ object Streams {
     * timestamps are buffered before any of them is scored — the batch
     * RANGE frame includes peer rows at the current tss, so the
     * streamed window must too. State per user is bounded by the hour's
-    * event rate and evicted entirely after 2 idle hours (a processing-
-    * time timeout; by then every buffered entry is expired anyway).
+    * event rate and evicted entirely once the event-time watermark
+    * passes an hour beyond the user's last event (by then every
+    * buffered entry is expired anyway). Event-time — NOT processing-
+    * time — timeout: with a processing-time timeout the micro-batch
+    * engine's `shouldRunAnotherBatch` is unconditionally true, so an
+    * AvailableNow run (and any drain-and-stop) spins on no-data
+    * batches forever waiting for wall-clock timers; the event-time
+    * timeout instead fires as the watermark advances and lets the
+    * query terminate when the source is exhausted.
     */
   def zscore(s: SparkSession, dir: String): DataFrame = {
     val sp = s
@@ -234,15 +248,20 @@ object Streams {
     val windowUs = 3600000000L
     val typed = eventsStream(s, dir)
       .select(
-        col("event_id"), col("user_id"),
+        col("event_id"), col("user_id"), col("ts"),
         expr("unix_micros(ts)").as("tss"),
         col("value"),
         expr("CAST(round(value * 100) AS LONG)").as("c")
       )
+      // watermark AFTER the projection so the event-time column is
+      // still present on the flatMapGroupsWithState input — the
+      // analyzer rejects an event-time timeout whose watermark node
+      // was pruned away with its column
+      .withWatermark("ts", "10 minutes")
       .as[ZEvent]
     val scored = typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[ZEvent],
          state: org.apache.spark.sql.streaming.GroupState[ZBuf]) =>
           if (state.hasTimedOut) {
@@ -307,9 +326,16 @@ object Streams {
               i = j
             }
             state.update(ZBuf(buf.map(_._1).toArray, buf.map(_._2).toArray))
-            // bound state for users who go silent: everything in the
-            // buffer is expired after windowUs of inactivity
-            state.setTimeoutDuration("2 hours")
+            // bound state for users who go silent: evict once the
+            // watermark passes an hour beyond this user's newest event
+            // (everything buffered is expired by then). Clamp above the
+            // current watermark — another user's events may have pushed
+            // it past this group's horizon already, and a timestamp at
+            // or below the watermark is rejected by the state store.
+            val horizonMs =
+              if (buf.isEmpty) state.getCurrentWatermarkMs() + 1
+              else buf.last._1 / 1000L + windowUs / 1000L
+            state.setTimeoutTimestamp(math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
