@@ -20,6 +20,16 @@ object TextFunctions {
   def reTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** COUNT of regex tokens — `regexp_count` of the complementary
+    * pattern. Equal to `size(reTokens(text))` (a +-run count equals the
+    * non-empty-token count of the complement split) but stays inside
+    * whole-stage codegen: `filter` is a higher-order function and those
+    * are CodegenFallback (interpreted). Use this wherever only the
+    * count is needed.
+    */
+  def reTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+"))
+
   /** NOTE: the per-array shingle/minhash/simhash HOF variants that used
     * to live here were removed — higher-order functions are
     * CodegenFallback (interpreted, 10-100× slower). Signature and

@@ -256,6 +256,16 @@ object LlmOps {
   /** Containment threshold for the asymmetric near-dup query. */
   private val ContainmentThreshold = 0.9
 
+  /** PII patterns (text_pii) — RE2-compatible subset (character
+    * classes, bounded repeats, \b, \d only; no backreferences or
+    * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree, and both
+    * engines' single-quoted SQL literals pass backslashes through
+    * verbatim.
+    */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val IdNumRe = """\b\d{7,}\b"""
+
   val all: Seq[Q] = Seq(
     // ---- text analysis -------------------------------------------------
     Q(
@@ -285,7 +295,7 @@ object LlmOps {
           .select(
             col("doc_id"),
             size(wsTokens(col("text"))).cast("long").as("n_ws"),
-            size(reTokens(col("text"))).cast("long").as("n_re"),
+            reTokenCount(col("text")).cast("long").as("n_re"),
             length(col("text")).cast("long").as("n_chars")
           )
           .orderBy("doc_id"),
@@ -1145,6 +1155,87 @@ object LlmOps {
           |  END AS top_bigram_frac
           |FROM s LEFT JOIN tb ON s.doc_id = tb.doc_id
           |ORDER BY s.doc_id""".stripMargin
+      )
+    ),
+    // PII detection + redaction: per-doc counts of email / IPv4 /
+    // long-digit-run matches and an md5 of the redacted text (counts
+    // prove detection, the digest proves the rewrite without shipping
+    // 2× text through the compare). All codegen'd regexp expressions on
+    // a single scan — no shuffle at any scale. Patterns stay in the
+    // RE2-compatible subset (classes, bounded repeats, \b \d) so Java
+    // regex and DuckDB RE2 match identically; replacements apply in the
+    // same order in both engines, so overlaps resolve identically too.
+    Q(
+      "text_pii",
+      (s, d) => {
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"
+          ),
+          IdNumRe, "<NUM>"
+        )
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+            regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+            regexp_count(col("text"), lit(IdNumRe)).cast("long").as("n_idnum"),
+            md5(redacted).as("redacted_md5")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+           |  CAST(len(regexp_extract_all(text, '$IdNumRe')) AS BIGINT) AS n_idnum,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |      '$EmailRe', '<EMAIL>', 'g'),
+           |      '$Ipv4Re', '<IP>', 'g'),
+           |      '$IdNumRe', '<NUM>', 'g')) AS redacted_md5
+           |FROM documents ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // Simpson type-token diversity per doc: 1 − Σc²/n² over whitespace-
+    // token counts — a repetition/diversity quality signal (1 − the
+    // probability two random tokens coincide). Pure +,·,÷ on BIGINTs —
+    // no transcendentals — so the 6dp fixed-point value is bit-exact
+    // across engines via the same round-half-up integer division as
+    // text_quality. Two two-phase hash aggregates on (doc_id, tok) then
+    // doc_id; both shuffles scale with corpus size, never pairs.
+    Q(
+      "text_diversity",
+      (s, d) => {
+        val n2 = col("n") * col("n")
+        documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("c")).as("n"),
+            sum(col("c") * col("c")).as("q"),
+            count(lit(1)).as("n_types")
+          )
+          .select(
+            col("doc_id"),
+            col("n").as("n_tokens"),
+            col("n_types"),
+            (intDiv((n2 - col("q")) * lit(2000000L) + n2, n2 * lit(2L))
+              .cast("double") / 1000000.0).as("simpson")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |f AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+          |a AS (SELECT doc_id, sum(c)::BIGINT AS n, sum(c*c)::BIGINT AS q,
+          |             count(*)::BIGINT AS n_types
+          |      FROM f GROUP BY 1)
+          |SELECT doc_id, n AS n_tokens, n_types,
+          |  (((n*n - q) * 2000000 + n*n) // (2*n*n)) / 1000000.0 AS simpson
+          |FROM a ORDER BY doc_id""".stripMargin
       )
     ),
     // TF-IDF keyword extraction: corpus document frequencies + per-doc

@@ -369,8 +369,40 @@ object Streams {
       .orderBy("p_id", "c_id")
   }
 
+  /** Streaming OHLCV bars — the reference's raison d'être (daily OHLCV
+    * financial bars, README.md:20-37) as a 24/7 stream: tumbling 1-hour
+    * bars per event_type. open/close are `min_by`/`max_by` over the
+    * composite (ts, event_id) struct — deterministic first/last under
+    * any partition order, and declarative aggregates so the streaming
+    * state is one partial aggregate per open window (no event buffering,
+    * unlike a row_number rewrite, which streaming can't run anyway).
+    * Complete mode so tail windows beyond the final watermark are
+    * emitted; the spec asserts equality with the batch bars.
+    */
+  def ohlcv(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        round(max("value"), 6).as("high"),
+        round(min("value"), 6).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        round(sum("value"), 4).as("volume"),
+        count(lit(1)).as("n")
+      )
+    runToBatch(s, agg, "complete")
+      .select(
+        col("window.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n")
+      )
+      .orderBy("w_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d), None),
+    Q("stream_ohlcv", (s, d) => ohlcv(s, d), None),
     Q("stream_session", (s, d) => session(s, d), None),
     Q("stream_dedup_state", (s, d) => dedupState(s, d), None),
     Q("stream_custom_state", (s, d) => customState(s, d), None),

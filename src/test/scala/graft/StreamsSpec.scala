@@ -24,6 +24,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream_ohlcv equals batch hourly OHLCV bars") {
+    val streamed = Streams.ohlcv(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        round(max("value"), 6).as("high"),
+        round(min("value"), 6).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        round(sum("value"), 4).as("volume"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        col("window.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n")
+      )
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
   test("stream_session equals batch session windows") {
     val streamed = Streams.session(spark, dir)
     val batch = Tables.events(spark, dir)
