@@ -445,6 +445,40 @@ class Store private[sources] (
     deleteRecursively(trash)
   }
 
+  /** Streaming ingestion into one item — the 24/7 form of the
+    * reference's incremental `store[k] += df` loop (store.py:57-59):
+    * every micro-batch lands through [[appendNewOnly]]. That makes the
+    * sink IDEMPOTENT at the row level: after a crash between a batch
+    * landing and its checkpoint commit, the replayed batch anti-joins
+    * to nothing and appends zero files — effectively-once end-to-end
+    * without a transactional sink, at any scale the anti-join handles.
+    * First batch auto-creates the item if absent (same crash window:
+    * a replayed creation batch dedups to a no-op).
+    *
+    * Returns the started [[org.apache.spark.sql.streaming.StreamingQuery]];
+    * callers own its lifecycle. Default trigger drains what's available
+    * and stops (batch-style backfill); pass a processing-time trigger
+    * for a resident stream. Checkpoint location is required — that is
+    * what makes restarts resume instead of re-reading history.
+    */
+  def ingestStream(
+      key: String,
+      source: DataFrame,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    validateKey(key)
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!exists(key)) write(key, batch) else appendNewOnly(key, batch)
+      }
+      .start()
+  }
+
   /** Streaming tail-read of one item: every Parquet file appended to the
     * item after the stream starts becomes a micro-batch — the streaming
     * analogue of re-running `store[k][t0:]` forever, and the natural

@@ -400,9 +400,40 @@ object Streams {
       .orderBy("w_start", "event_type")
   }
 
+  /** Streaming ingestion into a [[graft.sources.Store]] item — the 24/7
+    * form of the reference's `store[k] += df` loop: the events stream
+    * lands micro-batch by micro-batch through the idempotent
+    * appendNewOnly sink (see [[graft.sources.Store.ingestStream]]),
+    * then the result is read back with a full-range store query.
+    * Returns the ingested rows; equals the batch table (spec, plus a
+    * fresh-checkpoint replay asserting the no-duplicates-on-retry
+    * property).
+    */
+  def storeIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Store
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    val store = Store.open(
+      s, tmp,
+      cols = Some(Seq(
+        "EVENT_ID" -> LongType,
+        "USER_ID" -> LongType,
+        "EVENT_TYPE" -> StringType,
+        "VALUE" -> DoubleType
+      )),
+      index = Some("TS"),
+      bucket = Some("day")
+    )
+    // normalize handles the rest: lower-case names matched
+    // case-insensitively and upper-folded, extra columns (props) dropped
+    store.ingestStream("EVENTS", eventsStream(s, dir), s"$tmp/.checkpoint")
+      .awaitTermination()
+    store.query("EVENTS", None, None).orderBy("EVENT_ID")
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d), None),
     Q("stream_ohlcv", (s, d) => ohlcv(s, d), None),
+    Q("stream_store_ingest", (s, d) => storeIngest(s, d), None),
     Q("stream_session", (s, d) => session(s, d), None),
     Q("stream_dedup_state", (s, d) => dedupState(s, d), None),
     Q("stream_custom_state", (s, d) => customState(s, d), None),

@@ -263,6 +263,30 @@ class StoreSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 150)
   }
 
+  test("ingestStream: micro-batches land idempotently; fresh-checkpoint replay is a no-op") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    // source item feeding the stream (readStream needs an existing item)
+    val src = Store.open(spark, s"$dir-src")
+    src.write("FEED", bars(100))
+    def ingestOnce(chk: String): Unit =
+      s.ingestStream("MSFT", src.readStream("FEED"), chk).awaitTermination()
+    ingestOnce(s"$dir/.chk1") // auto-creates the item on first batch
+    assert(s("MSFT").count() == 100)
+    assert(s("MSFT").exceptAll(src("FEED")).count() == 0)
+    // resume from the SAME checkpoint after new upstream data: exactly
+    // the delta is processed and appended
+    src.appendNewOnly("FEED", bars(150))
+    ingestOnce(s"$dir/.chk1")
+    assert(s("MSFT").count() == 150)
+    // replay EVERYTHING with a fresh checkpoint: every batch
+    // re-delivered, every row anti-joins to nothing — no duplicates
+    // (the crash-between-land-and-commit property, at full scale)
+    ingestOnce(s"$dir/.chk2")
+    assert(s("MSFT").count() == 150)
+    assert(s("MSFT").exceptAll(src("FEED")).count() == 0)
+  }
+
   test("query projection: pruned columns reach the parquet ReadSchema") {
     val dir = tmpDir()
     val s = Store.open(spark, dir)
