@@ -44,6 +44,22 @@ object Store {
     */
   val MinStart: Timestamp = Timestamp.valueOf("1678-01-01 00:00:00")
 
+  /** Metadata-only item statistics (see [[Store.describe]]). */
+  case class ItemStats(
+      rows: Long,
+      minIndex: Option[Timestamp],
+      maxIndex: Option[Timestamp],
+      files: Long,
+      bytes: Long
+  )
+
+  /** Epoch-µs → Timestamp, floor semantics for negative values. */
+  private[sources] def microsToTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private val SchemaFile = "schema.json"
   private val LayoutFile = "layout.json"
   private val ItemsDir = "items"
@@ -221,6 +237,26 @@ class Store private[sources] (
     bucket.fold(w)(_ => w.partitionBy(BucketCol))
   }
 
+  /** Run a store write with `spark.sql.parquet.outputTimestampType =
+    * TIMESTAMP_MICROS` (restoring the session value after). The Spark
+    * default, INT96, is a legacy type with NO column statistics and no
+    * filter pushdown — under it every range query reads every row group
+    * of every surviving file, and [[describe]] has no footer min/max.
+    * INT64 micros gives both; there is no per-writer option for this
+    * (ParquetOptions only covers compression/rebase), hence the scoped
+    * session-conf swap.
+    */
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Raw read keeping the partition column (for pruning predicates). */
   private def loadRaw(key: String): DataFrame = {
     val p = itemPath(key, mustExist = true).toString
@@ -253,6 +289,83 @@ class Store private[sources] (
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
     } finally s.close()
+  }
+
+  /** Metadata-only item statistics: row count, index min/max, file
+    * count and byte size — read from Parquet FOOTERS (row-group counts
+    * + column min/max statistics), never the data pages. On a 100 TB
+    * item this is O(files) footer reads instead of a full scan, and the
+    * footer reads themselves run ON EXECUTORS (parallelize over the
+    * file list), so the driver handles only the file listing and the
+    * final tiny reduce. The index column is written as INT64
+    * TIMESTAMP(micros) ([[writer]] sets no INT96 legacy mode), so
+    * footer min/max are epoch-µs longs.
+    *
+    * Returns (rows, minIndex, maxIndex, nFiles, bytes); min/max are
+    * None for an empty item (or if a writer produced no stats).
+    */
+  def describe(key: String): Store.ItemStats = {
+    val p = itemPath(key, mustExist = true)
+    val files: Seq[String] = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+          .map(_.toString)
+          .toVector
+      } finally s.close()
+    }
+    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+    val idx = indexName
+    val perFile = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .map { f =>
+        import org.apache.hadoop.conf.Configuration
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.io.InputFile
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val in: InputFile = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), new Configuration()
+        )
+        val r = ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala
+          var rows = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          blocks.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala
+              .find(_.getPath.toDotString.equalsIgnoreCase(idx))
+              .foreach { c =>
+                val st: org.apache.parquet.column.statistics.Statistics[_] =
+                  c.getStatistics
+                if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (lo: java.lang.Long, hi: java.lang.Long) =>
+                      if (lo < mn) mn = lo
+                      if (hi > mx) mx = hi
+                    case _ => ()
+                  }
+                }
+              }
+          }
+          (rows, mn, mx)
+        } finally r.close()
+      }
+      .collect() // O(files) triples — metadata, not data
+    val rows = perFile.map(_._1).sum
+    val mins = perFile.map(_._2).filter(_ != Long.MaxValue)
+    val maxs = perFile.map(_._3).filter(_ != Long.MinValue)
+    Store.ItemStats(
+      rows = rows,
+      minIndex = mins.minOption.map(Store.microsToTimestamp),
+      maxIndex = maxs.maxOption.map(Store.microsToTimestamp),
+      files = files.size.toLong,
+      bytes = bytes
+    )
   }
 
   /** Schema normalization (reference `_to_internal_type`,
@@ -295,7 +408,9 @@ class Store private[sources] (
       throw new ItemExistsError(
         s"item ${validateKey(key)} already exists; use append"
       )
-    writer(normalize(df)).mode("errorifexists").parquet(p.toString)
+    withMicrosTimestamps {
+      writer(normalize(df)).mode("errorifexists").parquet(p.toString)
+    }
   }
 
   /** Lazy handle: full scan of one item (reference `_Item`,
@@ -375,7 +490,9 @@ class Store private[sources] (
     val tmp = staging.resolve(
       validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
     )
-    writer(df).mode("overwrite").parquet(tmp.toString)
+    withMicrosTimestamps {
+      writer(df).mode("overwrite").parquet(tmp.toString)
+    }
     val trash = staging.resolve(
       validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
     )
@@ -406,7 +523,9 @@ class Store private[sources] (
     val fresh = incoming
       .join(existing, cond, "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    writer(fresh).mode("append").parquet(p.toString)
+    withMicrosTimestamps {
+      writer(fresh).mode("append").parquet(p.toString)
+    }
   }
 
   /** Rewrite one item into the canonical layout: range-partitioned and

@@ -287,6 +287,27 @@ class StoreSpec extends AnyFunSuite {
     assert(s("MSFT").exceptAll(src("FEED")).count() == 0)
   }
 
+  test("describe: footer-only stats equal full-scan aggregates") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(123))
+    s.appendNewOnly("MSFT", bars(200)) // multiple files, incl. appended ones
+    val st = s.describe("MSFT")
+    val scan = s("MSFT").agg(
+      count(lit(1)), min(col("DATE")), max(col("DATE"))
+    ).head()
+    assert(st.rows == scan.getLong(0))
+    assert(st.minIndex.contains(scan.getTimestamp(1)))
+    assert(st.maxIndex.contains(scan.getTimestamp(2)))
+    assert(st.files > 1, "expected several parquet files after append")
+    assert(st.bytes > 0)
+    // an empty but existing item yields zero rows and no bounds
+    val s2 = Store.open(spark, tmpDir())
+    s2.write("EMPTY", bars(1).filter(lit(false)))
+    val st2 = s2.describe("EMPTY")
+    assert(st2.rows == 0 && st2.minIndex.isEmpty && st2.maxIndex.isEmpty)
+  }
+
   test("query projection: pruned columns reach the parquet ReadSchema") {
     val dir = tmpDir()
     val s = Store.open(spark, dir)
