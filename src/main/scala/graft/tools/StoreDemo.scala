@@ -38,6 +38,11 @@ object StoreDemo {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     if (!store.exists("events")) store.write("events", events)
     println(s"[demo] total rows: ${store("EVENTS").count()}")
+    val st = store.describe("EVENTS")
+    println(
+      s"[demo] describe (footer-only, no scan): rows=${st.rows} " +
+        s"range=[${st.minIndex.orNull}, ${st.maxIndex.orNull}] " +
+        s"files=${st.files} bytes=${st.bytes}")
 
     val t0 = Timestamp.valueOf("2024-01-10 00:00:00")
     val t1 = Timestamp.valueOf("2024-01-20 00:00:00")
