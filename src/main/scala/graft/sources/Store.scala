@@ -564,6 +564,59 @@ class Store private[sources] (
     deleteRecursively(trash)
   }
 
+  /** Retention: drop every time bucket of `key` strictly OLDER than the
+    * bucket containing `before` — pure directory deletes, no scan, no
+    * rewrite (the other 100 TB housekeeping op next to [[compact]]).
+    * Retention is bucket-granular by design: rows inside `before`'s own
+    * bucket are kept (removing them would mean rewriting that bucket;
+    * run with `before` on a bucket boundary for exact cuts). Bucket
+    * names are zero-padded so the lexicographic compare below IS the
+    * chronological compare. Crash-safe like [[drop]]: each expired
+    * bucket is ATOMIC_MOVEd into .staging before deletion, so a kill
+    * mid-prune leaves every bucket either fully present or fully gone.
+    *
+    * Only valid on bucketed stores ([[SchemaError]] otherwise — a flat
+    * item has no sub-scan deletion unit). Returns the number of buckets
+    * dropped.
+    */
+  def prune(key: String, before: Timestamp): Long = {
+    val fmt = bucketFmt.getOrElse(
+      throw new SchemaError(
+        s"store at $base is not bucketed; prune needs directory buckets " +
+          "(open with bucket = day|month|year)"
+      )
+    )
+    requireTzAligned()
+    val p = itemPath(key, mustExist = true)
+    val cutoff = java.time.format.DateTimeFormatter
+      .ofPattern(fmt)
+      .withZone(java.time.ZoneId.of(storeTz))
+      .format(before.toInstant)
+    val staging = base.resolve(".staging")
+    Files.createDirectories(staging)
+    val expired: Seq[Path] = {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter { d =>
+            val n = d.getFileName.toString
+            n.startsWith(BucketCol + "=") &&
+            n.stripPrefix(BucketCol + "=") < cutoff
+          }
+          .toVector
+      } finally s.close()
+    }
+    expired.foreach { d =>
+      val trash = staging.resolve(
+        validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
+      )
+      Files.move(d, trash, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(trash)
+    }
+    expired.size.toLong
+  }
+
   /** Streaming ingestion into one item — the 24/7 form of the
     * reference's incremental `store[k] += df` loop (store.py:57-59):
     * every micro-batch lands through [[appendNewOnly]]. That makes the

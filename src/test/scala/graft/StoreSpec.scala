@@ -308,6 +308,28 @@ class StoreSpec extends AnyFunSuite {
     assert(st2.rows == 0 && st2.minIndex.isEmpty && st2.maxIndex.isEmpty)
   }
 
+  test("prune: drops whole expired buckets, keeps the cutoff's own bucket, no scan") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("day"))
+    s.write("MSFT", bars(90)) // ~Jan-Apr 2015, one bucket per day
+    val total = s("MSFT").count()
+    val cutoff = Timestamp.valueOf("2015-02-10 12:00:00") // mid-bucket
+    val expected = s.query("MSFT", Some(Timestamp.valueOf("2015-02-10 00:00:00")), None).count()
+    val dropped = s.prune("MSFT", cutoff)
+    assert(dropped > 0)
+    // bucket-granular: everything from the cutoff's own bucket onward kept
+    assert(s("MSFT").count() == expected)
+    assert(s("MSFT").agg(min(col("DATE"))).head().getTimestamp(0)
+      .compareTo(Timestamp.valueOf("2015-02-10 00:00:00")) >= 0)
+    // idempotent: nothing else to drop at the same cutoff
+    assert(s.prune("MSFT", cutoff) == 0)
+    assert(s("MSFT").count() == expected && expected < total)
+    // flat stores reject prune (no sub-scan deletion unit)
+    val flat = Store.open(spark, tmpDir())
+    flat.write("X", bars(5))
+    intercept[SchemaError] { flat.prune("X", cutoff) }
+  }
+
   test("query projection: pruned columns reach the parquet ReadSchema") {
     val dir = tmpDir()
     val s = Store.open(spark, dir)
