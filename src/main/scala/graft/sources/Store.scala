@@ -662,8 +662,11 @@ class Store private[sources] (
     * [[appendNewOnly]] (append-only files). [[append]] and [[compact]]
     * REWRITE the item into freshly-named files — a file source would
     * re-ingest the full history as new input (double-counting), and the
-    * atomic swap briefly unlinks the path. After either, restart the
-    * stream with a fresh checkpoint.
+    * atomic swap briefly unlinks the path. [[prune]] DELETES bucket
+    * directories — safe only once the stream has processed past them
+    * (the source never re-reads processed files; an unprocessed deleted
+    * file fails the batch). After a rewrite (or an unsafe prune),
+    * restart the stream with a fresh checkpoint.
     */
   def readStream(key: String): DataFrame = {
     val p = itemPath(key, mustExist = true)
