@@ -119,33 +119,74 @@ object LlmOps {
       .toDF("doc_id", "shingle", "sz")
   }
 
-  /** (doc_id, shs): per-doc sorted shingle-hash set — the verify
-    * payload for the candidate pair joins, built FROM the (persisted)
-    * exploded shingle table so the corpus is scanned and shingled only
-    * once per query (`xxhash64` here equals the kernel's hash —
-    * TextKernelsSpec).
+  /** (doc_id, shs): per-doc sorted shingle-hash set, computed in ONE
+    * narrow kernel stage ([[TextKernels.shingleHashes]]) — the verify
+    * payload for the candidate pair joins AND the root of the hashed
+    * inverted index. One compact row per doc (vs the exploded string
+    * index it replaces), so persisting it is cheap and [[pairStats]]
+    * needs no re-aggregation. The kernel hash equals SQL `xxhash64`
+    * bit-for-bit (TextKernelsSpec), and every downstream step needs
+    * only hash equality/order, so results match the former
+    * string-keyed plan up to 64-bit collisions (~|shingles|²/2⁶⁵ —
+    * never observed; the exact merge-kernel verify already ran on
+    * these hashes before this change).
     */
-  private def shinglePayload(inv: DataFrame): DataFrame =
-    inv
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("h"))).as("shs"))
+  private def shinglePayloadOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val shs = TextKernels.shingleHashes(text, ShingleK)
+        if (shs.isEmpty) Iterator.empty else Iterator.single((id, shs))
+      }
+      .toDF("doc_id", "shs")
+  }
 
-  /** (doc_id, shingle) restricted to each doc's `sz − ⌈τ·sz⌉ + 1`
-    * globally-rarest shingles — the PPJoin-style prefix. Complete as a
-    * probe set for both Jaccard ≥ τ (prefix ⋈ prefix) and containment
-    * ≥ τ (prefix ⋈ full index): a qualifying pair must share one of
-    * these shingles, and rarity keeps the candidate join bounded.
+  /** Exploded hashed inverted index (doc_id, sz, h) derived from the
+    * payload — 8-byte join keys through every downstream shuffle
+    * instead of ~25-byte shingle strings.
+    */
+  private def hashedInv(payload: DataFrame): DataFrame =
+    payload.select(col("doc_id"), size(col("shs")).as("sz"), explode(col("shs")).as("h"))
+
+  /** (doc_id, h) restricted to each doc's `sz − ⌈τ·sz⌉ + 1`
+    * globally-rarest shingle hashes — the PPJoin-style prefix under the
+    * (df, h) total order. Complete as a probe set for both Jaccard ≥ τ
+    * (prefix ⋈ prefix) and containment ≥ τ (prefix ⋈ full index): a
+    * qualifying pair must share a prefix element under ANY fixed total
+    * order of the shingle universe, and rarity keeps the candidate join
+    * bounded.
+    *
+    * Shuffle shape (the round-5 hot spot): document frequencies reach
+    * the index through the df ≥ 2 table only — most shingles are
+    * globally unique, so that table is a small fraction of the
+    * distinct-shingle set and AQE turns the join into a broadcast at
+    * bench scale (the index itself is never shuffled on shingle),
+    * degrading to a plain shuffled equi-join at extreme scale. The
+    * per-doc selection is a bounded min-k aggregate (collect_list →
+    * array_sort → slice) in one ObjectHashAggregate pass — no
+    * full-index ranking window, no sort of the index.
     */
   private def rarePrefix(inv: DataFrame, tau: Double): DataFrame = {
-    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val repeated = inv.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     inv
-      .join(freq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
-      .select("doc_id", "shingle")
+      .join(repeated, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"), col("h"))).as("ps"))
+      .select(
+        col("doc_id"),
+        explode(
+          slice(
+            array_sort(col("ps")),
+            lit(1),
+            (col("sz") - ceil(col("sz") * tau) + lit(1)).cast("int")
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.h").as("h"))
   }
 
   /** Exact intersection stats for candidate pairs: join each pair to
@@ -235,19 +276,18 @@ object LlmOps {
     * inverted index over frequent shingles.
     */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    // persist the exploded shingle table: the frequency table, the
-    // ranking window and both sides of the candidate join all read it
-    val inv = shingleRows(s, d).persist()
-    val prefix = rarePrefix(inv, JaccardThreshold)
+    // persist the compact per-doc payload (hash sets) — read by the
+    // frequency agg, the prefix join and the pair verify — and the
+    // prefix itself, which the candidate self-join reads twice (alias
+    // exchanges don't dedupe across a self-join)
+    val payload = shinglePayloadOf(s, documents(s, d)).persist()
+    val prefix = rarePrefix(hashedInv(payload), JaccardThreshold).persist()
     val cand = prefix
       .as("x")
-      .join(
-        prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id")
-      )
+      .join(prefix.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    pairStats(s, cand, shinglePayload(inv))
+    pairStats(s, cand, payload)
       .withColumn("jacc_raw", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jacc_raw") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jacc_raw")
@@ -485,11 +525,11 @@ object LlmOps {
       },
       None
     ),
-    // Exact n-gram (3-word shingle) Jaccard near-dup pairs. Candidate
-    // generation by shared-shingle inverted index is COMPLETE for any
-    // threshold > 0 (a pair with Jaccard ≥ τ shares ≥ 1 shingle), so an
-    // exact SQL oracle applies. At 100 TB you'd add prefix filtering to
-    // trim the candidate explosion from frequent shingles.
+    // Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
+    // filtering (rarePrefix): candidate generation stays COMPLETE for
+    // Jaccard ≥ τ (two qualifying sets must share a rare-prefix
+    // element), so the exact SQL oracle applies, while the rare-shingle
+    // buckets keep the candidate join bounded at 100 TB.
     Q(
       "dedup_ngram",
       (s, d) =>
@@ -525,18 +565,19 @@ object LlmOps {
     Q(
       "dedup_containment",
       (s, d) => {
-        val inv = shingleRows(s, d).persist()
+        val payload = shinglePayloadOf(s, documents(s, d)).persist()
+        val inv = hashedInv(payload)
         val probe = rarePrefix(inv, ContainmentThreshold)
-          .select(col("doc_id").as("p_id"), col("shingle"))
+          .select(col("doc_id").as("p_id"), col("h"))
         val cand = probe
-          .join(inv.select(col("doc_id").as("i_id"), col("shingle")), "shingle")
+          .join(inv.select(col("doc_id").as("i_id"), col("h")), "h")
           .filter(col("p_id") =!= col("i_id"))
           .select(
             least(col("p_id"), col("i_id")).as("doc_a"),
             greatest(col("p_id"), col("i_id")).as("doc_b")
           )
           .distinct()
-        pairStats(s, cand, shinglePayload(inv))
+        pairStats(s, cand, payload)
           .withColumn("cont_raw", col("inter") / least(col("sz_a"), col("sz_b")))
           .filter(col("cont_raw") >= ContainmentThreshold)
           .select(

@@ -69,6 +69,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("dedup_ngram / dedup_containment: exact vs in-test brute-force over shingle sets") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    import graft.operators.LlmOps.ShingleK
+    val sets = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .map { case (id, t) => id -> TextKernels.shingleHashes(t, ShingleK) }
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    val allPairs = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+    } yield {
+      val (a, sa) = sets(i); val (b, sb) = sets(j)
+      val inter = TextKernels.intersectCount(sa, sb)
+      (a, b, inter, sa.length, sb.length)
+    }).toSeq
+
+    val wantJacc = allPairs
+      .map { case (a, b, inter, za, zb) => (a, b, inter.toDouble / (za + zb - inter)) }
+      .filter(_._3 >= 0.8)
+      .sortBy(p => (p._1, p._2))
+    val gotJacc = SparkEntry.queries("dedup_ngram")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotJacc.map(p => (p._1, p._2)) == wantJacc.map(p => (p._1, p._2)))
+    gotJacc.zip(wantJacc).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 5e-7, s"jacc mismatch on (${g._1},${g._2}): ${g._3} vs ${w._3}")
+    }
+    assert(gotJacc.nonEmpty, "fixture produced no near-dup pairs — spec is vacuous")
+
+    val wantCont = allPairs
+      .map { case (a, b, inter, za, zb) => (a, b, inter.toLong, inter.toDouble / math.min(za, zb)) }
+      .filter(_._4 >= 0.9)
+      .sortBy(p => (p._1, p._2))
+    val gotCont = SparkEntry.queries("dedup_containment")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotCont.map(p => (p._1, p._2, p._3)) == wantCont.map(p => (p._1, p._2, p._3)))
+    gotCont.zip(wantCont).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 5e-7, s"cont mismatch on (${g._1},${g._2}): ${g._4} vs ${w._4}")
+    }
+  }
+
   test("dedup_clusters: transitive closure of the pair graph, cluster id = min member") {
     import spark.implicits._
     val pairs = SparkEntry.queries("dedup_ngram")(spark, dir)
