@@ -85,6 +85,87 @@ object LlmOps {
   private[operators] def probeCodes(code: Int, bits: Int, maxHamming: Int): Seq[Int] =
     (0 until (1 << bits)).filter(c => Integer.bitCount(c ^ code) <= maxHamming)
 
+  /** IVF candidate set for the query vector (vec_id 0): every corpus
+    * vector whose nearest sampled centroid is one of the `probes`
+    * centroids closest to the query, with `emb`/`probe` columns ready
+    * for the exact re-rank. Parameterized (and package-visible) so the
+    * candidate-reduction spec can run it with narrow probes on a
+    * clustered fixture and count candidates — the evidence that the
+    * bucketing actually PRUNES, which the near-uniform driver corpus
+    * cannot show (see the [[IvfProbes]] comment).
+    */
+  private[graft] def ivfCandidates(
+      s: SparkSession, e0: DataFrame, centroids: Int, probes: Int): DataFrame = {
+    val e = e0.withColumn("emb", toDouble(col("embedding")))
+    val cents = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(centroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
+    val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe"))
+    val probeClusters = cents
+      .crossJoin(broadcast(probe))
+      .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
+      .limit(probes)
+      .select(col("cid").as("cluster"))
+    e.join(assigned, "vec_id")
+      .join(broadcast(probeClusters), "cluster")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+  }
+
+  /** IVF ANN top-10: exact cosine re-rank over [[ivfCandidates]]. */
+  private[graft] def annIvf(
+      s: SparkSession, e0: DataFrame, centroids: Int, probes: Int): DataFrame =
+    ivfCandidates(s, e0, centroids, probes)
+      .select(
+        col("vec_id"), col("cluster"),
+        round(CosineSimilarity.cosineSim(col("emb"), col("probe")), 6).as("score")
+      )
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
+  /** LSH candidate set for the query vector (vec_id 0): corpus vectors
+    * whose `bits`-wide signed-random-projection code is within
+    * `maxHamming` of the query's, with the query vector joined in for
+    * the exact re-rank. Package-visible for the candidate-reduction
+    * spec (see [[ivfCandidates]]).
+    */
+  private[graft] def lshCandidates(
+      s: SparkSession, e0: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val coded = e0
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, lshCode(v, bits)) }
+      .toDF("vec_id", "embedding", "code")
+    val qCodes = coded
+      .filter(col("vec_id") === 0)
+      .select(col("code"), toDouble(col("embedding")).as("qv"))
+      .as[(Int, Array[Double])]
+      .flatMap { case (qc, qv) => probeCodes(qc, bits, maxHamming).map(pc => (pc, qv)) }
+      .toDF("code", "qv")
+    coded
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(qCodes), "code")
+  }
+
+  /** LSH ANN top-10: exact cosine re-rank over [[lshCandidates]]. */
+  private[graft] def annLsh(
+      s: SparkSession, e0: DataFrame, bits: Int, maxHamming: Int): DataFrame =
+    lshCandidates(s, e0, bits, maxHamming)
+      .select(
+        col("vec_id"), col("code"),
+        round(CosineSimilarity.cosineSim(toDouble(col("embedding")), col("qv")), 6).as("score")
+      )
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
   /** Distinct word-K-shingles as exploded rows (doc_id, shingle, sz)
     * where sz = |distinct shingle set| of the doc.
     *
@@ -785,34 +866,7 @@ object LlmOps {
     // rows-only check; recall vs the exact sim_cosine_topk is spec'd.
     Q(
       "sim_ann_ivf",
-      (s, d) => {
-        val e = embeddings(s, d).withColumn("emb", toDouble(col("embedding")))
-        val cents = e
-          .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-          .limit(IvfCentroids)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-        val assigned = e
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
-          .groupBy("vec_id")
-          .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
-        val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe"))
-        val probeClusters = cents
-          .crossJoin(broadcast(probe))
-          .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
-          .limit(IvfProbes)
-          .select(col("cid").as("cluster"))
-        e.join(assigned, "vec_id")
-          .join(broadcast(probeClusters), "cluster")
-          .filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(probe))
-          .select(
-            col("vec_id"), col("cluster"),
-            round(CosineSimilarity.cosineSim(col("emb"), col("probe")), 6).as("score")
-          )
-          .orderBy(col("score").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => annIvf(s, embeddings(s, d), IvfCentroids, IvfProbes),
       None
     ),
     // LSH-bucketed approximate nearest neighbors — the second ANN
@@ -827,32 +881,7 @@ object LlmOps {
     // rows-only check; recall vs sim_cosine_topk is spec'd.
     Q(
       "sim_ann_lsh",
-      (s, d) => {
-        val sp = s
-        import sp.implicits._
-        val bits = LshBits
-        val maxH = LshProbe
-        val coded = embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])]
-          .map { case (id, v) => (id, v, lshCode(v, bits)) }
-          .toDF("vec_id", "embedding", "code")
-        val qCodes = coded
-          .filter(col("vec_id") === 0)
-          .select(col("code"), toDouble(col("embedding")).as("qv"))
-          .as[(Int, Array[Double])]
-          .flatMap { case (qc, qv) => probeCodes(qc, bits, maxH).map(pc => (pc, qv)) }
-          .toDF("code", "qv")
-        coded
-          .filter(col("vec_id") =!= 0)
-          .join(broadcast(qCodes), "code")
-          .select(
-            col("vec_id"), col("code"),
-            round(CosineSimilarity.cosineSim(toDouble(col("embedding")), col("qv")), 6).as("score")
-          )
-          .orderBy(col("score").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => annLsh(s, embeddings(s, d), LshBits, LshProbe),
       None
     ),
     // Deterministic stratified sampling — downsample overrepresented

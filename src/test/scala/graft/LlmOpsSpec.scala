@@ -69,6 +69,66 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("ANN candidate reduction: clustered corpus, recall >= 0.8 probing <= 25% of buckets") {
+    // The driver corpus is near-uniform on the sphere, so the shipped
+    // probe constants are necessarily wide there (LlmOps.scala knob
+    // comments). This fixture has the structure ANN exists for — 16
+    // well-separated clusters — and asserts the property that matters
+    // at 100 TB: recall stays >= 0.8 while the bucketing PRUNES, i.e.
+    // the exact re-rank touches <= 25% of the corpus.
+    import spark.implicits._
+    import graft.operators.LlmOps
+    val dim = 16; val nClusters = 16; val perCluster = 128
+    val rnd = new scala.util.Random(42)
+    val rows = for { c <- 0 until nClusters; i <- 0 until perCluster } yield {
+      val id = (c.toLong * perCluster) + i
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0f else 0.0f) + (rnd.nextGaussian() * 0.05).toFloat)
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val n = rows.size - 1 // corpus minus the query vector
+
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = rows.find(_._1 == 0L).get._2
+    val exact = rows.iterator
+      .filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosine(q, v)) }
+      .toSeq.sortBy(p => (-p._2, p._1)).take(10).map(_._1).toSet
+
+    // IVF: 64 sampled centroids, probe the 12 nearest cells = 19% of
+    // cells (32/6 leaves cluster 0 with ZERO sampled centroids under
+    // this deterministic hash draw — recall collapses to noise; the
+    // denser sample covers every cluster)
+    val ivfCentroids = 64; val ivfProbes = 12
+    val ivfFrac = LlmOps.ivfCandidates(spark, emb, ivfCentroids, ivfProbes)
+      .count().toDouble / n
+    val ivfTop = LlmOps.annIvf(spark, emb, ivfCentroids, ivfProbes)
+      .select("vec_id").as[Long].collect().toSet
+    val ivfRecall = exact.intersect(ivfTop).size.toDouble / exact.size
+    info(f"IVF recall=$ivfRecall%.2f candidates=${ivfFrac * 100}%.1f%% of corpus " +
+      f"(probing $ivfProbes/$ivfCentroids cells)")
+    assert(ivfRecall >= 0.8, f"IVF recall $ivfRecall%.2f < 0.8")
+    assert(ivfFrac <= 0.25, f"IVF examined ${ivfFrac * 100}%.1f%% of corpus — bucketing did not prune")
+
+    // LSH: 5-bit code (32 buckets), Hamming<=1 multi-probe = 6/32 buckets
+    val lshBits = 5; val lshProbe = 1
+    val lshFrac = LlmOps.lshCandidates(spark, emb, lshBits, lshProbe)
+      .count().toDouble / n
+    val lshTop = LlmOps.annLsh(spark, emb, lshBits, lshProbe)
+      .select("vec_id").as[Long].collect().toSet
+    val lshRecall = exact.intersect(lshTop).size.toDouble / exact.size
+    val probedBuckets = 1 + lshBits * lshProbe // C(bits,0) + C(bits,1) for maxH = 1
+    info(f"LSH recall=$lshRecall%.2f candidates=${lshFrac * 100}%.1f%% of corpus " +
+      f"(probing $probedBuckets/${1 << lshBits} buckets)")
+    assert(lshRecall >= 0.8, f"LSH recall $lshRecall%.2f < 0.8")
+    assert(lshFrac <= 0.25, f"LSH examined ${lshFrac * 100}%.1f%% of corpus — bucketing did not prune")
+  }
+
   test("dedup_ngram / dedup_containment: exact vs in-test brute-force over shingle sets") {
     import spark.implicits._
     import graft.functions.TextKernels
