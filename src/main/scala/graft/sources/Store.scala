@@ -64,6 +64,10 @@ object Store {
   private val LayoutFile = "layout.json"
   private val ItemsDir = "items"
 
+  /** Session conf pinned by [[open]] and guarded per write — see
+    * [[Store!.requireMicrosTimestamps]]. */
+  private[sources] val TimestampTypeKey = "spark.sql.parquet.outputTimestampType"
+
   /** Time-bucket granularities for directory partitioning. Formats are
     * zero-padded so lexicographic string comparison equals time order —
     * that is what makes partition pruning expressible as a string range
@@ -107,6 +111,14 @@ object Store {
       require(BucketFormats.contains(b), s"bucket must be one of ${BucketFormats.keys}")
     }
     require(chunkRows > 0, "chunkRows must be positive")
+    // Pin INT64-micros parquet timestamps for the session ONCE, here.
+    // The former per-write conf swap (set + finally-restore) raced
+    // concurrent writers: a resident ingestStream restoring the conf
+    // mid-batch-write landed INT96 files — which carry NO column
+    // statistics, silently disabling row-group pruning and describe()
+    // footer min/max. A session invariant enforced per-write (like the
+    // timezone guard) has no such window.
+    spark.conf.set(TimestampTypeKey, "TIMESTAMP_MICROS")
     val base = Paths.get(basePath)
     Files.createDirectories(base.resolve(ItemsDir))
     val schemaPath = base.resolve(SchemaFile)
@@ -229,6 +241,7 @@ class Store private[sources] (
 
   private def writer(df: DataFrame) = {
     requireTzAligned()
+    requireMicrosTimestamps()
     val w = withBucket(df).write
       .option("compression", "snappy")
       // reference 1 M-row chunk contract (store.py:27,174): cap rows per
@@ -237,24 +250,28 @@ class Store private[sources] (
     bucket.fold(w)(_ => w.partitionBy(BucketCol))
   }
 
-  /** Run a store write with `spark.sql.parquet.outputTimestampType =
-    * TIMESTAMP_MICROS` (restoring the session value after). The Spark
-    * default, INT96, is a legacy type with NO column statistics and no
-    * filter pushdown — under it every range query reads every row group
-    * of every surviving file, and [[describe]] has no footer min/max.
-    * INT64 micros gives both; there is no per-writer option for this
-    * (ParquetOptions only covers compression/rebase), hence the scoped
-    * session-conf swap.
+  /** Every store write must run under `spark.sql.parquet.
+    * outputTimestampType = TIMESTAMP_MICROS`. The Spark default, INT96,
+    * is a legacy type with NO column statistics and no filter pushdown —
+    * under it every range query reads every row group of every surviving
+    * file, and [[describe]] has no footer min/max. INT64 micros gives
+    * both; there is no per-writer option for this (ParquetOptions only
+    * covers compression/rebase), so [[Store.open]] pins the session conf
+    * once and this guard re-checks it per write — a runtime-mutable conf
+    * changed mid-session fails fast instead of landing stat-less files.
+    * (A scoped set-and-restore swap per write is NOT safe: two
+    * concurrent writes — e.g. a resident [[ingestStream]] racing a batch
+    * [[append]] — can interleave set/restore and leave one write running
+    * under INT96.)
     */
-  private def withMicrosTimestamps[T](body: => T): T = {
-    val k = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
-    }
+  private def requireMicrosTimestamps(): Unit = {
+    val v = spark.conf.getOption(TimestampTypeKey).getOrElse("")
+    if (v != "TIMESTAMP_MICROS")
+      throw new SchemaError(
+        s"store at $base requires $TimestampTypeKey=TIMESTAMP_MICROS " +
+          s"(pinned by Store.open; session now has '$v') — INT96 parquet timestamps " +
+          "carry no column statistics, so range queries would stop pruning row groups"
+      )
   }
 
   /** Raw read keeping the partition column (for pruning predicates). */
@@ -320,40 +337,46 @@ class Store private[sources] (
     val idx = indexName
     val perFile = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
-      .map { f =>
+      .mapPartitions { fs =>
         import org.apache.hadoop.conf.Configuration
         import org.apache.parquet.hadoop.ParquetFileReader
         import org.apache.parquet.io.InputFile
         import org.apache.parquet.hadoop.util.HadoopInputFile
-        val in: InputFile = HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), new Configuration()
-        )
-        val r = ParquetFileReader.open(in)
-        try {
-          import scala.jdk.CollectionConverters._
-          val blocks = r.getFooter.getBlocks.asScala
-          var rows = 0L
-          var mn = Long.MaxValue
-          var mx = Long.MinValue
-          blocks.foreach { b =>
-            rows += b.getRowCount
-            b.getColumns.asScala
-              .find(_.getPath.toDotString.equalsIgnoreCase(idx))
-              .foreach { c =>
-                val st: org.apache.parquet.column.statistics.Statistics[_] =
-                  c.getStatistics
-                if (st != null && !st.isEmpty && st.hasNonNullValue) {
-                  (st.genericGetMin, st.genericGetMax) match {
-                    case (lo: java.lang.Long, hi: java.lang.Long) =>
-                      if (lo < mn) mn = lo
-                      if (hi > mx) mx = hi
-                    case _ => ()
+        // one Configuration per partition, not per file — Configuration
+        // construction loads XML resources and is measurable at very
+        // high file counts
+        val conf = new Configuration()
+        fs.map { f =>
+          val in: InputFile = HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf
+          )
+          val r = ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val blocks = r.getFooter.getBlocks.asScala
+            var rows = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            blocks.foreach { b =>
+              rows += b.getRowCount
+              b.getColumns.asScala
+                .find(_.getPath.toDotString.equalsIgnoreCase(idx))
+                .foreach { c =>
+                  val st: org.apache.parquet.column.statistics.Statistics[_] =
+                    c.getStatistics
+                  if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (lo: java.lang.Long, hi: java.lang.Long) =>
+                        if (lo < mn) mn = lo
+                        if (hi > mx) mx = hi
+                      case _ => ()
+                    }
                   }
                 }
-              }
-          }
-          (rows, mn, mx)
-        } finally r.close()
+            }
+            (rows, mn, mx)
+          } finally r.close()
+        }
       }
       .collect() // O(files) triples — metadata, not data
     val rows = perFile.map(_._1).sum
@@ -408,9 +431,7 @@ class Store private[sources] (
       throw new ItemExistsError(
         s"item ${validateKey(key)} already exists; use append"
       )
-    withMicrosTimestamps {
-      writer(normalize(df)).mode("errorifexists").parquet(p.toString)
-    }
+    writer(normalize(df)).mode("errorifexists").parquet(p.toString)
   }
 
   /** Lazy handle: full scan of one item (reference `_Item`,
@@ -490,9 +511,7 @@ class Store private[sources] (
     val tmp = staging.resolve(
       validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
     )
-    withMicrosTimestamps {
-      writer(df).mode("overwrite").parquet(tmp.toString)
-    }
+    writer(df).mode("overwrite").parquet(tmp.toString)
     val trash = staging.resolve(
       validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
     )
@@ -523,9 +542,7 @@ class Store private[sources] (
     val fresh = incoming
       .join(existing, cond, "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    withMicrosTimestamps {
-      writer(fresh).mode("append").parquet(p.toString)
-    }
+    writer(fresh).mode("append").parquet(p.toString)
   }
 
   /** Rewrite one item into the canonical layout: range-partitioned and

@@ -308,6 +308,76 @@ class StoreSpec extends AnyFunSuite {
     assert(st2.rows == 0 && st2.minIndex.isEmpty && st2.maxIndex.isEmpty)
   }
 
+  /** Parquet files under `itemDir` whose index column lacks INT64
+    * footer statistics in ANY row group — INT96 legacy timestamps (the
+    * Spark default) have none, which silently disables row-group
+    * pruning and describe(); the store must never produce such a file.
+    */
+  def filesWithoutIndexStats(itemDir: java.nio.file.Path, idx: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val walk = Files.walk(itemDir)
+    try walk.iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+      .filterNot { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toString), conf))
+        try r.getFooter.getBlocks.asScala.forall { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(idx))
+            .exists { c =>
+              val st = c.getStatistics
+              st != null && !st.isEmpty && st.hasNonNullValue &&
+                st.genericGetMin.isInstanceOf[java.lang.Long]
+            }
+        } finally r.close()
+      }
+      .map(_.toString).toVector
+    finally walk.close()
+  }
+
+  test("micros pin: resident ingestStream racing batch writes — every file keeps INT64 index stats") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    val src = Store.open(spark, s"$dir-src")
+    src.write("FEED", bars(100))
+    // resident stream (NOT AvailableNow): its micro-batch writes on the
+    // stream thread interleave with this thread's batch writes — the
+    // exact schedule the old per-write set/restore conf swap raced
+    // (restore on one thread mid-write on the other => INT96 files)
+    val q = s.ingestStream(
+      "STREAMED", src.readStream("FEED"), s"$dir/.chk",
+      Trigger.ProcessingTime("25 milliseconds"))
+    try {
+      s.write("BATCHED", bars(50))
+      (1 to 5).foreach { i =>
+        src.appendNewOnly("FEED", bars(100 + i * 15))
+        s.appendNewOnly("BATCHED", bars(50 + i * 10))
+      }
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    assert(s("STREAMED").count() == 175)
+    assert(s("BATCHED").count() == 100)
+    // the invariant the race used to break: NO file anywhere in either
+    // item is missing INT64 stats on the index column
+    val itemsRoot = java.nio.file.Paths.get(dir, "items")
+    assert(filesWithoutIndexStats(itemsRoot, "DATE").isEmpty,
+      s"files without INT64 index stats: ${filesWithoutIndexStats(itemsRoot, "DATE")}")
+    // and the per-write guard: a mid-session conf change fails fast
+    // instead of landing stat-less INT96 files
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try intercept[SchemaError] { s.appendNewOnly("BATCHED", bars(120)) }
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // reopening any store re-pins the invariant
+    Store.open(spark, dir, bucket = Some("month"))
+    s.appendNewOnly("BATCHED", bars(120))
+    assert(s("BATCHED").count() == 120)
+    assert(filesWithoutIndexStats(itemsRoot, "DATE").isEmpty)
+  }
+
   test("prune: drops whole expired buckets, keeps the cutoff's own bucket, no scan") {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("day"))
