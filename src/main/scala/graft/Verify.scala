@@ -32,9 +32,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the dump must stay INT96 so pandas reads NAIVE datetimes (the
+        // driver's dtype compare); store-backed queries (e.g.
+        // stream_store_ingest) pin the session to TIMESTAMP_MICROS —
+        // tz-aware in pandas — so re-pin the dump type per write. Set
+        // AFTER fn(): store writes inside it require MICROS (guarded).
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // several queries persist() intermediates they cannot unpersist

@@ -190,21 +190,31 @@ object Streams {
     * bucket).
     */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val sp = s
+    val src = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    runToBatch(s, minhashDedupOn(src), "append").orderBy("doc_id")
+  }
+
+  /** The near-dup-filter transform on an arbitrary (doc_id, text)
+    * streaming source — separated from [[minhashDedup]]'s source/sink
+    * so the crash-recovery spec can drive it through its own staged
+    * source, durable checkpoint and file sink.
+    */
+  private[graft] def minhashDedupOn(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
     import sp.implicits._
     import graft.functions.TextKernels
     import graft.operators.LlmOps
     val (k, rpb) = (LlmOps.ShingleK, LlmOps.RowsPerBand)
-    val sigs = s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val sigs = docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         TextKernels.docBandKey(t, k, rpb).map(DocSig(id, _)).iterator
       }
-    val flagged = sigs
+    sigs
       .groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bkey: Long, it: Iterator[DocSig],
@@ -217,7 +227,6 @@ object Streams {
           }
       }
       .toDF("doc_id", "bkey", "keep", "dup_of")
-    runToBatch(s, flagged, "append").orderBy("doc_id")
   }
 
   /** Streaming trailing-hour z-score — the 24/7 form of the batch
@@ -242,11 +251,19 @@ object Streams {
     * timeout instead fires as the watermark advances and lets the
     * query terminate when the source is exhausted.
     */
-  def zscore(s: SparkSession, dir: String): DataFrame = {
-    val sp = s
+  def zscore(s: SparkSession, dir: String): DataFrame =
+    runToBatch(s, zscoreOn(eventsStream(s, dir)), "append").orderBy("event_id")
+
+  /** The z-score transform on an arbitrary events source (`ts` already
+    * TimestampType) — separated from [[zscore]]'s source/sink so the
+    * crash-recovery spec can drive it through its own staged source,
+    * durable checkpoint and file sink.
+    */
+  private[graft] def zscoreOn(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
     import sp.implicits._
     val windowUs = 3600000000L
-    val typed = eventsStream(s, dir)
+    val typed = events
       .select(
         col("event_id"), col("user_id"), col("ts"),
         expr("unix_micros(ts)").as("tss"),
@@ -339,8 +356,7 @@ object Streams {
             out.result().iterator
           }
       }
-      .toDF("event_id", "user_id", "value", "n_window", "z")
-    runToBatch(s, scored, "append").orderBy("event_id")
+    scored.toDF("event_id", "user_id", "value", "n_window", "z")
   }
 
   /** Stream-stream interval join: each purchase joined to the same

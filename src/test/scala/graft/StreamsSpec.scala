@@ -133,6 +133,137 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.filter(col("z").isNotNull).count() > 0)
   }
 
+  // ---- crash recovery -------------------------------------------------
+  // The stateful streams must survive a mid-stream kill: state (ring
+  // buffers / bucket claimants) reloads from the checkpointed state
+  // store and the resumed run's total output still equals the batch
+  // computation. Harness: stage the input as several files with
+  // ascending mtimes, maxFilesPerTrigger=1; stop the query after the
+  // first committed batch with input still outstanding; restart from
+  // the SAME checkpoint and drain.
+
+  import java.nio.file.{Files => JFiles, Paths => JPaths}
+
+  /** Force ascending file-source pickup order: stamp every data file
+    * under `d` with the given mtime (seconds). */
+  private def stampMtime(d: String, epochSec: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = JFiles.walk(JPaths.get(d))
+    try w.iterator().asScala
+      .filter(f => JFiles.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
+      .foreach(f => JFiles.setLastModifiedTime(
+        f, java.nio.file.attribute.FileTime.from(java.time.Instant.ofEpochSecond(epochSec))))
+    finally w.close()
+  }
+
+  /** Start `transform(source over stage)` into a parquet sink at `out`
+    * with checkpoint `chk`, one file per micro-batch; kill after the
+    * first committed data batch if `killEarly`, else drain AvailableNow.
+    */
+  private def runStaged(
+      stage: String, out: String, chk: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      killEarly: Boolean): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val w = transform(src).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+    if (killEarly) {
+      val q = w.trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (Option(q.lastProgress).forall(_.numInputRows == 0) &&
+             System.nanoTime() < deadline && q.isActive)
+        Thread.sleep(20)
+      q.stop() // kill with staged input still unread
+      q.awaitTermination()
+    } else {
+      val q = w.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
+  test("stream_zscore: killed mid-stream, checkpoint restart resumes ring-buffer state (equals batch)") {
+    val work = JFiles.createTempDirectory("graft-zrec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts", "value")
+    // time-quartile split: in-order delivery across micro-batches is
+    // the streamed/batch equivalence contract
+    val qs = ev.selectExpr(
+      "percentile(unix_micros(ts), 0.25)",
+      "percentile(unix_micros(ts), 0.5)",
+      "percentile(unix_micros(ts), 0.75)").head()
+    val cuts = Seq(qs.getDouble(0).toLong, qs.getDouble(1).toLong, qs.getDouble(2).toLong)
+    val parts = Seq(
+      ev.filter(expr(s"unix_micros(ts) < ${cuts(0)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(0)} AND unix_micros(ts) < ${cuts(1)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(1)} AND unix_micros(ts) < ${cuts(2)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(2)}")))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    runStaged(stage, out, chk, schema, Streams.zscoreOn, killEarly = true)
+    runStaged(stage, out, chk, schema, Streams.zscoreOn, killEarly = false)
+    val streamed = spark.read.parquet(out)
+    val batch = SparkEntry.queries("ts_zscore")(spark, dir)
+      .select("event_id", "user_id", "value", "n_window", "z")
+    assert(streamed.count() == batch.count(), "resumed run must emit every event exactly once")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.filter(col("z").isNotNull).count() > 0)
+  }
+
+  test("stream_minhash_dedup: killed mid-stream, checkpoint restart keeps bucket claimants (equals batch)") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    import graft.operators.LlmOps
+    val work = JFiles.createTempDirectory("graft-mrec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val n = docs.count()
+    // ascending doc_id quartiles: the global min member of every bucket
+    // streams in (or before) the bucket's first batch, so the batch
+    // per-bucket-min oracle stays valid across ANY kill/restart point —
+    // and a lost claimant would make the restarted run elect a new one
+    // and diverge from it
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") >= n * i / 4 && col("doc_id") < n * (i + 1) / 4)
+        .coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    runStaged(stage, out, chk, schema, Streams.minhashDedupOn, killEarly = true)
+    runStaged(stage, out, chk, schema, Streams.minhashDedupOn, killEarly = false)
+    val streamed = spark.read.parquet(out)
+    val (k, rpb) = (LlmOps.ShingleK, LlmOps.RowsPerBand)
+    val sigs = docs.as[(Long, String)]
+      .flatMap { case (id, t) => TextKernels.docBandKey(t, k, rpb).map((id, _)).iterator }
+      .toDF("doc_id", "bkey")
+    val claims = sigs.groupBy("bkey").agg(min(col("doc_id")).as("claimant"))
+    val batch = sigs.join(claims, "bkey")
+      .select(
+        col("doc_id"), col("bkey"),
+        (col("doc_id") === col("claimant")).as("keep"),
+        when(col("doc_id") =!= col("claimant"), col("claimant")).as("dup_of"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.filter(!col("keep")).count() > 0, "fixture must contain flagged duplicates")
+  }
+
   test("stream_dedup_state removes the injected duplicates exactly") {
     val streamed = Streams.dedupState(spark, dir)
     val n = Tables.events(spark, dir).count()
