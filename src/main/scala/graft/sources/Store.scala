@@ -562,6 +562,26 @@ class Store private[sources] (
     stagedOverwrite(key, p, canonical)
   }
 
+  /** The policy that decides WHEN [[compact]] runs: rewrite the item
+    * only once [[appendNewOnly]]'s accumulated small files exceed
+    * `maxFiles`, using [[describe]]'s footer-only file count — the
+    * decision itself reads zero data rows, so calling this after every
+    * append batch costs O(files) footer metadata until the threshold
+    * trips. Returns true when a compaction ran. Typical loop:
+    * `appendNewOnly(k, batch); compactIfNeeded(k)`.
+    *
+    * Same contract caveat as [[compact]]: a rewrite invalidates any live
+    * [[readStream]] tail of this item (freshly-named files would be
+    * re-ingested as new input) — run it only between streaming reads, or
+    * restart the consumer with a fresh checkpoint after it trips.
+    */
+  def compactIfNeeded(key: String, maxFiles: Long = 64L): Boolean = {
+    require(maxFiles > 0, "maxFiles must be positive")
+    val needed = describe(key).files > maxFiles
+    if (needed) compact(key)
+    needed
+  }
+
   /** Drop one item entirely (maintenance op, like [[compact]]):
     * [[ItemKeyError]] if absent. The store itself (schema, other
     * items) is untouched. Crash-safe like every destructive op here:
@@ -677,7 +697,8 @@ class Store private[sources] (
     *
     * CONTRACT: valid producers while a stream is live are [[write]] and
     * [[appendNewOnly]] (append-only files). [[append]] and [[compact]]
-    * REWRITE the item into freshly-named files — a file source would
+    * (including [[compactIfNeeded]] when it trips) REWRITE the item
+    * into freshly-named files — a file source would
     * re-ingest the full history as new input (double-counting), and the
     * atomic swap briefly unlinks the path. [[prune]] DELETES bucket
     * directories — safe only once the stream has processed past them

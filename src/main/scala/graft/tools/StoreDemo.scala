@@ -57,6 +57,15 @@ object StoreDemo {
     store.appendNewOnly("events", events)
     println(s"[demo] after appendNewOnly same batch: ${store("events").count()}")
 
+    // maintenance policy: compact only when small appended files pile up
+    val f0 = store.describe("EVENTS").files
+    val ran = store.compactIfNeeded("events", maxFiles = f0) // at threshold: no-op
+    val ran2 = store.compactIfNeeded("events", maxFiles = math.max(1, f0 / 2))
+    println(
+      s"[demo] compactIfNeeded: files=$f0 -> noop@maxFiles=$f0 (ran=$ran), " +
+        s"compacted@maxFiles=${math.max(1, f0 / 2)} (ran=$ran2, files now " +
+        s"${store.describe("EVENTS").files}, rows ${store("events").count()})")
+
     try store.write("bad key!", events)
     catch { case e: ItemKeyError => println(s"[demo] bad key rejected: ${e.getMessage}") }
     try Store.open(spark, baseDir, cols = Some(Seq("X" -> DoubleType)), index = Some("D"))

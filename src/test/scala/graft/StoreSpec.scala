@@ -308,6 +308,30 @@ class StoreSpec extends AnyFunSuite {
     assert(st2.rows == 0 && st2.minIndex.isEmpty && st2.maxIndex.isEmpty)
   }
 
+  test("compactIfNeeded: trips only past maxFiles, restores file count, rows unchanged") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100))
+    // grow the item via small appends until well past the threshold
+    (1 to 6).foreach(i => s.appendNewOnly("MSFT", bars(100 + i * 20)))
+    val before = s.describe("MSFT")
+    val rowsBefore = s("MSFT").collect().toSet
+    assert(!s.compactIfNeeded("MSFT", maxFiles = before.files + 1), "under threshold: no-op")
+    assert(s.describe("MSFT").files == before.files, "no-op must not touch files")
+    assert(s.compactIfNeeded("MSFT", maxFiles = before.files / 2), "over threshold: compacts")
+    val after = s.describe("MSFT")
+    // canonical floor for a month-bucketed item: one file per bucket
+    val buckets = s("MSFT").select(date_format(col("DATE"), "yyyy-MM")).distinct().count()
+    assert(after.files == buckets, s"expected $buckets files (one per bucket), got ${after.files}")
+    assert(after.files < before.files)
+    assert(after.rows == before.rows)
+    assert(s("MSFT").collect().toSet == rowsBefore, "compaction must not change data")
+    // the compacted layout still answers a pruned range query correctly
+    val t0 = Timestamp.valueOf("2015-02-01 00:00:00")
+    val t1 = Timestamp.valueOf("2015-03-01 00:00:00")
+    assert(s.query("MSFT", Some(t0), Some(t1)).count() == 29)
+  }
+
   /** Parquet files under `itemDir` whose index column lacks INT64
     * footer statistics in ANY row group — INT96 legacy timestamps (the
     * Spark default) have none, which silently disables row-group
