@@ -884,6 +884,92 @@ object LlmOps {
       (s, d) => annLsh(s, embeddings(s, d), LshBits, LshProbe),
       None
     ),
+    // Batch exact kNN: top-5 neighbors for EVERY query vector (the
+    // realistic similarity-search shape — a query SET, not one probe).
+    // The query side broadcasts; selection is a bounded-heap typed
+    // Aggregator ([[graft.functions.TopKAggregator]]) whose map-side
+    // partial aggregation reduces each partition to k candidates per
+    // query BEFORE the shuffle — O(partitions·k·q) exchanged rows where
+    // a row_number ranking window would shuffle and sort the full n×q
+    // candidate set. Exact and deterministic ⇒ fully oracle-checked.
+    Q(
+      "sim_knn_batch",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.{Scored, TopKAggregator}
+        val e = embeddings(s, d)
+        val queries = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+        val scored = e.filter(col("vec_id") % 100 =!= 0)
+          .crossJoin(broadcast(queries))
+          .select(
+            col("q_id").as("qId"),
+            CosineSimilarity.cosineSim(toDouble(col("embedding")), col("qv")).as("score"),
+            col("vec_id").as("vecId")
+          )
+          .as[Scored]
+        scored
+          .groupByKey(_.qId)
+          .agg(new TopKAggregator(5).toColumn.name("top"))
+          .toDF("q_id", "top")
+          .select(col("q_id"), posexplode(col("top.items")).as(Seq("pos0", "c")))
+          .select(
+            col("q_id"),
+            (col("pos0") + 1).cast("long").as("rank"),
+            col("c.vecId").as("vec_id"),
+            round(col("c.score"), 6).as("score")
+          )
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id % 100 = 0),
+          |c AS (SELECT q.q_id, e.vec_id,
+          |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+          |      FROM embeddings e, q WHERE e.vec_id % 100 <> 0),
+          |r AS (SELECT q_id, vec_id, s,
+          |        row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+          |      FROM c)
+          |SELECT q_id, rn AS rank, vec_id, round(s, 6) AS score
+          |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+      )
+    ),
+    // Document chunking: overlapping token windows (length 50, stride
+    // 40) — the standard pretraining / RAG preparation step that turns
+    // documents into model-sized passages. Shuffle-free at any scale:
+    // scan → split → generate (one row per window), no aggregation, no
+    // join; the oracle-mandated ORDER BY is the only exchange and a
+    // consumer drops it.
+    Q(
+      "text_chunk",
+      (s, d) => {
+        val chunkLen = 50
+        val stride = 40
+        documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(
+            col("doc_id"), col("toks"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+              .as(Seq("pos0", "start"))
+          )
+          .select(
+            col("doc_id"),
+            col("pos0").cast("long").as("chunk_id"),
+            size(slice(col("toks"), col("start") + 1, lit(chunkLen))).cast("long").as("n_tokens"),
+            concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkLen))).as("chunk")
+          )
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM t)
+          |SELECT doc_id, start // 40 AS chunk_id,
+          |       CAST(len(toks[start+1:start+50]) AS BIGINT) AS n_tokens,
+          |       array_to_string(toks[start+1:start+50], ' ') AS chunk
+          |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+      )
+    ),
     // Deterministic stratified sampling — downsample overrepresented
     // strata (here: language) with REPRODUCIBLE membership: a row is in
     // the sample iff md5(doc_id) mod 10k falls under its stratum's

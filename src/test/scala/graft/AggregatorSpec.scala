@@ -39,6 +39,39 @@ class AggregatorSpec extends AnyFunSuite {
     assert(windowed.exceptAll(agg).count() == 0)
   }
 
+  test("TopKAggregator: bounded buffer, deterministic under any reduce/merge order") {
+    import graft.functions.{Scored, TopKAggregator, TopKBuf}
+    val agg = new TopKAggregator(3)
+    val rnd = new scala.util.Random(7)
+    val items = (0 until 200).map(i => Scored(1L, rnd.nextInt(40) / 10.0, i.toLong))
+    val expected = items.sortBy(s => (-s.score, s.vecId)).take(3)
+    // sequential reduce in several shuffled orders
+    (0 until 5).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      val out = shuffled.foldLeft(agg.zero)(agg.reduce).items
+      assert(out == expected, s"order $seed diverged: $out")
+    }
+    // arbitrary partition splits + merges
+    (1 until 5).foreach { parts =>
+      val bufs = items.grouped(items.size / parts + 1)
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      assert(bufs.forall(_.items.size <= 3), "buffer must stay bounded at k")
+      val merged = bufs.foldLeft(TopKBuf(Vector.empty))(agg.merge).items
+      assert(merged == expected)
+    }
+    // merge with empty on either side
+    val one = agg.reduce(agg.zero, items.head)
+    assert(agg.merge(agg.zero, one) == one && agg.merge(one, agg.zero) == one)
+  }
+
+  test("sim_knn_batch: partial (map-side) top-k aggregation, no ranking window in the plan") {
+    val df = SparkEntry.queries("sim_knn_batch")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ranking window in plan — full n*q candidate sort:\n$plan")
+    assert(plan.contains("partial_topkaggregator"),
+      s"expected map-side partial TopKAggregator in plan:\n$plan")
+  }
+
   test("salted join equals plain inner join") {
     val orders = Tables.orders(spark, dir)
     val customer = Tables.customer(spark, dir)
