@@ -632,6 +632,54 @@ object LlmOps {
            |ORDER BY doc_a, doc_b""".stripMargin
       )
     ),
+    // Incremental (batch-vs-corpus) near-dup detection — the shape a
+    // daily ingestion pipeline actually runs: flag each ARRIVING doc
+    // (every 10th doc stands in for the new batch) whose n-gram Jaccard
+    // vs some EXISTING corpus doc is >= τ, without ever self-joining
+    // the corpus. Candidates: the new doc's ⌊(1−τ)·sz⌋+1 rarest
+    // shingles probe the corpus's full inverted index — complete for
+    // Jaccard >= τ (at most (1−τ)·sz of a's shingles can be missing
+    // from a qualifying partner, so some probe shingle is shared) —
+    // then the merge kernel verifies exactly. Scale: index the corpus
+    // once, probe per batch; probe-side shuffle is O(new batch), not
+    // O(corpus).
+    Q(
+      "dedup_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pNew = shinglePayloadOf(s, docs.filter(col("doc_id") % 10 === 0)).persist()
+        val pOld = shinglePayloadOf(s, docs.filter(col("doc_id") % 10 =!= 0)).persist()
+        val probe = rarePrefix(hashedInv(pNew), JaccardThreshold)
+          .select(col("doc_id").as("new_id"), col("h"))
+        val cand = probe
+          .join(hashedInv(pOld).select(col("doc_id").as("old_id"), col("h")), "h")
+          .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+          .distinct()
+        pairStats(s, cand, pNew.unionByName(pOld))
+          .withColumn("jacc_raw", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jacc_raw") >= JaccardThreshold)
+          .select(
+            col("doc_a").as("new_id"),
+            col("doc_b").as("corpus_id"),
+            round(col("jacc_raw"), 6).as("jacc")
+          )
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |        list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
+           |          i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS sh
+           |      FROM t WHERE len(toks) >= $ShingleK)
+           |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+           |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+           |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jacc
+           |FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+           |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
+           |ORDER BY new_id, corpus_id""".stripMargin
+      )
+    ),
     // Asymmetric containment near-dups: pairs where the SMALLER shingle
     // set is ≥ 90% contained in the other — catches sub-document
     // duplication (quotes, boilerplate inclusion, doc-within-doc) that
