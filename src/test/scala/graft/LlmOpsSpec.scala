@@ -174,6 +174,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_ngram plan: the index is never sort-merge-joined (df>=2 table broadcasts under AQE)") {
+    // sf0.1 on purpose: large enough that AQE's decisions are real, small
+    // enough for a unit test. The round-6 rewrite routes document
+    // frequencies through the df>=2 table only; if that table ever
+    // stopped broadcasting, the full hashed index would shuffle on
+    // shingle again — the round-5 hot spot this guards against.
+    val df = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.1")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join crept into dedup_ngram:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected AQE broadcast joins:\n$plan")
+  }
+
   test("dedup_clusters: transitive closure of the pair graph, cluster id = min member") {
     import spark.implicits._
     val pairs = SparkEntry.queries("dedup_ngram")(spark, dir)
