@@ -62,12 +62,15 @@ object Bench {
     // the samples and the min is the trustworthy number).
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     require(nSamples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $nSamples")
-    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (the
-    // driver never sets it, so the recorded headline set is unchanged)
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset — ANY
+    // registered query, not just the headline set (the driver never
+    // sets it, so the recorded headline set is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val allSamples = headline
-      .filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n)))
+    val selected = only match {
+      case Some(sel) => SparkEntry.queries.keys.toSeq.sorted.filter(sel.contains)
+      case None => headline.filter(SparkEntry.queries.contains)
+    }
+    val allSamples = selected
       .map { name =>
       val samples = (1 to nSamples).map { _ =>
         spark.catalog.clearCache()
