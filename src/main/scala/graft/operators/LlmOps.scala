@@ -1490,6 +1490,53 @@ object LlmOps {
           |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
       )
     ),
+    // Perplexity-proxy quality filter (CCNet-style): score each doc by
+    // its negative log-likelihood under the corpus's own unigram LM —
+    // the standard "drop gibberish / keep fluent text" pretraining
+    // gate, honest without a neural LM. Float-sum hazard avoided by
+    // construction: the ONE transcendental per term, ln(T/C(w)), is
+    // quantized to integer micro-nats (same single-ln + round
+    // cross-engine contract text_tfidf relies on), and everything
+    // per-doc is exact BIGINT arithmetic — order-free sums, exact
+    // threshold compare — so Spark's nondeterministic partial-agg
+    // order cannot move a hash bit. The (term → score) table is an
+    // aggregate of the token stream (vocabulary-sized): AQE broadcasts
+    // the join here; at extreme vocab it degrades to a shuffled join.
+    Q(
+      "text_quality_lm",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+        val c = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        val t = toks.agg(count(lit(1)).as("t"))
+        val r = c
+          .crossJoin(broadcast(t))
+          .select(
+            col("term"),
+            round(log(col("t").cast("double") / col("c").cast("double")) * lit(1000000.0), 0)
+              .cast("long").as("rmicro")
+          )
+        toks
+          .join(r, "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("rmicro")).as("nll_micro"))
+          .withColumn("keep", col("nll_micro") < lit(3402000L) * col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          |c AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+          |t AS (SELECT count(*) AS t FROM toks),
+          |r AS (SELECT term,
+          |        CAST(round(ln(CAST(t.t AS DOUBLE) / CAST(c.c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS rmicro
+          |      FROM c CROSS JOIN t)
+          |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(r.rmicro) AS BIGINT) AS nll_micro,
+          |       sum(r.rmicro) < 3402000 * count(*) AS keep
+          |FROM toks JOIN r USING (term)
+          |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin
+      )
+    ),
     // Benchmark decontamination: flag training documents sharing any
     // word-K-shingle with a held-out benchmark set (here: every 20th
     // doc stands in for the eval suite; production uses 13-grams of the
