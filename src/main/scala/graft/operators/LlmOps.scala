@@ -129,6 +129,78 @@ object LlmOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
 
+  /** IVF candidates for a query SET (every vec_id % 100 == 0): corpus
+    * vectors bucket-joined to the probed clusters of EACH query. Probe
+    * selection per query is the same bounded min-k aggregate the text
+    * prefix path uses (no ranking window); the query and probe tables
+    * are tiny and broadcast. Package-visible for the candidate-counting
+    * spec, like [[ivfCandidates]].
+    */
+  private[graft] def ivfBatchCandidates(
+      s: SparkSession, e0: DataFrame, centroids: Int, probes: Int): DataFrame = {
+    val e = e0.withColumn("emb", toDouble(col("embedding")))
+    val cents = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(centroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val corpus = e.filter(col("vec_id") % 100 =!= 0)
+    val assigned = corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qv"))
+    val probeC = queries
+      .crossJoin(broadcast(cents))
+      .select(
+        col("q_id"),
+        struct(
+          (-CosineSimilarity.cosineSim(col("qv"), col("cemb"))).as("negsim"),
+          col("cid")
+        ).as("p")
+      )
+      .groupBy("q_id")
+      .agg(slice(array_sort(collect_list(col("p"))), 1, probes).as("ps"))
+      .select(col("q_id"), explode(col("ps")).as("p"))
+      .select(col("q_id"), col("p.cid").as("cluster"))
+    corpus
+      .join(assigned, "vec_id")
+      .join(broadcast(probeC), "cluster")
+      .join(broadcast(queries), "q_id")
+  }
+
+  /** Batched IVF ANN: top-k per query over [[ivfBatchCandidates]] via
+    * the bounded-heap [[graft.functions.TopKAggregator]] — the full
+    * realistic shape at 100 TB: constant centroid broadcast, bucketed
+    * candidate equi-join, map-side partial top-k (never a global
+    * ranking window over n×q).
+    */
+  private[graft] def annIvfBatch(
+      s: SparkSession, e0: DataFrame, centroids: Int, probes: Int, k: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    ivfBatchCandidates(s, e0, centroids, probes)
+      .select(
+        col("q_id").as("qId"),
+        CosineSimilarity.cosineSim(col("emb"), col("qv")).as("score"),
+        col("vec_id").as("vecId")
+      )
+      .as[Scored]
+      .groupByKey(_.qId)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top.items")).as(Seq("pos0", "c")))
+      .select(
+        col("q_id"),
+        (col("pos0") + 1).cast("long").as("rank"),
+        col("c.vecId").as("vec_id"),
+        round(col("c.score"), 6).as("score")
+      )
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH candidate set for the query vector (vec_id 0): corpus vectors
     * whose `bits`-wide signed-random-projection code is within
     * `maxHamming` of the query's, with the query vector joined in for
@@ -930,6 +1002,16 @@ object LlmOps {
     Q(
       "sim_ann_lsh",
       (s, d) => annLsh(s, embeddings(s, d), LshBits, LshProbe),
+      None
+    ),
+    // Batched IVF ANN: approximate top-5 for EVERY query vector —
+    // sim_knn_batch's scale substitute when exact O(n·q) is too much:
+    // constant centroid broadcast, bucketed cluster equi-join, bounded
+    // top-k aggregation. Approximate ⇒ rows-only check; recall vs the
+    // exact sim_knn_batch is spec'd (LlmOpsSpec).
+    Q(
+      "sim_ann_batch",
+      (s, d) => annIvfBatch(s, embeddings(s, d), IvfCentroids, IvfProbes, 5),
       None
     ),
     // Batch exact kNN: top-5 neighbors for EVERY query vector (the

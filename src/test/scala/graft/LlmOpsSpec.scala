@@ -127,6 +127,28 @@ class LlmOpsSpec extends AnyFunSuite {
       f"(probing $probedBuckets/${1 << lshBits} buckets)")
     assert(lshRecall >= 0.8, f"LSH recall $lshRecall%.2f < 0.8")
     assert(lshFrac <= 0.25, f"LSH examined ${lshFrac * 100}%.1f%% of corpus — bucketing did not prune")
+
+    // batched IVF: per-query pruning over the whole query set (every
+    // vec_id % 100 == 0 — 21 queries spread across the clusters). The
+    // candidate fraction is measured against the FULL n×q exact-scan
+    // work a brute-force batch kNN would do.
+    val qIds = rows.map(_._1).filter(_ % 100 == 0)
+    val batchCand = LlmOps.ivfBatchCandidates(spark, emb, ivfCentroids, ivfProbes)
+    val batchFrac = batchCand.count().toDouble / (qIds.size.toLong * (rows.size - qIds.size))
+    val batchTop = LlmOps.annIvfBatch(spark, emb, ivfCentroids, ivfProbes, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val batchRecalls = qIds.map { q =>
+      val qv = rows.find(_._1 == q).get._2
+      val ex = rows.iterator.filter(r => r._1 % 100 != 0)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .toSeq.sortBy(p => (-p._2, p._1)).take(10).map(_._1).toSet
+      batchTop.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val batchAvg = batchRecalls.sum / batchRecalls.size
+    info(f"batched IVF avg recall=$batchAvg%.2f candidates=${batchFrac * 100}%.1f%% of n×q")
+    assert(batchAvg >= 0.8, f"batched IVF avg recall $batchAvg%.2f < 0.8")
+    assert(batchFrac <= 0.25, f"batched IVF examined ${batchFrac * 100}%.1f%% of n×q")
   }
 
   test("dedup_ngram / dedup_containment: exact vs in-test brute-force over shingle sets") {
@@ -172,6 +194,23 @@ class LlmOpsSpec extends AnyFunSuite {
     gotCont.zip(wantCont).foreach { case (g, w) =>
       assert(math.abs(g._4 - w._4) < 5e-7, s"cont mismatch on (${g._1},${g._2}): ${g._4} vs ${w._4}")
     }
+  }
+
+  test("sim_ann_batch: avg recall >= 0.8 vs exact sim_knn_batch, per query") {
+    import spark.implicits._
+    def topsByQuery(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topsByQuery("sim_knn_batch")
+    val approx = topsByQuery("sim_ann_batch")
+    assert(exact.keySet == approx.keySet, "every query must be answered")
+    val recalls = exact.map { case (q, ex) =>
+      approx(q).intersect(ex).size.toDouble / ex.size
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"batched IVF avg recall over ${recalls.size} queries: $avg%.2f")
+    assert(avg >= 0.8, f"avg recall $avg%.2f < 0.8")
   }
 
   test("dedup_ngram plan: the index is never sort-merge-joined (df>=2 table broadcasts under AQE)") {
