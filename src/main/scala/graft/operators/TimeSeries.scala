@@ -252,6 +252,78 @@ object TimeSeries {
           |FROM j ORDER BY event_type, slot""".stripMargin
       )
     ),
+    // Linear-interpolation upsampling — pandas' other resample fill
+    // (`resample().interpolate()`): empty grid slots take the straight
+    // line between the bracketing observations, v0 + (v1−v0)·(t−t0)/
+    // (t1−t0). Same plan shape as resample_ffill (one agg, grid
+    // explode, left join) plus TWO window passes — backward-looking
+    // last-known and forward-looking next-known, both key-partitioned
+    // on the series. The grid spans each series' [min, max] known slot,
+    // so every gap is bracketed and no extrapolation arises. Both
+    // engines evaluate the identical double expression on identical
+    // inputs (v0/v1 are exact round(max,2) anchors), so the rounded
+    // result is oracle-exact.
+    Q(
+      "resample_interp",
+      (s, d) => {
+        import graft.functions.MathFunctions.intDiv
+        val cellUs = lit(3600000000L)
+        val b = events(s, d)
+          .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
+          .agg(round(max(col("value")), 2).as("v"))
+          .persist() // read by both the grid derivation and the join
+        val g = b.groupBy("event_type")
+          .agg(min("slot").as("lo"), max("slot").as("hi"))
+          .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+        val back = Window.partitionBy("event_type").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy("event_type").orderBy("slot")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        g.join(b, Seq("event_type", "slot"), "left")
+          .withColumn("v0", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("s0", last(when(col("v").isNotNull, col("slot")), ignoreNulls = true).over(back))
+          .withColumn("v1", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("s1", first(when(col("v").isNotNull, col("slot")), ignoreNulls = true).over(fwd))
+          .withColumn(
+            "v_lin",
+            when(col("v").isNotNull, col("v")).otherwise(
+              round(
+                col("v0") + (col("v1") - col("v0"))
+                  * (col("slot") - col("s0")).cast("double")
+                  / (col("s1") - col("s0")).cast("double"),
+                6
+              )
+            )
+          )
+          .select("event_type", "slot", "v_lin")
+          .orderBy("event_type", "slot")
+      },
+      Some(
+        """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+          |             round(max(value), 2) AS v
+          |           FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM b GROUP BY 1),
+          |g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS slot FROM r),
+          |j AS (SELECT g.event_type, g.slot, b.v FROM g LEFT JOIN b USING (event_type, slot)),
+          |w AS (SELECT event_type, slot, v,
+          |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+          |  last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+          |    OVER (PARTITION BY event_type ORDER BY slot
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+          |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+          |  first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+          |    OVER (PARTITION BY event_type ORDER BY slot
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s1
+          |  FROM j)
+          |SELECT event_type, CAST(slot AS BIGINT) AS slot,
+          |  CASE WHEN v IS NOT NULL THEN v
+          |       ELSE round(v0 + (v1 - v0) * CAST(slot - s0 AS DOUBLE)
+          |                  / CAST(s1 - s0 AS DOUBLE), 6) END AS v_lin
+          |FROM w ORDER BY event_type, slot""".stripMargin
+      )
+    ),
     // Exponentially weighted moving average — a sequential per-series
     // recurrence (y = α·x + (1−α)·y_prev) no window frame expresses.
     // The distributed shape is the classic SECONDARY SORT: repartition
