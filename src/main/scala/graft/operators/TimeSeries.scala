@@ -324,6 +324,90 @@ object TimeSeries {
           |FROM w ORDER BY event_type, slot""".stripMargin
       )
     ),
+    // Rolling correlation between every pair of event-type series on
+    // the hourly grid — the classic quant co-movement screen. Same
+    // exact-integer-moments discipline as ts_zscore: per-slot anchors
+    // are integer cents, ALL window sums (n, Σx, Σy, Σx², Σy², Σxy) are
+    // exact BIGINT, variance gates are integer max>min per series, and
+    // the one double expression runs on integers < 2^53 (value ≤ ~561 ⇒
+    // cents ≤ 5.7e4, n·Σxy ≤ ~2e12), so every product/difference is
+    // EXACT in double and both engines emit identical bits before the
+    // final division. Windows are key-partitioned by the type pair.
+    Q(
+      "ts_rolling_corr",
+      (s, d) => {
+        import graft.functions.MathFunctions.intDiv
+        val cellUs = lit(3600000000L)
+        val b = events(s, d)
+          .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
+          .agg(round(max(col("value")) * 100, 0).cast("long").as("c"))
+        val pairs = b.as("x")
+          .join(
+            b.as("y"),
+            col("x.slot") === col("y.slot") && col("x.event_type") < col("y.event_type")
+          )
+          .select(
+            col("x.event_type").as("type_x"), col("y.event_type").as("type_y"),
+            col("x.slot").as("slot"), col("x.c").as("cx"), col("y.c").as("cy")
+          )
+        val w = Window.partitionBy("type_x", "type_y").orderBy("slot").rowsBetween(-23, 0)
+        val e = pairs
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("cx")).over(w))
+          .withColumn("sy", sum(col("cy")).over(w))
+          .withColumn("sxx", sum(col("cx") * col("cx")).over(w))
+          .withColumn("syy", sum(col("cy") * col("cy")).over(w))
+          .withColumn("sxy", sum(col("cx") * col("cy")).over(w))
+          .withColumn("xmx", max(col("cx")).over(w))
+          .withColumn("xmn", min(col("cx")).over(w))
+          .withColumn("ymx", max(col("cy")).over(w))
+          .withColumn("ymn", min(col("cy")).over(w))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+        val sxyD = col("sxy").cast("double")
+        e.select(
+          col("type_x"), col("type_y"), col("slot"), col("n").as("n_window"),
+          when(
+            col("n") >= 2 && col("xmx") > col("xmn") && col("ymx") > col("ymn"),
+            round(
+              (nD * sxyD - sxD * syD)
+                / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)),
+              6
+            )
+          ).as("corr")
+        ).orderBy("type_x", "type_y", "slot")
+      },
+      Some(
+        """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+          |             CAST(round(max(value) * 100, 0) AS BIGINT) AS c
+          |           FROM events GROUP BY 1, 2),
+          |p AS (SELECT x.event_type AS type_x, y.event_type AS type_y,
+          |             x.slot AS slot, x.c AS cx, y.c AS cy
+          |      FROM b x JOIN b y ON x.slot = y.slot AND x.event_type < y.event_type),
+          |w AS (SELECT type_x, type_y, slot,
+          |  count(*) OVER win AS n,
+          |  sum(cx) OVER win AS sx, sum(cy) OVER win AS sy,
+          |  sum(cx * cx) OVER win AS sxx, sum(cy * cy) OVER win AS syy,
+          |  sum(cx * cy) OVER win AS sxy,
+          |  max(cx) OVER win AS xmx, min(cx) OVER win AS xmn,
+          |  max(cy) OVER win AS ymx, min(cy) OVER win AS ymn
+          |  FROM p
+          |  WINDOW win AS (PARTITION BY type_x, type_y ORDER BY slot
+          |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+          |SELECT type_x, type_y, CAST(slot AS BIGINT) AS slot,
+          |  CAST(n AS BIGINT) AS n_window,
+          |  CASE WHEN n >= 2 AND xmx > xmn AND ymx > ymn THEN
+          |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |  END AS corr
+          |FROM w ORDER BY type_x, type_y, slot""".stripMargin
+      )
+    ),
     // Exponentially weighted moving average — a sequential per-series
     // recurrence (y = α·x + (1−α)·y_prev) no window frame expresses.
     // The distributed shape is the classic SECONDARY SORT: repartition
