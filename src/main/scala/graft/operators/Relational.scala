@@ -891,6 +891,16 @@ object Relational {
       "fn_math",
       (s, d) =>
         lineitem(s, d)
+          // sort FIRST, compute AFTER: the range exchange then carries
+          // only the narrow input columns and the projection runs post-
+          // shuffle (order preserved by the project) — the computed row
+          // is ~1.5x wider than the input row, so projecting before the
+          // sort would shuffle that width for no reason
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"), col("l_quantity")
+          )
+          .orderBy("l_orderkey", "l_linenumber")
           .select(
             col("l_orderkey"), col("l_linenumber"),
             // 6dp: inputs are 2dp-aligned so the exact product sits ON the
@@ -903,8 +913,7 @@ object Relational {
             round(log(lit(1) + col("l_extendedprice")), 6).as("lnp"),
             round(sqrt(col("l_quantity")), 6).as("sq"),
             round(pow(col("l_discount"), 2), 8).as("d2")
-          )
-          .orderBy("l_orderkey", "l_linenumber"),
+          ),
       Some(
         """SELECT l_orderkey, l_linenumber,
           |       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
