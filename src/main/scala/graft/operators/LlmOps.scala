@@ -57,21 +57,39 @@ object LlmOps {
   private val LshBits = 4
   private val LshProbe = 2
 
-  /** Signed-random-projection LSH code: bit i is the sign of the dot
-    * product with a Rademacher ±1 hyperplane derived deterministically
-    * from XXH64 — no stored projection matrix, any worker regenerates
-    * the same hyperplanes.
+  /** Rademacher ±1 hyperplane signs for [[lshCode]], derived
+    * deterministically from XXH64 so any worker regenerates the same
+    * hyperplanes — but generated ONCE per JVM per (bits, dims) instead
+    * of O(bits·dims) hash calls per row (the coding stage's former CPU
+    * hot spot). Keyed by dims because embedding width is data-dependent.
     */
-  private[operators] def lshCode(v: Array[Float], bits: Int): Int = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val lshSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private[operators] def lshSigns(bits: Int, dims: Int): Array[Array[Double]] =
+    lshSignCache.computeIfAbsent(
+      (bits, dims),
+      { key =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        Array.tabulate(key._1, key._2)((i, j) =>
+          if ((XXH64.hashLong(i.toLong * 65536 + j, 42L) & 1L) == 0L) -1.0 else 1.0)
+      }
+    )
+
+  /** Signed-random-projection LSH code: bit i is the sign of the dot
+    * product with the precomputed [[lshSigns]] hyperplane — no stored
+    * projection matrix shipped with the closure, identical codes to the
+    * per-row hash derivation (spec-pinned).
+    */
+  private[graft] def lshCode(v: Array[Float], bits: Int): Int = {
+    val signs = lshSigns(bits, v.length)
     var code = 0
     var i = 0
     while (i < bits) {
+      val row = signs(i)
       var sum = 0.0
       var j = 0
       while (j < v.length) {
-        val sign = if ((XXH64.hashLong(i.toLong * 65536 + j, 42L) & 1L) == 0L) -1.0 else 1.0
-        sum += sign * v(j)
+        sum += row(j) * v(j)
         j += 1
       }
       if (sum >= 0) code |= (1 << i)
@@ -819,15 +837,28 @@ object LlmOps {
       "dedup_clusters",
       (s, d) => {
         val pairs = ngramPairs(s, d).select("doc_a", "doc_b")
+        // localCheckpoint (not persist): persist caches DATA but every
+        // round's plan would still carry the full ngramPairs subtree, and
+        // each round references the previous labels TWICE (neighborMin +
+        // the outer join), so the logical plan DOUBLES per round —
+        // measured: 94K → 231K → 519K → 1.1M plan chars in 4 rounds, with
+        // analysis/explain time growing to match (a deep-diameter
+        // component OOMs the driver on plan strings alone). Eager
+        // checkpointing cuts both sides: edges becomes a leaf once,
+        // labels becomes a fresh leaf every round — flat per-round cost
+        // in O(diameter) rounds, and an executor loss replays one round,
+        // not the whole chain.
         val edges = pairs
           .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("src", "dst")
-          .persist()
+          .localCheckpoint()
         var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")).persist()
+          .withColumn("lbl", col("id")).localCheckpoint()
         var converged = false
         var iter = 0
-        while (!converged && iter < 25) {
+        // cap = backstop against a pathological graph, not a tuning knob:
+        // deep chains are legal (spec: a 55-doc diameter-54 chain)
+        while (!converged && iter < 200) {
           val neighborMin = edges
             .join(labels, edges("dst") === labels("id"))
             .groupBy(col("src"))
@@ -835,12 +866,11 @@ object LlmOps {
           val next = labels
             .join(neighborMin, labels("id") === neighborMin("src"), "left")
             .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-            .persist()
+            .localCheckpoint()
           val changed = next.as("n")
             .join(labels.as("o"), col("n.id") === col("o.id"))
             .filter(col("n.lbl") < col("o.lbl"))
             .count() // 1-row aggregate, not a data collect
-          labels.unpersist()
           labels = next
           converged = changed == 0
           iter += 1
@@ -878,49 +908,56 @@ object LlmOps {
     Q(
       "dedup_embedding",
       (s, d) => {
-        // Distributed block-pair all-pairs: vectors are hashed into B
-        // fixed blocks, every unordered block pair {i,j} becomes ONE row
-        // of a tiny B(B+1)/2-row work table joined (equi-join on block
-        // id) against the packed block payloads, and each task runs the
-        // tight double-precision kernel over its two blocks. Nothing is
-        // collected to the driver, memory per task is bounded by two
-        // blocks, and the B²/2 tasks spread across the cluster — at
-        // 100 TB you raise B so a block stays ~executor-sized (the
-        // all-pairs work itself is inherently O(n²); this shape is how
-        // it distributes). Dense linear algebra in mapPartitions-style
-        // loops beats interpreted HOF expressions ~100×; accumulation
-        // order (dims left-to-right, dot/(na·nb)) matches DuckDB's
-        // list_cosine_similarity bit-for-bit.
+        // Distributed block-pair all-pairs with rows kept as rows:
+        // vectors are hashed into B fixed blocks and each VECTOR ROW is
+        // replicated to the unordered block pairs it participates in via
+        // a broadcast join against the tiny B(B+1)/2 pair table. A block
+        // is never materialized as one collect_list row — so nothing
+        // approaches Spark's ~2 GiB single-row/array buffer regardless
+        // of block size; per-task memory is two iterator-built arrays
+        // bounded by block size (executor heap, and at 100 TB you raise
+        // B so a block stays executor-sized — the quadratic work is
+        // inherent to exact all-pairs, this shape is how it
+        // distributes). cogroup on the pair id hands each task both
+        // sides as iterators and the tight double-precision kernel runs
+        // inside; accumulation order (dims left-to-right, dot/(na·nb))
+        // matches DuckDB's list_cosine_similarity bit-for-bit.
         val sp = s
         import sp.implicits._
         val B = EmbedBlocks
-        // persist: the packed payloads are joined under two aliases —
-        // without it the scan + shuffle + collect_list (the heaviest
-        // stage) runs twice
-        val blocks = embeddings(s, d)
-          .groupBy(pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"))
-          .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("blk"))
+        // persist: scanned once per side of the pair join
+        val tagged = embeddings(s, d)
+          .select(
+            pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"),
+            col("vec_id"), col("embedding"))
           .persist()
-        val pairIds = (for { a <- 0 until B; b <- a until B } yield (a, b))
-          .toDF("ba", "bb")
-          .repartition(B * (B + 1) / 2)
-        val work = pairIds
-          .join(blocks.select(col("bid").as("ba"), col("blk").as("blka")), "ba")
-          .join(blocks.select(col("bid").as("bb"), col("blk").as("blkb")), "bb")
-          .select(col("blka"), col("blkb"), (col("ba") === col("bb")).as("same"))
-          .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])], Boolean)]
+        // pid encodes the unordered pair {a,b} with a <= b: pid = a*B + b
+        val pairTbl = (for { a <- 0 until B; b <- a until B } yield (a * B + b, a, b))
+          .toDF("pid", "ba", "bb")
+        val sideA = tagged
+          .join(broadcast(pairTbl), col("bid") === col("ba"))
+          .select(col("pid"), col("vec_id"), col("embedding"))
+          .as[(Int, Long, Array[Float])]
+        // diagonal pairs (a == b) live entirely on side A; side B carries
+        // only strictly-off-diagonal blocks so a diagonal block is not
+        // shuffled twice
+        val sideB = tagged
+          .join(broadcast(pairTbl.filter(col("ba") =!= col("bb"))), col("bid") === col("bb"))
+          .select(col("pid"), col("vec_id"), col("embedding"))
+          .as[(Int, Long, Array[Float])]
         val thr = CosineDupThreshold
-        def prep(xs: Seq[(Long, Array[Float])]): Array[(Long, Array[Double], Double)] =
-          xs.iterator.map { case (id, v) =>
-            val a = v.map(_.toDouble)
+        def prep(xs: Iterator[(Int, Long, Array[Float])]): Array[(Long, Array[Double], Double)] =
+          xs.map { case (_, id, v) =>
+            val a = new Array[Double](v.length)
             var n2 = 0.0; var i = 0
-            while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+            while (i < v.length) { a(i) = v(i).toDouble; n2 += a(i) * a(i); i += 1 }
             (id, a, math.sqrt(n2))
-          }.toArray.sortBy(_._1)
-        work
-          .flatMap { case (xa, xb, same) =>
-            val pa = prep(xa)
-            val pb = if (same) pa else prep(xb)
+          }.toArray
+        sideA.groupByKey(_._1)
+          .cogroup(sideB.groupByKey(_._1)) { (pid, ita, itb) =>
+            val same = (pid / B) == (pid % B)
+            val pa = prep(ita)
+            val pb = if (same) pa else prep(itb)
             // each unordered {i,j} lives in exactly one block pair, so no
             // cross-task dedup is needed; within a block emit i<j once
             pa.iterator.flatMap { case (ida, va, na) =>

@@ -16,11 +16,18 @@ class LlmOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   val dir = "/root/testdata/sf0.001"
 
-  test("dedup_embedding: distributed plan (no cartesian product) and exact results") {
+  test("dedup_embedding: distributed plan (no cartesian product, no block-as-one-row) and exact results") {
     import spark.implicits._
     val df = SparkEntry.queries("dedup_embedding")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+    // a block must never be materialized as a single collect_list row —
+    // that row hits Spark's ~2 GiB buffer long before executor memory
+    // does (the round-6 verdict's scale-killer); rows stay rows through
+    // the pair-table join and the kernel consumes iterators
+    assert(
+      !plan.toLowerCase.contains("collect_list"),
+      s"full-block collect_list crept back into dedup_embedding:\n$plan")
 
     // exact brute-force oracle computed here, in the test, over the same
     // vectors — the operator itself never materializes the table to the
@@ -219,11 +226,77 @@ class LlmOpsSpec extends AnyFunSuite {
     // frequencies through the df>=2 table only; if that table ever
     // stopped broadcasting, the full hashed index would shuffle on
     // shingle again — the round-5 hot spot this guards against.
-    val df = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.1")
-    df.write.mode("overwrite").format("noop").save()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"), s"sort-merge join crept into dedup_ngram:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"expected AQE broadcast joins:\n$plan")
+    assume(
+      java.nio.file.Files.exists(java.nio.file.Paths.get("/root/testdata/sf0.1")),
+      "sf0.1 fixture not present on this machine")
+    // pin the threshold the assertion depends on — a session/default drift
+    // must not turn a config change into a phantom plan regression
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, 10L * 1024 * 1024)
+    try {
+      val df = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.1")
+      df.write.mode("overwrite").format("noop").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"sort-merge join crept into dedup_ngram:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"expected AQE broadcast joins:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("lshSigns: precomputed sign matrix yields codes identical to per-element hash derivation") {
+    import graft.operators.LlmOps
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // the per-row derivation lshCode used through round 6 — pinned here so
+    // the cached-matrix rewrite provably changes no code
+    def reference(v: Array[Float], bits: Int): Int = {
+      var code = 0
+      var i = 0
+      while (i < bits) {
+        var sum = 0.0
+        var j = 0
+        while (j < v.length) {
+          val sign = if ((XXH64.hashLong(i.toLong * 65536 + j, 42L) & 1L) == 0L) -1.0 else 1.0
+          sum += sign * v(j)
+          j += 1
+        }
+        if (sum >= 0) code |= (1 << i)
+        i += 1
+      }
+      code
+    }
+    val rnd = new scala.util.Random(7)
+    for (bits <- Seq(4, 5, 8); dim <- Seq(8, 16, 64); _ <- 0 until 20) {
+      val v = Array.fill(dim)((rnd.nextGaussian()).toFloat)
+      assert(LlmOps.lshCode(v, bits) == reference(v, bits), s"bits=$bits dim=$dim")
+    }
+  }
+
+  test("dedup_clusters: deep-diameter chain (55 docs, diameter 54) converges with truncated lineage") {
+    import spark.implicits._
+    // sliding-window corpus: doc i = words[i .. i+19] over a globally
+    // unique word stream, so consecutive docs share 15 of 17 5-shingles
+    // (Jaccard 0.88 >= 0.8) while docs 2 apart share 14/18 = 0.78 < 0.8 —
+    // the pair graph is exactly a path, the worst case for min-label
+    // propagation (O(n) rounds). Without localCheckpoint the plan nests
+    // 54 joins deep and analysis time blows up with depth; with it each
+    // round is flat.
+    val nDocs = 55; val win = 20
+    val words = Array.tabulate(nDocs + win)(i => s"w$i")
+    val docs = (0 until nDocs).map { i =>
+      (i.toLong, words.slice(i, i + win).mkString(" "), "en", 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    docs.toDF("doc_id", "text", "lang", "ts").write.parquet(s"$tmp/documents.parquet")
+    // sanity: the pair graph really is the 54-edge path
+    val pairs = SparkEntry.queries("dedup_ngram")(spark, tmp)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs == (0L until (nDocs - 1).toLong).map(i => (i, i + 1)), s"pair graph not a path: $pairs")
+    val t0 = System.nanoTime()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    info(f"54-round propagation took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(clusters == (0 until nDocs).map(i => i.toLong -> 0L).toMap,
+      "every doc on the chain must join cluster 0")
   }
 
   test("dedup_clusters: transitive closure of the pair graph, cluster id = min member") {
