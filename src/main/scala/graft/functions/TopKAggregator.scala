@@ -19,13 +19,22 @@ case class TopKBuf(items: Seq[Scored])
   * Deterministic under any reduce/merge order: candidates are kept
   * under the total order (score DESC, vecId ASC) — vecIds are unique,
   * so ties cannot reorder — which is also the output order (rank 1
-  * first).
+  * first). Scores compare via java.lang.Double.compare, whose NaN-total
+  * order keeps `better` a strict weak order even if a degenerate
+  * embedding (zero norm → cosine 0/0 = NaN) enters: primitive `>` is
+  * false BOTH ways against NaN, which would make placement
+  * insertion-order dependent and the oracle-checked output
+  * nondeterministic. Under Double.compare, NaN sorts as the largest
+  * score, surfacing the degenerate input at rank 1 instead of hiding it
+  * somewhere order-dependent.
   */
 class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   require(k > 0, "k must be positive")
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.vecId < b.vecId)
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.vecId < b.vecId)
+  }
 
   override def zero: TopKBuf = TopKBuf(Vector.empty)
 

@@ -98,6 +98,16 @@ object Store {
     * `chunkRows` caps rows per written Parquet file — the reference pins
     * 1 M-row sorted chunks (store.py:27, applied store.py:174) so
     * row-group min/max stats stay uniformly selective; same default.
+    *
+    * SESSION-WIDE SIDE EFFECT: open pins
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` for the
+    * whole SparkSession (rationale at [[Store#requireMicrosTimestamps]]).
+    * Every later parquet write in the session — including ones that
+    * never touch this store — emits INT64-micros timestamps instead of
+    * Spark's INT96 default. That is a strict improvement for stats and
+    * pruning, but consumers that expected INT96 (e.g. pandas readers
+    * treating INT96 as tz-naive) will see tz-aware µs timestamps; set
+    * the conf back per write if a downstream truly requires INT96.
     */
   def open(
       spark: SparkSession,
@@ -262,7 +272,10 @@ class Store private[sources] (
     * (A scoped set-and-restore swap per write is NOT safe: two
     * concurrent writes — e.g. a resident [[ingestStream]] racing a batch
     * [[append]] — can interleave set/restore and leave one write running
-    * under INT96.)
+    * under INT96.) The guard is check-then-write, not atomic: it NARROWS
+    * the window to a conf change landing between this check and the
+    * parquet action, it cannot close it — post-write footer verification
+    * (as StoreSpec does) is the airtight check.
     */
   private def requireMicrosTimestamps(): Unit = {
     val v = spark.conf.getOption(TimestampTypeKey).getOrElse("")
@@ -652,6 +665,40 @@ class Store private[sources] (
       deleteRecursively(trash)
     }
     expired.size.toLong
+  }
+
+  /** Crash-recovery sweep, finishing the atomicity story of
+    * [[append]]/[[compact]]/[[drop]]/[[prune]]: those ops stage
+    * `*.tmp-*` (new data being written) and `*.old-*` (replaced data
+    * awaiting delete) dirs under `.staging` and a kill between the
+    * atomic swap and the final delete leaks them forever — invisible to
+    * readers (staging lives outside items/) but occupying storage.
+    * Every staged dir is an orphan the moment no op is running: `tmp`
+    * never made it live, `old` was already replaced. `olderThanMillis`
+    * (lastModified-based) is the guard for fleets where ANOTHER writer
+    * may have an op in flight — sweep only dirs older than the longest
+    * plausible write. Returns the number of dirs removed.
+    */
+  def vacuum(olderThanMillis: Long = 0L): Long = {
+    require(olderThanMillis >= 0, "olderThanMillis must be >= 0")
+    val staging = base.resolve(".staging")
+    if (!Files.exists(staging)) return 0L
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val orphans: Seq[Path] = {
+      val s = Files.list(staging)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter { d =>
+            val n = d.getFileName.toString
+            (n.contains(".tmp-") || n.contains(".old-")) &&
+            Files.getLastModifiedTime(d).toMillis <= cutoff
+          }
+          .toVector
+      } finally s.close()
+    }
+    orphans.foreach(deleteRecursively)
+    orphans.size.toLong
   }
 
   /** Streaming ingestion into one item — the 24/7 form of the

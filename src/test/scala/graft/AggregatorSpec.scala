@@ -62,6 +62,19 @@ class AggregatorSpec extends AnyFunSuite {
     // merge with empty on either side
     val one = agg.reduce(agg.zero, items.head)
     assert(agg.merge(agg.zero, one) == one && agg.merge(one, agg.zero) == one)
+
+    // NaN scores (zero-norm embedding → cosine 0/0) must not break the
+    // total order: Double.compare places NaN as the LARGEST score, so
+    // the result is identical under every insertion order rather than
+    // insertion-order dependent (primitive > is false both ways vs NaN)
+    val withNaN = items.take(20) :+ Scored(1L, Double.NaN, 999L)
+    val nanExpected = withNaN.foldLeft(agg.zero)(agg.reduce).items
+    assert(nanExpected.head.vecId == 999L, "NaN must surface at rank 1, not hide")
+    (0 until 5).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(withNaN)
+      assert(shuffled.foldLeft(agg.zero)(agg.reduce).items == nanExpected,
+        s"NaN order $seed diverged")
+    }
   }
 
   test("sim_knn_batch: partial (map-side) top-k aggregation, no ranking window in the plan") {

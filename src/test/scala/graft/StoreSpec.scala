@@ -463,6 +463,36 @@ class StoreSpec extends AnyFunSuite {
     assert(s("AAA").count() == 50)
   }
 
+  test("vacuum: sweeps crash-orphaned .staging dirs, items untouched") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("AAA", bars(200))
+    // simulate a kill between stagedOverwrite's atomic swap and the
+    // final delete: orphaned tmp- and old- dirs (with content) linger
+    val staging = java.nio.file.Paths.get(dir, ".staging")
+    Files.createDirectories(staging)
+    for (n <- Seq("AAA.tmp-dead-beef", "AAA.old-cafe-f00d")) {
+      val d = staging.resolve(n)
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    }
+    // reopen (crash-recovery shape) and sweep
+    val reopened = Store.open(spark, dir)
+    assert(reopened.vacuum() == 2L)
+    val left = { val l = Files.list(staging); try l.count() finally l.close() }
+    assert(left == 0L, ".staging must be empty after vacuum")
+    assert(reopened("AAA").count() == 200, "live item must be untouched")
+    // age guard: a fresh orphan survives a vacuum scoped to older dirs
+    val fresh = staging.resolve("AAA.tmp-in-flight")
+    Files.createDirectories(fresh)
+    assert(reopened.vacuum(olderThanMillis = 60000L) == 0L)
+    assert(Files.exists(fresh), "in-flight staging dir must survive an age-scoped vacuum")
+    assert(reopened.vacuum() == 1L)
+    // no staging dir at all: no-op
+    val bare = Store.open(spark, tmpDir())
+    assert(bare.vacuum() == 0L)
+  }
+
   test("key validation (reference :71-82)") {
     val s = Store.open(spark, tmpDir())
     for (bad <- Seq("", "a b", "a/b", "a$b", "ключ", "a\nb", "a:b"))
