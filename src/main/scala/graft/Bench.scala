@@ -31,6 +31,19 @@ object Bench {
     "sim_cosine_topk", "sim_ann_ivf", "stream_tumbling"
   )
 
+  /** Round-5/6 operators promoted into the per-round regression gate.
+    * Reported in a separate `"extended"` JSON section: BASELINE.md
+    * predates these ops, so they gate round-over-round (BENCH_rN vs
+    * BENCH_rN-1), never against the baseline total — which is why they
+    * must NOT fold into `headline`/`"queries"`/`"value"`.
+    */
+  val extended: Seq[String] = Seq(
+    "dedup_containment", "dedup_incremental", "sim_knn_batch", "sim_ann_batch",
+    "text_chunk", "text_quality_lm", "resample_ffill", "resample_interp",
+    "ts_zscore", "ts_diff", "ts_ewma", "ts_rolling_corr",
+    "win_rolling_time", "sessionize"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,14 +77,18 @@ object Bench {
     require(nSamples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $nSamples")
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset — ANY
     // registered query, not just the headline set (the driver never
-    // sets it, so the recorded headline set is unchanged)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(sel) => SparkEntry.queries.keys.toSeq.sorted.filter(sel.contains)
-      case None => headline.filter(SparkEntry.queries.contains)
+    // sets it, so the recorded headline set is unchanged). Unknown names
+    // fail fast (a typo must not yield a silently partial run) and the
+    // requested order is preserved.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    only.foreach { sel =>
+      val unknown = sel.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
-    val allSamples = selected
-      .map { name =>
+
+    def timeSet(names: Seq[String]): Seq[(String, Seq[Double])] = names.map { name =>
       val samples = (1 to nSamples).map { _ =>
         spark.catalog.clearCache()
         System.gc()
@@ -87,8 +104,15 @@ object Bench {
           samples.map(v => f"$v%.3f").mkString("[", ",", "]"))
       name -> samples
     }
+
+    val allSamples = timeSet(only.getOrElse(headline.filter(SparkEntry.queries.contains)))
+    // the extended set rides the same run but lands in its own JSON
+    // section; a BENCH_ONLY subset run skips it like it skips the store
+    val extSamples =
+      if (only.isDefined) Seq.empty else timeSet(extended.filter(SparkEntry.queries.contains))
     val results = allSamples.map { case (n, ss) => n -> ss.min }
-    val contaminated = allSamples.filter { case (_, ss) => ss.max / ss.min > 2.0 }
+    val extResults = extSamples.map { case (n, ss) => n -> ss.min }
+    val contaminated = (allSamples ++ extSamples).filter { case (_, ss) => ss.max / ss.min > 2.0 }
     if (contaminated.nonEmpty)
       System.err.println(
         s"[bench] WARNING: high sample spread (ambient load?) on: " +
@@ -123,11 +147,18 @@ object Bench {
     val qs = (results ++ storeResults)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spreads = allSamples
+    val spreads = (allSamples ++ extSamples)
       .map { case (k, ss) => "\"" + k + "\":" + f"${ss.max / ss.min}%.2f" }
       .mkString("{", ",", "}")
+    val ext = extResults
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // "value"/"queries" stay the BASELINE.md-comparable headline+store
+    // set; the extended ops report separately so the baseline ratio is
+    // never diluted by ops the baseline predates
     val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    val extTotal = f"${extResults.map(_._2).sum}%.3f"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"sf":"$sfDir"}"""
     println(line)
     // also emit on the raw fd: under `sbt runMain` the in-process
     // System.out is wrapped by sbt's logger, which prefixes "[info] " —
