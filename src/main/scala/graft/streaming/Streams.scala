@@ -87,16 +87,25 @@ object Streams {
     s.table(name)
   }
 
+  /** The tumbling aggregation itself, source-agnostic: 1-hour windows
+    * per event_type under a 10-minute watermark. Shared by the
+    * memory-sink registered query below and the file-sink spec drive
+    * (StreamsSpec) — the 24/7 shape writes this through a parquet sink
+    * in append mode, where a window emits once the watermark passes it.
+    */
+  private[graft] def tumblingAggOn(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+
   /** Tumbling 1-hour windows per event_type with a 10-minute watermark.
     * Complete mode so the tail windows (beyond the final watermark) are
     * present — that makes the result equal to the batch computation,
     * which the spec asserts.
     */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val agg = tumblingAggOn(eventsStream(s, dir))
     runToBatch(s, agg, "complete")
       .select(
         col("window.start").as("w_start"),

@@ -225,6 +225,48 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.filter(col("z").isNotNull).count() > 0)
   }
 
+  test("stream_tumbling: parquet sink (append mode) emits every window once the watermark passes") {
+    // The registered query verifies through a memory sink in complete
+    // mode, which materializes on the driver — fine as a harness, but
+    // the 24/7 shape is a FILE sink, which only supports append mode:
+    // a window emits exactly once, when the watermark passes its end.
+    // To flush the tail windows at end-of-input, a far-future sentinel
+    // event (staged as the LAST file) pushes the watermark past every
+    // real window; the sentinel's own window never closes, so it never
+    // pollutes the sink. Result must equal the memory-sink run = batch.
+    val work = JFiles.createTempDirectory("graft-trec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val ev = Tables.events(spark, dir).select("ts", "event_type", "value")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+    val parts = Seq(
+      ev.filter(expr(s"unix_micros(ts) < $mid")),
+      ev.filter(expr(s"unix_micros(ts) >= $mid")))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    import spark.implicits._
+    Seq((new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000), "__sentinel", 0.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$stage/b2")
+    stampMtime(s"$stage/b2", 1000000L + 300)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    runStaged(stage, out, chk, schema,
+      df => Streams.tumblingAggOn(df)
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value")),
+      killEarly = false)
+    val streamed = spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
+    val viaMemory = Streams.tumbling(spark, dir)
+    assert(streamed.count() == viaMemory.count(),
+      "file sink must emit each window exactly once, tail windows included")
+    assert(streamed.exceptAll(viaMemory).count() == 0)
+    assert(viaMemory.exceptAll(streamed).count() == 0)
+  }
+
   test("stream_minhash_dedup: killed mid-stream, checkpoint restart keeps bucket claimants (equals batch)") {
     import spark.implicits._
     import graft.functions.TextKernels
