@@ -631,6 +631,15 @@ object LlmOps {
         // persist: the signature table feeds the band-key explode plus
         // both sides of the verify payload join
         val sigs = minhashSigs(s, d).persist()
+        // distinct() after the band join is deliberate: a first-match-only
+        // variant (carry the full bkeys array on both sides, keep a pair
+        // only at its first matching band) was measured SLOWER at sf0.1
+        // (0.84 vs 0.60 s) AND at the 10x clone stress (8.0 vs 4.7 s) —
+        // the join still produces every duplicate match before the filter,
+        // so it saves only the distinct exchange while paying Bands× wider
+        // shuffle inputs + a 28-comparison predicate per joined row.
+        // (PLANS.md "first-match-only candidate emission" for the
+        // experiment; the simhash variant lost even harder at 100x.)
         val bandsDf = sigs.select(col("doc_id"), explode(col("bkeys")).as("bkey"))
         val cand = bandsDf
           .as("x")
@@ -680,6 +689,15 @@ object LlmOps {
             struct(lit(c).as("c"), shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
           }: _*)).as("chunk")
         )
+        // distinct() is deliberate, NOT a 4x-duplicate tax: Catalyst
+        // pushes the hamming<=3 filter below the aggregate AND into the
+        // chunk-bucket join condition, so the distinct only ever shuffles
+        // true near-dup pairs (tiny). A first-match-only variant ("no
+        // earlier chunk equal" as a post-join predicate) was measured
+        // 6.5x SLOWER at the 100x stress (578 vs 89 s): the predicate
+        // lands ahead of the cheap killer conditions inside the join and
+        // every bucket-probe match pays the full chain. (PLANS.md
+        // "first-match-only candidate emission" for the experiment.)
         chunks
           .as("x")
           .join(
