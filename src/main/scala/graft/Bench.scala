@@ -41,7 +41,8 @@ object Bench {
     "dedup_containment", "dedup_incremental", "sim_knn_batch", "sim_ann_batch",
     "text_chunk", "text_quality_lm", "resample_ffill", "resample_interp",
     "ts_zscore", "ts_diff", "ts_ewma", "ts_rolling_corr",
-    "win_rolling_time", "sessionize"
+    "win_rolling_time", "sessionize",
+    "bpe_pair_counts", "corpus_sources"
   )
 
   def main(args: Array[String]): Unit = {

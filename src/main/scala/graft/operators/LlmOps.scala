@@ -1447,6 +1447,70 @@ object LlmOps {
           |FROM o ORDER BY doc_id""".stripMargin
       )
     ),
+    // BPE tokenizer-training statistic: corpus-wide adjacent character
+    // pair counts, the quantity each BPE merge iteration maximizes. The
+    // 100 TB shape is the VOCAB-FIRST reduction real BPE trainers use:
+    // collapse the corpus to (word, freq) — Heaps'-law sized, orders of
+    // magnitude smaller than the token stream — THEN expand each
+    // distinct word once into its character pairs weighted by freq.
+    // Two chained two-phase hash aggregations (both partial map-side),
+    // one bounded generate over the vocab, TakeOrdered for the top-k;
+    // nothing downstream of the first groupBy scales with corpus size.
+    Q(
+      "bpe_pair_counts",
+      (s, d) =>
+        documents(s, d)
+          .select(explode(wsTokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w")
+          .agg(count(lit(1)).as("freq"))
+          .select(
+            col("freq"),
+            explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair")
+          )
+          .groupBy("pair")
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(50),
+      Some(
+        """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          |wc AS (SELECT w, count(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w),
+          |pairs AS (SELECT unnest(list_transform(range(1, len(w)),
+          |                 i -> substr(w, CAST(i AS INT), 2))) AS pair,
+          |                freq
+          |          FROM wc)
+          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+          |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
+      )
+    ),
+    // Per-source corpus profile (RefinedWeb/Gopher-style domain stats):
+    // doc count, token count, distinct-content count (exact-dup volume)
+    // and byte volume per source — the aggregate a domain-level
+    // keep/drop decision reads. All-BIGINT output (no float rounding
+    // hazards); one hash shuffle on source; count(DISTINCT md5) is
+    // Spark's two-phase distinct aggregate, so the per-source dedup
+    // happens map-side before the exchange.
+    Q(
+      "corpus_sources",
+      (s, d) =>
+        documents(s, d)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(size(wsTokens(col("text"))).cast("long")).as("toks"),
+            countDistinct(md5(col("text"))).as("uniq"),
+            sum(col("n_chars")).as("sum_chars")
+          )
+          .orderBy("source"),
+      Some(
+        """SELECT source,
+          |  count(*) AS docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      )
+    ),
     // Gopher-style repetition quality metrics: duplicate-word fraction
     // and top-bigram fraction per doc, emitted as exact fixed-point ppm
     // (BIGINT rational, round-half-up — no float round-half boundary).

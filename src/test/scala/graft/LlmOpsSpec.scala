@@ -342,6 +342,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept("en") < kept.getOrElse("zh", Int.MaxValue))
   }
 
+  test("bpe_pair_counts: exact vs in-test brute force; vocab-first plan shape") {
+    import spark.implicits._
+    val df = SparkEntry.queries("bpe_pair_counts")(spark, dir)
+    val got = df.as[(String, Long)].collect().toSeq
+
+    // brute force from the raw text, counting every adjacent char pair
+    // in every token occurrence (NOT via the vocab — independent path)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      t.split(" ").foreach { w =>
+        if (w.length >= 2)
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    assert(got == want, s"top-50 pair counts diverge: got=${got.take(5)} want=${want.take(5)}")
+
+    // scale posture: top-k via TakeOrdered (no global sort of the pair
+    // table), no window, no cartesian anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
+  test("corpus_sources: per-source aggregates match in-test brute force") {
+    import spark.implicits._
+    val got = SparkEntry.queries("corpus_sources")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text", "n_chars").as[(String, String, Long)].collect()
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      (src,
+        rows.length.toLong,
+        rows.map(_._2.split(" ", -1).length.toLong).sum,
+        rows.map(_._2).distinct.length.toLong,
+        rows.map(_._3).sum)
+    }
+    assert(got == want)
+  }
+
   test("multimodal_features: long-form output, every column scalar") {
     val df = SparkEntry.queries("multimodal_features")(spark, dir)
     df.schema.fields.foreach { f =>
