@@ -147,6 +147,56 @@ object LlmOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest
+    * hash-sampled centroid (constant-k broadcast, same sampling as
+    * [[ivfCandidates]]), then detect near-duplicates ONLY within a
+    * cluster cell — the candidate join is a bucketed equi-join on the
+    * cell id, never all-pairs, which is the published scale path where
+    * exact dedup_embedding's quadratic compare stops being affordable.
+    * Greedy min-id survivor per ε-ball: a vector is dropped iff some
+    * same-cell vector with a smaller id is within the cosine threshold;
+    * each dropped vector reports its smallest such keeper. Approximate
+    * by design (cross-cell near-dups are missed) ⇒ no SQL oracle; the
+    * spec replays the exact same decision rule in-test from the raw
+    * vectors and requires full equality. Package-visible for that spec.
+    */
+  private[graft] def semDedup(
+      s: SparkSession, e0: DataFrame, centroids: Int, thr: Double): DataFrame = {
+    val e = e0.withColumn("emb", toDouble(col("embedding")))
+    val cents = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(centroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    // persist: the tagged table feeds both sides of the cell self-join
+    val tagged = e
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cell"))
+      .join(e, "vec_id")
+      .select(col("cell"), col("vec_id"), col("emb"))
+      .persist()
+    tagged
+      .as("x")
+      .join(
+        tagged.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id")
+      )
+      .withColumn("cos", CosineSimilarity.cosineSim(col("x.emb"), col("y.emb")))
+      .filter(col("cos") >= thr)
+      .groupBy(col("y.vec_id").as("drop_id"))
+      .agg(
+        max(col("x.cell")).as("cell"), // constant within the group
+        min(struct(col("x.vec_id").as("keep_id"), col("cos").as("cos"))).as("k")
+      )
+      .select(
+        col("drop_id"), col("cell"),
+        col("k.keep_id").as("keep_id"), round(col("k.cos"), 6).as("cos")
+      )
+      .orderBy("drop_id")
+  }
+
   /** IVF candidates for a query SET (every vec_id % 100 == 0): corpus
     * vectors bucket-joined to the probed clusters of EACH query. Probe
     * selection per query is the same bounded min-k aggregate the text
@@ -1004,6 +1054,15 @@ object LlmOps {
            |                             CAST(b.embedding AS DOUBLE[])) >= $CosineDupThreshold
            |ORDER BY id_a, id_b""".stripMargin
       )
+    ),
+    // SemDeDup semantic dedup: cluster-bucketed near-dup drop list —
+    // the approximate scale path for dedup_embedding's exact all-pairs
+    // (see [[semDedup]]). No oracle by design (cross-cell recall);
+    // soundness + exact decision-rule equality spec'd in LlmOpsSpec.
+    Q(
+      "dedup_semantic",
+      (s, d) => semDedup(s, embeddings(s, d), IvfCentroids, CosineDupThreshold),
+      None
     ),
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k vs a probe vector (vec_id 0) — the exact

@@ -342,6 +342,82 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept("en") < kept.getOrElse("zh", Int.MaxValue))
   }
 
+  test("dedup_semantic: in-test replay of the SemDeDup decision rule; cell-bucketed plan") {
+    import spark.implicits._
+    import graft.operators.LlmOps
+    import org.apache.spark.sql.functions.{col, xxhash64}
+
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    // centroid IDs from the same deterministic hash draw the op uses;
+    // everything downstream (assignment, pairs, drop rule) is replayed
+    // in plain Scala from the raw vectors
+    val centIds = emb
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(16).select("vec_id").as[Long].collect()
+    val cents = centIds.map(id => id -> vecs(id)).toSeq
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cosine(v, cv), cid) }.max._2
+    }
+    val thr = 0.45
+    val want = vecs.keys.toSeq.sorted.flatMap { v =>
+      val keepers = vecs.keys.filter(u =>
+        u < v && cellOf(u) == cellOf(v) && cosine(vecs(u), vecs(v)) >= thr)
+      if (keepers.isEmpty) None
+      else {
+        val keep = keepers.min
+        Some((v, cellOf(v), keep,
+          BigDecimal(cosine(vecs(keep), vecs(v))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    val df = SparkEntry.queries("dedup_semantic")(spark, dir)
+    val got = df.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"decision rule diverges: got=${got.take(3)} want=${want.take(3)}")
+    assert(want.nonEmpty, "fixture has no semantic dups — spec is vacuous")
+
+    // the pair join must be the bucketed cell equi-join, never a plain
+    // cartesian over the corpus (the constant-k centroid broadcast is a
+    // BroadcastNestedLoopJoin and is fine)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+
+    // ε-independence invariant on a clustered corpus: after the drop,
+    // no two survivors in the same cell are still near-dups
+    val dim = 8; val nClusters = 8; val perCluster = 32
+    val rnd = new scala.util.Random(7)
+    val rows = for { c <- 0 until nClusters; i <- 0 until perCluster } yield {
+      val id = (c.toLong * perCluster) + i
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0f else 0.0f) + (rnd.nextGaussian() * 0.05).toFloat)
+      (id, v)
+    }
+    val fixture = rows.toDF("vec_id", "embedding")
+    val out = LlmOps.semDedup(spark, fixture, 16, 0.9)
+      .select("drop_id").as[Long].collect().toSet
+    val fvecs = rows.toMap
+    val fcentIds = fixture
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(16).select("vec_id").as[Long].collect()
+    val fcells = fvecs.map { case (id, v) =>
+      id -> fcentIds.map(cid => (cosine(v, fvecs(cid)), cid)).max._2
+    }
+    val survivors = fvecs.keys.filterNot(out).toSeq
+    for {
+      a <- survivors; b <- survivors if a < b && fcells(a) == fcells(b)
+    } assert(cosine(fvecs(a), fvecs(b)) < 0.9,
+      s"survivors $a,$b share cell ${fcells(a)} and are still near-dups")
+    // and the op actually deduplicates: survivors are far fewer than rows
+    assert(survivors.size < rows.size / 2,
+      s"only ${rows.size - survivors.size} of ${rows.size} clone-cluster vectors dropped")
+  }
+
   test("bpe_pair_counts: exact vs in-test brute force; vocab-first plan shape") {
     import spark.implicits._
     val df = SparkEntry.queries("bpe_pair_counts")(spark, dir)
