@@ -1570,6 +1570,56 @@ object LlmOps {
           |FROM documents GROUP BY source ORDER BY source""".stripMargin
       )
     ),
+    // Corpus mixing (Pile/Dolma-style): sample each source down to a
+    // per-source token budget with a DETERMINISTIC hash gate, so the mix
+    // is reproducible and re-runnable incrementally (same doc always
+    // makes the same keep/drop decision). rate_bp = the basis-point
+    // acceptance rate min(10000, 10000·budget/served_tokens), computed
+    // from a |sources|-row aggregate that broadcasts back onto the scan —
+    // at 100 TB the only full-data passes are the token-count aggregate
+    // (two-phase, collapses map-side to one row per source per task) and
+    // the gated scan itself; no wide shuffle anywhere. All-integer rate
+    // arithmetic (IntegralDivide), so both engines gate identically.
+    Q(
+      "corpus_mix",
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
+        val budget = when(col("source").isin("src1", "src2", "src3"), lit(2000L))
+          .otherwise(lit(500L))
+        val rates = docs
+          .groupBy("source")
+          .agg(sum(col("n_tok")).as("tok_s"))
+          .select(
+            col("source"),
+            least(lit(10000L), intDiv(lit(10000L) * budget, col("tok_s")))
+              .as("rate_bp")
+          )
+        val bucket =
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000
+        docs
+          .join(broadcast(rates), Seq("source"))
+          .filter(bucket < col("rate_bp"))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("rate_bp"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |           FROM documents),
+          |r AS (SELECT source,
+          |        least(10000, (10000 * CASE WHEN source IN ('src1','src2','src3')
+          |                                   THEN 2000 ELSE 500 END)
+          |              // sum(n_tok)) AS rate_bp
+          |      FROM d GROUP BY source)
+          |SELECT d.doc_id, d.source, d.n_tok, CAST(r.rate_bp AS BIGINT) AS rate_bp
+          |FROM d JOIN r USING (source)
+          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          |      < r.rate_bp
+          |ORDER BY doc_id""".stripMargin
+      )
+    ),
     // Gopher-style repetition quality metrics: duplicate-word fraction
     // and top-bigram fraction per doc, emitted as exact fixed-point ppm
     // (BIGINT rational, round-half-up — no float round-half boundary).

@@ -342,6 +342,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept("en") < kept.getOrElse("zh", Int.MaxValue))
   }
 
+  test("corpus_mix: budget respected in expectation, deterministic, rates broadcast (no wide shuffle)") {
+    import spark.implicits._
+    val df = SparkEntry.queries("corpus_mix")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the |sources|-row rate table must come back as a broadcast, never
+    // a shuffled join against the full scan
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"wide shuffle join in corpus_mix:\n$plan")
+    val out = df.as[(Long, String, Long, Long)].collect()
+    // deterministic: identical sample on re-run
+    val again = SparkEntry.queries("corpus_mix")(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+    // every kept doc's rate matches the recomputed per-source rate, and
+    // kept token volume per source is within the hash-gate's noise of
+    // rate·served (binomial; generous 3-sigma-ish bound for a tiny SF)
+    import org.apache.spark.sql.functions.{col, size, split}
+    val served = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val budgets = served.keys.map { s =>
+      s -> (if (Set("src1", "src2", "src3")(s)) 2000L else 500L)
+    }.toMap
+    out.foreach { case (_, src, _, rateBp) =>
+      val expect = math.min(10000L, 10000L * budgets(src) / served(src))
+      assert(rateBp == expect, s"rate_bp mismatch for $src: $rateBp vs $expect")
+    }
+    // sampling only ever removes volume (no upsampling past rate 10000);
+    // the binomial concentration itself isn't assertable at this SF
+    // (strata are ~5 docs), but a capped source must keep strictly less
+    // than it serves while an uncapped one keeps everything
+    val keptTok = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    served.foreach { case (src, tok) =>
+      val rate = math.min(10000L, 10000L * budgets(src) / served(src))
+      if (rate == 10000L)
+        assert(keptTok.getOrElse(src, 0L) == tok, s"uncapped $src lost docs")
+      else
+        assert(keptTok.getOrElse(src, 0L) <= tok)
+    }
+  }
+
   test("dedup_semantic: in-test replay of the SemDeDup decision rule; cell-bucketed plan") {
     import spark.implicits._
     import graft.operators.LlmOps
