@@ -1847,6 +1847,46 @@ object LlmOps {
           |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin
       )
     ),
+    // Linear quality-classifier scoring via the hashing trick
+    // (Weinberger et al. 2009, the fastText-filter shape CCNet/LLaMA
+    // pipelines use to score web docs): each token hashes into one of
+    // 4096 feature buckets, the doc's logit is the sum of its buckets'
+    // weights. Weights here are deterministic pseudo-weights derived by
+    // hashing the bucket id (no trained model ships with the engine —
+    // production swaps in a broadcast weight array; the plan is
+    // identical). All-integer milli-unit weights ⇒ order-free BIGINT
+    // sums, no float hazards. Scale shape: scan → codegen'd explode →
+    // two-phase hash agg on doc_id. A doc's tokens never leave their
+    // scan partition, so partial aggregation collapses to ONE row per
+    // doc map-side — the only shuffle carries the result rows, and the
+    // 4096-bucket model is pure expression work (zero memory, zero
+    // join) regardless of corpus size.
+    Q(
+      "text_classifier",
+      (s, d) => {
+        val bucket =
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 4096
+        val weight =
+          conv(substring(md5(bucket.cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2001 - 1000
+        documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+          .select(col("doc_id"), weight.as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("logit_milli"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |h AS (SELECT doc_id,
+          |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+          |      FROM t)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+          |  CAST(sum(CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+          |       AS BIGINT) AS logit_milli
+          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ),
     // Benchmark decontamination: flag training documents sharing any
     // word-K-shingle with a held-out benchmark set (here: every 20th
     // doc stands in for the eval suite; production uses 13-grams of the

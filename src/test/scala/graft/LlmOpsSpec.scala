@@ -384,6 +384,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_classifier: in-test replay of the hashing-trick scoring rule; partial agg collapses map-side") {
+    import spark.implicits._
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def score(text: String): (Long, Long) = {
+      val toks = text.split(" ")
+      val logit = toks.map { t =>
+        val b = md5hex8(t) % 4096
+        md5hex8(b.toString) % 2001 - 1000
+      }.sum
+      (toks.length.toLong, logit)
+    }
+    val df = SparkEntry.queries("text_classifier")(spark, dir)
+    // the model is pure expression work: no join anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"classifier scoring must not join:\n$plan")
+    val got = df.as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      assert(got(id) == score(text), s"doc $id: ${got(id)} vs ${score(text)}")
+    }
+  }
+
   test("dedup_semantic: in-test replay of the SemDeDup decision rule; cell-bucketed plan") {
     import spark.implicits._
     import graft.operators.LlmOps
