@@ -619,6 +619,72 @@ object LlmOps {
            |FROM t ORDER BY doc_id""".stripMargin
       )
     ),
+    // Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): hash every word-3-gram, slide a
+    // w=4 window over the hash sequence, select the RIGHTMOST minimum of
+    // each window, dedupe selections. Guarantees every match of length
+    // >= w+k-1 tokens shares a fingerprint (the detection floor 0-mod-p
+    // sampling lacks), with expected density 2/(w+1) — the partial-
+    // overlap fingerprint the whole-doc min-shingle of text_fingerprint
+    // cannot provide. Mechanics: ONE shuffle on doc_id serves both the
+    // 3-gram lead()s and the O(w)-bounded frame collects (same window
+    // spec ⇒ Catalyst reuses the sort); rightmost-min falls out of
+    // codegen'd array ops (reverse + array_position), no HOF aggregate,
+    // no self-join; the trailing distinct shuffles only selected
+    // fingerprints (~2n/(w+1) rows). Per-row state is w entries —
+    // constant — so the op is a linear single-pass at any corpus size.
+    Q(
+      "text_winnow",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wWin = 4 // winnowing window (in k-grams)
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        val frame = byPos.rowsBetween(0, wWin - 1)
+        val gram = concat_ws(" ", col("tok"), col("t1"), col("t2"))
+        documents(s, d)
+          .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t1", lead("tok", 1).over(byPos))
+          .withColumn("t2", lead("tok", 2).over(byPos))
+          .filter(col("t2").isNotNull)
+          .select(
+            col("doc_id"),
+            col("pos"),
+            conv(substring(md5(gram), 1, 8), 16, 10).cast("long").as("h")
+          )
+          .withColumn("hs", collect_list("h").over(frame))
+          .withColumn("ps", collect_list("pos").over(frame))
+          .filter(size(col("hs")) === wWin)
+          .withColumn("m", array_min(col("hs")))
+          .select(
+            col("doc_id"),
+            element_at(
+              col("ps"),
+              (lit(wWin + 1) - array_position(reverse(col("hs")), col("m"))).cast("int")
+            ).cast("long").as("fp_pos"),
+            col("m").as("fp_hash")
+          )
+          .distinct()
+          .orderBy("doc_id", "fp_pos")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT doc_id,
+          |        unnest(list_transform(range(1, len(toks) - 1), i -> i - 1)) AS pos,
+          |        unnest(list_transform(range(1, len(toks) - 1),
+          |          i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))
+          |               AS BIGINT))) AS h
+          |      FROM t WHERE len(toks) >= 3),
+          |w AS (SELECT doc_id, list(h) OVER fr AS hs, list(pos) OVER fr AS ps
+          |      FROM g
+          |      WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+          |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+          |SELECT DISTINCT doc_id,
+          |  ps[5 - list_position(list_reverse(hs), list_aggregate(hs, 'min'))] AS fp_pos,
+          |  list_aggregate(hs, 'min') AS fp_hash
+          |FROM w WHERE len(hs) = 4
+          |ORDER BY doc_id, fp_pos""".stripMargin
+      )
+    ),
     // Language-ID heuristic — stopword-profile argmax. Fully
     // SQL-expressible, so it IS oracle-checked: the oracle's CASE chain
     // (zh → fr → es → en → de) replicates Spark's

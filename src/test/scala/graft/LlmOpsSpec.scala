@@ -412,6 +412,48 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_winnow: in-test replay of rightmost-min winnowing; guarantee holds; no join in plan") {
+    import spark.implicits._
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def winnow(text: String, k: Int = 3, w: Int = 4): Set[(Long, Long)] = {
+      val toks = text.split(" ")
+      val hs = toks.sliding(k).filter(_.length == k).map(g => md5hex8(g.mkString(" "))).toArray
+      hs.indices.dropRight(w - 1).flatMap { j =>
+        val win = hs.slice(j, j + w)
+        val m = win.min
+        val ridx = win.lastIndexWhere(_ == m) // rightmost minimum
+        Some(((j + ridx).toLong, m))
+      }.toSet
+    }
+    val df = SparkEntry.queries("text_winnow")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"winnowing must be a single-pass op, no join:\n$plan")
+    val got = df.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) == winnow(text), s"winnow mismatch on doc $id")
+    }
+    // the published guarantee: two docs sharing a token run of length
+    // >= w+k-1 = 6 share at least one fingerprint hash
+    val shared = for {
+      (a, ta) <- docs.take(40); (b, tb) <- docs.take(40) if a < b
+      runA = ta.split(" ").sliding(6).map(_.mkString(" ")).toSet
+      if tb.split(" ").sliding(6).map(_.mkString(" ")).exists(runA.contains)
+    } yield (a, b)
+    assert(shared.nonEmpty, "fixture has no 6-token overlap pairs; guarantee untested")
+    shared.foreach { case (a, b) =>
+      val ha = got.getOrElse(a, Set.empty).map(_._2)
+      val hb = got.getOrElse(b, Set.empty).map(_._2)
+      assert(ha.intersect(hb).nonEmpty, s"docs $a,$b share a 6-token run but no fingerprint")
+    }
+  }
+
   test("dedup_semantic: in-test replay of the SemDeDup decision rule; cell-bucketed plan") {
     import spark.implicits._
     import graft.operators.LlmOps
