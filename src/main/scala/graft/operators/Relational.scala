@@ -789,6 +789,71 @@ object Relational {
           |FROM t GROUP BY c // 2000 ORDER BY bucket""".stripMargin
       )
     ),
+    // Grouped exact Pearson correlation (value vs hour-of-day per event
+    // type) — corr/covar as pure two-phase hash-agg work: all six
+    // moments (n, Σx, Σy, Σx², Σy², Σxy) are EXACT BIGINT sums over the
+    // 2dp-gridded cents and the 0-23 hour, so partial-agg order cannot
+    // move a bit, and the one double expression at the end is evaluated
+    // identically from identical integers in both engines (the
+    // ts_rolling_corr contract, grouped form — built-in corr() sums
+    // doubles in nondeterministic order and is NOT oracle-stable).
+    // Shuffle = |groups| rows of moments; never the data.
+    Q(
+      "agg_corr",
+      (s, d) => {
+        val e = events(s, d)
+          .select(
+            col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            round(col("value") * 100, 0).cast("long").as("y")
+          )
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"),
+            max(col("x")).as("xmx"), min(col("x")).as("xmn"),
+            max(col("y")).as("ymx"), min(col("y")).as("ymn")
+          )
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+        val sxyD = col("sxy").cast("double")
+        e.select(
+          col("event_type"), col("n"),
+          when(
+            col("n") >= 2 && col("xmx") > col("xmn") && col("ymx") > col("ymn"),
+            round(
+              (nD * sxyD - sxD * syD)
+                / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)),
+              6
+            )
+          ).as("corr")
+        ).orderBy("event_type")
+      },
+      Some(
+        """WITH t AS (SELECT event_type,
+          |             CAST(hour(ts) AS BIGINT) AS x,
+          |             CAST(round(value * 100, 0) AS BIGINT) AS y
+          |           FROM events),
+          |m AS (SELECT event_type, count(*) AS n,
+          |        sum(x) AS sx, sum(y) AS sy,
+          |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+          |        max(x) AS xmx, min(x) AS xmn, max(y) AS ymx, min(y) AS ymn
+          |      FROM t GROUP BY event_type)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  CASE WHEN n >= 2 AND xmx > xmn AND ymx > ymn THEN
+          |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |  END AS corr
+          |FROM m ORDER BY event_type""".stripMargin
+      )
+    ),
     // Collect aggregates — set-valued results serialized to a sorted
     // joined string so cross-engine comparison is representation-free.
     Q(

@@ -27,6 +27,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_corr: exact integer-moment replay matches, degenerate groups are null") {
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, dir)
+      .select(
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.hour(org.apache.spark.sql.functions.col("ts")).cast("long"),
+        org.apache.spark.sql.functions
+          .round(org.apache.spark.sql.functions.col("value") * 100, 0).cast("long")
+      )
+      .as[(String, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(r => r._2 * r._2).sum; val syy = g.map(r => r._3 * r._3).sum
+      val sxy = g.map(r => r._2 * r._3).sum
+      val xs = g.map(_._2); val ys = g.map(_._3)
+      if (n >= 2 && xs.max > xs.min && ys.max > ys.min) {
+        val nD = n.toDouble
+        val r = (nD * sxy - sx.toDouble * sy.toDouble) /
+          (math.sqrt(nD * sxx - sx.toDouble * sx.toDouble) *
+            math.sqrt(nD * syy - sy.toDouble * sy.toDouble))
+        Some((n, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      } else None.map(identity[(Long, Double)])
+    }.toMap
+    val got = SparkEntry.queries("agg_corr")(spark, dir)
+      .as[(String, Long, Option[Double])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, n, corr) =>
+      expect(et) match {
+        case Some((en, ec)) =>
+          assert(n == en && corr.contains(ec), s"$et: ($n,$corr) vs ($en,$ec)")
+        case None => assert(corr.isEmpty, s"$et: expected null corr, got $corr")
+      }
+    }
+    // correlations are real correlations: in (-1, 1), not all identical
+    val vals = got.flatMap(_._3)
+    assert(vals.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("asof join semantics: latest at-or-before, left-preserving") {
     import spark.implicits._
     import java.sql.Timestamp
