@@ -819,6 +819,30 @@ class Store private[sources] (
       .select(outCols.map(col).toIndexedSeq: _*)
   }
 
+  /** Multi-key union read (at-scale extension; the reference reads one
+    * key per call — store.py:238). Returns the union of `query(k, …)`
+    * over the resolved, deduplicated keys with an `ITEM` column naming
+    * each row's origin, so a portfolio-style range read is ONE Spark
+    * job over N pruned scans (directory + row-group pruning applies per
+    * branch exactly as in [[query]]) instead of N driver round-trips.
+    */
+  def queryMany(
+      keys: Seq[String],
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None,
+      columns: Option[Seq[String]] = None
+  ): DataFrame = {
+    val resolved = keys.map(validateKey).distinct
+    if (resolved.isEmpty)
+      throw new SchemaError("queryMany requires at least one key")
+    resolved
+      .map { k =>
+        val df = query(k, start, end, columns)
+        df.select(lit(k).as("ITEM") +: df.columns.map(col).toIndexedSeq: _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** Reference-default bounds: start=1678-01-01 (store.py:250-251),
     * end=now (store.py:252-253) — future-dated rows invisible, as
     * asserted by the reference's tests (tests/test_store.py:62).

@@ -88,6 +88,29 @@ class StoreSpec extends AnyFunSuite {
     assert(s.sliceCompat("MSFT").count() == 400)
   }
 
+  test("queryMany: union of pruned per-item reads, ITEM column, key folding + dedup") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(400))
+    s.write("AAPL", bars(400, seed = 7))
+    val t0 = Timestamp.valueOf("2015-02-01 00:00:00")
+    val t1 = Timestamp.valueOf("2015-03-01 00:00:00")
+    // duplicate + lowercase keys resolve and dedupe; range applies per item
+    val q = s.queryMany(Seq("msft", "AAPL", "MSFT"), Some(t0), Some(t1))
+    assert(q.columns.head == "ITEM")
+    val perItem = q.groupBy("ITEM").count().as[(String, Long)].collect().toMap
+    assert(perItem == Map("MSFT" -> 29L, "AAPL" -> 29L))
+    // rows equal the single-key reads, labeled
+    val one = s.query("MSFT", Some(t0), Some(t1))
+    assert(q.filter($"ITEM" === "MSFT").drop("ITEM").exceptAll(one).count() == 0)
+    assert(one.exceptAll(q.filter($"ITEM" === "MSFT").drop("ITEM")).count() == 0)
+    // projection flows through; empty keys and missing items fail fast
+    assert(s.queryMany(Seq("MSFT"), columns = Some(Seq("date"))).columns.toSeq
+      == Seq("ITEM", "DATE"))
+    intercept[SchemaError] { s.queryMany(Seq.empty) }
+    intercept[ItemKeyError] { s.queryMany(Seq("MSFT", "GOOG")) }
+  }
+
   test("append: dedup idempotence, both paths (reference :65-68)") {
     val dir = tmpDir()
     val s = Store.open(spark, dir)
