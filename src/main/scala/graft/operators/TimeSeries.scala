@@ -123,6 +123,69 @@ object TimeSeries {
           |FROM t ORDER BY event_id""".stripMargin
       )
     ),
+    // Windowed funnel analysis (ClickHouse windowFunnel / Amplitude
+    // conversion-window semantics): per user, the longest completed
+    // prefix of view → click → purchase where EACH next step lands
+    // within 4 hours of the step it follows (steps may interleave with
+    // other activity). Declarative linear plan — no per-user state
+    // machine, no self-join: two chained trailing RANGE frames over
+    // epoch-µs mark "a view within W precedes this click" then "a
+    // qualified click within W precedes this purchase" (both frames
+    // share one partition/sort ⇒ ONE user-keyed shuffle), and a
+    // two-phase hash agg grades each user. The oracle is the
+    // independent 3-way-exists formulation — same semantics, different
+    // algorithm — so the window chaining is cross-checked, not
+    // replicated. Scan-side filter prunes non-funnel types at parquet.
+    Q(
+      "funnel_steps",
+      (s, d) => {
+        val W = 14400000000L // 4-hour conversion window, in µs
+        val w = Window.partitionBy("user_id").orderBy("tss").rangeBetween(-W, 0)
+        events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), unix_micros(col("ts")).as("tss"), col("event_type").as("et"))
+          .withColumn("has_v", max(when(col("et") === "view", 1)).over(w))
+          .withColumn("lvl2", when(col("et") === "click" && col("has_v") === 1, 1))
+          .withColumn("has_c2", max(col("lvl2")).over(w))
+          .withColumn("lvl3", when(col("et") === "purchase" && col("has_c2") === 1, 1))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(when(col("et") === "view", 1).otherwise(0)).as("s1"),
+            max(coalesce(col("lvl2"), lit(0))).as("s2"),
+            max(coalesce(col("lvl3"), lit(0))).as("s3")
+          )
+          .select(
+            col("user_id"),
+            col("n_events"),
+            when(col("s3") === 1, lit(3L))
+              .when(col("s2") === 1, lit(2L))
+              .when(col("s1") === 1, lit(1L))
+              .otherwise(lit(0L)).as("steps")
+          )
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH f AS (SELECT user_id, ts, event_type AS et FROM events
+          |           WHERE event_type IN ('view', 'click', 'purchase')),
+          |u AS (SELECT user_id, count(*) AS n_events FROM f GROUP BY user_id),
+          |l2 AS (SELECT DISTINCT c.user_id FROM f v
+          |       JOIN f c ON c.user_id = v.user_id AND v.et = 'view' AND c.et = 'click'
+          |              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR),
+          |l3 AS (SELECT DISTINCT p.user_id FROM f v
+          |       JOIN f c ON c.user_id = v.user_id AND v.et = 'view' AND c.et = 'click'
+          |              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+          |       JOIN f p ON p.user_id = c.user_id AND p.et = 'purchase'
+          |              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR),
+          |l1 AS (SELECT DISTINCT user_id FROM f WHERE et = 'view')
+          |SELECT u.user_id, CAST(u.n_events AS BIGINT) AS n_events,
+          |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+          |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+          |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+          |            ELSE 0 END AS BIGINT) AS steps
+          |FROM u ORDER BY user_id""".stripMargin
+      )
+    ),
     // Rolling time-window aggregate: per user, the sum/count of events in
     // the trailing hour — a RANGE frame over epoch-µs (Spark rangeBetween
     // needs a numeric ordering column; DuckDB's RANGE INTERVAL frame over

@@ -66,6 +66,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(vals.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("funnel_steps: in-test windowed-chain replay; only one user-keyed shuffle, no join") {
+    import spark.implicits._
+    val W = 14400000000L // must match the operator's 4-hour window (µs)
+    val raw = graft.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    val expect = raw
+      .filter(r => Set("view", "click", "purchase")(r._3))
+      .groupBy(_._1).view.mapValues { g =>
+        val ev = g.map(r => (us(r._2), r._3))
+        // exists-chain semantics, brute force: each consecutive gap <= W
+        val s3 = ev.exists { case (tp, ep) =>
+          ep == "purchase" && ev.exists { case (tc, ec) =>
+            ec == "click" && tc <= tp && tp - tc <= W &&
+              ev.exists { case (tv, evt) => evt == "view" && tv <= tc && tc - tv <= W }
+          }
+        }
+        val s2 = ev.exists { case (tc, ec) =>
+          ec == "click" && ev.exists { case (tv, evt) => evt == "view" && tv <= tc && tc - tv <= W }
+        }
+        val s1 = ev.exists(_._2 == "view")
+        (g.length.toLong, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L)
+      }.toMap
+    val df = SparkEntry.queries("funnel_steps")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+    assert(
+      "hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one user-keyed shuffle:\n$plan")
+    val got = df.as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (u, n, steps) =>
+      assert((n, steps) == expect(u), s"user $u: ($n,$steps) vs ${expect(u)}")
+    }
+  }
+
   test("asof join semantics: latest at-or-before, left-preserving") {
     import spark.implicits._
     import java.sql.Timestamp
