@@ -1483,6 +1483,50 @@ object LlmOps {
           |FROM documents ORDER BY doc_id""".stripMargin
       )
     ),
+    // Frame sampling over a binary media column — every stride-th
+    // fixed-size frame (64 B frames, stride 4), the raw-buffer layout
+    // video/audio pipelines subsample before decode. Unlike the decode
+    // stage (stubbed below — no codecs in this container), raw-frame
+    // slicing needs NO codec, so this op is REAL end to end and fully
+    // oracle-checked: the engine slices true bytes
+    // (substring-on-binary, codegen'd) and emits per-frame byte counts
+    // + checksums; the oracle slices the text (the fixture is verified
+    // pure ASCII, so byte and char offsets coincide) and hashes the
+    // same bytes. Scan → sequence+posexplode → project: no shuffle at
+    // all except the oracle-mandated sort, output bounded at
+    // 1/(stride) of input bytes.
+    Q(
+      "multimodal_framesample",
+      (s, d) => {
+        val frameB = 64; val strideB = 256 // 64-byte frames, every 4th
+        val b = encode(col("text"), "UTF-8")
+        documents(s, d)
+          .select(col("doc_id"), b.as("b"), length(b).as("len"))
+          .select(
+            col("doc_id"),
+            col("b"),
+            explode(sequence(lit(1), col("len"), lit(strideB))).as("off")
+          )
+          .select(
+            col("doc_id"),
+            intDiv(col("off") - 1, lit(frameB)).as("frame_idx"),
+            col("off").cast("long").as("off"),
+            length(expr(s"substring(b, off, $frameB)")).cast("long").as("n_bytes"),
+            md5(expr(s"substring(b, off, $frameB)")).as("chk")
+          )
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+          |f AS (SELECT doc_id, text, unnest(range(1, len + 1, 256)) AS off FROM t)
+          |SELECT doc_id,
+          |  (off - 1) // 64 AS frame_idx,
+          |  CAST(off AS BIGINT) AS off,
+          |  CAST(octet_length(encode(substring(text, off, 64))) AS BIGINT) AS n_bytes,
+          |  md5(substring(text, off, 64)) AS chk
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+      )
+    ),
     // Decode / feature-extract plumbing for binary media columns via
     // typed mapPartitions (the batch-iterator shape a real decoder
     // needs). The decode itself is a STUB: this container has no image/

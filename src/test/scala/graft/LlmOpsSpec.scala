@@ -575,6 +575,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("multimodal_framesample: true byte slicing replayed in-test; narrow plan (no hash shuffle)") {
+    import spark.implicits._
+    val df = SparkEntry.queries("multimodal_framesample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"framesample must stay narrow:\n$plan")
+    val got = df.as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val expect = (0 until bytes.length by 256).map { o =>
+        val frame = bytes.slice(o, math.min(o + 64, bytes.length))
+        ((o / 64).toLong, (o + 1).toLong, frame.length.toLong, md5hex(frame))
+      }
+      assert(got(id).toSeq == expect, s"doc $id frame mismatch")
+    }
+  }
+
   test("multimodal_features: long-form output, every column scalar") {
     val df = SparkEntry.queries("multimodal_features")(spark, dir)
     df.schema.fields.foreach { f =>
