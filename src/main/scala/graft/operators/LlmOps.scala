@@ -685,6 +685,85 @@ object LlmOps {
           |ORDER BY doc_id, fp_pos""".stripMargin
       )
     ),
+    // Repeated-substring span detection (the distributed form of
+    // ExactSubstr dedup, Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better": cut text spans that appear
+    // verbatim elsewhere in the corpus). The suffix-array algorithm of
+    // the paper is sequential; the scale shape is k-gram marking — a
+    // token-5-gram occurring >= 2 times anywhere marks its span, and
+    // per-doc overlapping marks merge to maximal spans via
+    // gaps-and-islands (running max(end) + cumulative island counter,
+    // one user-keyed window). Two bounded shuffles: the k-gram count
+    // (two-phase, collapses map-side) + its equi-join back, then the
+    // per-doc window/agg. The join key is the gram TEXT — exact, no
+    // hash-collision false marks; only duplicated grams (a vanishing
+    // fraction of a real corpus) survive the HAVING to be joined.
+    Q(
+      "dedup_substring",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 5
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = documents(s, d)
+          .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t1", lead("tok", 1).over(byPos))
+          .withColumn("t2", lead("tok", 2).over(byPos))
+          .withColumn("t3", lead("tok", 3).over(byPos))
+          .withColumn("t4", lead("tok", 4).over(byPos))
+          .filter(col("t4").isNotNull)
+          .select(
+            col("doc_id"),
+            col("pos"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("gram")
+          )
+        val dup = grams.groupBy("gram").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select("gram")
+        val hits = grams.join(dup, "gram")
+          .select(col("doc_id"), col("pos"), (col("pos") + k).as("e"))
+        val prevMax = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val runSum = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hits
+          .withColumn("pmax", max(col("e")).over(prevMax))
+          .withColumn(
+            "island",
+            sum(when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0)).over(runSum)
+          )
+          .groupBy("doc_id", "island")
+          .agg(
+            min(col("pos")).cast("long").as("span_start"),
+            max(col("e")).cast("long").as("span_end"),
+            count(lit(1)).as("n_grams")
+          )
+          .select("doc_id", "span_start", "span_end", "n_grams")
+          .orderBy("doc_id", "span_start")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT doc_id,
+          |        unnest(list_transform(range(1, len(toks) - 3), i -> i - 1)) AS pos,
+          |        unnest(list_transform(range(1, len(toks) - 3),
+          |          i -> array_to_string(toks[i:i+4], ' '))) AS gram
+          |      FROM t WHERE len(toks) >= 5),
+          |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |h AS (SELECT g.doc_id, g.pos, g.pos + 5 AS e FROM g JOIN d USING (gram)),
+          |w AS (SELECT doc_id, pos, e,
+          |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |      FROM h),
+          |i AS (SELECT doc_id, pos, e,
+          |        sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+          |          OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |      FROM w)
+          |SELECT doc_id,
+          |  CAST(min(pos) AS BIGINT) AS span_start,
+          |  CAST(max(e) AS BIGINT) AS span_end,
+          |  CAST(count(*) AS BIGINT) AS n_grams
+          |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+      )
+    ),
     // Language-ID heuristic — stopword-profile argmax. Fully
     // SQL-expressible, so it IS oracle-checked: the oracle's CASE chain
     // (zh → fr → es → en → de) replicates Spark's

@@ -575,6 +575,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dedup_substring: in-test replay of k-gram marking + span merge; no cartesian") {
+    import spark.implicits._
+    val k = 5
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val allGrams = docs.flatMap { case (id, text) =>
+      text.split(" ").sliding(k).filter(_.length == k).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) }
+    }
+    val counts = allGrams.groupBy(_._3).view.mapValues(_.length).toMap
+    val expect = allGrams
+      .filter(r => counts(r._3) >= 2)
+      .groupBy(_._1).view.mapValues { hits =>
+        // merge overlapping [pos, pos+k) marks into maximal spans
+        val sorted = hits.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var (s0, e0, n0) = (sorted.head.toLong, sorted.head.toLong + k, 1L)
+        sorted.tail.foreach { p =>
+          if (p > e0) { spans += ((s0, e0, n0)); s0 = p; e0 = p + k; n0 = 1L }
+          else { e0 = math.max(e0, p + k); n0 += 1 }
+        }
+        spans += ((s0, e0, n0))
+        spans.toSeq
+      }.toMap
+    val df = SparkEntry.queries("dedup_substring")(spark, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = df.as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSeq.sortBy(_._1)).toMap
+    assert(got.keySet == expect.keySet, s"doc sets differ: ${got.keySet} vs ${expect.keySet}")
+    got.foreach { case (id, spans) =>
+      assert(spans == expect(id), s"doc $id: $spans vs ${expect(id)}")
+    }
+    // duplicated spans genuinely exist in the fixture (not a vacuous run)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal_framesample: true byte slicing replayed in-test; narrow plan (no hash shuffle)") {
     import spark.implicits._
     val df = SparkEntry.queries("multimodal_framesample")(spark, dir)
