@@ -38,6 +38,19 @@ case class EventRow(
 /** Per-user running aggregate carried in the state store. */
 case class UserState(n: Long, sum: Double)
 
+/** Per-user streaming-funnel state: candidate step-1 (view) and step-2
+  * (view→click-within-W) event times still inside the pruning horizon
+  * (epoch-µs, unordered), best funnel level reached, cumulative funnel
+  * event count, and the max event time seen (the pruning anchor).
+  */
+case class FunnelSt(
+    views: Array[Long],
+    clicks2: Array[Long],
+    steps: Long,
+    n: Long,
+    maxSeen: Long
+)
+
 /** Structured Streaming surface — the streaming analogue of the
   * reference's incremental `+=` ingest (oakstore/store.py:57-59,214-236)
   * generalized to watermarked windowed aggregation and stateful dedup.
@@ -263,6 +276,85 @@ object Streams {
   def zscore(s: SparkSession, dir: String): DataFrame =
     runToBatch(s, zscoreOn(eventsStream(s, dir)), "append").orderBy("event_id")
 
+  /** Streaming windowed funnel — the continuous form of the batch
+    * `funnel_steps` (same 4-hour conversion window): per user, a
+    * flatMapGroupsWithState machine tracks the view and qualified-click
+    * candidate times and the best level reached, emitting the running
+    * grade on every touch; grades are MONOTONE, so append mode never
+    * needs a retraction and the last emission per user is the answer.
+    * State is TIME-BOUNDED, not stream-bounded: a candidate can only
+    * complete a chain for events within W of it, so candidates older
+    * than maxSeen − W − δ are pruned each batch (δ = 1 h of tolerated
+    * cross-batch event-time disorder — the same contract the zscore
+    * ring buffer uses; within a batch, events are sorted by (ts,
+    * event_id) first, so intra-batch disorder is free). Per-user state
+    * is O(funnel events in the trailing W+δ), independent of stream
+    * length.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    runToBatch(s, funnelOn(eventsStream(s, dir)), "append")
+      .groupBy("user_id")
+      // n is cumulative and steps monotone: max(struct) = final emission
+      .agg(max(struct(col("n_events"), col("steps"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events"), col("fin.steps"))
+      .orderBy("user_id")
+
+  /** The funnel transform on an arbitrary events source (`ts` already
+    * TimestampType) — separated from [[funnel]] so specs can drive it
+    * through a staged multi-batch source and file sink.
+    */
+  private[graft] def funnelOn(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val W = 14400000000L // 4-hour conversion window (µs) — as funnel_steps
+    val Slack = 3600000000L // tolerated cross-batch event-time disorder
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelSt]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          val prev = state.getOption
+            .getOrElse(FunnelSt(Array.empty, Array.empty, 0L, 0L, Long.MinValue))
+          val views = scala.collection.mutable.ArrayBuffer.from(prev.views)
+          val clicks = scala.collection.mutable.ArrayBuffer.from(prev.clicks2)
+          var steps = prev.steps
+          var n = prev.n
+          var maxSeen = prev.maxSeen
+          val batch = it.toArray
+          batch.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            n += 1
+            if (t > maxSeen) maxSeen = t
+            e.event_type match {
+              case "view" =>
+                views += t
+                if (steps < 1) steps = 1
+              case "click" =>
+                if (views.exists(v => v <= t && t - v <= W)) {
+                  clicks += t
+                  if (steps < 2) steps = 2
+                }
+              case _ =>
+                if (steps < 3 && clicks.exists(c => c <= t && t - c <= W)) steps = 3
+            }
+          }
+          // prune: nothing older than the horizon can still head a chain
+          val horizon = if (maxSeen == Long.MinValue) Long.MinValue else maxSeen - W - Slack
+          state.update(FunnelSt(
+            views.filter(_ >= horizon).toArray,
+            clicks.filter(_ >= horizon).toArray,
+            steps, n, maxSeen))
+          Iterator.single((uid, n, steps))
+      }
+      .toDF("user_id", "n_events", "steps")
+  }
+
   /** The z-score transform on an arbitrary events source (`ts` already
     * TimestampType) — separated from [[zscore]]'s source/sink so the
     * crash-recovery spec can drive it through its own staged source,
@@ -464,6 +556,7 @@ object Streams {
     Q("stream_custom_state", (s, d) => customState(s, d), None),
     Q("stream_join", (s, d) => streamJoin(s, d), None),
     Q("stream_minhash_dedup", (s, d) => minhashDedup(s, d), None),
-    Q("stream_zscore", (s, d) => zscore(s, d), None)
+    Q("stream_zscore", (s, d) => zscore(s, d), None),
+    Q("stream_funnel", (s, d) => funnel(s, d), None)
   )
 }

@@ -24,6 +24,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream_funnel equals batch funnel_steps (same 4h window), single run and staged batches") {
+    // single-run equivalence: final per-user grade == the batch op
+    val streamed = Streams.funnel(spark, dir)
+    val batch = SparkEntry.queries("funnel_steps")(spark, dir)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+
+    // staged time-ordered micro-batches (the in-order delivery contract):
+    // chain steps that SPAN batch boundaries must still complete
+    val work = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val qs = ev.selectExpr(
+      "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)").head()
+    val cuts = Seq(qs.getDouble(0).toLong, qs.getDouble(1).toLong)
+    val parts = Seq(
+      ev.filter(expr(s"unix_micros(ts) < ${cuts(0)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(0)} AND unix_micros(ts) < ${cuts(1)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(1)}")))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$work/in/b$i")
+      stampMtime(s"$work/in/b$i", 1000000L + i * 100)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in")
+    val q = Streams.funnelOn(src).writeStream
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.read.parquet(s"$work/out")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("steps"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events"), col("fin.steps"))
+    assert(fin.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(fin).count() == 0)
+  }
+
   test("stream_ohlcv equals batch hourly OHLCV bars") {
     val streamed = Streams.ohlcv(spark, dir)
     val batch = Tables.events(spark, dir)
