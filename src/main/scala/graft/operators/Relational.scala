@@ -1031,6 +1031,46 @@ object Relational {
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
           |FROM events ORDER BY event_id""".stripMargin
       )
+    ),
+    // MapType surface: a per-user event_type → count profile built as a
+    // REAL Spark map (map_from_entries over key-sorted entries), then
+    // read back out through map_entries/size and serialized to a
+    // canonical "k:v,..." string — DuckDB has no comparable MAP output
+    // over parquet, so the oracle checks the serialized form, which is
+    // representation-free and deterministic (entries key-sorted BEFORE
+    // map construction; map_entries preserves insertion order). Two
+    // two-phase hash aggs, |users|·|types| intermediate — bounded.
+    Q(
+      "fn_map",
+      (s, d) => {
+        val m = events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(
+            map_from_entries(
+              sort_array(collect_list(struct(col("event_type"), col("n"))))
+            ).as("m")
+          )
+        m.select(
+          col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          array_join(
+            transform(
+              map_entries(col("m")),
+              e => concat_ws(":", e.getField("key"), e.getField("value"))
+            ),
+            ","
+          ).as("profile")
+        ).orderBy("user_id")
+      },
+      Some(
+        """WITH c AS (SELECT user_id, event_type, count(*) AS n
+          |           FROM events GROUP BY 1, 2)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+          |       string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS profile
+          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+      )
     )
   )
 }
