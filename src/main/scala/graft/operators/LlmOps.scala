@@ -716,9 +716,15 @@ object LlmOps {
             col("pos"),
             concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("gram")
           )
-        val dup = grams.groupBy("gram").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-          .select("gram")
-        val hits = grams.join(dup, "gram")
+        // corpus-wide occurrence count as a COUNT OVER (PARTITION BY
+        // gram) rather than groupBy + join-back: one shuffle of the
+        // gram stream instead of two (the agg's exchange AND the join
+        // probe's), and the gram-building subtree runs once, not twice
+        // — measured 1.83 -> 1.46 s at sf0.1 (6.9 -> 6.2 s at 10x), same rows
+        val wGram = Window.partitionBy("gram")
+        val hits = grams
+          .withColumn("c", count(lit(1)).over(wGram))
+          .filter(col("c") >= 2)
           .select(col("doc_id"), col("pos"), (col("pos") + k).as("e"))
         val prevMax = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, -1)
