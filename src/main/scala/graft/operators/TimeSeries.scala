@@ -186,6 +186,54 @@ object TimeSeries {
           |FROM u ORDER BY user_id""".stripMargin
       )
     ),
+    // Robust outlier detection via Median Absolute Deviation — the
+    // standard k·MAD cleaning rule (flag |x − median| > 10·MAD), which
+    // unlike z-scores is not itself dragged by the outliers. All inputs
+    // live on the exact integer-cents grid, so both medians interpolate
+    // on half-integer grids and every comparison is on identical
+    // doubles. Plan: the two exact percentiles run as WHOLE-PARTITION
+    // window aggregates chained on the same event_type partitioning —
+    // ONE shuffle total, no join-back passes — then a two-phase agg
+    // counts the flags. The oracle is the independent two-CTE
+    // join-back formulation of the same rule. (Exact percentile
+    // buffers a group's values — the per-type cardinality here; the
+    // sketch path for wide groups is agg_stats_approx.)
+    Q(
+      "ts_outlier_mad",
+      (s, d) => {
+        val wt = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(s, d)
+          .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
+          .withColumn("med", expr("percentile(c, 0.5)").over(wt))
+          .withColumn("dev", abs(col("c") - col("med")))
+          .withColumn("mad", expr("percentile(dev, 0.5)").over(wt))
+          .groupBy("event_type")
+          .agg(
+            (max(col("med")) / 100.0).as("med_val"),
+            (max(col("mad")) / 100.0).as("mad_val"),
+            count(lit(1)).as("n"),
+            sum(when(col("dev") > col("mad") * 10, 1L).otherwise(0L)).as("n_outliers")
+          )
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH b AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+          |           FROM events),
+          |m AS (SELECT event_type, quantile_cont(c, 0.5) AS med FROM b GROUP BY 1),
+          |d AS (SELECT b.event_type, b.c, m.med, abs(b.c - m.med) AS dev
+          |      FROM b JOIN m USING (event_type)),
+          |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+          |SELECT d.event_type,
+          |  max(d.med) / 100.0 AS med_val,
+          |  max(md.mad) / 100.0 AS mad_val,
+          |  count(*) AS n,
+          |  CAST(sum(CASE WHEN d.dev > 10 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_outliers
+          |FROM d JOIN md USING (event_type)
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+      )
+    ),
     // Rolling time-window aggregate: per user, the sum/count of events in
     // the trailing hour — a RANGE frame over epoch-µs (Spark rangeBetween
     // needs a numeric ordering column; DuckDB's RANGE INTERVAL frame over

@@ -104,6 +104,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_outlier_mad: exact median/MAD replay; chained percentiles share one shuffle") {
+    import spark.implicits._
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val rows = graft.Tables.events(spark, dir)
+      .select(
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions
+          .round(org.apache.spark.sql.functions.col("value") * 100, 0).cast("long")
+      ).as[(String, Long)].collect()
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val cs = g.map(_._2.toDouble).toSeq
+      val m = med(cs)
+      val devs = cs.map(c => math.abs(c - m))
+      val mad = med(devs)
+      (m / 100.0, mad / 100.0, cs.length.toLong, devs.count(_ > mad * 10).toLong)
+    }.toMap
+    val df = SparkEntry.queries("ts_outlier_mad")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      "hashpartitioning".r.findAllIn(plan).length == 1,
+      s"both percentiles and the agg must share one event_type shuffle:\n$plan")
+    val got = df.as[(String, Double, Double, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, mv, madv, n, out) =>
+      assert((mv, madv, n, out) == expect(et), s"$et: ${(mv, madv, n, out)} vs ${expect(et)}")
+    }
+  }
+
   test("asof join semantics: latest at-or-before, left-preserving") {
     import spark.implicits._
     import java.sql.Timestamp
