@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
   import Tables._
 
+  /** Funnel conversion window (µs): each next step must land within
+    * this of the step it follows. Shared by the batch `funnel_steps`,
+    * the streaming [[graft.streaming.Streams.funnelOn]], and their
+    * specs — one knob, no drift.
+    */
+  private[graft] val FunnelWindowUs = 14400000000L // 4 hours
+
   /** Generic left as-of join: for every left row, the latest right row
     * with `rightTs <= leftTs` sharing the key (or, with
     * `forward = true`, the EARLIEST right row with `rightTs >= leftTs`
@@ -139,7 +146,7 @@ object TimeSeries {
     Q(
       "funnel_steps",
       (s, d) => {
-        val W = 14400000000L // 4-hour conversion window, in µs
+        val W = FunnelWindowUs
         val w = Window.partitionBy("user_id").orderBy("tss").rangeBetween(-W, 0)
         events(s, d)
           .filter(col("event_type").isin("view", "click", "purchase"))

@@ -306,7 +306,7 @@ object Streams {
   private[graft] def funnelOn(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
-    val W = 14400000000L // 4-hour conversion window (µs) — as funnel_steps
+    val W = graft.operators.TimeSeries.FunnelWindowUs // shared with funnel_steps
     val Slack = 3600000000L // tolerated cross-batch event-time disorder
     val typed = events
       .filter(col("event_type").isin("view", "click", "purchase"))

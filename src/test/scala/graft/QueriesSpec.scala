@@ -68,7 +68,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("funnel_steps: in-test windowed-chain replay; only one user-keyed shuffle, no join") {
     import spark.implicits._
-    val W = 14400000000L // must match the operator's 4-hour window (µs)
+    val W = graft.operators.TimeSeries.FunnelWindowUs
     val raw = graft.Tables.events(spark, dir)
       .select("user_id", "ts", "event_type")
       .as[(Long, java.sql.Timestamp, String)].collect()
