@@ -693,11 +693,11 @@ object LlmOps {
     // token-5-gram occurring >= 2 times anywhere marks its span, and
     // per-doc overlapping marks merge to maximal spans via
     // gaps-and-islands (running max(end) + cumulative island counter,
-    // one user-keyed window). Two bounded shuffles: the k-gram count
-    // (two-phase, collapses map-side) + its equi-join back, then the
-    // per-doc window/agg. The join key is the gram TEXT — exact, no
-    // hash-collision false marks; only duplicated grams (a vanishing
-    // fraction of a real corpus) survive the HAVING to be joined.
+    // one user-keyed window). Two bounded shuffles: one on the gram
+    // TEXT (exact — no hash-collision false marks) for the occurrence
+    // count, one on doc_id for the span merge; on a real corpus only a
+    // vanishing duplicated fraction survives the >= 2 filter into the
+    // merge stage.
     Q(
       "dedup_substring",
       (s, d) => {
