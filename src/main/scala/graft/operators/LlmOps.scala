@@ -2162,6 +2162,113 @@ object LlmOps {
           |  ELSE 0 END AS q
           |FROM t ORDER BY vec_id, pos""".stripMargin
       )
+    ),
+    // Lloyd's k-means over the embedding column — the distributed
+    // clustering primitive behind IVF index training and SemDeDup cell
+    // construction, as honest Spark dataflow: per iteration, assignment
+    // is a broadcast of the k=8 centroids against the scan (O(n·k·dim),
+    // no shuffle) and the update is a two-phase hash agg over (cell,
+    // dim) — k·dim groups, collapsed map-side — rebuilt into centroid
+    // arrays. Three iterations unrolled. Cross-engine EXACT by
+    // construction: vectors quantize to an integer-micro grid first, so
+    // distances are BIGINT sums (no float-order hazards), the argmin
+    // tie-breaks on cell id, and the centroid mean is an integer
+    // division made floor/trunc-agnostic by a +S offset (operands kept
+    // non-negative). Deterministic hash-ranked init (smallest md5 of
+    // vec_id). The 8-row row_number window runs on the post-limit rows
+    // only — the single-partition window is over k rows, not data.
+    Q(
+      "embed_kmeans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8; val iters = 3; val S = 1000000L
+        val vecs = embeddings(s, d).select(
+          col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+            .as("q")
+        )
+        val init = vecs
+          .select(col("vec_id"), col("q"), md5(col("vec_id").cast("string")).as("h"))
+          .orderBy("h", "vec_id")
+          .limit(k)
+          .withColumn("cell", row_number().over(Window.orderBy("h", "vec_id")))
+          .select(col("cell").cast("long").as("cell"), col("q").as("c"))
+        def assign(cents: DataFrame): DataFrame =
+          vecs
+            .crossJoin(broadcast(cents))
+            .withColumn(
+              "d2",
+              aggregate(
+                zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+                lit(0L),
+                (acc, x) => acc + x
+              )
+            )
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cell"))).as("m"), first(col("q")).as("q"))
+            .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"), col("q"))
+        def update(assigned: DataFrame): DataFrame =
+          assigned
+            .select(col("cell"), posexplode(col("q")).as(Seq("dim", "v")))
+            .groupBy("cell", "dim")
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            // floor/trunc-agnostic integer mean: numerator kept >= 0
+            .withColumn("avg", intDiv(col("sv") + col("n") * S, col("n")) - S)
+            .groupBy("cell")
+            .agg(
+              transform(
+                sort_array(collect_list(struct(col("dim"), col("avg")))),
+                e => e.getField("avg")
+              ).as("c")
+            )
+        var cents = init
+        var assigned = assign(cents)
+        for (_ <- 2 to iters) {
+          cents = update(assigned)
+          assigned = assign(cents)
+        }
+        assigned.select(col("vec_id"), col("cell"), col("d2")).orderBy("vec_id")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |init AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell, q AS c
+          |         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+          |p1 AS (SELECT v.vec_id, v.q, i.cell,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - i.c[j]) * (v.q[j] - i.c[j]))) AS BIGINT) AS d2
+          |  FROM v CROSS JOIN init i),
+          |a1 AS (SELECT vec_id, q, cell, d2 FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM p1)
+          |  WHERE rn = 1),
+          |e1 AS (SELECT cell, unnest(range(1, 65)) AS dim, unnest(q) AS val FROM a1),
+          |s1 AS (SELECT cell, dim, CAST(sum(val) AS BIGINT) AS sv, count(*) AS n
+          |       FROM e1 GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list((sv + n * 1000000) // n - 1000000 ORDER BY dim) AS c
+          |       FROM s1 GROUP BY cell),
+          |p2 AS (SELECT v.vec_id, v.q, i.cell,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - i.c[j]) * (v.q[j] - i.c[j]))) AS BIGINT) AS d2
+          |  FROM v CROSS JOIN c1 i),
+          |a2 AS (SELECT vec_id, q, cell, d2 FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM p2)
+          |  WHERE rn = 1),
+          |e2 AS (SELECT cell, unnest(range(1, 65)) AS dim, unnest(q) AS val FROM a2),
+          |s2 AS (SELECT cell, dim, CAST(sum(val) AS BIGINT) AS sv, count(*) AS n
+          |       FROM e2 GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list((sv + n * 1000000) // n - 1000000 ORDER BY dim) AS c
+          |       FROM s2 GROUP BY cell),
+          |p3 AS (SELECT v.vec_id, v.q, i.cell,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - i.c[j]) * (v.q[j] - i.c[j]))) AS BIGINT) AS d2
+          |  FROM v CROSS JOIN c2 i),
+          |a3 AS (SELECT vec_id, cell, d2 FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM p3)
+          |  WHERE rn = 1)
+          |SELECT vec_id, cell, d2 FROM a3 ORDER BY vec_id""".stripMargin
+      )
     )
   )
 }

@@ -575,6 +575,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("embed_kmeans: exact Lloyd replay on the integer-micro grid; inertia non-increasing") {
+    import spark.implicits._
+    val k = 8; val iters = 3; val S = 1000000L
+    def md5hex(s: String): String = {
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        (id, e.map(x =>
+          BigDecimal(x.toDouble * S).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      }
+    var cents: Map[Long, Array[Long]] = vecs
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k)
+      .zipWithIndex.map { case ((_, q), i) => (i + 1).toLong -> q }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign() = vecs.map { case (id, q) =>
+      val (cell, dd) = cents.toSeq.map { case (c, cv) => (c, d2(q, cv)) }
+        .minBy { case (c, dist) => (dist, c) }
+      (id, cell, dd, q)
+    }
+    var a = assign()
+    val inertias = scala.collection.mutable.ArrayBuffer(a.map(_._3).sum)
+    for (_ <- 2 to iters) {
+      cents = a.groupBy(_._2).view.mapValues { g =>
+        val n = g.length.toLong
+        Array.tabulate(64)(j => (g.map(_._4(j)).sum + n * S) / n - S)
+      }.toMap
+      a = assign()
+      inertias += a.map(_._3).sum
+    }
+    val expect = a.map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = SparkEntry.queries("embed_kmeans")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == vecs.length)
+    got.foreach { case (id, cell, dd) =>
+      assert((cell, dd) == expect(id), s"vec $id: ($cell,$dd) vs ${expect(id)}")
+    }
+    // Lloyd's guarantee on this grid (up to integer-mean rounding):
+    // inertia must not increase across iterations, and clustering is real
+    assert(inertias.toSeq == inertias.sorted.reverse, s"inertia rose: $inertias")
+    assert(got.map(_._2).distinct.length > 1, "all vectors fell into one cell")
+  }
+
   test("dedup_substring: in-test replay of k-gram marking + span merge; no cartesian") {
     import spark.implicits._
     val k = 5
