@@ -632,6 +632,57 @@ object TimeSeries {
           |ORDER BY p.event_id""".stripMargin
       )
     ),
+    // As-of join, direction='nearest' — completes the pandas merge_asof
+    // direction set (backward = join_asof, forward = join_asof_fwd,
+    // tolerance = join_asof_tol): each purchase takes whichever
+    // neighboring click minimizes |Δt|, ties preferring the backward
+    // match (pandas' rule). Composed from the two existing single-pass
+    // as-of kernels plus an equi-join on the UNIQUE left key — three
+    // bounded shuffles, no range scan. The oracle composes DuckDB's two
+    // ASOF joins with the same choose rule — independent mechanics.
+    Q(
+      "join_asof_near",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id")
+        val clicks = e.filter(col("event_type") === "click")
+        val back = asOfJoin(
+          purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id" -> "b_id", "ts" -> "b_ts"))
+        val fwd = asOfJoin(
+          purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id" -> "f_id", "ts" -> "f_ts"), forward = true)
+        val takeBack = col("b_ts").isNotNull && (col("f_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("b_ts"))) <=
+            (unix_micros(col("f_ts")) - unix_micros(col("ts"))))
+        back
+          .join(fwd.select("event_id", "f_id", "f_ts"), "event_id")
+          .select(
+            col("event_id"), col("ts"), col("user_id"),
+            when(takeBack, col("b_id")).otherwise(col("f_id")).as("click_id"),
+            when(takeBack, col("b_ts")).otherwise(col("f_ts")).as("click_ts")
+          )
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+          |b AS (SELECT p.event_id, c.event_id AS b_id, c.ts AS b_ts
+          |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+          |f AS (SELECT p.event_id, c.event_id AS f_id, c.ts AS f_ts
+          |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+          |SELECT p.event_id, p.ts, p.user_id,
+          |  CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+          |            OR epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts))
+          |       THEN b.b_id ELSE f.f_id END AS click_id,
+          |  CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+          |            OR epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts))
+          |       THEN b.b_ts ELSE f.f_ts END AS click_ts
+          |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+          |ORDER BY p.event_id""".stripMargin
+      )
+    ),
     // Interval/theta join: click→purchase attribution within 30 minutes.
     // Equi-join on the key with the range as a residual predicate — at
     // scale the join shuffles only on user_id, never a cross product.
