@@ -212,4 +212,41 @@ object TextKernels {
     }
     sig
   }
+
+  /** BPE encode (token count): start from single characters and
+    * repeatedly apply the BEST-RANKED merge present anywhere in the
+    * token sequence — merging every left-to-right occurrence of that
+    * pair — until no adjacent pair is in the rank table. These are the
+    * standard BPE-encode mechanics (lowest rank = learned earliest =
+    * applied first); the rank table is supplied by the caller, so a
+    * fully trained multi-level merge list plugs in unchanged.
+    */
+  def bpeTokenCount(word: String, ranks: Map[String, Int]): Int = {
+    var toks: Array[String] = word.map(_.toString).toArray
+    var done = toks.length <= 1
+    while (!done) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse(toks(i) + toks(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val merged = toks(bestIdx) + toks(bestIdx + 1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) + toks(j + 1) == merged) {
+            out += merged; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.toArray
+        done = toks.length <= 1
+      }
+    }
+    toks.length
+  }
 }

@@ -1737,6 +1737,62 @@ object LlmOps {
           |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
       )
     ),
+    // The apply side of the tokenizer story (bpe_pair_counts is the
+    // train-side statistic): encode the corpus with a BPE rank table
+    // and report per-doc token counts — the number every packing /
+    // budget decision downstream consumes. The rank table here is the
+    // top-16 corpus character pairs from ONE counting pass (a
+    // single-level table — true BPE training recounts after each
+    // merge, an inherently sequential driver loop); the ENCODE
+    // mechanics are the real algorithm (best-rank-first, all
+    // occurrences, repeat until fixpoint — TextKernels.bpeTokenCount)
+    // and a fully trained multi-level merge list plugs in unchanged.
+    // Scale shape is vocab-first twice over: the 16-row model is the
+    // only thing collected/broadcast, each DISTINCT word is encoded
+    // once (Heaps'-law sized kernel stage), and the corpus-sized side
+    // only joins the per-word count back (AQE broadcasts the vocab
+    // side here) before a two-phase per-doc agg. Not SQL-expressible
+    // (the merge loop) ⇒ no oracle; the spec replays the whole
+    // pipeline — rank derivation included — with an independent
+    // encoder implementation.
+    Q(
+      "text_bpe_encode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val words = documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        val ranks = vocab
+          .filter(length(col("w")) >= 2)
+          .select(
+            col("freq"),
+            explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+              .as("pair")
+          )
+          .groupBy("pair")
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(16)
+          .select("pair")
+          .as[String]
+          .collect()
+          .zipWithIndex
+          .toMap
+        val bc = s.sparkContext.broadcast(ranks)
+        val enc = vocab
+          .select("w")
+          .as[String]
+          .map(w => (w, TextKernels.bpeTokenCount(w, bc.value).toLong))
+          .toDF("w", "n_tok")
+        words
+          .join(enc, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      None
+    ),
     // Per-source corpus profile (RefinedWeb/Gopher-style domain stats):
     // doc count, token count, distinct-content count (exact-dup volume)
     // and byte volume per source — the aggregate a domain-level

@@ -575,6 +575,57 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("text_bpe_encode: independent encoder replay, rank derivation included; kernel hand-checks") {
+    import spark.implicits._
+    // independent encoder: recursive list rewriting, vs the kernel's
+    // imperative array loop
+    def encode(word: String, ranks: Map[String, Int]): List[String] = {
+      def mergeAll(toks: List[String], pair: String): List[String] = toks match {
+        case a :: b :: rest if a + b == pair => pair :: mergeAll(rest, pair)
+        case a :: rest => a :: mergeAll(rest, pair)
+        case Nil => Nil
+      }
+      def step(toks: List[String]): List[String] = {
+        val present = toks.zip(toks.drop(1)).map { case (a, b) => a + b }
+          .filter(ranks.contains)
+        if (present.isEmpty) toks
+        else step(mergeAll(toks, present.minBy(ranks)))
+      }
+      step(word.map(_.toString).toList)
+    }
+    // kernel hand-checks: with ranks {ab->0, bc->1}, "abc" merges ab
+    // first (better rank) -> [ab, c]; "bcbc" merges bc everywhere -> 2
+    val r0 = Map("ab" -> 0, "bc" -> 1)
+    assert(graft.functions.TextKernels.bpeTokenCount("abc", r0) == 2)
+    assert(graft.functions.TextKernels.bpeTokenCount("bcbc", r0) == 2)
+    assert(graft.functions.TextKernels.bpeTokenCount("xyz", r0) == 3)
+    assert(graft.functions.TextKernels.bpeTokenCount("a", r0) == 1)
+
+    // full-pipeline replay at sf0.001, rank table derived independently
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val allWords = docs.flatMap(_._2.split(" "))
+    val freq = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = freq.toSeq.filter(_._1.length >= 2).flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val ranks = pairCounts.sortBy { case (p, n) => (-n, p) }.take(16)
+      .zipWithIndex.map { case ((p, _), i) => p -> i }.toMap
+    val expect = docs.map { case (id, text) =>
+      val ws = text.split(" ")
+      id -> ((ws.length.toLong, ws.map(w => encode(w, ranks).length.toLong).sum))
+    }.toMap
+    val got = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, nw, nb) =>
+      assert((nw, nb) == expect(id), s"doc $id: ($nw,$nb) vs ${expect(id)}")
+    }
+    // BPE compresses: strictly fewer tokens than characters overall
+    val totalChars = allWords.map(_.length.toLong).sum
+    assert(got.map(_._3).sum < totalChars)
+  }
+
   test("embed_kmeans: exact Lloyd replay on the integer-micro grid; inertia non-increasing") {
     import spark.implicits._
     val k = 8; val iters = 3; val S = 1000000L
