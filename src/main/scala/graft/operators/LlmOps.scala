@@ -1770,48 +1770,62 @@ object LlmOps {
       )
     ),
     // The apply side of the tokenizer story (bpe_pair_counts is the
-    // train-side statistic): encode the corpus with a BPE rank table
-    // and report per-doc token counts — the number every packing /
-    // budget decision downstream consumes. The rank table here is the
-    // top-16 corpus character pairs from ONE counting pass (a
-    // single-level table — true BPE training recounts after each
-    // merge, an inherently sequential driver loop); the ENCODE
-    // mechanics are the real algorithm (best-rank-first, all
-    // occurrences, repeat until fixpoint — TextKernels.bpeTokenCount)
-    // and a fully trained multi-level merge list plugs in unchanged.
-    // Scale shape is vocab-first twice over: the 16-row model is the
-    // only thing collected/broadcast, each DISTINCT word is encoded
-    // once (Heaps'-law sized kernel stage), and the corpus-sized side
-    // only joins the per-word count back (AQE broadcasts the vocab
-    // side here) before a two-phase per-doc agg. Not SQL-expressible
-    // (the merge loop) ⇒ no oracle; the spec replays the whole
-    // pipeline — rank derivation included — with an independent
-    // encoder implementation.
+    // train-side statistic): TRAIN a K-level BPE merge list, then
+    // encode the corpus with it and report per-doc token counts — the
+    // number every packing / budget decision downstream consumes.
+    // Training is the real (inherently sequential) algorithm: K times,
+    // count adjacent token pairs under the CURRENT segmentation, merge
+    // the most frequent pair (ties broken lexicographically), assign
+    // it the next rank. The scale shape is vocab-first throughout:
+    // the corpus collapses once to (word, freq) — Heaps'-law sized —
+    // and each recount pass runs over the CACHED vocab only
+    // (distributed flatMap + two-phase agg + TakeOrdered(1); the only
+    // thing collected per level is the single argmax row). Merges are
+    // keyed by token PAIR (TextKernels.bpePairKey), not concatenation
+    // — concat keys are ambiguous once tokens are multi-character.
+    // Encoding reuses the vocab: each DISTINCT word is encoded once
+    // (TextKernels.bpeSegment, best-rank-first to fixpoint), the
+    // corpus-sized side only joins the per-word count back (AQE
+    // broadcasts the vocab side) before a two-phase per-doc agg. Not
+    // SQL-expressible (the merge loop) ⇒ no oracle; the spec replays
+    // the whole pipeline — K-level trainer included — with an
+    // independent implementation.
     Q(
       "text_bpe_encode",
       (s, d) => {
         val sp = s
         import sp.implicits._
+        val mergeLevels = 8
         val words = documents(s, d)
           .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
         val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
-        val ranks = vocab
-          .filter(length(col("w")) >= 2)
-          .select(
-            col("freq"),
-            explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-              .as("pair")
-          )
-          .groupBy("pair")
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("pair"))
-          .limit(16)
-          .select("pair")
-          .as[String]
-          .collect()
-          .zipWithIndex
-          .toMap
-        val bc = s.sparkContext.broadcast(ranks)
+        // cache for the K sequential recount passes only; unpersisted
+        // before returning (the final plan re-derives vocab in one pass)
+        val vds = vocab.as[(String, Long)].persist()
+        val merges = scala.collection.mutable.Map.empty[String, Int]
+        var level = 0
+        var exhausted = false
+        while (level < mergeLevels && !exhausted) {
+          val bcRanks = s.sparkContext.broadcast(merges.toMap)
+          val top = vds
+            .flatMap { case (w, f) =>
+              val segs = TextKernels.bpeSegment(w, bcRanks.value)
+              Iterator.range(0, segs.length - 1)
+                .map(i => (TextKernels.bpePairKey(segs(i), segs(i + 1)), f))
+            }
+            .toDF("pair", "f")
+            .groupBy("pair")
+            .agg(sum(col("f")).as("n"))
+            .orderBy(col("n").desc, col("pair"))
+            .limit(1)
+            .select("pair")
+            .as[String]
+            .collect()
+          if (top.isEmpty) exhausted = true
+          else { merges(top.head) = level; level += 1 }
+        }
+        vds.unpersist()
+        val bc = s.sparkContext.broadcast(merges.toMap)
         val enc = vocab
           .select("w")
           .as[String]

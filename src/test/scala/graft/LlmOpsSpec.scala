@@ -575,42 +575,74 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("text_bpe_encode: independent encoder replay, rank derivation included; kernel hand-checks") {
+  test("text_bpe_encode: independent K-level trainer + encoder replay; kernel hand-checks") {
     import spark.implicits._
-    // independent encoder: recursive list rewriting, vs the kernel's
-    // imperative array loop
+    import graft.functions.TextKernels.bpePairKey
+    // independent encoder: recursive list rewriting keyed by token
+    // PAIR, vs the kernel's imperative array loop
     def encode(word: String, ranks: Map[String, Int]): List[String] = {
-      def mergeAll(toks: List[String], pair: String): List[String] = toks match {
-        case a :: b :: rest if a + b == pair => pair :: mergeAll(rest, pair)
-        case a :: rest => a :: mergeAll(rest, pair)
+      def mergeAll(toks: List[String], key: String): List[String] = toks match {
+        case a :: b :: rest if bpePairKey(a, b) == key => (a + b) :: mergeAll(rest, key)
+        case a :: rest => a :: mergeAll(rest, key)
         case Nil => Nil
       }
       def step(toks: List[String]): List[String] = {
-        val present = toks.zip(toks.drop(1)).map { case (a, b) => a + b }
+        val present = toks.zip(toks.drop(1)).map { case (a, b) => bpePairKey(a, b) }
           .filter(ranks.contains)
         if (present.isEmpty) toks
         else step(mergeAll(toks, present.minBy(ranks)))
       }
       step(word.map(_.toString).toList)
     }
-    // kernel hand-checks: with ranks {ab->0, bc->1}, "abc" merges ab
+    // kernel hand-checks: with ranks {a·b->0, b·c->1}, "abc" merges ab
     // first (better rank) -> [ab, c]; "bcbc" merges bc everywhere -> 2
-    val r0 = Map("ab" -> 0, "bc" -> 1)
+    val r0 = Map(bpePairKey("a", "b") -> 0, bpePairKey("b", "c") -> 1)
     assert(graft.functions.TextKernels.bpeTokenCount("abc", r0) == 2)
     assert(graft.functions.TextKernels.bpeTokenCount("bcbc", r0) == 2)
     assert(graft.functions.TextKernels.bpeTokenCount("xyz", r0) == 3)
     assert(graft.functions.TextKernels.bpeTokenCount("a", r0) == 1)
+    // pair-keying, not concat-keying: a merge learned for ("ab","c")
+    // must NOT fire on ("a","bc") — or on raw "abc" before "ab" exists
+    val r1 = Map(bpePairKey("ab", "c") -> 0)
+    assert(graft.functions.TextKernels.bpeTokenCount("abc", r1) == 3)
+    // multi-level: ("a","b") then ("ab","c") collapses "abc" fully
+    val r2 = Map(bpePairKey("a", "b") -> 0, bpePairKey("ab", "c") -> 1)
+    assert(graft.functions.TextKernels.bpeSegment("abc", r2).toSeq == Seq("abc"))
 
-    // full-pipeline replay at sf0.001, rank table derived independently
+    // full-pipeline replay at sf0.001: independent SEQUENTIAL K-level
+    // trainer (recount adjacent pairs under the current segmentation,
+    // merge the argmax, repeat) — the op's distributed vocab-first
+    // loop must land on the identical merge list and per-doc counts
+    val K = 8
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
     val allWords = docs.flatMap(_._2.split(" "))
     val freq = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val pairCounts = freq.toSeq.filter(_._1.length >= 2).flatMap { case (w, f) =>
-      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f)
-    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-    val ranks = pairCounts.sortBy { case (p, n) => (-n, p) }.take(16)
-      .zipWithIndex.map { case ((p, _), i) => p -> i }.toMap
+    var ranks = Map.empty[String, Int]
+    var level = 0
+    var exhausted = false
+    while (level < K && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      freq.foreach { case (w, f) =>
+        val segs = encode(w, ranks)
+        segs.zip(segs.drop(1)).foreach { case (a, b) =>
+          val key = bpePairKey(a, b)
+          counts(key) = counts.getOrElse(key, 0L) + f
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (best, _) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+        ranks = ranks + (best -> level)
+        level += 1
+      }
+    }
+    assert(ranks.size >= 3, s"fixture too small to train 3 merge levels: $ranks")
+    // at least one learned merge must have a multi-character side —
+    // otherwise the K-level loop degenerates to the single-pass table
+    assert(
+      ranks.keys.exists(_.split(" ", 2).exists(_.length > 1)),
+      s"no multi-level merge learned: $ranks")
     val expect = docs.map { case (id, text) =>
       val ws = text.split(" ")
       id -> ((ws.length.toLong, ws.map(w => encode(w, ranks).length.toLong).sum))
