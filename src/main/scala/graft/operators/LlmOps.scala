@@ -168,7 +168,12 @@ object LlmOps {
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(centroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    // persist: the tagged table feeds both sides of the cell self-join
+    // persist: the tagged table feeds both sides of the cell self-join.
+    // The cache is registered in the session CacheManager for the
+    // lifetime of the returned (lazy) plan — it cannot be unpersisted
+    // here. Verify/Bench clearCache between queries; a long-lived
+    // session embedding this op should spark.catalog.clearCache() (or
+    // df.unpersist the consumed plan) once the result is materialized.
     val tagged = e
       .crossJoin(broadcast(cents))
       .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
@@ -1075,8 +1080,13 @@ object LlmOps {
         // component OOMs the driver on plan strings alone). Eager
         // checkpointing cuts both sides: edges becomes a leaf once,
         // labels becomes a fresh leaf every round — flat per-round cost
-        // in O(diameter) rounds, and an executor loss replays one round,
-        // not the whole chain.
+        // in O(diameter) rounds. Fault-tolerance trade-off: local
+        // checkpoint blocks live on executors with lineage TRUNCATED,
+        // so on a real cluster losing an executor loses the labels
+        // irrecoverably and the job fails (harmless on local[*]); a
+        // driver that must survive executor loss should
+        // sc.setCheckpointDir + .checkpoint() for reliable storage at
+        // the cost of a distributed-FS write per round.
         val edges = pairs
           .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("src", "dst")
@@ -1160,6 +1170,9 @@ object LlmOps {
             pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"),
             col("vec_id"), col("embedding"))
           .persist()
+        // (cache lifetime: registered until the session clears it —
+        // Verify/Bench clearCache between queries; long-lived sessions
+        // must clearCache after materializing, as with semDedup above)
         // pid encodes the unordered pair {a,b} with a <= b: pid = a*B + b
         val pairTbl = (for { a <- 0 until B; b <- a until B } yield (a * B + b, a, b))
           .toDF("pid", "ba", "bb")

@@ -198,29 +198,60 @@ object TimeSeries {
     // unlike z-scores is not itself dragged by the outliers. All inputs
     // live on the exact integer-cents grid, so both medians interpolate
     // on half-integer grids and every comparison is on identical
-    // doubles. Plan: the two exact percentiles run as WHOLE-PARTITION
-    // window aggregates chained on the same event_type partitioning —
-    // ONE shuffle total, no join-back passes — then a two-phase agg
-    // counts the flags. The oracle is the independent two-CTE
-    // join-back formulation of the same rule. (Exact percentile
-    // buffers a group's values — the per-type cardinality here; the
-    // sketch path for wide groups is agg_stats_approx.)
+    // doubles. Exact per-group percentiles on a ~5-value key would
+    // concentrate each group into one buffering task (whole-partition
+    // window or percentile agg — round-7 verdict watch item); instead
+    // both medians are selected from a BIGINT HISTOGRAM: one two-phase
+    // groupBy(type, value).count() collapses the corpus map-side to
+    // the grid-bounded distinct-value table, cumulative ranks over
+    // that metadata-sized table locate the two middle elements, and
+    // quantile_cont interpolation is replayed exactly on the
+    // half-integer grid (the MAD pass doubles deviations to stay
+    // integral). Three corpus-sized two-phase aggs total (value
+    // histogram, deviation histogram, flag count) — every one map-side
+    // partial, no whole-group buffering anywhere at any cardinality.
     Q(
       "ts_outlier_mad",
       (s, d) => {
-        val wt = Window.partitionBy("event_type")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        events(s, d)
+        // exact interpolated median (quantile_cont 0.5) of an integral
+        // column, selected from its histogram: ranks pLow=(n-1) div 2
+        // and pHigh=n div 2 are located in the cumulative count, then
+        // averaged — distributed for any group size
+        def histMedian(df: DataFrame, v: String, out: String): DataFrame = {
+          val hist = df.groupBy(col("event_type"), col(v))
+            .agg(count(lit(1)).as("cnt"))
+          val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+          val wCum = Window.partitionBy("event_type").orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val inRank = (r: org.apache.spark.sql.Column) =>
+            r.between(col("cum") - col("cnt"), col("cum") - 1)
+          hist
+            .join(broadcast(n), "event_type")
+            .withColumn("cum", sum(col("cnt")).over(wCum))
+            .groupBy("event_type")
+            .agg(
+              max(when(inRank(floor((col("n") - 1) / 2)), col(v))).as("vlo"),
+              max(when(inRank(floor(col("n") / 2)), col(v))).as("vhi")
+            )
+            .select(col("event_type"), ((col("vlo") + col("vhi")) / 2.0).as(out))
+        }
+        val base = events(s, d)
           .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
-          .withColumn("med", expr("percentile(c, 0.5)").over(wt))
-          .withColumn("dev", abs(col("c") - col("med")))
-          .withColumn("mad", expr("percentile(dev, 0.5)").over(wt))
+        val med = histMedian(base, "c", "med")
+        // deviations on the half-cent grid: med is integer or exact .5,
+        // so 2·|c − med| is integral and the MAD histogram stays BIGINT
+        val dev = base
+          .join(broadcast(med), "event_type")
+          .withColumn("d2", abs(col("c") * 2 - (col("med") * 2).cast("long")))
+        val mad2 = histMedian(dev.select(col("event_type"), col("d2")), "d2", "m2")
+        dev
+          .join(broadcast(mad2), "event_type")
           .groupBy("event_type")
           .agg(
             (max(col("med")) / 100.0).as("med_val"),
-            (max(col("mad")) / 100.0).as("mad_val"),
+            (max(col("m2")) / 2.0 / 100.0).as("mad_val"),
             count(lit(1)).as("n"),
-            sum(when(col("dev") > col("mad") * 10, 1L).otherwise(0L)).as("n_outliers")
+            sum(when(col("d2") > col("m2") * 10, 1L).otherwise(0L)).as("n_outliers")
           )
           .orderBy("event_type")
       },

@@ -675,11 +675,14 @@ class Store private[sources] (
     * readers (staging lives outside items/) but occupying storage.
     * Every staged dir is an orphan the moment no op is running: `tmp`
     * never made it live, `old` was already replaced. `olderThanMillis`
-    * (lastModified-based) is the guard for fleets where ANOTHER writer
-    * may have an op in flight — sweep only dirs older than the longest
-    * plausible write. Returns the number of dirs removed.
+    * (lastModified-based) is the guard for ANOTHER writer with an op in
+    * flight — a resident ingestStream batch between stage and swap, a
+    * concurrent compact — whose staging dirs are NOT orphans yet. The
+    * default sweeps only dirs older than one hour (longer than any
+    * plausible single write); pass 0 to force-sweep everything when the
+    * caller knows no other writer exists. Returns dirs removed.
     */
-  def vacuum(olderThanMillis: Long = 0L): Long = {
+  def vacuum(olderThanMillis: Long = 3600000L): Long = {
     require(olderThanMillis >= 0, "olderThanMillis must be >= 0")
     val staging = base.resolve(".staging")
     if (!Files.exists(staging)) return 0L
@@ -825,6 +828,8 @@ class Store private[sources] (
     * each row's origin, so a portfolio-style range read is ONE Spark
     * job over N pruned scans (directory + row-group pruning applies per
     * branch exactly as in [[query]]) instead of N driver round-trips.
+    * Rejects stores whose schema already carries an `ITEM` column — the
+    * origin column would silently duplicate the name otherwise.
     */
   def queryMany(
       keys: Seq[String],
@@ -832,6 +837,10 @@ class Store private[sources] (
       end: Option[Timestamp] = None,
       columns: Option[Seq[String]] = None
   ): DataFrame = {
+    if (schema.fieldNames.contains("ITEM"))
+      throw new SchemaError(
+        "queryMany adds an ITEM origin column but the store schema already has " +
+          "a column named ITEM; query the keys individually instead")
     val resolved = keys.map(validateKey).distinct
     if (resolved.isEmpty)
       throw new SchemaError("queryMany requires at least one key")

@@ -284,12 +284,18 @@ object Streams {
     * needs a retraction and the last emission per user is the answer.
     * State is TIME-BOUNDED, not stream-bounded: a candidate can only
     * complete a chain for events within W of it, so candidates older
-    * than maxSeen − W − δ are pruned each batch (δ = 1 h of tolerated
-    * cross-batch event-time disorder — the same contract the zscore
-    * ring buffer uses; within a batch, events are sorted by (ts,
-    * event_id) first, so intra-batch disorder is free). Per-user state
-    * is O(funnel events in the trailing W+δ), independent of stream
-    * length.
+    * than maxSeen − W − δ are pruned each batch (δ = 1 h). Disorder
+    * contract — narrower than the pruning slack: δ protects LATE
+    * DEPENDENTS only (a click/purchase arriving up to δ after the
+    * view/click it completes still finds the candidate in state);
+    * PREREQUISITES must arrive no later than their dependents — a view
+    * arriving in a later micro-batch than its click is never
+    * re-evaluated and that click stays unqualified. Within a batch,
+    * events sort by (ts, step order, event_id) — views before clicks
+    * before purchases at equal timestamps — so intra-batch disorder,
+    * including same-microsecond prerequisite ties, is fully absorbed.
+    * Per-user state is O(funnel events in the trailing W+δ),
+    * independent of stream length.
     */
   def funnel(s: SparkSession, dir: String): DataFrame =
     runToBatch(s, funnelOn(eventsStream(s, dir)), "append")
@@ -327,7 +333,13 @@ object Streams {
           var n = prev.n
           var maxSeen = prev.maxSeen
           val batch = it.toArray
-          batch.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          // step order breaks same-ts ties: a view sharing a microsecond
+          // with its click must be applied first or the click is
+          // silently unqualified (batch funnel_steps counts v <= t)
+          def stepRank(t: String): Int = t match {
+            case "view" => 0; case "click" => 1; case _ => 2
+          }
+          batch.sortBy(e => (us(e.ts), stepRank(e.event_type), e.event_id)).foreach { e =>
             val t = us(e.ts)
             n += 1
             if (t > maxSeen) maxSeen = t

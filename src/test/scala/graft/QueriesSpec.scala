@@ -104,7 +104,7 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("ts_outlier_mad: exact median/MAD replay; chained percentiles share one shuffle") {
+  test("ts_outlier_mad: exact median/MAD replay via histogram selection; no buffering percentile") {
     import spark.implicits._
     def med(xs: Seq[Double]): Double = {
       val s = xs.sorted; val n = s.length
@@ -125,9 +125,12 @@ class QueriesSpec extends AnyFunSuite {
     }.toMap
     val df = SparkEntry.queries("ts_outlier_mad")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(
-      "hashpartitioning".r.findAllIn(plan).length == 1,
-      s"both percentiles and the agg must share one event_type shuffle:\n$plan")
+    // medians must come from histogram selection, never from a
+    // buffering exact-percentile agg/window — on a ~5-value key those
+    // concentrate each group's full value set into one task (round-7
+    // verdict watch item)
+    assert(!plan.contains("percentile"), s"buffering percentile crept back:\n$plan")
+    assert(plan.contains("partial_count"), s"histogram must aggregate map-side:\n$plan")
     val got = df.as[(String, Double, Double, Long, Long)].collect()
     assert(got.nonEmpty)
     got.foreach { case (et, mv, madv, n, out) =>

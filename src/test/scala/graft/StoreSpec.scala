@@ -109,6 +109,11 @@ class StoreSpec extends AnyFunSuite {
       == Seq("ITEM", "DATE"))
     intercept[SchemaError] { s.queryMany(Seq.empty) }
     intercept[ItemKeyError] { s.queryMany(Seq("MSFT", "GOOG")) }
+    // a stored ITEM column would silently collide with the origin column
+    val s2 = Store.open(
+      spark, tmpDir(),
+      cols = Some(Seq("ITEM" -> org.apache.spark.sql.types.StringType)))
+    intercept[SchemaError] { s2.queryMany(Seq("ANY")) }
   }
 
   test("append: dedup idempotence, both paths (reference :65-68)") {
@@ -499,9 +504,12 @@ class StoreSpec extends AnyFunSuite {
       Files.createDirectories(d)
       Files.write(d.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
     }
-    // reopen (crash-recovery shape) and sweep
+    // reopen (crash-recovery shape): the DEFAULT vacuum is age-guarded
+    // (1h) so just-written staging dirs — indistinguishable from a
+    // concurrent writer mid-op — survive; force-sweep takes 0
     val reopened = Store.open(spark, dir)
-    assert(reopened.vacuum() == 2L)
+    assert(reopened.vacuum() == 0L, "default vacuum must not sweep fresh staging dirs")
+    assert(reopened.vacuum(olderThanMillis = 0L) == 2L)
     val left = { val l = Files.list(staging); try l.count() finally l.close() }
     assert(left == 0L, ".staging must be empty after vacuum")
     assert(reopened("AAA").count() == 200, "live item must be untouched")
@@ -510,7 +518,7 @@ class StoreSpec extends AnyFunSuite {
     Files.createDirectories(fresh)
     assert(reopened.vacuum(olderThanMillis = 60000L) == 0L)
     assert(Files.exists(fresh), "in-flight staging dir must survive an age-scoped vacuum")
-    assert(reopened.vacuum() == 1L)
+    assert(reopened.vacuum(olderThanMillis = 0L) == 1L)
     // no staging dir at all: no-op
     val bare = Store.open(spark, tmpDir())
     assert(bare.vacuum() == 0L)

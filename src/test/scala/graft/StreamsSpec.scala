@@ -72,6 +72,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(fin).count() == 0)
   }
 
+  test("stream_funnel: same-microsecond prerequisites apply first regardless of event_id order") {
+    import spark.implicits._
+    // user 1: view and click share a microsecond, click has the SMALLER
+    // event_id — (ts, event_id) ordering would process the click before
+    // its prerequisite view and leave it unqualified forever (batch
+    // funnel_steps counts v <= t, so the right answer is steps=2);
+    // user 2: full chain with view/click and click/purchase ties
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val work = java.nio.file.Files.createTempDirectory("graft-funnel-tie").toString
+    Seq(
+      (5L, t0, 1L, "view", 1.0),
+      (4L, t0, 1L, "click", 1.0),
+      (9L, t0, 2L, "view", 1.0),
+      (8L, t0, 2L, "click", 1.0),
+      (7L, t0, 2L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$work/in/b0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$work/in/b0").schema)
+      .option("recursiveFileLookup", "true").parquet(s"$work/in")
+    val q = Streams.funnelOn(src).writeStream
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.read.parquet(s"$work/out")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("steps"))).getField("steps").as("steps"))
+      .as[(Long, Long)].collect().toMap
+    assert(fin == Map(1L -> 2L, 2L -> 3L), s"tie-break broken: $fin")
+  }
+
   test("stream_ohlcv equals batch hourly OHLCV bars") {
     val streamed = Streams.ohlcv(spark, dir)
     val batch = Tables.events(spark, dir)
