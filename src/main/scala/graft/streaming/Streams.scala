@@ -127,12 +127,21 @@ object Streams {
       .orderBy("w_start", "event_type")
   }
 
-  /** Session windows (30-minute gap) per user. */
-  def session(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
+  /** The session aggregation itself, source-agnostic: 30-minute-gap
+    * session windows per user under a 10-minute watermark. Shared by
+    * the memory-sink registered query and the file-sink spec drive —
+    * in append mode a session emits exactly once, when the watermark
+    * passes its end (last event + gap).
+    */
+  private[graft] def sessionAggOn(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+
+  /** Session windows (30-minute gap) per user. */
+  def session(s: SparkSession, dir: String): DataFrame = {
+    val agg = sessionAggOn(eventsStream(s, dir))
     runToBatch(s, agg, "complete")
       .select(
         col("session_window.start").as("s_start"),
@@ -161,13 +170,19 @@ object Streams {
     * group is touched. The last emission per user equals the batch
     * aggregate (asserted by the spec).
     */
-  def customState(s: SparkSession, dir: String): DataFrame = {
-    val sp = s
+  /** The per-user running-totals update itself, source-agnostic —
+    * shared by the memory-sink registered query and the file-sink spec
+    * drive. Emits the cumulative (count, sum) for every user touched in
+    * a micro-batch; the LAST emission per user is the answer, so any
+    * sink consumer folds with max(struct(n_events, sum_value)).
+    */
+  private[graft] def customStateOn(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
     import sp.implicits._
-    val typed = eventsStream(s, dir)
+    val typed = events
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventRow]
-    val updated = typed
+    typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[EventRow], state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
@@ -180,6 +195,10 @@ object Streams {
           Iterator.single((uid, next.n, next.sum))
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  def customState(s: SparkSession, dir: String): DataFrame = {
+    val updated = customStateOn(eventsStream(s, dir))
     runToBatch(s, updated, "append")
       .groupBy("user_id") // keep only the final emission per user
       .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))

@@ -101,9 +101,8 @@ object StressRel {
 
     val orders = src("orders").crossJoin(clones)
     writeT(orders.select(
-      offset("o_orderkey", ORD), offset("o_custkey", CUST),
-      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-      col("o_orderpriority"), col("o_clerk"), col("o_shippriority"), col("o_comment")
+      offset("o_orderkey", ORD) +: offset("o_custkey", CUST) +:
+        src("orders").columns.filterNot(Set("o_orderkey", "o_custkey")).map(col): _*
     ), outDir, "orders")
 
     val lineitem = src("lineitem").crossJoin(clones)

@@ -348,6 +348,92 @@ class StreamsSpec extends AnyFunSuite {
     assert(viaMemory.exceptAll(streamed).count() == 0)
   }
 
+  test("stream_session: parquet sink (append mode) emits every session once the watermark passes") {
+    // Same 24/7 file-sink shape as stream_tumbling: append mode, a
+    // session emits exactly once when the watermark passes its end
+    // (last event + 30 min gap). The mid-split forces sessions that
+    // SPAN micro-batches to merge in the state store before emission;
+    // a far-future sentinel (own user_id, so its session never merges
+    // with a real one) flushes the tail sessions.
+    val work = JFiles.createTempDirectory("graft-srec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val ev = Tables.events(spark, dir).select("ts", "user_id", "value")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+    val parts = Seq(
+      ev.filter(expr(s"unix_micros(ts) < $mid")),
+      ev.filter(expr(s"unix_micros(ts) >= $mid")))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    import spark.implicits._
+    Seq((new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000), -1L, 0.0))
+      .toDF("ts", "user_id", "value")
+      .coalesce(1).write.parquet(s"$stage/b2")
+    stampMtime(s"$stage/b2", 1000000L + 300)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    runStaged(stage, out, chk, schema,
+      df => Streams.sessionAggOn(df)
+        .select(
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("sum_value")),
+      killEarly = false)
+    val streamed = spark.read.parquet(out).filter(col("user_id") =!= -1L)
+    val viaMemory = Streams.session(spark, dir)
+    assert(streamed.count() == viaMemory.count(),
+      "file sink must emit each session exactly once, tail sessions included")
+    assert(streamed.exceptAll(viaMemory).count() == 0)
+    assert(viaMemory.exceptAll(streamed).count() == 0)
+  }
+
+  test("stream_custom_state: parquet sink, killed mid-stream; restarted totals equal batch") {
+    // flatMapGroupsWithState in append mode through a FILE sink, with
+    // the zscore-style kill/restart drive: the checkpoint must carry
+    // the per-user running totals across the crash, and the file sink's
+    // exactly-once manifest must not double-count the replayed batch.
+    // The last emission per user (max of the cumulative struct) is the
+    // contract, so the fold is insensitive to how many interim
+    // emissions landed before the kill.
+    val work = JFiles.createTempDirectory("graft-csrec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val n = ev.count()
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") >= n * i / 4 && col("event_id") < n * (i + 1) / 4)
+        .coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    runStaged(stage, out, chk, schema, Streams.customStateOn, killEarly = true)
+    runStaged(stage, out, chk, schema, Streams.customStateOn, killEarly = false)
+    val streamed = spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
+      .select(
+        col("user_id"), col("fin.n_events"),
+        round(col("fin.sum_value"), 4).as("sum_value"))
+    val batch = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    assert(streamed.count() == batch.count())
+    val joined = streamed.as("s").join(batch.as("b"), "user_id")
+      .filter(
+        col("s.n_events") =!= col("b.n_events") ||
+          abs(col("s.sum_value") - col("b.sum_value")) >= 1e-6)
+    assert(joined.count() == 0, "restarted per-user totals must equal batch")
+  }
+
   test("stream_minhash_dedup: killed mid-stream, checkpoint restart keeps bucket claimants (equals batch)") {
     import spark.implicits._
     import graft.functions.TextKernels
