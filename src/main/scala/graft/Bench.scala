@@ -42,7 +42,8 @@ object Bench {
     "text_chunk", "text_quality_lm", "resample_ffill", "resample_interp",
     "ts_zscore", "ts_diff", "ts_ewma", "ts_rolling_corr",
     "win_rolling_time", "sessionize",
-    "bpe_pair_counts", "corpus_sources", "dedup_semantic", "corpus_mix", "text_classifier", "text_winnow", "agg_corr", "funnel_steps", "multimodal_framesample", "dedup_substring", "fn_map", "ts_outlier_mad", "embed_kmeans", "join_asof_near", "text_bpe_encode"
+    "bpe_pair_counts", "corpus_sources", "dedup_semantic", "corpus_mix", "text_classifier", "text_winnow", "agg_corr", "funnel_steps", "multimodal_framesample", "dedup_substring", "fn_map", "ts_outlier_mad", "embed_kmeans", "join_asof_near", "text_bpe_encode",
+    "text_normalize", "sample_quality_weighted", "embed_stats"
   )
 
   def main(args: Array[String]): Unit = {

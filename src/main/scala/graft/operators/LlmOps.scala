@@ -2384,6 +2384,155 @@ object LlmOps {
           |  WHERE rn = 1)
           |SELECT vec_id, cell, d2 FROM a3 ORDER BY vec_id""".stripMargin
       )
+    ),
+    // Text canonicalization — the first pass of every training-data
+    // pipeline (case-fold, strip non-alphanumerics, collapse runs of
+    // whitespace) so downstream dedup/fingerprint keys are stable
+    // across formatting variants. Pure scan->project, fully codegen'd,
+    // zero shuffles (the ORDER BY is the oracle determinism edge).
+    // Cross-engine note: Java regex walks UTF-16 units, RE2 walks
+    // codepoints — identical on BMP text (this corpus is ASCII); astral
+    // chars would count differently and need a codepoint-safe kernel.
+    Q(
+      "text_normalize",
+      (s, d) => {
+        val norm = trim(
+          regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " "
+          )
+        )
+        documents(s, d)
+          .select(col("doc_id"), norm.as("norm_text"))
+          .withColumn(
+            "n_tok",
+            when(col("norm_text") === "", 0L)
+              .otherwise(size(split(col("norm_text"), " ")).cast("long"))
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |       ' +', ' ', 'g')) AS norm_text,
+          |  CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |       ' +', ' ', 'g')) = '' THEN 0
+          |  ELSE CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+          |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) END AS n_tok
+          |FROM documents ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // Quality-weighted corpus sampling — keep each document with
+    // probability equal to its quality score, the importance-sampling
+    // step that upweights clean text in a mixed crawl. Deterministic
+    // and cluster-reproducible: the acceptance draw is a cryptographic
+    // hash of doc_id (uniform in [0, 1e6)), compared against the
+    // integer-ppm quality score, so membership is a pure function of
+    // the row — no RNG state, identical on any partitioning, and both
+    // engines evaluate the identical integer comparison. Scan ->
+    // filter, no shuffle; the ppm threshold reuses qualityScore's
+    // integer grid (ppm/1e6 is exact in double, so round recovers the
+    // integer exactly).
+    Q(
+      "sample_quality_weighted",
+      (s, d) => {
+        val bucket =
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000000L
+        documents(s, d)
+          .withColumn("quality", qualityScore(col("text")))
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < round(col("quality") * 1000000.0, 0).cast("long"))
+          .select(col("doc_id"), col("lang"), col("quality"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, lang,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          |  CAST(length(text) AS BIGINT) AS c,
+          |  CAST(len(list_filter(string_split(text, ' '),
+          |       w -> w IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS s,
+          |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS a,
+          |  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000 AS bucket
+          |  FROM documents),
+          |q AS (SELECT doc_id, lang, bucket,
+          |  CASE WHEN c = 0 THEN NULL ELSE
+          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |    // (2*100*n*c)) END AS k
+          |  FROM t)
+          |SELECT doc_id, lang, k / 1000000.0 AS quality, bucket
+          |FROM q WHERE bucket < k ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // Per-dimension embedding distribution statistics — the feature-
+    // health scan run before training an IVF/PQ index or whitening
+    // transform (dead dims, scale outliers, centering constants).
+    // Vectors quantize to the integer-micro grid up front (the
+    // embed_kmeans trick), so every aggregate is a BIGINT sum — no
+    // float summation-order hazards — and mean/std reconstruct from
+    // (n, sum, sum-of-squares) with an identical double expression tree
+    // in both engines. One generate (64x expand) into one two-phase
+    // hash agg over 64 groups, collapsed map-side: the reduce side is
+    // dimension-sized at any corpus scale. Grid headroom: |x|<=1 puts
+    // sum(v^2) per dim under 1e12 per row — BIGINT holds ~9e6 rows per
+    // dim; beyond that, coarsen the grid or widen to DECIMAL.
+    Q(
+      "embed_stats",
+      (s, d) => {
+        embeddings(s, d)
+          .select(
+            posexplode(
+              transform(
+                col("embedding"),
+                x => round(x.cast("double") * 1000000.0, 0).cast("long")
+              )
+            ).as(Seq("dim", "v"))
+          )
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("sq"),
+            min(col("v")).as("mn"),
+            max(col("v")).as("mx")
+          )
+          .select(
+            col("dim"),
+            col("n"),
+            round(col("sv").cast("double") / col("n") / 1000000.0, 6).as("mean"),
+            round(
+              sqrt(
+                greatest(
+                  (col("sq").cast("double") -
+                    col("sv").cast("double") * col("sv").cast("double") / col("n")) / col("n"),
+                  lit(0.0)
+                )
+              ) / 1000000.0,
+              6
+            ).as("std"),
+            round(col("mn") / 1000000.0, 6).as("vmin"),
+            round(col("mx") / 1000000.0, 6).as("vmax")
+          )
+          .orderBy("dim")
+      },
+      Some(
+        """WITH t AS (SELECT
+          |    unnest(range(0, len(embedding))) AS dim,
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+          |  FROM embeddings),
+          |a AS (SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+          |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS sq,
+          |    min(v) AS mn, max(v) AS mx
+          |  FROM t GROUP BY 1)
+          |SELECT dim, n,
+          |  round(CAST(sv AS DOUBLE) / n / 1000000.0, 6) AS mean,
+          |  round(sqrt(greatest((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n,
+          |        0)) / 1000000.0, 6) AS std,
+          |  round(mn / 1000000.0, 6) AS vmin,
+          |  round(mx / 1000000.0, 6) AS vmax
+          |FROM a ORDER BY dim""".stripMargin
+      )
     )
   )
 }

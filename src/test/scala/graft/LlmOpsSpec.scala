@@ -860,4 +860,78 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = df.as[(Long, String, Long, Long, Long)].collect().toSeq
     assert(got == expect, s"offset mismatch: ${got.take(5)} vs ${expect.take(5)}")
   }
+
+  test("text_normalize: idempotent, canonical form, narrow plan (no shuffle before the sort)") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_normalize")(spark, dir)
+    val rows = out.as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, norm, nTok) =>
+      // canonical form: lowercase alnum words, single spaces, no edges
+      assert(!norm.exists(c => !(c.isLower && c <= 'z' || c.isDigit || c == ' ')),
+        s"doc $id has residual chars: '$norm'")
+      assert(!norm.contains("  ") && norm == norm.trim, s"doc $id not collapsed: '$norm'")
+      assert(nTok == (if (norm.isEmpty) 0L else norm.split(" ").length.toLong))
+    }
+    // idempotence: normalizing the normalized corpus is the identity
+    val renorm = rows.map { case (_, norm, _) =>
+      norm.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    }
+    assert(rows.map(_._2).toSeq == renorm.toSeq)
+    // scan->project only: no exchange below the oracle-mandated sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"text_normalize should not shuffle (project-only before sort):\n$plan")
+  }
+
+  test("sample_quality_weighted: membership replays the hash-gate rule; higher quality keeps more") {
+    import spark.implicits._
+    val kept = SparkEntry.queries("sample_quality_weighted")(spark, dir)
+      .as[(Long, String, Double, Long)].collect()
+    assert(kept.nonEmpty)
+    // replay: bucket < ppm for every kept row, exact integer comparison
+    kept.foreach { case (id, _, quality, bucket) =>
+      val ppm = math.round(quality * 1e6)
+      assert(bucket < ppm, s"doc $id kept with bucket $bucket >= ppm $ppm")
+    }
+    // complement check: every dropped doc fails the same gate
+    val all = SparkEntry.queries("text_quality")(spark, dir)
+      .as[(Long, Option[Double])].collect().toMap
+    val keptIds = kept.map(_._1).toSet
+    all.foreach { case (id, q) =>
+      val bucket = BigInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16).toLong % 1000000L
+      val keep = q.exists(v => bucket < math.round(v * 1e6))
+      assert(keep == keptIds.contains(id), s"doc $id membership mismatch")
+    }
+    // determinism across runs
+    val again = SparkEntry.queries("sample_quality_weighted")(spark, dir)
+      .as[(Long, String, Double, Long)].collect()
+    assert(kept.toSeq == again.toSeq)
+  }
+
+  test("embed_stats: matches in-test double computation; dimension-sized two-phase agg") {
+    import spark.implicits._
+    val out = SparkEntry.queries("embed_stats")(spark, dir)
+    val got = out.as[(Long, Long, Double, Double, Double, Double)].collect()
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    assert(got.length == 64 && got.forall(_._2 == vecs.length))
+    // independent replay on the same integer grid
+    got.foreach { case (dim, n, mean, std, vmin, vmax) =>
+      val q = vecs.map(v => math.round(v._2(dim.toInt).toDouble * 1e6))
+      val sv = q.sum
+      val sq = q.map(x => x * x).sum
+      assert(math.abs(mean - sv.toDouble / n / 1e6) < 1e-6, s"dim $dim mean")
+      val varApprox = (sq.toDouble - sv.toDouble * sv.toDouble / n) / n
+      assert(math.abs(std - math.sqrt(math.max(varApprox, 0)) / 1e6) < 1e-6, s"dim $dim std")
+      assert(vmin == q.min / 1e6 && vmax == q.max / 1e6, s"dim $dim min/max")
+    }
+    // two-phase: the 64-group agg must collapse map-side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"embed_stats agg must be partial (map-side combine):\n$plan")
+  }
 }
