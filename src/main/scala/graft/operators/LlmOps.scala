@@ -2533,6 +2533,149 @@ object LlmOps {
           |  round(mx / 1000000.0, 6) AS vmax
           |FROM a ORDER BY dim""".stripMargin
       )
+    ),
+    // Top principal component of the embedding cloud — the whitening /
+    // drift-detection primitive (which direction dominates the
+    // corpus's variance). Distributed shape: ONE pass builds the d x d
+    // Gram matrix of centered vectors as a two-phase hash agg over
+    // (i, j) pairs — the 64x64=4096-group reduce side is
+    // dimension-sized at any corpus scale, and everything downstream
+    // (3 power-iteration steps) runs on 64-row metadata. Cross-engine
+    // EXACT by construction, the embed_kmeans discipline end to end:
+    // vectors quantize to the integer-micro grid, the mean and the
+    // Gram rescale are offset-guarded integer divisions, and each
+    // power step renormalizes to an integer [-1000, 1000] grid by
+    // dividing through max|w| — no float summation anywhere, so the
+    // DuckDB oracle replays the identical integers through 3 unrolled
+    // CTE iterations. Grid headroom: |gsum| <= 4e12 * n_vectors must
+    // stay under the 1e17 offset — raise GS/OFF together past ~2.5e4
+    // vectors (the corpus-scale path samples or sketches the Gram
+    // anyway; the power loop itself never sees corpus-sized data).
+    Q(
+      "embed_pca",
+      (s, d) => {
+        val S = 1000000L // quantize grid
+        val OFF = 100000000000000000L // Gram division offset (multiple of GS)
+        val GS = 1000000L // Gram rescale divisor
+        val VG = 1000L // iteration-vector grid
+        val KOFF = 2000L // iteration division offset (> VG)
+        val vecs = embeddings(s, d).select(
+          col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+            .as("q")
+        )
+        val mArr = vecs
+          .select(posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .withColumn("mq", intDiv(col("sv") + col("n") * S, col("n")) - S)
+          .groupBy()
+          .agg(
+            transform(
+              sort_array(collect_list(struct(col("dim"), col("mq")))),
+              _.getField("mq")
+            ).as("m")
+          )
+        val centered = vecs
+          .crossJoin(broadcast(mArr))
+          .select(zip_with(col("q"), col("m"), (a, b) => a - b).as("cq"))
+        val grow = centered
+          .select(
+            explode(
+              flatten(
+                transform(
+                  col("cq"),
+                  (vi, i) =>
+                    transform(
+                      col("cq"),
+                      (vj, j) => struct(i.as("i"), j.as("j"), (vi * vj).as("p"))
+                    )
+                )
+              )
+            ).as("e")
+          )
+          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+          .agg(sum(col("e.p")).as("gsum"))
+          .withColumn("g", intDiv(col("gsum") + OFF, lit(GS)) - OFF / GS)
+          .groupBy("i")
+          .agg(
+            transform(
+              sort_array(collect_list(struct(col("j"), col("g")))),
+              _.getField("g")
+            ).as("garr")
+          )
+        def step(vRow: DataFrame): DataFrame = {
+          val w = grow
+            .crossJoin(broadcast(vRow))
+            .select(
+              col("i"),
+              aggregate(
+                zip_with(col("garr"), col("varr"), (a, b) => a * b),
+                lit(0L),
+                (acc, x) => acc + x
+              ).as("w")
+            )
+          val wm = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("wm"))
+          w.crossJoin(broadcast(wm))
+            .withColumn(
+              "vq",
+              intDiv(col("w") * VG + col("wm") * KOFF, col("wm")) - KOFF
+            )
+        }
+        def toRow(withVq: DataFrame): DataFrame =
+          withVq
+            .groupBy()
+            .agg(
+              transform(
+                sort_array(collect_list(struct(col("i"), col("vq")))),
+                _.getField("vq")
+              ).as("varr")
+            )
+        val v0 = s.range(1).select(array_repeat(lit(VG), 64).as("varr"))
+        val it3 = step(toRow(step(toRow(step(v0)))))
+        it3
+          .select(col("i").cast("long").as("dim"), (col("vq") / 1000.0).as("loading"))
+          .orderBy("dim")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |mm AS (SELECT dim,
+          |    (CAST(sum(val) AS BIGINT) + count(*) * 1000000) // count(*) - 1000000 AS mq
+          |  FROM (SELECT unnest(range(1, 65)) AS dim, unnest(q) AS val FROM v)
+          |  GROUP BY dim),
+          |ma AS (SELECT list(mq ORDER BY dim) AS m FROM mm),
+          |c AS (SELECT list_transform(range(1, 65), j -> v.q[j] - ma.m[j]) AS cq
+          |      FROM v, ma),
+          |gp AS (SELECT i, j, CAST(sum(cq[i] * cq[j]) AS BIGINT) AS gsum
+          |  FROM c,
+          |    (SELECT unnest(range(1, 65)) AS i) ri,
+          |    (SELECT unnest(range(1, 65)) AS j) rj
+          |  GROUP BY i, j),
+          |gr AS (SELECT i,
+          |    list((gsum + 100000000000000000) // 1000000 - 100000000000 ORDER BY j) AS garr
+          |  FROM gp GROUP BY i),
+          |w1 AS (SELECT i, CAST(list_sum(list_transform(garr, g -> g * 1000)) AS BIGINT) AS w
+          |       FROM gr),
+          |m1 AS (SELECT greatest(max(abs(w)), 1) AS wm FROM w1),
+          |v1 AS (SELECT list((w * 1000 + wm * 2000) // wm - 2000 ORDER BY i) AS varr
+          |       FROM w1, m1),
+          |w2 AS (SELECT i, CAST(list_sum(list_transform(range(1, 65),
+          |         j -> garr[j] * varr[j])) AS BIGINT) AS w
+          |       FROM gr, v1),
+          |m2 AS (SELECT greatest(max(abs(w)), 1) AS wm FROM w2),
+          |v2 AS (SELECT list((w * 1000 + wm * 2000) // wm - 2000 ORDER BY i) AS varr
+          |       FROM w2, m2),
+          |w3 AS (SELECT i, CAST(list_sum(list_transform(range(1, 65),
+          |         j -> garr[j] * varr[j])) AS BIGINT) AS w
+          |       FROM gr, v2),
+          |m3 AS (SELECT greatest(max(abs(w)), 1) AS wm FROM w3),
+          |v3 AS (SELECT i, (w * 1000 + wm * 2000) // wm - 2000 AS vq FROM w3, m3)
+          |SELECT CAST(i - 1 AS BIGINT) AS dim, vq / 1000.0 AS loading
+          |FROM v3 ORDER BY dim""".stripMargin
+      )
     )
   )
 }

@@ -363,6 +363,80 @@ object TimeSeries {
           |ORDER BY user_a, sidx_a, user_b, sidx_b""".stripMargin
       )
     ),
+    // Session concurrency profile — how many sessions are live at each
+    // instant. This is the LINEAR-OUTPUT companion to join_interval:
+    // enumerating overlap PAIRS is inherently quadratic in concurrency
+    // (any engine pays the output), but most consumers only need the
+    // concurrency curve / its peaks, and that is a sweep line — O(n)
+    // output no matter how dense the overlap. Each session emits
+    // (+1 at start, -1 just past its inclusive end), change points
+    // collapse in a two-phase agg, and the running sum uses the same
+    // two-level distributed prefix-sum shape as pack_shards: per-hour-
+    // cell totals (metadata-sized ordered window), broadcast base
+    // offsets, cell-local running sums — no whole-timeline window
+    // partition at any scale.
+    Q(
+      "ts_concurrency",
+      (s, d) => {
+        import graft.functions.MathFunctions.intDiv
+        val cellUs = 3600000000L // 1-hour prefix-sum cells
+        val sess = sessionIndexed(s, d)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(
+            min(unix_micros(col("ts"))).as("su"),
+            max(unix_micros(col("ts"))).as("eu")
+          )
+        val deltas = sess
+          .select(
+            explode(
+              array(
+                struct(col("su").as("tsu"), lit(1L).as("d")),
+                struct((col("eu") + 1L).as("tsu"), lit(-1L).as("d"))
+              )
+            ).as("ev")
+          )
+          .select(col("ev.tsu").as("tsu"), col("ev.d").as("d"))
+        val byTs = deltas
+          .groupBy("tsu")
+          .agg(sum(col("d")).as("delta"))
+          .withColumn("cell", intDiv(col("tsu"), lit(cellUs)))
+        // exclusive prefix of per-cell totals: the ordered window runs
+        // over ~one row per active hour, not over change points
+        val wCell = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+        val cellBase = byTs
+          .groupBy("cell")
+          .agg(sum(col("delta")).as("ct"))
+          .withColumn("base", coalesce(sum(col("ct")).over(wCell), lit(0L)))
+          .select("cell", "base")
+        val wIn = Window.partitionBy("cell").orderBy("tsu")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        byTs
+          .join(broadcast(cellBase), "cell")
+          .withColumn("conc", col("base") + sum(col("delta")).over(wIn))
+          .select("tsu", "delta", "conc")
+          .orderBy("tsu")
+      },
+      Some(
+        """WITH t AS (SELECT event_id, user_id, ts,
+          |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |se AS (SELECT user_id, ts,
+          |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sidx
+          |  FROM t),
+          |sess AS (SELECT user_id, sidx,
+          |         min(epoch_us(ts)) AS su, max(epoch_us(ts)) AS eu
+          |         FROM se GROUP BY user_id, sidx),
+          |ev AS (SELECT su AS tsu, 1 AS d FROM sess
+          |       UNION ALL SELECT eu + 1 AS tsu, -1 AS d FROM sess),
+          |g AS (SELECT tsu, CAST(sum(d) AS BIGINT) AS delta FROM ev GROUP BY tsu)
+          |SELECT tsu, delta,
+          |  CAST(sum(delta) OVER (ORDER BY tsu
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+          |FROM g ORDER BY tsu""".stripMargin
+      )
+    ),
     // Gap-filled resampling (forward fill) — the upsampling half of
     // resample coverage: bucket observations to a 1-hour grid (max per
     // slot), expand each series to its full dense grid, and carry the

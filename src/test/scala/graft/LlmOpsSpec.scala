@@ -934,4 +934,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       s"embed_stats agg must be partial (map-side combine):\n$plan")
   }
+
+  test("embed_pca: exact integer power-iteration replay; Rayleigh quotient improves; Gram agg partial") {
+    import spark.implicits._
+    val out = SparkEntry.queries("embed_pca")(spark, dir)
+    val got = out.as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    assert(got.length == 64)
+    // independent sequential replay of the identical integer pipeline
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map(_._2.map(x => math.round(x.toDouble * 1e6)))
+    val n = vecs.length.toLong
+    val mq = Array.tabulate(64) { j =>
+      val sv = vecs.map(_(j)).sum
+      (sv + n * 1000000L) / n - 1000000L
+    }
+    val cent = vecs.map(v => Array.tabulate(64)(j => v(j) - mq(j)))
+    val g = Array.tabulate(64, 64) { (i, j) =>
+      val gsum = cent.map(c => c(i) * c(j)).sum
+      (gsum + 100000000000000000L) / 1000000L - 100000000000L
+    }
+    def step(v: Array[Long]): Array[Long] = {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+      val wm = math.max(w.map(math.abs).max, 1L)
+      w.map(x => (x * 1000L + wm * 2000L) / wm - 2000L)
+    }
+    val v1 = step(Array.fill(64)(1000L))
+    val v3 = step(step(v1))
+    assert(got.toSeq == v3.map(_ / 1000.0).toSeq, "integer power-iteration replay mismatch")
+    // power iteration must not degrade the Rayleigh quotient v'Gv/v'v
+    // (computed in doubles on the exact integer G)
+    def rayleigh(v: Array[Long]): Double = {
+      val num = (0 until 64).map(i =>
+        (0 until 64).map(j => g(i)(j).toDouble * v(i) * v(j)).sum).sum
+      val den = v.map(x => x.toDouble * x).sum
+      num / den
+    }
+    assert(rayleigh(v3) >= rayleigh(v1) * 0.999,
+      s"Rayleigh degraded: ${rayleigh(v1)} -> ${rayleigh(v3)}")
+    // the one corpus-sized agg (the Gram pairs) must collapse map-side;
+    // the centering mean and iteration vectors broadcast back
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"Gram agg must be partial:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"metadata rows must broadcast:\n$plan")
+  }
 }
