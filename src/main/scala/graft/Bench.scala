@@ -56,8 +56,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet ts is TIMESTAMP(NANOS); see graft.Tables.events
+      // events.parquet ts vintage handling (nanos or micros) — graft.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -124,7 +125,6 @@ object Bench {
     // ingest + pushdown range slicing (README.md:7,44) — track both.
     val storeResults = if (only.isDefined) Seq.empty[(String, Double)] else {
       import graft.sources.Store
-      import org.apache.spark.sql.functions.{col, expr}
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
       val store = Store.open(spark, tmp,
         cols = Some(Seq(
@@ -133,8 +133,7 @@ object Bench {
           "EVENT_TYPE" -> org.apache.spark.sql.types.StringType,
           "VALUE" -> org.apache.spark.sql.types.DoubleType)),
         index = Some("TS"), bucket = Some("day"))
-      val events = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val events = graft.Tables.events(spark, sfDir)
       val t0 = System.nanoTime()
       try store.write("events", events) catch { case _: Throwable => () }
       val tw = (System.nanoTime() - t0) / 1e9

@@ -76,13 +76,9 @@ object Relational {
     Q(
       "append_dedup",
       (s, d) => {
-        // filter in the raw nanos domain so both branch scans prune
-        def ns(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000000L
-        val raw = Tables.table(s, d, "events")
-        val conv = (df: org.apache.spark.sql.DataFrame) =>
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        val old = conv(raw.filter(col("ts") < ns("2024-01-20T00:00:00Z")))
-        val neu = conv(raw.filter(col("ts") >= ns("2024-01-10T00:00:00Z")))
+        // filter in the raw ts domain so both branch scans prune
+        val old = Tables.eventsWhere(s, d)((ts, l) => ts < l("2024-01-20T00:00:00Z"))
+        val neu = Tables.eventsWhere(s, d)((ts, l) => ts >= l("2024-01-10T00:00:00Z"))
         old.unionByName(neu).dropDuplicates().orderBy("event_id")
       },
       Some(

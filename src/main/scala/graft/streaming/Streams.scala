@@ -63,10 +63,13 @@ case class FunnelSt(
   */
 object Streams {
 
-  /** Raw schema of events.parquet under nanosAsLong (ts = long nanos). */
-  private val rawSchema = StructType(Seq(
+  /** Raw schema of events.parquet with `ts` in the corpus's physical
+    * domain (long nanos on the TIMESTAMP(NANOS) vintage, a timestamp
+    * on the TIMESTAMP(MICROS) vintage — graft.Tables).
+    */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -75,15 +78,25 @@ object Streams {
 
   private val counter = new AtomicInteger(0)
 
-  /** Streaming read of events with `ts` converted to TimestampType. */
-  def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(rawSchema)
+  /** Streaming read of events with `ts` converted to TimestampType.
+    * The file stream source needs an explicit schema; a one-time driver
+    * footer read picks the ts domain, and the conversion matches
+    * Tables.events so streaming and batch see identical columns.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val tsType = graft.Tables.eventsTsType(s, dir)
+    val src = s.readStream
+      .schema(rawSchema(tsType))
       // file stream source requires a directory; select just the events
       // file out of the sf dir
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
+  }
 
   /** Run `out` to completion under AvailableNow into a memory sink and
     * return the materialized result.

@@ -18,9 +18,9 @@ object StoreDemo {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ts as TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read as long nanos and convert (lossless: testdata is µs-aligned).
+      // events.parquet ts vintage handling (nanos or micros) — graft.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -33,9 +33,8 @@ object StoreDemo {
       bucket = Some("day")) // directory partitioning: __bucket=yyyy-MM-dd/
     println(s"[demo] schema: ${store.schema.catalogString}")
 
-    import org.apache.spark.sql.functions.{col, expr}
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.col
+    val events = graft.Tables.events(spark, sfDir)
     if (!store.exists("events")) store.write("events", events)
     println(s"[demo] total rows: ${store("EVENTS").count()}")
     val st = store.describe("EVENTS")

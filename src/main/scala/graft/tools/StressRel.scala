@@ -53,6 +53,7 @@ object StressRel {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,14 +118,19 @@ object StressRel {
         .map(col): _*
     ), outDir, "customer")
 
-    // events: ts jittered +1 s per clone (raw nanos domain — the long
-    // column reads identically under nanosAsLong whether the physical
-    // type is TIMESTAMP(NANOS) or INT64)
-    val events = src("events").crossJoin(clones)
+    // events: ts jittered +1 s per clone, in whichever domain the corpus
+    // vintage ships (long nanos vs native timestamp — graft.Tables)
+    val rawEvents = graft.Tables.table(spark, sfDir, "events")
+    val jitter = rawEvents.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (col("ts") + col("clone").cast("long") * 1000000000L).as("ts")
+      case _ =>
+        expr("timestampadd(SECOND, clone, ts)").as("ts")
+    }
+    val events = rawEvents.crossJoin(clones)
     writeT(events.select(
       offset("event_id", EVT), offset("user_id", USER),
-      col("event_type"), col("value"),
-      (col("ts") + col("clone").cast("long") * 1000000000L).as("ts")
+      col("event_type"), col("value"), jitter
     ), outDir, "events")
 
     // dims: pass through (broadcast sides stay dimension-sized at any SF)

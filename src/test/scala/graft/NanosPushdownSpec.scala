@@ -1,29 +1,37 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The NanosRangePushdown optimizer rule must make natural-form range
-  * filters on the converted events `ts` reach the parquet scan, with
-  * results identical to the residual-only plan.
+/** Natural-form range filters on the events `ts` must reach the parquet
+  * scan on either corpus vintage (graft.Tables): on the TIMESTAMP(NANOS)
+  * vintage via the NanosRangePushdown optimizer rule (converted-column
+  * predicates get a raw-nanos scan bound), on the TIMESTAMP(MICROS)
+  * vintage natively (the column is a plain timestamp attribute).
   */
 class NanosPushdownSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   val dir = "/root/testdata/sf0.001"
 
   def lit_ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+  lazy val nanosVintage = Tables.eventsTsType(spark, dir) == LongType
 
-  test("natural-form ts range filter is pushed to the scan in nanos") {
+  test("natural-form ts range filter is pushed to the scan") {
     val q = Tables.events(spark, dir)
       .filter(col("ts") >= lit_ts("2024-01-10 00:00:00") &&
         col("ts") <= lit_ts("2024-01-20 00:00:00"))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters"), plan)
-    assert(
-      plan.contains("GreaterThanOrEqual(ts,1704844799999999001")
-        && plan.contains("LessThanOrEqual(ts,1705708800000000999"),
-      s"expected nanos-domain pushed range:\n$plan"
-    )
+    if (nanosVintage)
+      assert(
+        plan.contains("GreaterThanOrEqual(ts,1704844799999999001")
+          && plan.contains("LessThanOrEqual(ts,1705708800000000999"),
+        s"expected nanos-domain pushed range:\n$plan")
+    else
+      assert(
+        plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThanOrEqual(ts,"),
+        s"expected native timestamp pushed range:\n$plan")
     // result equality with the hand-pushed helper
     val expect = Tables.eventsInRange(spark, dir, "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
     assert(q.count() == expect.count())
@@ -44,6 +52,9 @@ class NanosPushdownSpec extends AnyFunSuite {
     // formatted explain output instead
     val full = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(full.contains("GreaterThanOrEqual(ts,1704844800000000001"), full)
+    if (nanosVintage)
+      assert(full.contains("GreaterThanOrEqual(ts,1704844800000000001"), full)
+    else
+      assert(full.contains("GreaterThan(ts,"), full)
   }
 }
