@@ -57,6 +57,18 @@ object LlmOps {
   private val LshBits = 4
   private val LshProbe = 2
 
+  /** PQ geometry: m subspaces × sd dims, k codes per subspace, and the
+    * ADC survivor count handed to the exact re-rank (sim_ann_ivfpq).
+    * Like the IVF/LSH probe knobs above, these ship wide for the
+    * near-uniform driver corpus (where quantized ranking carries little
+    * signal — see the clustered-fixture spec for the property that
+    * matters on structured data at scale).
+    */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 16
+  private val PqRerank = 50
+
   /** Rademacher ±1 hyperplane signs for [[lshCode]], derived
     * deterministically from XXH64 so any worker regenerates the same
     * hyperplanes — but generated ONCE per JVM per (bits, dims) instead
@@ -272,6 +284,124 @@ object LlmOps {
         round(col("c.score"), 6).as("score")
       )
       .orderBy("q_id", "rank")
+  }
+
+  /** IVF-PQ ANN top-10 for the query vector (vec_id 0) — the index
+    * shape that scales past IVF-Flat: candidates come from the probed
+    * IVF clusters, but ranking inside the probe set uses
+    * product-quantized approximate scores (asymmetric distance
+    * computation), so scanning a probed cluster touches each vector's
+    * m sub-codes only — at 100 TB that is the difference between
+    * reading 4 small ints and 64 floats per candidate — and only the
+    * top `rerank` ADC survivors are re-read exactly. Every model table
+    * is a broadcast-sized constant (centroid sample, m·k codebook, m·k
+    * query lookup table); the code scan is a bucketed equi-join and the
+    * per-vector ADC sum is a (vec,sub)→(vec) two-phase aggregate — no
+    * driver-side model state at all (the LUT stays a DataFrame).
+    * Approximate ⇒ rows-only check; recall vs the exact
+    * sim_cosine_topk is spec'd like the other ANN variants.
+    */
+  private[graft] def annIvfPq(
+      s: SparkSession, e0: DataFrame, centroids: Int, probes: Int,
+      m: Int, sd: Int, ksub: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = e0.withColumn("emb", toDouble(col("embedding")))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    // IVF coarse layer — identical sampling/probing to ivfCandidates
+    val cents = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(centroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val assigned = corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
+    val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe"))
+    val probeClusters = cents
+      .crossJoin(broadcast(probe))
+      .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
+      .limit(probes)
+      .select(col("cid").as("cluster"))
+    // PQ codebook: ksub hash-ranked seeds, one Lloyd update, all m
+    // subspaces in one dataflow (the embed_pq_encode shape, double
+    // domain — this op is approximate, no cross-engine grid needed)
+    def subvec(v: Column, sub: Column): Column =
+      slice(v, (sub * sd + 1).cast("int"), lit(sd))
+    def withSubs(df: DataFrame, idCols: Column*): DataFrame =
+      df.select(idCols :+ explode(sequence(lit(0L), lit((m - 1).toLong))).as("sub"): _*)
+    val seeds = corpus
+      .select(col("vec_id"), col("emb"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id")
+      .limit(ksub)
+      .withColumn("cell", row_number().over(Window.orderBy("h", "vec_id")).cast("long"))
+    // the ksub-row seed window runs on post-limit rows only
+    val i0 = withSubs(seeds, col("cell"), col("emb"))
+      .select(col("sub"), col("cell"), subvec(col("emb"), col("sub")).as("c"))
+    val sv = withSubs(corpus, col("vec_id"), col("emb"))
+      .select(col("vec_id"), col("sub"), subvec(col("emb"), col("sub")).as("sq"))
+    def assignPq(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), "sub")
+        .withColumn(
+          "d2",
+          aggregate(
+            zip_with(col("sq"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0.0),
+            (acc, x) => acc + x
+          )
+        )
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("cell"))).as("mm"), first(col("sq")).as("sq"))
+        .select(col("vec_id"), col("sub"), col("mm.cell").as("cell"), col("sq"))
+    val cb1 = assignPq(i0)
+      .select(col("sub"), col("cell"), posexplode(col("sq")).as(Seq("dim", "v")))
+      .groupBy("sub", "cell", "dim")
+      .agg(avg(col("v")).as("avg"))
+      .groupBy("sub", "cell")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("avg")))),
+          x => x.getField("avg")
+        ).as("c")
+      )
+    val codes = assignPq(cb1).select(col("vec_id"), col("sub"), col("cell"))
+    // query lookup table: per (sub, cell) the query-subvector dot and
+    // the codebook entry's squared norm — m·k rows, broadcast
+    val lut = cb1
+      .crossJoin(broadcast(probe))
+      .select(
+        col("sub"), col("cell"),
+        aggregate(
+          zip_with(col("c"), subvec(col("probe"), col("sub")), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("qdot"),
+        aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x).as("cnorm2")
+      )
+    val qnorm = probe
+      .select(sqrt(aggregate(col("probe"), lit(0.0), (acc, x) => acc + x * x)).as("qnorm"))
+    // ADC over the probed candidates: only (vec, sub, code) rows travel
+    val adc = codes
+      .join(assigned, "vec_id")
+      .join(broadcast(probeClusters), "cluster")
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .groupBy("vec_id")
+      .agg(sum(col("qdot")).as("adot"), sum(col("cnorm2")).as("anorm2"))
+      .crossJoin(broadcast(qnorm))
+      .select(
+        col("vec_id"),
+        (col("adot") / (col("qnorm") * sqrt(col("anorm2")))).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+      .limit(rerank)
+    // exact cosine re-rank of the bounded ADC survivor set
+    corpus
+      .join(broadcast(adc), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(
+        col("vec_id"),
+        round(col("ascore"), 6).as("ascore"),
+        round(CosineSimilarity.cosineSim(col("emb"), col("probe")), 6).as("score")
+      )
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** LSH candidate set for the query vector (vec_id 0): corpus vectors
@@ -1300,6 +1430,18 @@ object LlmOps {
     Q(
       "sim_ann_batch",
       (s, d) => annIvfBatch(s, embeddings(s, d), IvfCentroids, IvfProbes, 5),
+      None
+    ),
+    // IVF-PQ ANN: probed IVF clusters ranked by product-quantized
+    // asymmetric-distance scores (each candidate read as m sub-codes,
+    // not the full vector), exact cosine only on the bounded ADC
+    // survivor set — the index shape that scales past IVF-Flat at
+    // 100 TB (see [[annIvfPq]]). Approximate ⇒ rows-only check; recall
+    // vs sim_cosine_topk spec'd.
+    Q(
+      "sim_ann_ivfpq",
+      (s, d) =>
+        annIvfPq(s, embeddings(s, d), IvfCentroids, IvfProbes, PqM, PqSub, PqK, PqRerank),
       None
     ),
     // Batch exact kNN: top-5 neighbors for EVERY query vector (the
@@ -2383,6 +2525,112 @@ object LlmOps {
           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM p3)
           |  WHERE rn = 1)
           |SELECT vec_id, cell, d2 FROM a3 ORDER BY vec_id""".stripMargin
+      )
+    ),
+    // Product quantization (PQ) encode — the compression step behind
+    // IVF-PQ indexes at 100 TB scale: split each 64-dim vector into
+    // m=4 subspaces of 16 dims, train a tiny k=4 codebook per subspace
+    // (2 Lloyd iterations), and emit each vector's per-subspace code +
+    // residual distortion. 64 floats become 4 small codes (plus the
+    // shared 16-row codebook), the memory shape ANN indexes ship.
+    // Spark-first: all m subspaces train in ONE dataflow — vectors
+    // explode to (vec, sub, subvector) rows, assignment is a broadcast
+    // join against the m·k=16-row codebook, the update is a two-phase
+    // hash agg over (sub, cell, dim) = 256 groups (map-side collapsed,
+    // reduce side codebook-sized at any corpus scale). No per-subspace
+    // driver loop over data. Cross-engine EXACT via the embed_kmeans
+    // discipline: integer-micro grid (BIGINT d2 sums, no float-order
+    // hazards), argmin ties on cell id, floor/trunc-agnostic integer
+    // centroid means, shared hash-ranked seed draw (subspace s of seed
+    // r initializes codebook row r of subspace s).
+    Q(
+      "embed_pq_encode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = 4L; val sd = 16; val k = 4; val S = 1000000L
+        val vecs = embeddings(s, d).select(
+          col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+            .as("q")
+        )
+        val seeds = vecs
+          .select(col("vec_id"), col("q"), md5(col("vec_id").cast("string")).as("h"))
+          .orderBy("h", "vec_id")
+          .limit(k)
+          .withColumn("cell", row_number().over(Window.orderBy("h", "vec_id")).cast("long"))
+        // the k-row seed window above runs on post-limit rows only
+        def subvec(q: Column, sub: Column): Column =
+          slice(q, (sub * sd + 1).cast("int"), lit(sd))
+        val i0 = seeds
+          .select(col("cell"), explode(sequence(lit(0L), lit(m - 1))).as("sub"), col("q"))
+          .select(col("sub"), col("cell"), subvec(col("q"), col("sub")).as("c"))
+        val sv = vecs
+          .select(col("vec_id"), explode(sequence(lit(0L), lit(m - 1))).as("sub"), col("q"))
+          .select(col("vec_id"), col("sub"), subvec(col("q"), col("sub")).as("sq"))
+        def assign(cb: DataFrame): DataFrame =
+          sv.join(broadcast(cb), "sub")
+            .withColumn(
+              "d2",
+              aggregate(
+                zip_with(col("sq"), col("c"), (a, b) => (a - b) * (a - b)),
+                lit(0L),
+                (acc, x) => acc + x
+              )
+            )
+            .groupBy("vec_id", "sub")
+            .agg(min(struct(col("d2"), col("cell"))).as("mm"), first(col("sq")).as("sq"))
+            .select(
+              col("vec_id"), col("sub"),
+              col("mm.cell").as("cell"), col("mm.d2").as("d2"), col("sq"))
+        def update(a: DataFrame): DataFrame =
+          a.select(col("sub"), col("cell"), posexplode(col("sq")).as(Seq("dim", "v")))
+            .groupBy("sub", "cell", "dim")
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .withColumn("avg", intDiv(col("sv") + col("n") * S, col("n")) - S)
+            .groupBy("sub", "cell")
+            .agg(
+              transform(
+                sort_array(collect_list(struct(col("dim"), col("avg")))),
+                e => e.getField("avg")
+              ).as("c")
+            )
+        val a2 = assign(update(assign(i0)))
+        a2.select(col("vec_id"), col("sub"), col("cell").as("code"), col("d2"))
+          .orderBy("vec_id", "sub")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |g AS (SELECT unnest(range(0, 4)) AS sub),
+          |sv AS (SELECT vec_id, sub,
+          |    list_transform(range(1, 17), j -> q[sub*16 + j]) AS sq FROM v, g),
+          |seeds AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell, q
+          |          FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+          |i0 AS (SELECT sub, cell,
+          |    list_transform(range(1, 17), j -> q[sub*16 + j]) AS c FROM seeds, g),
+          |p1 AS (SELECT t.vec_id, t.sub, i.cell, t.sq,
+          |    CAST(list_sum(list_transform(range(1, 17),
+          |      j -> (t.sq[j] - i.c[j]) * (t.sq[j] - i.c[j]))) AS BIGINT) AS d2
+          |  FROM sv t JOIN i0 i ON t.sub = i.sub),
+          |a1 AS (SELECT vec_id, sub, cell, d2, sq FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS rn FROM p1)
+          |  WHERE rn = 1),
+          |e1 AS (SELECT sub, cell, unnest(range(1, 17)) AS dim, unnest(sq) AS val FROM a1),
+          |s1 AS (SELECT sub, cell, dim, CAST(sum(val) AS BIGINT) AS sv_, count(*) AS n
+          |       FROM e1 GROUP BY 1, 2, 3),
+          |c1 AS (SELECT sub, cell, list((sv_ + n * 1000000) // n - 1000000 ORDER BY dim) AS c
+          |       FROM s1 GROUP BY sub, cell),
+          |p2 AS (SELECT t.vec_id, t.sub, i.cell,
+          |    CAST(list_sum(list_transform(range(1, 17),
+          |      j -> (t.sq[j] - i.c[j]) * (t.sq[j] - i.c[j]))) AS BIGINT) AS d2
+          |  FROM sv t JOIN c1 i ON t.sub = i.sub),
+          |a2 AS (SELECT vec_id, sub, cell, d2 FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS rn FROM p2)
+          |  WHERE rn = 1)
+          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cell AS code, d2
+          |FROM a2 ORDER BY vec_id, sub""".stripMargin
       )
     ),
     // Text canonicalization — the first pass of every training-data

@@ -65,6 +65,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("sim_ann_ivfpq: clustered corpus — recall >= 0.8 with ADC re-rank pool <= 10% of corpus") {
+    // Same rationale as the candidate-reduction spec below: the driver
+    // corpus is near-uniform on the sphere, where ANY quantized ranking
+    // carries little signal (the shipped knobs there are wide and the
+    // driver check is rows-only). This fixture has the structure PQ
+    // exists for, and asserts the 100 TB property: with candidates
+    // read as m sub-codes, the EXACT re-rank touches only the bounded
+    // ADC survivor set — a small fraction of the corpus — and recall
+    // holds.
+    import spark.implicits._
+    import graft.operators.LlmOps
+    val dim = 16; val nClusters = 16; val perCluster = 128
+    val rnd = new scala.util.Random(42)
+    val rows = for { c <- 0 until nClusters; i <- 0 until perCluster } yield {
+      val id = (c.toLong * perCluster) + i
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0f else 0.0f) + (rnd.nextGaussian() * 0.05).toFloat)
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val n = rows.size - 1
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = rows.find(_._1 == 0L).get._2
+    val exact = rows.iterator
+      .filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosine(q, v)) }
+      .toSeq.sortBy(p => (-p._2, p._1)).take(10).map(_._1).toSet
+    // 64 sampled centroids / probe 12 (the working IVF draw for this
+    // fixture, below); PQ at m=4 x sd=4, k=16 codes, 128-row ADC pool
+    val rerank = 128
+    val out = LlmOps.annIvfPq(spark, emb, 64, 12, 4, 4, 16, rerank)
+      .select("vec_id", "ascore", "score").as[(Long, Double, Double)].collect()
+    val recall = exact.intersect(out.map(_._1).toSet).size.toDouble / exact.size
+    info(f"IVF-PQ recall=$recall%.2f; exact re-rank pool = $rerank/${n} = ${rerank * 100.0 / n}%.1f%% of corpus")
+    assert(recall >= 0.8, f"IVF-PQ recall $recall%.2f < 0.8")
+    assert(rerank <= n / 10, "ADC survivor pool is not a small fraction of the corpus")
+    // quantized scores track the exact cosine on structured data
+    val mae = out.map { case (_, a, s) => math.abs(a - s) }.sum / out.length
+    info(f"ADC score MAE vs exact cosine: $mae%.4f")
+    assert(mae < 0.2, f"ADC approximation too coarse: MAE $mae%.4f")
+    // shipped-constant registered query still runs end-to-end on the
+    // driver corpus and returns a full top-10 (driver check: rows-only)
+    val shipped = SparkEntry.queries("sim_ann_ivfpq")(spark, dir).collect()
+    assert(shipped.length == 10)
+  }
+
   test("sim_ann_lsh: recall >= 0.8 vs exact brute-force top-10") {
     import spark.implicits._
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, dir)
@@ -702,6 +752,57 @@ class LlmOpsSpec extends AnyFunSuite {
     // inertia must not increase across iterations, and clustering is real
     assert(inertias.toSeq == inertias.sorted.reverse, s"inertia rose: $inertias")
     assert(got.map(_._2).distinct.length > 1, "all vectors fell into one cell")
+  }
+
+  test("embed_pq_encode: exact per-subspace Lloyd replay; distortion non-increasing; codebook broadcast") {
+    import spark.implicits._
+    val m = 4; val sd = 16; val k = 4; val S = 1000000L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        (id, e.map(x =>
+          BigDecimal(x.toDouble * S).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      }
+    val seeds = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k)
+    def sub(q: Array[Long], s0: Int): Array[Long] = q.slice(s0 * sd, s0 * sd + sd)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // per-subspace state: codebook row r = seed r's subvector
+    var books: Map[Int, Map[Long, Array[Long]]] = (0 until m).map { s0 =>
+      s0 -> seeds.zipWithIndex.map { case ((_, q), i) => (i + 1).toLong -> sub(q, s0) }.toMap
+    }.toMap
+    def assign() = for { (id, q) <- vecs; s0 <- 0 until m } yield {
+      val sq = sub(q, s0)
+      val (cell, dd) = books(s0).toSeq.map { case (c, cv) => (c, d2(sq, cv)) }
+        .minBy { case (c, dist) => (dist, c) }
+      (id, s0, cell, dd, sq)
+    }
+    var a = assign()
+    val dist0 = a.map(_._4).sum
+    books = a.groupBy(_._2).view.mapValues { g =>
+      g.groupBy(_._3).view.mapValues { members =>
+        val n = members.length.toLong
+        Array.tabulate(sd)(j => (members.map(_._5(j)).sum + n * S) / n - S)
+      }.toMap
+    }.toMap
+    a = assign()
+    val dist1 = a.map(_._4).sum
+    assert(dist1 <= dist0, s"PQ distortion rose after codebook update: $dist0 -> $dist1")
+    val expect = a.map(r => (r._1, r._2.toLong) -> ((r._3, r._4))).toMap
+    val df = SparkEntry.queries("embed_pq_encode")(spark, dir)
+    // the 16-row codebook must arrive by broadcast, never a shuffled join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast codebook join:\n$plan")
+    val got = df.as[(Long, Long, Long, Long)].collect()
+    assert(got.length == vecs.length * m)
+    got.foreach { case (id, s0, code, dd) =>
+      assert((code, dd) == expect((id, s0)), s"vec $id sub $s0: ($code,$dd) vs ${expect((id, s0))}")
+    }
+    // real quantization: codes are used non-trivially in at least one subspace
+    assert(got.map(_._3).distinct.length > 1, "all subvectors fell into one code")
   }
 
   test("dedup_substring: in-test replay of k-gram marking + span merge; no cartesian") {
