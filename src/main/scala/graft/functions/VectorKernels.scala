@@ -1,0 +1,313 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector kernels for the embedding-model operators.
+  *
+  * The HOF composition (`aggregate(zip_with(...))`) these replace is
+  * CodegenFallback — interpreted per element with a lambda frame and an
+  * array allocation per row — which is the dominant constant factor in
+  * the PQ/k-means assignment scans at scale. Each kernel here generates
+  * one tight primitive loop inside whole-stage codegen, with semantics
+  * (accumulation order, integer arithmetic, tie-breaks) IDENTICAL to
+  * the HOF form so every oracle and replay spec is unaffected.
+  *
+  * Element domains: `long` (the cross-engine integer-grid discipline —
+  * accumulation stays integer) and `float`/`double` (read as double).
+  * Result element type is long iff BOTH inputs are long arrays.
+  */
+object VectorKernels {
+
+  private def elemKind(t: DataType): Option[DataType] = t match {
+    case ArrayType(LongType, _) => Some(LongType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case _ => None
+  }
+
+  private def accType(l: DataType, r: DataType): DataType =
+    if (l == LongType && r == LongType) LongType else DoubleType
+
+  /** Shared scaffolding for the two scalar fold kernels. */
+  abstract class PairFold extends BinaryExpression {
+    /** java source for one step given element variables x, y, acc. */
+    protected def stepJava(x: String, y: String, acc: String): String
+    protected def stepEval(x: Double, y: Double): Double
+    protected def stepEvalL(x: Long, y: Long): Long
+
+    override def dataType: DataType =
+      accType(
+        elemKind(left.dataType).getOrElse(NullType),
+        elemKind(right.dataType).getOrElse(NullType))
+
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (elemKind(left.dataType), elemKind(right.dataType)) match {
+        case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          TypeCheckResult.TypeCheckFailure(
+            s"${prettyName} expects array<long|float|double> inputs, got " +
+              s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+      }
+
+    private def isLong = dataType == LongType
+
+    private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+      case LongType => a.getLong(i).toDouble
+      case FloatType => a.getFloat(i).toDouble
+      case _ => a.getDouble(i)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) return null
+      val lt = elemKind(left.dataType).get
+      val rt = elemKind(right.dataType).get
+      var i = 0
+      if (isLong) {
+        var acc = 0L
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          acc += stepEvalL(x.getLong(i), y.getLong(i))
+          i += 1
+        }
+        acc
+      } else {
+        var acc = 0.0
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          acc += stepEval(get(x, i, lt), get(y, i, rt))
+          i += 1
+        }
+        acc
+      }
+    }
+
+    private def getJava(arr: String, i: String, t: DataType): String = t match {
+      case LongType => s"$arr.getLong($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val jt = if (isLong) "long" else "double"
+        val lt = elemKind(left.dataType).get
+        val rt = elemKind(right.dataType).get
+        val lGet = if (isLong) s"$x.getLong($i)" else getJava(x, i, lt)
+        val rGet = if (isLong) s"$y.getLong($i)" else getJava(y, i, rt)
+        s"""
+           |int $n = $x.numElements();
+           |if ($y.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  $jt $acc = 0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $jt $xv = $lGet;
+           |    $jt $yv = $rGet;
+           |    ${stepJava(xv, yv, acc)}
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
+      })
+  }
+
+  /** Σ (x−y)² with integer accumulation on long inputs. */
+  case class L2Squared(left: Expression, right: Expression) extends PairFold {
+    override def prettyName: String = "l2_squared"
+    protected def stepJava(x: String, y: String, acc: String): String =
+      s"$acc += ($x - $y) * ($x - $y);"
+    protected def stepEval(x: Double, y: Double): Double = (x - y) * (x - y)
+    protected def stepEvalL(x: Long, y: Long): Long = (x - y) * (x - y)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Σ x·y with integer accumulation on long inputs. */
+  case class DotProduct(left: Expression, right: Expression) extends PairFold {
+    override def prettyName: String = "dot_product"
+    protected def stepJava(x: String, y: String, acc: String): String =
+      s"$acc += $x * $y;"
+    protected def stepEval(x: Double, y: Double): Double = x * y
+    protected def stepEvalL(x: Long, y: Long): Long = x * y
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** PQ assignment kernel: given a subvector and a packed codebook
+    * (array of struct(cell: long, c: array<T>) rows, PRE-SORTED by
+    * cell), returns struct(d2: T, cell: long) of the nearest entry.
+    * Strict `<` over the sorted list keeps the smallest cell among
+    * equal-d2 minima — the same tie-break as `ORDER BY d2, cell` /
+    * `min(struct(d2, cell))`, so replacing either form preserves every
+    * oracle. Null on length mismatch, null elements, or an empty
+    * codebook.
+    */
+  case class PqArgmin(left: Expression, right: Expression) extends BinaryExpression {
+    override def prettyName: String = "pq_argmin"
+
+    private def elem: DataType = elemKind(left.dataType).getOrElse(NullType)
+    private def isLong = elem == LongType
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("d2", if (isLong) LongType else DoubleType),
+      StructField("cell", LongType)))
+
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okL = elemKind(left.dataType).isDefined
+      val okR = right.dataType match {
+        case ArrayType(StructType(Array(f0, f1)), _) =>
+          f0.dataType == LongType &&
+            elemKind(f1.dataType).contains(elemKind(left.dataType).getOrElse(NullType))
+        case _ => false
+      }
+      if (okL && okR) TypeCheckResult.TypeCheckSuccess
+      else
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_argmin expects (array<T>, array<struct<long, array<T>>>) with matching T, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+    private def get(a: ArrayData, i: Int): Double = elem match {
+      case FloatType => a.getFloat(i).toDouble
+      case _ => a.getDouble(i)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val sq = a.asInstanceOf[ArrayData]
+      val cbs = b.asInstanceOf[ArrayData]
+      val n = sq.numElements()
+      val k = cbs.numElements()
+      if (k == 0) return null
+      var bestCell = 0L
+      var found = false
+      if (isLong) {
+        var bestD2 = Long.MaxValue
+        var j = 0
+        while (j < k) {
+          if (cbs.isNullAt(j)) return null
+          val e = cbs.getStruct(j, 2)
+          val c = e.getArray(1)
+          if (c.numElements() != n) return null
+          var d2 = 0L; var i = 0
+          while (i < n) {
+            if (sq.isNullAt(i) || c.isNullAt(i)) return null
+            val dx = sq.getLong(i) - c.getLong(i)
+            d2 += dx * dx; i += 1
+          }
+          if (!found || d2 < bestD2) { found = true; bestD2 = d2; bestCell = e.getLong(0) }
+          j += 1
+        }
+        new GenericInternalRow(Array[Any](bestD2, bestCell))
+      } else {
+        var bestD2 = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          if (cbs.isNullAt(j)) return null
+          val e = cbs.getStruct(j, 2)
+          val c = e.getArray(1)
+          if (c.numElements() != n) return null
+          var d2 = 0.0; var i = 0
+          while (i < n) {
+            if (sq.isNullAt(i) || c.isNullAt(i)) return null
+            val dx = get(sq, i) - get(c, i)
+            d2 += dx * dx; i += 1
+          }
+          if (!found || d2 < bestD2) { found = true; bestD2 = d2; bestCell = e.getLong(0) }
+          j += 1
+        }
+        new GenericInternalRow(Array[Any](bestD2, bestCell))
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val e = ctx.freshName("entry")
+        val c = ctx.freshName("cvec")
+        val d2 = ctx.freshName("d2")
+        val dx = ctx.freshName("dx")
+        val bestD2 = ctx.freshName("bestD2")
+        val bestCell = ctx.freshName("bestCell")
+        val found = ctx.freshName("found")
+        val jt = if (isLong) "long" else "double"
+        val maxV = if (isLong) "Long.MAX_VALUE" else "Double.MAX_VALUE"
+        val sqGet = elem match {
+          case LongType => s"$x.getLong($i)"
+          case FloatType => s"(double) $x.getFloat($i)"
+          case _ => s"$x.getDouble($i)"
+        }
+        val cGet = elem match {
+          case LongType => s"$c.getLong($i)"
+          case FloatType => s"(double) $c.getFloat($i)"
+          case _ => s"$c.getDouble($i)"
+        }
+        s"""
+           |int $n = $x.numElements();
+           |int $k = $y.numElements();
+           |if ($k == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  $jt $bestD2 = $maxV;
+           |  long $bestCell = 0L;
+           |  boolean $found = false;
+           |  for (int $j = 0; $j < $k && !${ev.isNull}; $j++) {
+           |    if ($y.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    org.apache.spark.sql.catalyst.InternalRow $e = $y.getStruct($j, 2);
+           |    org.apache.spark.sql.catalyst.util.ArrayData $c = $e.getArray(1);
+           |    if ($c.numElements() != $n) { ${ev.isNull} = true; break; }
+           |    $jt $d2 = 0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      if ($x.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |      $jt $dx = $sqGet - $cGet;
+           |      $d2 += $dx * $dx;
+           |    }
+           |    if (!${ev.isNull} && (!$found || $d2 < $bestD2)) {
+           |      $found = true; $bestD2 = $d2; $bestCell = $e.getLong(0);
+           |    }
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |      new Object[] { $bestD2, $bestCell });
+           |  }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def l2sq(a: Column, b: Column): Column =
+    Bridge.column(L2Squared(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def pqArgmin(sq: Column, cbs: Column): Column =
+    Bridge.column(PqArgmin(Bridge.expression(sq), Bridge.expression(cbs)))
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, VectorKernels}
 import graft.functions.MathFunctions.intDiv
 import graft.functions.TextFunctions._
 import graft.functions.TextKernels
@@ -340,19 +340,22 @@ object LlmOps {
       .select(col("sub"), col("cell"), subvec(col("emb"), col("sub")).as("c"))
     val sv = withSubs(corpus, col("vec_id"), col("emb"))
       .select(col("vec_id"), col("sub"), subvec(col("emb"), col("sub")).as("sq"))
-    def assignPq(cb: DataFrame): DataFrame =
-      sv.join(broadcast(cb), "sub")
-        .withColumn(
-          "d2",
-          aggregate(
-            zip_with(col("sq"), col("c"), (a, b) => (a - b) * (a - b)),
-            lit(0.0),
-            (acc, x) => acc + x
-          )
-        )
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("d2"), col("cell"))).as("mm"), first(col("sq")).as("sq"))
-        .select(col("vec_id"), col("sub"), col("mm.cell").as("cell"), col("sq"))
+    // assignment with ZERO shuffle: the k-entry codebook of each
+    // subspace packs into ONE broadcast row (cell-sorted list) and the
+    // argmin folds over it inside the row — a (vec,sub) row is never
+    // exploded k ways nor re-grouped, so nothing corpus-sized ever
+    // carries more than its own subvector (the naive join+groupBy shape
+    // shuffles k copies of every subvector — a multi-GB exchange at
+    // 100x that this fold eliminates; measured in PLANS.md)
+    def assignPq(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy("sub")
+        .agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cbs"))
+      sv.join(broadcast(packed), "sub")
+        // native codegen'd argmin over the cell-sorted packed codebook
+        // (same tie-break as ORDER BY d2, cell)
+        .withColumn("best", VectorKernels.pqArgmin(col("sq"), col("cbs")))
+        .select(col("vec_id"), col("sub"), col("best.cell").as("cell"), col("sq"))
+    }
     val cb1 = assignPq(i0)
       .select(col("sub"), col("cell"), posexplode(col("sq")).as(Seq("dim", "v")))
       .groupBy("sub", "cell", "dim")
@@ -371,10 +374,8 @@ object LlmOps {
       .crossJoin(broadcast(probe))
       .select(
         col("sub"), col("cell"),
-        aggregate(
-          zip_with(col("c"), subvec(col("probe"), col("sub")), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x).as("qdot"),
-        aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x).as("cnorm2")
+        VectorKernels.dot(col("c"), subvec(col("probe"), col("sub"))).as("qdot"),
+        VectorKernels.dot(col("c"), col("c")).as("cnorm2")
       )
     val qnorm = probe
       .select(sqrt(aggregate(col("probe"), lit(0.0), (acc, x) => acc + x * x)).as("qnorm"))
@@ -2453,14 +2454,9 @@ object LlmOps {
         def assign(cents: DataFrame): DataFrame =
           vecs
             .crossJoin(broadcast(cents))
-            .withColumn(
-              "d2",
-              aggregate(
-                zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-                lit(0L),
-                (acc, x) => acc + x
-              )
-            )
+            // native codegen'd BIGINT Σ(x−y)² — identical accumulation
+            // to the HOF fold it replaces (VectorKernels)
+            .withColumn("d2", VectorKernels.l2sq(col("q"), col("c")))
             .groupBy("vec_id")
             .agg(min(struct(col("d2"), col("cell"))).as("m"), first(col("q")).as("q"))
             .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"), col("q"))
@@ -2567,21 +2563,23 @@ object LlmOps {
         val sv = vecs
           .select(col("vec_id"), explode(sequence(lit(0L), lit(m - 1))).as("sub"), col("q"))
           .select(col("vec_id"), col("sub"), subvec(col("q"), col("sub")).as("sq"))
-        def assign(cb: DataFrame): DataFrame =
-          sv.join(broadcast(cb), "sub")
-            .withColumn(
-              "d2",
-              aggregate(
-                zip_with(col("sq"), col("c"), (a, b) => (a - b) * (a - b)),
-                lit(0L),
-                (acc, x) => acc + x
-              )
-            )
-            .groupBy("vec_id", "sub")
-            .agg(min(struct(col("d2"), col("cell"))).as("mm"), first(col("sq")).as("sq"))
+        // shuffle-free assignment: the k-entry per-subspace codebook
+        // packs into ONE broadcast row and the argmin folds inside the
+        // row (strict < over the cell-sorted list = the oracle's ORDER
+        // BY d2, cell tie-break) — no k-way row explosion, no
+        // subvector-carrying groupBy exchange (see annIvfPq)
+        def assign(cb: DataFrame): DataFrame = {
+          val packed = cb.groupBy("sub")
+            .agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cbs"))
+          sv.join(broadcast(packed), "sub")
+            // native codegen'd integer argmin over the cell-sorted
+            // packed codebook — BIGINT accumulation and the ORDER BY
+            // d2, cell tie-break exactly as the oracle's row_number
+            .withColumn("best", VectorKernels.pqArgmin(col("sq"), col("cbs")))
             .select(
               col("vec_id"), col("sub"),
-              col("mm.cell").as("cell"), col("mm.d2").as("d2"), col("sq"))
+              col("best.cell").as("cell"), col("best.d2").as("d2"), col("sq"))
+        }
         def update(a: DataFrame): DataFrame =
           a.select(col("sub"), col("cell"), posexplode(col("sq")).as(Seq("dim", "v")))
             .groupBy("sub", "cell", "dim")

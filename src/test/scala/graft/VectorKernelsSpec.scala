@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.VectorKernels
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native vector kernels must be bit-identical to the HOF forms
+  * they replace (aggregate/zip_with folds), across both element
+  * domains, including the argmin tie-break and null/mismatch edges.
+  */
+class VectorKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  test("l2sq / dot equal the HOF folds on random long and double arrays") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextInt(2000001).toLong - 1000000L),
+        Array.fill(64)(rnd.nextInt(2000001).toLong - 1000000L),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "al", "bl", "ad", "bd")
+    val out = df.select(
+      VectorKernels.l2sq(col("al"), col("bl")).as("l2l"),
+      aggregate(zip_with(col("al"), col("bl"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("l2l_hof"),
+      VectorKernels.dot(col("al"), col("bl")).as("dotl"),
+      aggregate(zip_with(col("al"), col("bl"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("dotl_hof"),
+      VectorKernels.l2sq(col("ad"), col("bd")).as("l2d"),
+      aggregate(zip_with(col("ad"), col("bd"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("l2d_hof"),
+      VectorKernels.dot(col("ad"), col("bd")).as("dotd"),
+      aggregate(zip_with(col("ad"), col("bd"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x).as("dotd_hof")
+    ).as[(Long, Long, Long, Long, Double, Double, Double, Double)].collect()
+    out.foreach { case (l2l, l2lH, dl, dlH, l2d, l2dH, dd, ddH) =>
+      assert(l2l == l2lH); assert(dl == dlH)
+      // double folds accumulate left-to-right in both forms: bit-equal
+      assert(l2d == l2dH); assert(dd == ddH)
+    }
+  }
+
+  test("pqArgmin equals sorted-fold argmin with the d2,cell tie-break; codegen'd plan") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val k = 16
+    // coarse value grid (multiples of 100) forces frequent exact d2
+    // ties, exercising the smallest-cell tie-break for real
+    val cb = Seq.tabulate(k)(c =>
+      ((c + 1).toLong, Array.fill(8)(rnd.nextInt(5).toLong * 100)))
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(8)(rnd.nextInt(5).toLong * 100))
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    val expect = rows.map { case (id, sq) =>
+      val (cell, dd) = cb.map { case (c, cv) => (c, d2(sq, cv)) }
+        .minBy { case (c, dist) => (dist, c) }
+      id -> ((dd, cell))
+    }.toMap
+    val cbDf = cb.toDF("cell", "c")
+      .groupBy(lit(1).as("one"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cbs"))
+    val q = rows.toDF("id", "sq")
+      .crossJoin(broadcast(cbDf))
+      .select(col("id"), VectorKernels.pqArgmin(col("sq"), col("cbs")).as("best"))
+    val qq = q.select(col("id"), col("best.d2"), col("best.cell"))
+    val got = qq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // kernel must run inside whole-stage codegen, not as a fallback:
+    // in the AQE-final plan a codegen'd stage prints as "*(n) Project"
+    // — the pq_argmin projection must carry the star
+    val plan = qq.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*pq_argmin""".r.findFirstIn(plan).isDefined, plan)
+    got.foreach { case (id, dd, cell) =>
+      assert((dd, cell) == expect(id), s"row $id: ($dd,$cell) vs ${expect(id)}")
+    }
+  }
+
+  test("null and mismatch edges return null, never a wrong value") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Array(1L, 2L), Array(1L, 2L, 3L)), // length mismatch
+      (2L, Array(1L, 2L), Array(4L, 5L))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorKernels.l2sq(col("a"), col("b")).as("v"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(18L))
+    val empty = Seq((1L, Array(1L, 2L)))
+      .toDF("id", "sq")
+      .select(VectorKernels.pqArgmin(
+        col("sq"),
+        array().cast("array<struct<cell:bigint,c:array<bigint>>>")).as("best"))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+}
