@@ -2825,31 +2825,34 @@ object LlmOps {
         val centered = vecs
           .crossJoin(broadcast(mArr))
           .select(zip_with(col("q"), col("m"), (a, b) => a - b).as("cq"))
-        val grow = centered
-          .select(
-            explode(
-              flatten(
-                transform(
-                  col("cq"),
-                  (vi, i) =>
-                    transform(
-                      col("cq"),
-                      (vj, j) => struct(i.as("i"), j.as("j"), (vi * vj).as("p"))
-                    )
-                )
-              )
-            ).as("e")
-          )
-          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-          .agg(sum(col("e.p")).as("gsum"))
-          .withColumn("g", intDiv(col("gsum") + OFF, lit(GS)) - OFF / GS)
-          .groupBy("i")
-          .agg(
-            transform(
-              sort_array(collect_list(struct(col("j"), col("g")))),
-              _.getField("g")
-            ).as("garr")
-          )
+        // one-pass Gram via the typed GramAggregator: each partition
+        // folds into a single 64x64 long buffer, partials merge by add
+        // — no n·d² row explosion (the transform×transform + explode +
+        // groupBy(i,j) it replaces generated 4096 interpreted-lambda
+        // struct rows PER VECTOR); BIGINT sums identical, oracle
+        // untouched. The flat result unpacks to the same (i, garr) rows.
+        val grow = {
+          val sp = s
+          import sp.implicits._
+          centered
+            .select(col("cq"))
+            .as[Array[Long]]
+            .select(new graft.functions.GramAggregator(64).toColumn.name("gram"))
+            .toDF("gram")
+            .select(posexplode(col("gram")).as(Seq("idx", "gsum")))
+            .select(
+              (col("idx") / 64).cast("int").as("i"),
+              (col("idx") % 64).cast("int").as("j"),
+              col("gsum"))
+            .withColumn("g", intDiv(col("gsum") + OFF, lit(GS)) - OFF / GS)
+            .groupBy("i")
+            .agg(
+              transform(
+                sort_array(collect_list(struct(col("j"), col("g")))),
+                _.getField("g")
+              ).as("garr")
+            )
+        }
         def step(vRow: DataFrame): DataFrame = {
           val w = grow
             .crossJoin(broadcast(vRow))
