@@ -44,7 +44,8 @@ object Bench {
     "win_rolling_time", "sessionize",
     "bpe_pair_counts", "corpus_sources", "dedup_semantic", "corpus_mix", "text_classifier", "text_winnow", "agg_corr", "funnel_steps", "multimodal_framesample", "dedup_substring", "fn_map", "ts_outlier_mad", "embed_kmeans", "join_asof_near", "text_bpe_encode",
     "text_normalize", "sample_quality_weighted", "embed_stats",
-    "ts_concurrency", "embed_pca", "embed_pq_encode", "sim_ann_ivfpq"
+    "ts_concurrency", "embed_pca", "embed_pq_encode", "sim_ann_ivfpq",
+    "corpus_mix_temperature"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2073,6 +2073,63 @@ object LlmOps {
           |ORDER BY doc_id""".stripMargin
       )
     ),
+    // Temperature-based source re-weighting (the T5/LLaMA mixing rule):
+    // source weights ∝ tok_s^α with α = 1/2, so small sources are
+    // up-sampled relative to proportional mixing — the standard
+    // anti-domination knob for multi-source training corpora. Exact
+    // cross-engine: w_s = floor(sqrt(tok_s)) (IEEE-correctly-rounded
+    // sqrt is identical in both engines; floor makes it integral), all
+    // later arithmetic BIGINT; membership is the same pure-row md5
+    // basis-point gate as corpus_mix. Plan: two tiny source-level aggs
+    // (sources × 1 row, broadcast back), then a broadcast join + filter
+    // over the scan — model tables source-count-sized at any corpus.
+    Q(
+      "corpus_mix_temperature",
+      (s, d) => {
+        val B = 3000L // global token budget
+        val docs = documents(s, d)
+          .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
+        val bySource = docs
+          .groupBy("source")
+          .agg(sum(col("n_tok")).as("tok_s"))
+          .withColumn("w", floor(sqrt(col("tok_s"))).cast("long"))
+        val totalW = bySource.groupBy().agg(sum(col("w")).as("tot_w"))
+        val rates = bySource
+          .crossJoin(broadcast(totalW))
+          .select(
+            col("source"),
+            least(
+              lit(10000L),
+              intDiv(lit(10000L) * lit(B) * col("w"), col("tot_w") * col("tok_s"))
+            ).as("rate_bp")
+          )
+        val bucket =
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000
+        docs
+          .join(broadcast(rates), Seq("source"))
+          .filter(bucket < col("rate_bp"))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("rate_bp"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |           FROM documents),
+          |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s,
+          |        CAST(floor(sqrt(CAST(sum(n_tok) AS BIGINT))) AS BIGINT) AS w
+          |      FROM d GROUP BY source),
+          |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM s),
+          |r AS (SELECT source,
+          |        least(10000, (10000 * 3000 * w) // (tot_w * tok_s)) AS rate_bp
+          |      FROM s, t)
+          |SELECT d.doc_id, d.source, d.n_tok, CAST(r.rate_bp AS BIGINT) AS rate_bp
+          |FROM d JOIN r USING (source)
+          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          |      < r.rate_bp
+          |ORDER BY doc_id""".stripMargin
+      )
+    ),
     // Gopher-style repetition quality metrics: duplicate-word fraction
     // and top-bigram fraction per doc, emitted as exact fixed-point ppm
     // (BIGINT rational, round-half-up — no float round-half boundary).

@@ -392,6 +392,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept("en") < kept.getOrElse("zh", Int.MaxValue))
   }
 
+  test("corpus_mix_temperature: alpha=1/2 rates replayed exactly; up-samples small sources; broadcast") {
+    import spark.implicits._
+    val df = SparkEntry.queries("corpus_mix_temperature")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"wide shuffle join:\n$plan")
+    val out = df.as[(Long, String, Long, Long)].collect()
+    import org.apache.spark.sql.functions.{col, size, split}
+    val served = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = served.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val totW = w.values.sum
+    val expect = served.keys.map { s =>
+      s -> math.min(10000L, 10000L * 3000L * w(s) / (totW * served(s)))
+    }.toMap
+    out.foreach { case (_, src, _, rateBp) =>
+      assert(rateBp == expect(src), s"rate_bp mismatch for $src: $rateBp vs ${expect(src)}")
+    }
+    // the temperature property itself needs sources of genuinely
+    // different sizes (the driver corpus's 20 sources are all within
+    // ~1.4x — floor(sqrt) granularity can invert such near-ties), so
+    // replay it on a skewed synthetic corpus: per-TOKEN rate must be
+    // strictly higher for each 4x-smaller source — proportional mixing
+    // would make these equal
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixtemp").toString
+    val word = "tok"
+    val synth = Seq(
+      ("big", 640), ("mid", 160), ("small", 40), ("tiny", 10)
+    ).flatMap { case (src, docs) =>
+      (0 until docs).map(i => (s"$src-$i".hashCode.toLong, word + (" " + word) * 49, src))
+    }
+    synth.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sOut = SparkEntry.queries("corpus_mix_temperature")(spark, tmp)
+      .as[(Long, String, Long, Long)].collect()
+    val sServed = synth.groupBy(_._3).view.mapValues(_.size.toLong * 50L).toMap
+    val sw = sServed.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val sTotW = sw.values.sum
+    val sExpect = sServed.keys.map { s =>
+      s -> math.min(10000L, 10000L * 3000L * sw(s) / (sTotW * sServed(s)))
+    }.toMap
+    sOut.foreach { case (_, src, _, rateBp) =>
+      assert(rateBp == sExpect(src), s"synthetic rate_bp mismatch for $src")
+    }
+    val ordered = Seq("big", "mid", "small", "tiny")
+    ordered.sliding(2).foreach {
+      case Seq(big, small) if sExpect(big) < 10000L =>
+        assert(sExpect(small) > sExpect(big),
+          s"temperature must favor $small (${sServed(small)} tok, ${sExpect(small)} bp) " +
+            s"over $big (${sServed(big)} tok, ${sExpect(big)} bp)")
+      case _ =>
+    }
+  }
+
   test("corpus_mix: budget respected in expectation, deterministic, rates broadcast (no wide shuffle)") {
     import spark.implicits._
     val df = SparkEntry.queries("corpus_mix")(spark, dir)
