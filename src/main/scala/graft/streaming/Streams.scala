@@ -561,6 +561,47 @@ object Streams {
       .orderBy("w_start", "event_type")
   }
 
+  /** Continuous per-hour top-k leaderboard (typed form, source-agnostic)
+    * — the streaming shape of topk_pergroup: per 1-hour bucket the k
+    * highest-value events, selected by the bounded-heap
+    * [[graft.functions.TopKAggregator]], so every micro-batch folds its
+    * rows into AT MOST k retained candidates per open hour before any
+    * exchange — per-key state is O(k), never the hour's row count.
+    * State holds one k-heap per hour seen (tiny rows); a 24/7 deploy
+    * emits in update mode and expires closed hours downstream — the
+    * AvailableNow drive here uses complete so the materialized result
+    * equals the batch leaderboard exactly (spec).
+    */
+  private[graft] def topkOn(s: SparkSession, events: DataFrame, k: Int) = {
+    val sp = s
+    import sp.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    events
+      .select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("qId"),
+        col("value").as("score"),
+        col("event_id").as("vecId"))
+      .as[Scored]
+      .groupByKey(_.qId)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+  }
+
+  /** Streaming per-hour top-5: [[topkOn]] over the events stream,
+    * drained AvailableNow and unpacked to ranked rows.
+    */
+  def topk(s: SparkSession, dir: String): DataFrame = {
+    val agg = topkOn(s, eventsStream(s, dir), 5).toDF("hour_epoch", "top")
+    runToBatch(s, agg, "complete")
+      .select(col("hour_epoch"), posexplode(col("top.items")).as(Seq("pos0", "c")))
+      .select(
+        timestamp_seconds(col("hour_epoch")).as("w_start"),
+        (col("pos0") + 1).cast("long").as("rank"),
+        col("c.vecId").as("event_id"),
+        round(col("c.score"), 6).as("value")
+      )
+      .orderBy("w_start", "rank")
+  }
+
   /** Streaming ingestion into a [[graft.sources.Store]] item — the 24/7
     * form of the reference's `store[k] += df` loop: the events stream
     * lands micro-batch by micro-batch through the idempotent
@@ -594,6 +635,7 @@ object Streams {
   val all: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d), None),
     Q("stream_ohlcv", (s, d) => ohlcv(s, d), None),
+    Q("stream_topk", (s, d) => topk(s, d), None),
     Q("stream_store_ingest", (s, d) => storeIngest(s, d), None),
     Q("stream_session", (s, d) => session(s, d), None),
     Q("stream_dedup_state", (s, d) => dedupState(s, d), None),

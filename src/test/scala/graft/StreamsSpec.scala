@@ -127,6 +127,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream_topk equals the batch per-hour top-5 leaderboard") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.topk(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("w_start"), col("event_id"), col("value"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("w_start").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rank") <= 5)
+      .select(
+        col("w_start"), col("rank").cast("long").as("rank"),
+        col("event_id"), round(col("value"), 6).as("value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
   test("stream_session equals batch session windows") {
     val streamed = Streams.session(spark, dir)
     val batch = Tables.events(spark, dir)
