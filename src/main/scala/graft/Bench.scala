@@ -161,8 +161,19 @@ object Bench {
     // never diluted by ops the baseline predates
     val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
     val extTotal = f"${extResults.map(_._2).sum}%.3f"
+    // Short summary line FIRST: the full detail line can run to several
+    // KB and has overflowed the driver's tail capture (BENCH_r07/r08
+    // recorded "parsed": null), so the headline total goes out on its
+    // own small line that always survives truncation; the detail line
+    // with per-query timings follows for humans and deep tooling.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"sf":"$sfDir"}"""
+    // summary printed both before AND after the detail line: whichever
+    // end of the stream the capture keeps, a parseable total survives
+    // (both carry the same value, so last-wins / first-wins both work)
+    println(summary)
     println(line)
+    println(summary)
     // also emit on the raw fd: under `sbt runMain` the in-process
     // System.out is wrapped by sbt's logger, which prefixes "[info] " —
     // unparseable as bare JSON; /dev/stdout bypasses the wrapper.
@@ -170,7 +181,7 @@ object Bench {
     // regular file would O_TRUNC the log that stdout already wrote
     try {
       val fd = new java.io.FileOutputStream("/dev/stdout", true)
-      fd.write((line + "\n").getBytes("UTF-8")); fd.flush()
+      fd.write((summary + "\n" + line + "\n" + summary + "\n").getBytes("UTF-8")); fd.flush()
     } catch { case _: Throwable => () }
     spark.stop()
   }

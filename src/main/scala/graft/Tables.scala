@@ -25,6 +25,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** SESSION-WIDE SIDE EFFECT: loading events pins two SQL confs for
+    * the whole SparkSession, not just this read — `nanosAsLong=true`
+    * (NANOS-vintage parquet reads as long instead of throwing) and
+    * `inferTimestampNTZ.enabled=false` (MICROS-vintage reads as
+    * session-tz TimestampType). They cannot be set-and-restored around
+    * this call: DataFrames are lazy, and the file source consults the
+    * session conf again at planning/execution, long after this method
+    * returned — a restored conf would flip the already-returned frame's
+    * meaning mid-plan. Consequence for mixed workloads: after any
+    * events load, OTHER parquet reads in the same session also stop
+    * inferring TIMESTAMP_NTZ (they get session-tz timestamps) and read
+    * TIMESTAMP(NANOS) columns as raw longs. Every graft session already
+    * pins both confs at build time (TestSpark, Bench, Verify builders),
+    * so in-engine nothing changes; a host application that needs NTZ
+    * inference elsewhere must read those tables through an explicit
+    * `.schema(...)`.
+    */
   private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     // runtime SQL confs; wrapped for sessions that pinned them static
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -153,13 +153,14 @@ object VectorKernels {
   }
 
   /** PQ assignment kernel: given a subvector and a packed codebook
-    * (array of struct(cell: long, c: array<T>) rows, PRE-SORTED by
-    * cell), returns struct(d2: T, cell: long) of the nearest entry.
-    * Strict `<` over the sorted list keeps the smallest cell among
-    * equal-d2 minima — the same tie-break as `ORDER BY d2, cell` /
-    * `min(struct(d2, cell))`, so replacing either form preserves every
-    * oracle. Null on length mismatch, null elements, or an empty
-    * codebook.
+    * (array of struct(cell: long, c: array<T>) rows, any order),
+    * returns struct(d2: T, cell: long) of the nearest entry, with the
+    * SMALLEST cell id winning equal-d2 ties — tracked explicitly
+    * (`d2 < best || (d2 == best && cell < bestCell)`), so correctness
+    * does not depend on the caller pre-sorting the codebook array. The
+    * result order matches `ORDER BY d2, cell` / `min(struct(d2, cell))`,
+    * so replacing either form preserves every oracle. Null on length
+    * mismatch, null elements, or an empty codebook.
     */
   case class PqArgmin(left: Expression, right: Expression) extends BinaryExpression {
     override def prettyName: String = "pq_argmin"
@@ -215,7 +216,10 @@ object VectorKernels {
             val dx = sq.getLong(i) - c.getLong(i)
             d2 += dx * dx; i += 1
           }
-          if (!found || d2 < bestD2) { found = true; bestD2 = d2; bestCell = e.getLong(0) }
+          val cell = e.getLong(0)
+          if (!found || d2 < bestD2 || (d2 == bestD2 && cell < bestCell)) {
+            found = true; bestD2 = d2; bestCell = cell
+          }
           j += 1
         }
         new GenericInternalRow(Array[Any](bestD2, bestCell))
@@ -233,7 +237,10 @@ object VectorKernels {
             val dx = get(sq, i) - get(c, i)
             d2 += dx * dx; i += 1
           }
-          if (!found || d2 < bestD2) { found = true; bestD2 = d2; bestCell = e.getLong(0) }
+          val cell = e.getLong(0)
+          if (!found || d2 < bestD2 || (d2 == bestD2 && cell < bestCell)) {
+            found = true; bestD2 = d2; bestCell = cell
+          }
           j += 1
         }
         new GenericInternalRow(Array[Any](bestD2, bestCell))
@@ -285,7 +292,8 @@ object VectorKernels {
            |      $jt $dx = $sqGet - $cGet;
            |      $d2 += $dx * $dx;
            |    }
-           |    if (!${ev.isNull} && (!$found || $d2 < $bestD2)) {
+           |    if (!${ev.isNull} && (!$found || $d2 < $bestD2 ||
+           |        ($d2 == $bestD2 && $e.getLong(0) < $bestCell))) {
            |      $found = true; $bestD2 = $d2; $bestCell = $e.getLong(0);
            |    }
            |  }

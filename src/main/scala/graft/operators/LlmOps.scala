@@ -69,6 +69,134 @@ object LlmOps {
   private val PqK = 16
   private val PqRerank = 50
 
+  /** Per-round lineage cut for iterative ops (dedup_clusters' label
+    * propagation): local checkpoint by default — fastest, but blocks
+    * live on executors, so executor loss on a real cluster kills the
+    * iteration — with a RELIABLE opt-in: when `-Dgraft.checkpoint.dir`
+    * (or env `GRAFT_CHECKPOINT_DIR`) names a cluster-visible directory,
+    * rounds checkpoint there through `sc.setCheckpointDir` +
+    * `Dataset.checkpoint()` (eager, reliable storage), trading one
+    * distributed-FS write per round for executor-loss survival. Same
+    * data either way — only the storage of the cut differs (spec:
+    * LlmOpsSpec "dedup_clusters: reliable checkpoint path").
+    */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    sys.props.get("graft.checkpoint.dir")
+      .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // idempotent: only (re)set when unset or pointed elsewhere
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
+  /** 8-channel feature vector + frame count for one binary media
+    * payload. Image payloads (sniffed by magic bytes, decoded with the
+    * JDK's javax.imageio — PNG/JPEG/GIF/BMP readers ship in every JRE,
+    * zero extra deps) yield real pixel statistics:
+    * channels 0-2 = mean R,G,B in [0,1]; 3-5 = population std of
+    * R,G,B in [0,1]; 6 = width; 7 = height; n_frames = 1 (a still
+    * image is its own single frame). Undecodable payloads (no magic
+    * match, or a corrupt container ImageIO rejects) get deterministic
+    * byte-histogram features — 8 coarse 32-wide bins, normalized — and
+    * the raw-buffer frame count; a fallback, not a decode, and
+    * documented as such. Accumulation is exact integer sums → one
+    * double division per channel, so results are bit-reproducible on
+    * any partitioning.
+    */
+  private[graft] def imageFeatures(bytes: Array[Byte]): (Array[Float], Int) = {
+    def isImageMagic: Boolean =
+      bytes.length >= 4 && (
+        (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
+        (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) || // JPEG
+        (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
+        (bytes(0) == 'B' && bytes(1) == 'M'))
+    val img =
+      if (!isImageMagic) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+    if (img != null) {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var qr = 0L; var qg = 0L; var qb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      def mean(s: Long) = s.toDouble / n / 255.0
+      def std(s: Long, q: Long) = {
+        val m = s.toDouble / n
+        math.sqrt(math.max(0.0, q.toDouble / n - m * m)) / 255.0
+      }
+      (Array(
+        mean(sr).toFloat, mean(sg).toFloat, mean(sb).toFloat,
+        std(sr, qr).toFloat, std(sg, qg).toFloat, std(sb, qb).toFloat,
+        w.toFloat, h.toFloat), 1)
+    } else {
+      val feats = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) {
+        feats((bytes(i) & 0xFF) / 32) += 1.0f
+        i += 1
+      }
+      val n = math.max(1, bytes.length)
+      var j = 0
+      while (j < 8) { feats(j) = feats(j) / n; j += 1 }
+      (feats, (bytes.length / 64) + 1)
+    }
+  }
+
+  /** The multimodal_features transform on an arbitrary (doc_id, blob)
+    * dataset — separated from the registered query (which feeds it the
+    * corpus' text bytes) so the decode path can be driven with real
+    * image payloads (LlmOpsSpec generates PNGs in-fixture).
+    */
+  private[graft] def multimodalFeaturesOn(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    val sp = blobs.sparkSession
+    import sp.implicits._
+    blobs
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (feats, nFrames) = imageFeatures(bytes)
+          (id, feats.toSeq, nFrames)
+        }
+      }
+      .toDF("doc_id", "features", "n_frames")
+      .select(
+        col("doc_id"),
+        posexplode(col("features")).as(Seq("channel", "value")),
+        col("n_frames")
+      )
+      .select(
+        col("doc_id"),
+        col("channel").cast("long").as("channel"),
+        round(col("value").cast("double"), 6).as("value"),
+        col("n_frames").cast("long").as("n_frames")
+      )
+      .orderBy("doc_id", "channel")
+  }
+
+  /** Corpus embedding width, the single source of truth for ops that
+    * need the dimension at plan-build time (embed_pca's Gram buffer).
+    * Defined as PqM×PqSub so the PQ tiling and the dense-kernel width
+    * can never drift apart — a geometry change updates both or fails
+    * GramAggregator's runtime length require() in one obvious place.
+    */
+  private val EmbedDim = PqM * PqSub
+
   /** Rademacher ±1 hyperplane signs for [[lshCode]], derived
     * deterministically from XXH64 so any worker regenerates the same
     * hyperplanes — but generated ONCE per JVM per (bits, dims) instead
@@ -1214,16 +1342,17 @@ object LlmOps {
         // in O(diameter) rounds. Fault-tolerance trade-off: local
         // checkpoint blocks live on executors with lineage TRUNCATED,
         // so on a real cluster losing an executor loses the labels
-        // irrecoverably and the job fails (harmless on local[*]); a
-        // driver that must survive executor loss should
-        // sc.setCheckpointDir + .checkpoint() for reliable storage at
-        // the cost of a distributed-FS write per round.
-        val edges = pairs
+        // irrecoverably and the job fails (harmless on local[*]).
+        // RELIABLE OPT-IN: set -Dgraft.checkpoint.dir (or env
+        // GRAFT_CHECKPOINT_DIR) to a cluster-visible path and every
+        // round checkpoints to reliable storage instead — labels
+        // survive executor loss at the cost of one distributed-FS
+        // write per round (see roundCheckpoint).
+        val edges = roundCheckpoint(pairs
           .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .toDF("src", "dst")
-          .localCheckpoint()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")).localCheckpoint()
+          .toDF("src", "dst"))
+        var labels = roundCheckpoint(edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")))
         var converged = false
         var iter = 0
         // cap = backstop against a pathological graph, not a tuning knob:
@@ -1233,10 +1362,9 @@ object LlmOps {
             .join(labels, edges("dst") === labels("id"))
             .groupBy(col("src"))
             .agg(min(col("lbl")).as("nlbl"))
-          val next = labels
+          val next = roundCheckpoint(labels
             .join(neighborMin, labels("id") === neighborMin("src"), "left")
-            .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-            .localCheckpoint()
+            .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
           val changed = next.as("n")
             .join(labels.as("o"), col("n.id") === col("o.id"))
             .filter(col("n.lbl") < col("o.lbl"))
@@ -1778,12 +1906,19 @@ object LlmOps {
           |FROM f ORDER BY doc_id, frame_idx""".stripMargin
       )
     ),
-    // Decode / feature-extract plumbing for binary media columns via
-    // typed mapPartitions (the batch-iterator shape a real decoder
-    // needs). The decode itself is a STUB: this container has no image/
-    // audio codecs, so a deterministic fake (byte-histogram "features",
-    // fixed "frame" sampling) stands in — the schema, partitioning and
-    // batch shape are the real thing.
+    // Decode / feature-extract over binary media columns via typed
+    // mapPartitions (the batch-iterator shape a decoder needs: one
+    // task-local decoder instance, rows streamed through it, never a
+    // whole partition of pixel buffers in memory at once). The decode
+    // is REAL: image payloads (PNG/JPEG/GIF/BMP by magic bytes) go
+    // through the JDK's javax.imageio to per-channel pixel statistics
+    // (mean/std of R,G,B + dimensions — see [[imageFeatures]]); a
+    // payload no shipped reader decodes falls back to deterministic
+    // byte-histogram features, documented as exactly that (the corpus'
+    // documents table carries text bytes, so the registered query
+    // exercises the fallback; LlmOpsSpec drives the decode path with
+    // in-fixture-generated PNGs and asserts closed-form channel
+    // values).
     //
     // Output is long-form (doc_id, channel, value, n_frames) rows: the
     // feature vector is exploded to scalar rows so every column is
@@ -1794,40 +1929,10 @@ object LlmOps {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val blobs = documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-          .as[(Long, Array[Byte])]
-        blobs
-          .mapPartitions { it =>
-            it.map { case (id, bytes) =>
-              // STUB decode: real impl would decode image/audio here.
-              // Deterministic fake: 8 coarse byte-histogram channels.
-              val feats = new Array[Float](8)
-              var i = 0
-              while (i < bytes.length) {
-                feats((bytes(i) & 0xFF) / 32) += 1.0f
-                i += 1
-              }
-              val n = math.max(1, bytes.length)
-              var j = 0
-              while (j < 8) { feats(j) = feats(j) / n; j += 1 }
-              val nFrames = (bytes.length / 64) + 1 // fake frame sampling
-              (id, feats.toSeq, nFrames)
-            }
-          }
-          .toDF("doc_id", "features", "n_frames")
-          .select(
-            col("doc_id"),
-            posexplode(col("features")).as(Seq("channel", "value")),
-            col("n_frames")
-          )
-          .select(
-            col("doc_id"),
-            col("channel").cast("long").as("channel"),
-            round(col("value").cast("double"), 6).as("value"),
-            col("n_frames").cast("long").as("n_frames")
-          )
-          .orderBy("doc_id", "channel")
+        multimodalFeaturesOn(
+          documents(s, d)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+            .as[(Long, Array[Byte])])
       },
       None
     ),
@@ -2894,12 +2999,12 @@ object LlmOps {
           centered
             .select(col("cq"))
             .as[Array[Long]]
-            .select(new graft.functions.GramAggregator(64).toColumn.name("gram"))
+            .select(new graft.functions.GramAggregator(EmbedDim).toColumn.name("gram"))
             .toDF("gram")
             .select(posexplode(col("gram")).as(Seq("idx", "gsum")))
             .select(
-              (col("idx") / 64).cast("int").as("i"),
-              (col("idx") % 64).cast("int").as("j"),
+              (col("idx") / EmbedDim).cast("int").as("i"),
+              (col("idx") % EmbedDim).cast("int").as("j"),
               col("gsum"))
             .withColumn("g", intDiv(col("gsum") + OFF, lit(GS)) - OFF / GS)
             .groupBy("i")

@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
-import java.util.Comparator
 
 /** Invalid item key (reference: ItemKeyError, oakstore/store.py:45-46). */
 class ItemKeyError(msg: String) extends IllegalArgumentException(msg)
@@ -63,6 +63,43 @@ object Store {
   private val SchemaFile = "schema.json"
   private val LayoutFile = "layout.json"
   private val ItemsDir = "items"
+  private val StagingDir = ".staging"
+
+  /** JVM-wide per-(store, item) mutation locks. Every mutating control-
+    * plane op runs on the DRIVER (they orchestrate Spark jobs, they
+    * don't run inside them), so one JVM is the natural mutual-exclusion
+    * domain: serializing same-item mutations here closes the real
+    * single-driver races — two concurrent `mode("append")` jobs into
+    * one directory share the committer's `_temporary/0` staging dir
+    * (one job's cleanup can delete the other's in-flight task files),
+    * and a compact swap racing an append can strand the appended files
+    * in the swapped-out dir. Different items lock independently, so
+    * parallel multi-item ingest keeps its concurrency. Writers in
+    * OTHER JVMs are outside this domain — for them the staging age
+    * guard ([[Store!.vacuum]]) is the (weaker, documented) protection;
+    * multi-driver coordination needs an external lock service.
+    */
+  private val itemLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private[sources] def lockFor(base: HPath, key: String): java.util.concurrent.locks.ReentrantLock =
+    itemLocks.computeIfAbsent(
+      base.toString + "#" + key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
+  /** Staging ids (the UUID suffix of `.tmp-`/`.old-`/`.swap-`/`.mid-`
+    * entries) of ops in flight IN THIS JVM. [[Store!.vacuum]] skips
+    * them unconditionally — unlike the age guard, this makes a
+    * force-sweep (`vacuum(0)`) safe against same-driver concurrent
+    * maintenance, not just old debris.
+    */
+  private[sources] val activeStagingIds: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** UUID suffix of a staging entry name, if it has one. */
+  private[sources] def stagingId(name: String): Option[String] =
+    Seq(".tmp-", ".old-", ".swap-", ".mid-").iterator
+      .map(t => (t, name.indexOf(t)))
+      .collectFirst { case (t, i) if i >= 0 => name.substring(i + t.length) }
 
   /** Session conf pinned by [[open]] and guarded per write — see
     * [[Store!.requireMicrosTimestamps]]. */
@@ -84,6 +121,15 @@ object Store {
     * is persisted as JSON on first create and enforced on reopen:
     * passing a conflicting schema to an existing store raises
     * [[SchemaError]] (store.py:113-117).
+    *
+    * `basePath` is any Hadoop-FileSystem URI — `/local/dir`,
+    * `file:/local/dir`, `hdfs://nn/warehouse/store`, `s3a://bucket/store`
+    * — the control plane (schema/layout persistence, item listing,
+    * staging swaps, retention, vacuum) runs through
+    * `org.apache.hadoop.fs.FileSystem` resolved from the path scheme, the
+    * same abstraction the Spark data plane already uses, so a 100 TB
+    * store can live on the object store next to its compute. This closes
+    * the reference's own unmet TODO (cloud storage, store.py:86).
     *
     * `bucket` (None | "day" | "month" | "year") selects directory-level
     * time partitioning: items are written `partitionBy` a derived bucket
@@ -129,16 +175,22 @@ object Store {
     // footer min/max. A session invariant enforced per-write (like the
     // timezone guard) has no such window.
     spark.conf.set(TimestampTypeKey, "TIMESTAMP_MICROS")
-    val base = Paths.get(basePath)
-    Files.createDirectories(base.resolve(ItemsDir))
-    val schemaPath = base.resolve(SchemaFile)
-    val layoutPath = base.resolve(LayoutFile)
+    val raw = new HPath(basePath)
+    // sparkContext.hadoopConfiguration carries the deployment's fs.*
+    // settings (credentials, endpoints) — the same conf the parquet
+    // data plane resolves schemes with, so control and data plane
+    // always agree on what a path means.
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(raw)
+    fs.mkdirs(new HPath(base, ItemsDir))
+    val schemaPath = new HPath(base, SchemaFile)
+    val layoutPath = new HPath(base, LayoutFile)
     val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     val requested = cols.map(cs =>
       buildSchema(cs, index.getOrElse(DefaultIndex))
     )
-    if (Files.exists(schemaPath)) {
-      val persisted = readSchema(schemaPath)
+    if (fs.exists(schemaPath)) {
+      val persisted = readSchema(fs, schemaPath)
       requested.foreach { r =>
         if (r.json != persisted.json)
           throw new SchemaError(
@@ -147,9 +199,8 @@ object Store {
           )
       }
       val layoutLines =
-        if (Files.exists(layoutPath))
-          new String(Files.readAllBytes(layoutPath), StandardCharsets.UTF_8)
-            .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        if (fs.exists(layoutPath))
+          readUTF8(fs, layoutPath).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
         else Seq.empty
       val persistedBucket = layoutLines.headOption
       bucket.foreach { b =>
@@ -174,9 +225,8 @@ object Store {
       val schema = requested.getOrElse(
         buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
       )
-      Files.write(schemaPath, schema.json.getBytes(StandardCharsets.UTF_8))
-      bucket.foreach(b =>
-        Files.write(layoutPath, s"$b\n$sessionTz".getBytes(StandardCharsets.UTF_8)))
+      writeUTF8(fs, schemaPath, schema.json)
+      bucket.foreach(b => writeUTF8(fs, layoutPath, s"$b\n$sessionTz"))
       new Store(spark, base, schema, bucket, chunkRows, sessionTz)
     }
   }
@@ -194,9 +244,29 @@ object Store {
         cols.map { case (n, t) => StructField(n.toUpperCase, t) }
     )
 
-  private def readSchema(p: Path): StructType =
-    DataType.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .asInstanceOf[StructType]
+  private def readSchema(fs: FileSystem, p: HPath): StructType =
+    DataType.fromJson(readUTF8(fs, p)).asInstanceOf[StructType]
+
+  private[graft] def readUTF8(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Single-stream create-and-close: on object stores the object only
+    * becomes visible at close, which makes each marker/metadata write
+    * all-or-nothing — the property the swap protocol leans on.
+    */
+  private[graft] def writeUTF8(
+      fs: FileSystem, p: HPath, s: String, overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
 }
 
 /** A keyed, schema-enforced, append-only, time-partitioned Parquet store —
@@ -210,11 +280,14 @@ object Store {
   * chunks, store.py:27,174); range queries push `>=`/`<=` filters into the
   * Parquet scan (store.py:255-264 equivalent comes free from Catalyst);
   * appends have an O(new) anti-join path instead of the reference's
-  * O(history) rewrite (store.py:225-236).
+  * O(history) rewrite (store.py:225-236). The control plane runs on
+  * `org.apache.hadoop.fs.FileSystem`, so base paths may be `file:`,
+  * `hdfs:`, `s3a:`, … — wherever the data plane can read, the
+  * maintenance ops can manage.
   */
 class Store private[sources] (
     val spark: SparkSession,
-    val base: Path,
+    val base: HPath,
     val schema: StructType,
     val bucket: Option[String] = None,
     val chunkRows: Long = 1000000L,
@@ -222,11 +295,30 @@ class Store private[sources] (
 ) {
   import Store._
 
+  /** Driver-side FileSystem handle for the store's scheme. Hadoop caches
+    * FileSystem instances per (scheme, authority, ugi), so this is a
+    * lookup, not a connection per Store; never closed (the cache owns it).
+    */
+  @transient private val fs: FileSystem =
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Time-index column name (always schema head). */
   val indexName: String = schema.fields.head.name
 
   private val BucketCol = "__bucket"
   private def bucketFmt: Option[String] = bucket.map(BucketFormats)
+
+  private def itemsRoot: HPath = new HPath(base, ItemsDir)
+  private def stagingRoot: HPath = new HPath(base, StagingDir)
+
+  /** Serialize same-item mutations within this JVM (see
+    * [[Store$.lockFor]]); reads never take it.
+    */
+  private def withItemLock[T](key: String)(body: => T): T = {
+    val l = Store.lockFor(base, validateKey(key))
+    l.lock()
+    try body finally l.unlock()
+  }
 
   /** The open() guard pins the session timezone once, but
     * `spark.sql.session.timeZone` is runtime-mutable — re-check at every
@@ -294,10 +386,10 @@ class Store private[sources] (
     else spark.read.schema(schema).parquet(p)
   }
 
-  private def itemPath(key: String, mustExist: Boolean): Path = {
+  private def itemPath(key: String, mustExist: Boolean): HPath = {
     val k = validateKey(key)
-    val p = base.resolve("items").resolve(k)
-    if (mustExist && !Files.exists(p))
+    val p = new HPath(itemsRoot, k)
+    if (mustExist && !fs.exists(p))
       throw new ItemKeyError(s"no such item: $k")
     p
   }
@@ -310,46 +402,55 @@ class Store private[sources] (
     case _ => throw new ItemKeyError(s"invalid item key: '$key'")
   }
 
-  def exists(key: String): Boolean = Files.exists(itemPath(key, mustExist = false))
+  def exists(key: String): Boolean = fs.exists(itemPath(key, mustExist = false))
 
-  def listItems(): Seq[String] = {
-    val items = base.resolve("items")
-    val s = Files.list(items)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
-    } finally s.close()
-  }
+  def listItems(): Seq[String] =
+    fs.listStatus(itemsRoot).map(_.getPath.getName).toVector.sorted
 
   /** Metadata-only item statistics: row count, index min/max, file
     * count and byte size — read from Parquet FOOTERS (row-group counts
     * + column min/max statistics), never the data pages. On a 100 TB
     * item this is O(files) footer reads instead of a full scan, and the
     * footer reads themselves run ON EXECUTORS (parallelize over the
-    * file list), so the driver handles only the file listing and the
-    * final tiny reduce. The index column is written as INT64
-    * TIMESTAMP(micros) ([[writer]] sets no INT96 legacy mode), so
-    * footer min/max are epoch-µs longs.
+    * file list), so the driver handles only the file listing (one
+    * recursive `listFiles` call — a flat paged LIST on object stores,
+    * not a directory walk) and the final tiny reduce. The index column
+    * is written as INT64 TIMESTAMP(micros) ([[writer]] sets no INT96
+    * legacy mode), so footer min/max are epoch-µs longs.
     *
     * Returns (rows, minIndex, maxIndex, nFiles, bytes); min/max are
     * None for an empty item (or if a writer produced no stats).
     */
   def describe(key: String): Store.ItemStats = {
     val p = itemPath(key, mustExist = true)
-    val files: Seq[String] = {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-          .map(_.toString)
-          .toVector
-      } finally s.close()
+    // (path, length) pairs from the single listing — no per-file driver
+    // round-trips for sizes (on S3 a per-file getFileStatus would be a
+    // HEAD request each). Paths under hidden segments (leading `_` or
+    // `.`: committer `_temporary` dirs, `_SUCCESS`-style markers) are
+    // excluded exactly as Spark's own file index excludes them — an
+    // in-flight append's uncommitted task files are not item data, and
+    // they vanish when the committer promotes them (reading their
+    // footers would race that rename).
+    val prefix = p.toString + "/"
+    def hidden(path: String): Boolean =
+      path.stripPrefix(prefix).split('/').exists(seg =>
+        (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+    val files: Seq[(String, Long)] = {
+      val it = fs.listFiles(p, true)
+      val buf = Vector.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !hidden(st.getPath.toString))
+          buf += ((st.getPath.toString, st.getLen))
+      }
+      buf.result()
     }
-    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+    val bytes = files.map(_._2).sum
     val idx = indexName
+    val paths = files.map(_._1)
     val perFile = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { fs =>
         import org.apache.hadoop.conf.Configuration
         import org.apache.parquet.hadoop.ParquetFileReader
@@ -357,14 +458,23 @@ class Store private[sources] (
         import org.apache.parquet.hadoop.util.HadoopInputFile
         // one Configuration per partition, not per file — Configuration
         // construction loads XML resources and is measurable at very
-        // high file counts
+        // high file counts. On executors it loads the deployment's
+        // core-site.xml, so scheme resolution matches the driver's.
         val conf = new Configuration()
-        fs.map { f =>
-          val in: InputFile = HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf
-          )
-          val r = ParquetFileReader.open(in)
-          try {
+        fs.flatMap { f =>
+          // a concurrent compact can swap a listed file out between the
+          // listing and this footer read; describe is a point-in-time
+          // metadata snapshot, so a vanished file contributes nothing
+          // rather than failing the whole op
+          val r =
+            try {
+              val in: InputFile = HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f), conf
+              )
+              ParquetFileReader.open(in)
+            } catch { case _: java.io.FileNotFoundException => null }
+          if (r == null) Iterator.empty
+          else Iterator.single(try {
             import scala.jdk.CollectionConverters._
             val blocks = r.getFooter.getBlocks.asScala
             var rows = 0L
@@ -388,7 +498,7 @@ class Store private[sources] (
                 }
             }
             (rows, mn, mx)
-          } finally r.close()
+          } finally r.close())
         }
       }
       .collect() // O(files) triples — metadata, not data
@@ -399,7 +509,7 @@ class Store private[sources] (
       rows = rows,
       minIndex = mins.minOption.map(Store.microsToTimestamp),
       maxIndex = maxs.maxOption.map(Store.microsToTimestamp),
-      files = files.size.toLong,
+      files = paths.size.toLong,
       bytes = bytes
     )
   }
@@ -438,9 +548,9 @@ class Store private[sources] (
     * store.py:196-212): fails with [[ItemExistsError]] if the item
     * exists; normalizes; writes snappy Parquet.
     */
-  def write(key: String, df: DataFrame): Unit = {
+  def write(key: String, df: DataFrame): Unit = withItemLock(key) {
     val p = itemPath(key, mustExist = false)
-    if (Files.exists(p))
+    if (fs.exists(p))
       throw new ItemExistsError(
         s"item ${validateKey(key)} already exists; use append"
       )
@@ -493,9 +603,9 @@ class Store private[sources] (
     * are both kept here. The reference behavior loses legitimately
     * repeated observations; ours is the safer contract for a time store.
     */
-  def append(key: String, df: DataFrame): Unit = {
+  def append(key: String, df: DataFrame): Unit = withItemLock(key) {
     val p = itemPath(key, mustExist = false)
-    if (!Files.exists(p))
+    if (!fs.exists(p))
       throw new ItemKeyError(
         s"item ${validateKey(key)} does not exist; write it first"
       )
@@ -514,48 +624,59 @@ class Store private[sources] (
     stagedOverwrite(key, p, merged)
   }
 
-  /** Atomically replace item dir `p` with the (eagerly written) result
-    * of `df`. Staging lives OUTSIDE items/ so a crash mid-swap can never
-    * leak a half-written directory into listItems().
+  /** Replace item dir `p` with the (eagerly written) result of `df`,
+    * crash-safely, through the FileSystem abstraction. Staging lives
+    * OUTSIDE items/ so a half-written directory is never visible to
+    * [[listItems]]. The swap is a two-marker commit protocol:
+    *
+    *  1. write new data to `.staging/KEY.tmp-ID`
+    *  2. create marker `.staging/KEY.swap-ID`   (intent recorded)
+    *  3. rename live -> `.staging/KEY.old-ID`
+    *  4. create marker `.staging/KEY.mid-ID`    (old data is out)
+    *  5. rename tmp -> live
+    *  6. delete old dir, then both markers
+    *
+    * A crash at any point between steps is recoverable by [[vacuum]]
+    * from the marker pair alone: `swap` without `mid` → the live dir
+    * never left items/ → roll BACK (drop tmp); `swap`+`mid` → the old
+    * data is already out → roll FORWARD (promote tmp, drop old). Marker
+    * names encode key+ID, so recovery needs no marker content, and
+    * marker creation is a single create-and-close — visible atomically
+    * on object stores too.
+    *
+    * Atomicity fine print: on HDFS/file: the renames themselves are
+    * atomic, so every crash point is covered. On raw object stores
+    * (s3a:) a directory "rename" is a per-object copy+delete — a crash
+    * INSIDE step 3/5 can leave a split directory that recovery resolves
+    * to the tmp version (roll forward re-deletes the partial live dir),
+    * which can lose no committed data but is not byte-identical to
+    * either pre-state until vacuum runs. The production-grade object
+    * store path — a single-object `_current` pointer naming the active
+    * data version, swapped by one atomic PUT — is the documented next
+    * step; the marker protocol is its recovery-log precursor and
+    * already makes every between-step crash self-healing.
     */
-  private def stagedOverwrite(key: String, p: Path, df: DataFrame): Unit = {
-    val staging = base.resolve(".staging")
-    Files.createDirectories(staging)
-    val tmp = staging.resolve(
-      validateKey(key) + ".tmp-" + java.util.UUID.randomUUID().toString
-    )
-    writer(df).mode("overwrite").parquet(tmp.toString)
-    val trash = staging.resolve(
-      validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
-    )
-    Files.move(p, trash, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(trash)
-  }
-
-  /** Scalable append: left-anti join the incoming batch against existing
-    * rows and append only genuinely-new files — O(new ⋈ old-overlap)
-    * instead of the reference's O(history) rewrite. Equivalent end state
-    * to [[append]] (duplicates never written; old rows untouched, so
-    * "old wins" trivially holds). The anti-join matches per column with
-    * `<=>` (null-safe equality): a plain `usingColumns` join is
-    * null-unsafe, so NULL-bearing rows would re-append forever.
-    */
-  def appendNewOnly(key: String, df: DataFrame): Unit = {
-    val p = itemPath(key, mustExist = false)
-    if (!Files.exists(p))
-      throw new ItemKeyError(
-        s"item ${validateKey(key)} does not exist; write it first"
-      )
-    val incoming = normalize(df).dropDuplicates().as("i")
-    val existing = this(key).as("e")
-    val cond = schema.fieldNames
-      .map(c => col(s"i.$c") <=> col(s"e.$c"))
-      .reduce(_ && _)
-    val fresh = incoming
-      .join(existing, cond, "left_anti")
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    writer(fresh).mode("append").parquet(p.toString)
+  private def stagedOverwrite(key: String, p: HPath, df: DataFrame): Unit = {
+    val k = validateKey(key)
+    fs.mkdirs(stagingRoot)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = new HPath(stagingRoot, s"$k.tmp-$id")
+    val swapMarker = new HPath(stagingRoot, s"$k.swap-$id")
+    val midMarker = new HPath(stagingRoot, s"$k.mid-$id")
+    val trash = new HPath(stagingRoot, s"$k.old-$id")
+    Store.activeStagingIds.add(id) // vacuum in this JVM must not touch us
+    try {
+      writer(df).mode("overwrite").parquet(tmp.toString)
+      writeUTF8(fs, swapMarker, p.toString)
+      if (!fs.rename(p, trash))
+        throw new java.io.IOException(s"rename $p -> $trash failed")
+      writeUTF8(fs, midMarker, p.toString)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"rename $tmp -> $p failed")
+      fs.delete(trash, true)
+      fs.delete(midMarker, false)
+      fs.delete(swapMarker, false)
+    } finally Store.activeStagingIds.remove(id)
   }
 
   /** Rewrite one item into the canonical layout: range-partitioned and
@@ -567,7 +688,7 @@ class Store private[sources] (
     * contract (store.py:27,174) without paying it on every append.
     * Atomic: same staged-swap as [[append]].
     */
-  def compact(key: String): Unit = {
+  def compact(key: String): Unit = withItemLock(key) {
     val p = itemPath(key, mustExist = true)
     val canonical = this(key)
       .repartitionByRange(col(indexName))
@@ -595,23 +716,51 @@ class Store private[sources] (
     needed
   }
 
+  /** Scalable append: left-anti join the incoming batch against existing
+    * rows and append only genuinely-new files — O(new ⋈ old-overlap)
+    * instead of the reference's O(history) rewrite. Equivalent end state
+    * to [[append]] (duplicates never written; old rows untouched, so
+    * "old wins" trivially holds). The anti-join matches per column with
+    * `<=>` (null-safe equality): a plain `usingColumns` join is
+    * null-unsafe, so NULL-bearing rows would re-append forever.
+    */
+  def appendNewOnly(key: String, df: DataFrame): Unit = withItemLock(key) {
+    val p = itemPath(key, mustExist = false)
+    if (!fs.exists(p))
+      throw new ItemKeyError(
+        s"item ${validateKey(key)} does not exist; write it first"
+      )
+    val incoming = normalize(df).dropDuplicates().as("i")
+    val existing = this(key).as("e")
+    val cond = schema.fieldNames
+      .map(c => col(s"i.$c") <=> col(s"e.$c"))
+      .reduce(_ && _)
+    val fresh = incoming
+      .join(existing, cond, "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    writer(fresh).mode("append").parquet(p.toString)
+  }
+
   /** Drop one item entirely (maintenance op, like [[compact]]):
     * [[ItemKeyError]] if absent. The store itself (schema, other
     * items) is untouched. Crash-safe like every destructive op here:
-    * the live directory is first ATOMIC_MOVEd out of items/ into
-    * .staging, so a kill mid-delete can never leave a half-deleted
-    * item visible to [[listItems]]/[[exists]] — the item is either
-    * fully present or fully gone.
+    * the live directory is first renamed out of items/ into .staging,
+    * so a kill mid-delete can never leave a half-deleted item visible
+    * to [[listItems]]/[[exists]] — the item is either fully present or
+    * fully gone (on rename-atomic filesystems; an object-store partial
+    * rename is finished by [[vacuum]]'s orphan sweep either way).
     */
-  def drop(key: String): Unit = {
+  def drop(key: String): Unit = withItemLock(key) {
     val p = itemPath(key, mustExist = true)
-    val staging = base.resolve(".staging")
-    Files.createDirectories(staging)
-    val trash = staging.resolve(
-      validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
-    )
-    Files.move(p, trash, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(trash)
+    fs.mkdirs(stagingRoot)
+    val id = java.util.UUID.randomUUID().toString
+    val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
+    Store.activeStagingIds.add(id)
+    try {
+      if (!fs.rename(p, trash))
+        throw new java.io.IOException(s"rename $p -> $trash failed")
+      fs.delete(trash, true)
+    } finally Store.activeStagingIds.remove(id)
   }
 
   /** Retention: drop every time bucket of `key` strictly OLDER than the
@@ -622,14 +771,14 @@ class Store private[sources] (
     * run with `before` on a bucket boundary for exact cuts). Bucket
     * names are zero-padded so the lexicographic compare below IS the
     * chronological compare. Crash-safe like [[drop]]: each expired
-    * bucket is ATOMIC_MOVEd into .staging before deletion, so a kill
+    * bucket is renamed into .staging before deletion, so a kill
     * mid-prune leaves every bucket either fully present or fully gone.
     *
     * Only valid on bucketed stores ([[SchemaError]] otherwise — a flat
     * item has no sub-scan deletion unit). Returns the number of buckets
     * dropped.
     */
-  def prune(key: String, before: Timestamp): Long = {
+  def prune(key: String, before: Timestamp): Long = withItemLock(key) {
     val fmt = bucketFmt.getOrElse(
       throw new SchemaError(
         s"store at $base is not bucketed; prune needs directory buckets " +
@@ -642,66 +791,115 @@ class Store private[sources] (
       .ofPattern(fmt)
       .withZone(java.time.ZoneId.of(storeTz))
       .format(before.toInstant)
-    val staging = base.resolve(".staging")
-    Files.createDirectories(staging)
-    val expired: Seq[Path] = {
-      val s = Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter { d =>
-            val n = d.getFileName.toString
-            n.startsWith(BucketCol + "=") &&
-            n.stripPrefix(BucketCol + "=") < cutoff
-          }
-          .toVector
-      } finally s.close()
-    }
+    fs.mkdirs(stagingRoot)
+    val expired: Seq[HPath] = fs.listStatus(p).iterator
+      .map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        n.startsWith(BucketCol + "=") &&
+        n.stripPrefix(BucketCol + "=") < cutoff
+      }
+      .toVector
     expired.foreach { d =>
-      val trash = staging.resolve(
-        validateKey(key) + ".old-" + java.util.UUID.randomUUID().toString
-      )
-      Files.move(d, trash, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(trash)
+      val id = java.util.UUID.randomUUID().toString
+      val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
+      Store.activeStagingIds.add(id)
+      try {
+        if (!fs.rename(d, trash))
+          throw new java.io.IOException(s"rename $d -> $trash failed")
+        fs.delete(trash, true)
+      } finally Store.activeStagingIds.remove(id)
     }
     expired.size.toLong
   }
 
   /** Crash-recovery sweep, finishing the atomicity story of
-    * [[append]]/[[compact]]/[[drop]]/[[prune]]: those ops stage
-    * `*.tmp-*` (new data being written) and `*.old-*` (replaced data
-    * awaiting delete) dirs under `.staging` and a kill between the
-    * atomic swap and the final delete leaks them forever — invisible to
-    * readers (staging lives outside items/) but occupying storage.
-    * Every staged dir is an orphan the moment no op is running: `tmp`
-    * never made it live, `old` was already replaced. `olderThanMillis`
-    * (lastModified-based) is the guard for ANOTHER writer with an op in
-    * flight — a resident ingestStream batch between stage and swap, a
-    * concurrent compact — whose staging dirs are NOT orphans yet. The
-    * default sweeps only dirs older than one hour (longer than any
-    * plausible single write); pass 0 to force-sweep everything when the
-    * caller knows no other writer exists. Returns dirs removed.
+    * [[append]]/[[compact]]/[[drop]]/[[prune]]. Two jobs:
+    *
+    *  1. **Swap recovery** — an interrupted [[stagedOverwrite]] leaves
+    *     its `KEY.swap-ID` (and possibly `KEY.mid-ID`) marker behind;
+    *     the marker pair says exactly how far the swap got (protocol at
+    *     [[stagedOverwrite]]). `swap` without `mid`: the live dir never
+    *     left items/ → roll BACK by dropping the staged tmp. `swap` +
+    *     `mid`: the old data was already moved out → roll FORWARD by
+    *     promoting the staged tmp to live (deleting any partial live
+    *     dir first) and dropping the old. Either way the item ends
+    *     whole and the markers are cleared.
+    *  2. **Orphan sweep** — `*.tmp-*` / `*.old-*` dirs whose op died
+    *     between its last rename and its delete: invisible to readers
+    *     (staging lives outside items/) but occupying storage; swept.
+    *
+    * Two writer-safety layers: entries whose staging id belongs to an
+    * op IN FLIGHT IN THIS JVM ([[Store$.activeStagingIds]]) are always
+    * skipped — that makes even a force-sweep (`vacuum(0)`) safe against
+    * same-driver concurrent appends/compacts — and `olderThanMillis`
+    * (modification-time-based) guards against writers in OTHER JVMs,
+    * which this process cannot see. The default sweeps only entries
+    * older than one hour (longer than any plausible single write);
+    * pass 0 only when no out-of-process writer exists. Returns entries
+    * removed (markers not counted; a recovered swap counts its data
+    * dirs). Vacuums of one store serialize on the item-lock of the
+    * pseudo-item `..vacuum` (not a legal item key, so it can never
+    * collide with a real item's lock).
     */
   def vacuum(olderThanMillis: Long = 3600000L): Long = {
     require(olderThanMillis >= 0, "olderThanMillis must be >= 0")
-    val staging = base.resolve(".staging")
-    if (!Files.exists(staging)) return 0L
+    val l = Store.lockFor(base, "..vacuum")
+    l.lock()
+    try vacuumLocked(olderThanMillis) finally l.unlock()
+  }
+
+  private def vacuumLocked(olderThanMillis: Long): Long = {
+    val staging = stagingRoot
+    if (!fs.exists(staging)) return 0L
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val orphans: Seq[Path] = {
-      val s = Files.list(staging)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter { d =>
-            val n = d.getFileName.toString
-            (n.contains(".tmp-") || n.contains(".old-")) &&
-            Files.getLastModifiedTime(d).toMillis <= cutoff
-          }
-          .toVector
-      } finally s.close()
+    val entries = fs.listStatus(staging).toVector
+    def inFlight(name: String): Boolean =
+      Store.stagingId(name).exists(Store.activeStagingIds.contains)
+    var removed = 0L
+    // job 1: complete or roll back interrupted swaps, markers first —
+    // their tmp/old dirs must not hit the age sweep below mid-recovery
+    val swapMarkers = entries.filter { e =>
+      val n = e.getPath.getName
+      n.contains(".swap-") && e.getModificationTime <= cutoff && !inFlight(n)
     }
-    orphans.foreach(deleteRecursively)
-    orphans.size.toLong
+    val recovered = scala.collection.mutable.Set[String]()
+    swapMarkers.foreach { m =>
+      val n = m.getPath.getName
+      val i = n.indexOf(".swap-")
+      val k = n.substring(0, i)
+      val id = n.substring(i + ".swap-".length)
+      val tmp = new HPath(staging, s"$k.tmp-$id")
+      val trash = new HPath(staging, s"$k.old-$id")
+      val mid = new HPath(staging, s"$k.mid-$id")
+      val live = new HPath(itemsRoot, k)
+      if (fs.exists(mid)) {
+        // old data left items/ before the crash — roll FORWARD
+        if (fs.exists(tmp)) {
+          if (fs.exists(live)) fs.delete(live, true) // partial promote
+          if (!fs.rename(tmp, live) && !fs.exists(live))
+            throw new java.io.IOException(s"swap recovery: rename $tmp -> $live failed")
+          removed += 1
+        }
+        if (fs.delete(trash, true)) removed += 1
+        fs.delete(mid, false)
+      } else {
+        // live never left items/ — roll BACK (drop staged artifacts)
+        if (fs.delete(tmp, true)) removed += 1
+        if (fs.delete(trash, true)) removed += 1
+      }
+      fs.delete(m.getPath, false)
+      recovered ++= Seq(tmp.getName, trash.getName, mid.getName)
+    }
+    // job 2: age-based orphan sweep of unclaimed tmp/old dirs
+    entries.foreach { e =>
+      val n = e.getPath.getName
+      if ((n.contains(".tmp-") || n.contains(".old-")) &&
+          !recovered.contains(n) && e.getModificationTime <= cutoff &&
+          !inFlight(n) && fs.delete(e.getPath, true))
+        removed += 1
+    }
+    removed
   }
 
   /** Streaming ingestion into one item — the 24/7 form of the
@@ -866,13 +1064,4 @@ class Store private[sources] (
       Some(start.getOrElse(MinStart)),
       Some(end.getOrElse(new Timestamp(System.currentTimeMillis())))
     )
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try {
-        s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      } finally s.close()
-    }
-  }
 }

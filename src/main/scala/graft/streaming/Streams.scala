@@ -40,12 +40,17 @@ case class UserState(n: Long, sum: Double)
 
 /** Per-user streaming-funnel state: candidate step-1 (view) and step-2
   * (view→click-within-W) event times still inside the pruning horizon
-  * (epoch-µs, unordered), best funnel level reached, cumulative funnel
-  * event count, and the max event time seen (the pruning anchor).
+  * (epoch-µs, unordered), the NOT-yet-qualified clicks and purchases
+  * buffered for late-arriving prerequisites (pendClicks/pendPurch —
+  * see funnelOn's disorder contract), best funnel level reached,
+  * cumulative funnel event count, and the max event time seen (the
+  * pruning anchor).
   */
 case class FunnelSt(
     views: Array[Long],
     clicks2: Array[Long],
+    pendClicks: Array[Long],
+    pendPurch: Array[Long],
     steps: Long,
     n: Long,
     maxSeen: Long
@@ -317,17 +322,23 @@ object Streams {
     * State is TIME-BOUNDED, not stream-bounded: a candidate can only
     * complete a chain for events within W of it, so candidates older
     * than maxSeen − W − δ are pruned each batch (δ = 1 h). Disorder
-    * contract — narrower than the pruning slack: δ protects LATE
-    * DEPENDENTS only (a click/purchase arriving up to δ after the
-    * view/click it completes still finds the candidate in state);
-    * PREREQUISITES must arrive no later than their dependents — a view
-    * arriving in a later micro-batch than its click is never
-    * re-evaluated and that click stays unqualified. Within a batch,
-    * events sort by (ts, step order, event_id) — views before clicks
-    * before purchases at equal timestamps — so intra-batch disorder,
-    * including same-microsecond prerequisite ties, is fully absorbed.
-    * Per-user state is O(funnel events in the trailing W+δ),
-    * independent of stream length.
+    * contract — symmetric within the slack: late DEPENDENTS (a
+    * click/purchase arriving up to δ after the view/click it
+    * completes) still find the candidate in state, and late
+    * PREREQUISITES are covered by re-evaluation — a click that finds
+    * no qualifying view (and a purchase that finds no qualified click)
+    * is BUFFERED in state rather than discarded, and a view/click
+    * landing in any later micro-batch within the horizon promotes its
+    * buffered dependents, cascading (one late view can complete
+    * view→click→purchase in a single re-evaluation). Grades stay
+    * monotone — promotion only ever raises `steps` — so append mode
+    * still never needs a retraction. Within a batch, events sort by
+    * (ts, step order, event_id) — views before clicks before purchases
+    * at equal timestamps — so intra-batch disorder, including
+    * same-microsecond prerequisite ties, is absorbed without touching
+    * the buffers. Per-user state (candidates + buffered dependents) is
+    * O(funnel events in the trailing W+δ), independent of stream
+    * length.
     */
   def funnel(s: SparkSession, dir: String): DataFrame =
     runToBatch(s, funnelOn(eventsStream(s, dir)), "append")
@@ -358,13 +369,23 @@ object Streams {
           def us(t: java.sql.Timestamp): Long =
             t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
           val prev = state.getOption
-            .getOrElse(FunnelSt(Array.empty, Array.empty, 0L, 0L, Long.MinValue))
+            .getOrElse(FunnelSt(Array.empty, Array.empty, Array.empty,
+              Array.empty, 0L, 0L, Long.MinValue))
           val views = scala.collection.mutable.ArrayBuffer.from(prev.views)
           val clicks = scala.collection.mutable.ArrayBuffer.from(prev.clicks2)
+          val pendClicks = scala.collection.mutable.ArrayBuffer.from(prev.pendClicks)
+          val pendPurch = scala.collection.mutable.ArrayBuffer.from(prev.pendPurch)
           var steps = prev.steps
           var n = prev.n
           var maxSeen = prev.maxSeen
           val batch = it.toArray
+          // a buffered purchase completes once ANY qualified click
+          // within W precedes it — checked whenever the qualified set
+          // grows (fresh click or pending promotion)
+          def recheckPurchases(): Unit =
+            if (steps < 3 &&
+                pendPurch.exists(p => clicks.exists(c => c <= p && p - c <= W)))
+              steps = 3
           // step order breaks same-ts ties: a view sharing a microsecond
           // with its click must be applied first or the click is
           // silently unqualified (batch funnel_steps counts v <= t)
@@ -379,20 +400,42 @@ object Streams {
               case "view" =>
                 views += t
                 if (steps < 1) steps = 1
+                // late-prerequisite re-evaluation: clicks buffered in
+                // earlier batches waiting for exactly this view qualify
+                // now, and their promotion may complete a buffered
+                // purchase in turn (full cascade)
+                var i = 0
+                var promoted = false
+                while (i < pendClicks.length) {
+                  val c = pendClicks(i)
+                  if (t <= c && c - t <= W) {
+                    clicks += c; pendClicks.remove(i); promoted = true
+                  } else i += 1
+                }
+                if (promoted) { if (steps < 2) steps = 2; recheckPurchases() }
               case "click" =>
                 if (views.exists(v => v <= t && t - v <= W)) {
                   clicks += t
                   if (steps < 2) steps = 2
-                }
+                  recheckPurchases()
+                } else pendClicks += t // buffer: its view may still arrive
               case _ =>
-                if (steps < 3 && clicks.exists(c => c <= t && t - c <= W)) steps = 3
+                if (clicks.exists(c => c <= t && t - c <= W)) {
+                  if (steps < 3) steps = 3
+                } else pendPurch += t // buffer: its click may still qualify
             }
           }
-          // prune: nothing older than the horizon can still head a chain
+          // a completed funnel is terminal (grades are monotone, 3 is
+          // max): buffered dependents can no longer change anything
+          if (steps >= 3) { pendClicks.clear(); pendPurch.clear() }
+          // prune: nothing older than the horizon can still head or
+          // complete a chain
           val horizon = if (maxSeen == Long.MinValue) Long.MinValue else maxSeen - W - Slack
           state.update(FunnelSt(
             views.filter(_ >= horizon).toArray,
             clicks.filter(_ >= horizon).toArray,
+            pendClicks.filter(_ >= horizon).toArray,
+            pendPurch.filter(_ >= horizon).toArray,
             steps, n, maxSeen))
           Iterator.single((uid, n, steps))
       }

@@ -104,7 +104,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val recall = exact.intersect(out.map(_._1).toSet).size.toDouble / exact.size
     info(f"IVF-PQ recall=$recall%.2f; exact re-rank pool = $rerank/${n} = ${rerank * 100.0 / n}%.1f%% of corpus")
     assert(recall >= 0.8, f"IVF-PQ recall $recall%.2f < 0.8")
-    assert(rerank <= n / 10, "ADC survivor pool is not a small fraction of the corpus")
+    // (no assert on rerank vs n — both are constants fixed above, so a
+    // comparison could only catch a test edit, not a behavior change;
+    // the pool fraction is reported by the info() line instead)
     // quantized scores track the exact cosine on structured data
     val mae = out.map { case (_, a, s) => math.abs(a - s) }.sum / out.length
     info(f"ADC score MAE vs exact cosine: $mae%.4f")
@@ -373,6 +375,67 @@ class LlmOpsSpec extends AnyFunSuite {
     clusters.groupBy(_._2).foreach { case (cid, members) =>
       assert(members.keys.min == cid)
     }
+  }
+
+  test("dedup_clusters: reliable checkpoint path (graft.checkpoint.dir) yields the same clusters") {
+    import spark.implicits._
+    // baseline under the default localCheckpoint path
+    val want = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    System.setProperty("graft.checkpoint.dir", ckpt)
+    try {
+      val got = SparkEntry.queries("dedup_clusters")(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, "reliable-checkpoint run must match localCheckpoint run")
+      // the rounds really went through reliable storage, not executor
+      // blocks: the checkpoint dir is populated with RDD snapshots
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      val nFiles = try w.filter(java.nio.file.Files.isRegularFile(_)).count() finally w.close()
+      assert(nFiles > 0, "reliable checkpoint directory is empty — opt-in did not engage")
+    } finally System.clearProperty("graft.checkpoint.dir")
+  }
+
+  test("multimodal_features: real imageio decode — known PNGs yield closed-form channel stats") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "JRE must ship a PNG writer")
+      bos.toByteArray
+    }
+    val solidRed = png(8, 4)((_, _) => 0xFF0000)
+    val checker = png(4, 4)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    val gradient = png(16, 2)((x, _) => (x * 17) << 16) // R = 0,17,...,255
+    val textBytes = "just some text, not an image".getBytes("UTF-8")
+    val out = graft.operators.LlmOps.multimodalFeaturesOn(
+      Seq((1L, solidRed), (2L, checker), (3L, gradient), (4L, textBytes))
+        .toDS())
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    def ch(id: Long, c: Long): Double = out((id, c))._1
+    // solid red: mean R=1, G=B=0, all stds 0, dims 8x4, one frame
+    assert(ch(1, 0) == 1.0 && ch(1, 1) == 0.0 && ch(1, 2) == 0.0)
+    assert((3L to 5L).forall(c => ch(1, c) == 0.0))
+    assert(ch(1, 6) == 8.0 && ch(1, 7) == 4.0)
+    assert(out((1L, 0L))._2 == 1L, "a still image is its own single frame")
+    // black/white checkerboard: mean 0.5, population std exactly 0.5
+    (0L to 2L).foreach(c => assert(ch(2, c) == 0.5, s"checker mean ch$c = ${ch(2, c)}"))
+    (3L to 5L).foreach(c => assert(ch(2, c) == 0.5, s"checker std ch$c = ${ch(2, c)}"))
+    // horizontal gradient R = x*17: closed-form mean/std over 16 levels
+    val levels = (0 until 16).map(_ * 17)
+    val m = levels.sum.toDouble / 16
+    val sd = math.sqrt(levels.map(v => v.toDouble * v).sum / 16 - m * m)
+    assert(math.abs(ch(3, 0) - m / 255.0) < 1e-5, s"gradient mean ${ch(3, 0)}")
+    assert(math.abs(ch(3, 3) - sd / 255.0) < 1e-5, s"gradient std ${ch(3, 3)}")
+    assert(ch(3, 1) == 0.0 && ch(3, 4) == 0.0)
+    // non-image payload: documented byte-histogram fallback, raw-buffer
+    // frame count, histogram normalizes to 1
+    assert(out((4L, 0L))._2 == textBytes.length / 64 + 1L)
+    val hist = (0L to 7L).map(c => ch(4, c))
+    assert(math.abs(hist.sum - 1.0) < 1e-5 && hist.exists(_ > 0))
   }
 
   test("sample_stratified: membership is deterministic and under-threshold per stratum") {

@@ -110,6 +110,39 @@ object StoreProps extends Properties("Store") {
         viaAppend("K").exceptAll(viaNewOnly("K")).count() == 0
     }
 
+  property("concurrent appendNewOnly + compactIfNeeded + vacuum(0): no lost rows, stats intact") =
+    forAll(Gen.choose(1L, 999L)) { seed =>
+      // 4 appender threads (distinct batches), one compaction loop, one
+      // force-vacuum loop, all on ONE item: the per-item JVM locks
+      // serialize the mutations and the in-flight-id registry keeps
+      // vacuum(0) off live staging — end state must hold every distinct
+      // row, and describe() must still see footer stats (INT96 files
+      // carry none, so a non-None minIndex proves no write slipped
+      // through under a racing conf/committer)
+      val s = freshStore()
+      val batches = (0 until 4).map(i => bars(20, seed + i)) // distinct values per batch
+      s.write("K", batches(0))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def thread(body: => Unit): Thread = {
+        val t = new Thread(() => try body catch { case e: Throwable => errs.add(e) })
+        t.start(); t
+      }
+      val appenders = (1 until 4).map(i => thread { s.appendNewOnly("K", batches(i)) })
+      val maintain = thread { while (!stop.get()) { s.compactIfNeeded("K", 2L); Thread.sleep(5) } }
+      val sweeper = thread { while (!stop.get()) { s.vacuum(0L); Thread.sleep(3) } }
+      appenders.foreach(_.join())
+      stop.set(true)
+      maintain.join(); sweeper.join()
+      val want = batches.reduce(_ unionByName _).dropDuplicates()
+      val got = s("K")
+      val stats = s.describe("K")
+      errs.isEmpty &&
+        got.count() == want.count() &&
+        got.exceptAll(want).count() == 0 &&
+        stats.minIndex.isDefined && stats.maxIndex.isDefined
+    }
+
   property("normalization is case-insensitive in column names") =
     forAll(Gen.choose(5, 15), Gen.choose(1L, 999L)) { (n, seed) =>
       val s = freshStore()

@@ -105,6 +105,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(fin == Map(1L -> 2L, 2L -> 3L), s"tie-break broken: $fin")
   }
 
+  test("stream_funnel: a view arriving a micro-batch AFTER its click still grades (buffered re-evaluation)") {
+    import spark.implicits._
+    // batch 0 delivers dependents first: user 1's click, user 2's
+    // click+purchase, user 3's lone click (control — its view never
+    // comes). batch 1 delivers the late prerequisite views. The old
+    // contract discarded the unqualified dependents at batch 0; the
+    // buffered re-evaluation must promote them: user 1 → steps 2,
+    // user 2 → the full cascade to steps 3, user 3 → steps 1 forever
+    // (its click's view never arrives; the late view starts a new
+    // chain with nothing after it).
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val work = java.nio.file.Files.createTempDirectory("graft-funnel-late").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:10"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:00:10"), 2L, "click", 1.0),
+      (3L, ts("2024-01-01 10:00:20"), 2L, "purchase", 1.0),
+      (4L, ts("2024-01-01 10:00:10"), 3L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$work/in/b0")
+    stampMtime(s"$work/in/b0", 1000000L)
+    Seq(
+      (5L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0),
+      (7L, ts("2024-01-01 10:30:00"), 3L, "view", 1.0) // AFTER user 3's click
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$work/in/b1")
+    stampMtime(s"$work/in/b1", 1000100L)
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$work/in/b0").schema)
+      .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in")
+    val q = Streams.funnelOn(src).writeStream
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.read.parquet(s"$work/out")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("steps"))).getField("steps").as("steps"))
+      .as[(Long, Long)].collect().toMap
+    assert(fin == Map(1L -> 2L, 2L -> 3L, 3L -> 1L),
+      s"late-prerequisite re-evaluation broken: $fin")
+  }
+
   test("stream_ohlcv equals batch hourly OHLCV bars") {
     val streamed = Streams.ohlcv(spark, dir)
     val batch = Tables.events(spark, dir)
