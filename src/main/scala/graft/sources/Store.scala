@@ -435,7 +435,11 @@ class Store private[sources] (
     def hidden(path: String): Boolean =
       path.stripPrefix(prefix).split('/').exists(seg =>
         (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
-    val files: Seq[(String, Long)] = {
+    // the recursive iterator can throw mid-walk if a concurrent
+    // committer removes its _temporary dir between the parent listing
+    // and the descent — that's a stale snapshot, not an error, so
+    // retake it (bounded; a persistent failure is a real one)
+    def listing(): Seq[(String, Long)] = {
       val it = fs.listFiles(p, true)
       val buf = Vector.newBuilder[(String, Long)]
       while (it.hasNext) {
@@ -445,6 +449,27 @@ class Store private[sources] (
           buf += ((st.getPath.toString, st.getLen))
       }
       buf.result()
+    }
+    // "vanished mid-walk" shows up as FileNotFoundException on most
+    // FileSystems, but RawLocalFileSystem surfaces it as a
+    // RuntimeException from its shelled-out permission probe (`ls`
+    // exiting 2 on the removed dir) — match the condition, not the
+    // wrapper class
+    def vanished(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case e => Option(e.getMessage).exists(m =>
+        m.contains("No such file or directory") || m.contains("does not exist")) ||
+        vanished(e.getCause)
+    }
+    val files: Seq[(String, Long)] = {
+      var tries = 0
+      var out: Seq[(String, Long)] = null
+      while (out == null) {
+        try out = listing()
+        catch { case e: Exception if vanished(e) && tries < 5 => tries += 1 }
+      }
+      out
     }
     val bytes = files.map(_._2).sum
     val idx = indexName

@@ -137,10 +137,16 @@ object StoreProps extends Properties("Store") {
       val want = batches.reduce(_ unionByName _).dropDuplicates()
       val got = s("K")
       val stats = s.describe("K")
-      errs.isEmpty &&
+      val ok = errs.isEmpty &&
         got.count() == want.count() &&
         got.exceptAll(want).count() == 0 &&
         stats.minIndex.isDefined && stats.maxIndex.isDefined
+      if (!ok) {
+        System.err.println(s"[concurrent-prop] errs=${errs.size} got=${got.count()} " +
+          s"want=${want.count()} missing=${want.exceptAll(got).count()} stats=$stats")
+        errs.forEach(e => { System.err.println(s"[concurrent-prop] thread error: $e"); e.printStackTrace() })
+      }
+      ok
     }
 
   property("normalization is case-insensitive in column names") =
