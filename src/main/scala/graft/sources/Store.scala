@@ -64,6 +64,8 @@ object Store {
   private val LayoutFile = "layout.json"
   private val ItemsDir = "items"
   private val StagingDir = ".staging"
+  private val VersionedMarker = "versioned"
+  private[sources] val CurrentPtr = "_current"
 
   /** JVM-wide per-(store, item) mutation locks. Every mutating control-
     * plane op runs on the DRIVER (they orchestrate Spark jobs, they
@@ -145,6 +147,20 @@ object Store {
     * 1 M-row sorted chunks (store.py:27, applied store.py:174) so
     * row-group min/max stats stay uniformly selective; same default.
     *
+    * `versioned = true` selects the OBJECT-STORE-NATIVE item layout:
+    * each item's data lives in immutable `v-<id>` version directories
+    * and the active one is named by a single `_current` pointer object.
+    * Rewrites (append/compact) write a fresh version and commit it with
+    * ONE pointer overwrite — a single-object PUT, atomic on every real
+    * object store — so no directory rename exists anywhere on the write
+    * path and a crash at any point leaves readers on the old complete
+    * version (orphaned versions swept by [[Store!.vacuum]]). The flat
+    * layout (default) keeps in-place appends cheapest on rename-atomic
+    * filesystems; versioned trades a pointer read per operation for
+    * rename-free atomicity. Persisted like the schema; a flat store
+    * cannot be reopened as versioned (the data would need migration),
+    * while a versioned store serves any caller transparently.
+    *
     * SESSION-WIDE SIDE EFFECT: open pins
     * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` for the
     * whole SparkSession (rationale at [[Store#requireMicrosTimestamps]]).
@@ -161,7 +177,8 @@ object Store {
       cols: Option[Seq[(String, DataType)]] = None,
       index: Option[String] = None,
       bucket: Option[String] = None,
-      chunkRows: Long = 1000000L
+      chunkRows: Long = 1000000L,
+      versioned: Boolean = false
   ): Store = {
     bucket.foreach { b =>
       require(BucketFormats.contains(b), s"bucket must be one of ${BucketFormats.keys}")
@@ -220,14 +237,26 @@ object Store {
           s"store at $basePath was bucketed under timezone '$storeTz'; " +
             s"session timezone is '$sessionTz' — set spark.sql.session.timeZone to match"
         )
-      new Store(spark, base, persisted, persistedBucket, chunkRows, storeTz)
+      // the layout is a property of the data on disk: an existing store
+      // keeps its persisted layout (flat callers transparently read a
+      // versioned store), but explicitly requesting versioned semantics
+      // on a flat store must fail — the caller is relying on atomic
+      // pointer swaps the flat layout cannot provide
+      val persistedVersioned = fs.exists(new HPath(base, VersionedMarker))
+      if (versioned && !persistedVersioned)
+        throw new SchemaError(
+          s"store at $basePath was created with the flat item layout; " +
+            "it cannot be reopened as versioned")
+      new Store(spark, base, persisted, persistedBucket, chunkRows, storeTz,
+        persistedVersioned)
     } else {
       val schema = requested.getOrElse(
         buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
       )
       writeUTF8(fs, schemaPath, schema.json)
       bucket.foreach(b => writeUTF8(fs, layoutPath, s"$b\n$sessionTz"))
-      new Store(spark, base, schema, bucket, chunkRows, sessionTz)
+      if (versioned) writeUTF8(fs, new HPath(base, VersionedMarker), "1")
+      new Store(spark, base, schema, bucket, chunkRows, sessionTz, versioned)
     }
   }
 
@@ -291,7 +320,8 @@ class Store private[sources] (
     val schema: StructType,
     val bucket: Option[String] = None,
     val chunkRows: Long = 1000000L,
-    val storeTz: String = "UTC"
+    val storeTz: String = "UTC",
+    val versioned: Boolean = false
 ) {
   import Store._
 
@@ -381,7 +411,7 @@ class Store private[sources] (
 
   /** Raw read keeping the partition column (for pruning predicates). */
   private def loadRaw(key: String): DataFrame = {
-    val p = itemPath(key, mustExist = true).toString
+    val p = dataPath(key, mustExist = true).toString
     if (bucket.isDefined) spark.read.parquet(p)
     else spark.read.schema(schema).parquet(p)
   }
@@ -394,6 +424,32 @@ class Store private[sources] (
     p
   }
 
+  /** Versioned layout: the item's `_current` pointer object. */
+  private def ptrPath(key: String): HPath =
+    new HPath(new HPath(itemsRoot, validateKey(key)), Store.CurrentPtr)
+
+  /** Versioned layout: the active version id named by the pointer. */
+  private def currentVersion(key: String): String = {
+    val ptr = ptrPath(key)
+    if (!fs.exists(ptr)) throw new ItemKeyError(s"no such item: ${validateKey(key)}")
+    readUTF8(fs, ptr).trim
+  }
+
+  /** The directory holding an item's live DATA — the item dir itself on
+    * the flat layout, the `_current`-named version dir on the versioned
+    * layout. Every read/append/describe resolves through here, so both
+    * layouts share all operator code below this point.
+    */
+  private def dataPath(key: String, mustExist: Boolean): HPath =
+    if (!versioned) itemPath(key, mustExist)
+    else {
+      val k = validateKey(key)
+      if (!fs.exists(ptrPath(k))) {
+        if (mustExist) throw new ItemKeyError(s"no such item: $k")
+        new HPath(itemsRoot, k) // absent: caller only probes existence
+      } else new HPath(new HPath(itemsRoot, k), currentVersion(k))
+    }
+
   /** Reference `_validate_key` (store.py:183-194): regex-check, then
     * case-fold to upper for the on-disk directory name.
     */
@@ -402,10 +458,19 @@ class Store private[sources] (
     case _ => throw new ItemKeyError(s"invalid item key: '$key'")
   }
 
-  def exists(key: String): Boolean = fs.exists(itemPath(key, mustExist = false))
+  def exists(key: String): Boolean =
+    if (versioned) fs.exists(ptrPath(key))
+    else fs.exists(itemPath(key, mustExist = false))
 
   def listItems(): Seq[String] =
-    fs.listStatus(itemsRoot).map(_.getPath.getName).toVector.sorted
+    if (versioned)
+      // an item dir without a pointer is a half-created or half-dropped
+      // orphan — not an item (the pointer IS item existence)
+      fs.listStatus(itemsRoot).iterator
+        .map(_.getPath)
+        .filter(p => fs.exists(new HPath(p, Store.CurrentPtr)))
+        .map(_.getName).toVector.sorted
+    else fs.listStatus(itemsRoot).map(_.getPath.getName).toVector.sorted
 
   /** Metadata-only item statistics: row count, index min/max, file
     * count and byte size — read from Parquet FOOTERS (row-group counts
@@ -422,7 +487,7 @@ class Store private[sources] (
     * None for an empty item (or if a writer produced no stats).
     */
   def describe(key: String): Store.ItemStats = {
-    val p = itemPath(key, mustExist = true)
+    val p = dataPath(key, mustExist = true)
     // (path, length) pairs from the single listing — no per-file driver
     // round-trips for sizes (on S3 a per-file getFileStatus would be a
     // HEAD request each). Paths under hidden segments (leading `_` or
@@ -574,12 +639,22 @@ class Store private[sources] (
     * exists; normalizes; writes snappy Parquet.
     */
   def write(key: String, df: DataFrame): Unit = withItemLock(key) {
-    val p = itemPath(key, mustExist = false)
-    if (fs.exists(p))
-      throw new ItemExistsError(
-        s"item ${validateKey(key)} already exists; use append"
-      )
-    writer(normalize(df)).mode("errorifexists").parquet(p.toString)
+    val k = validateKey(key)
+    if (exists(k))
+      throw new ItemExistsError(s"item $k already exists; use append")
+    if (versioned) {
+      val id = "v-" + java.util.UUID.randomUUID().toString
+      writer(normalize(df)).mode("errorifexists")
+        .parquet(new HPath(new HPath(itemsRoot, k), id).toString)
+      // overwrite=false: the loser of a cross-JVM create race gets the
+      // same error an errorifexists write would — first pointer wins
+      writeUTF8(fs, ptrPath(k), id, overwrite = false)
+    } else {
+      val p = itemPath(key, mustExist = false)
+      if (fs.exists(p))
+        throw new ItemExistsError(s"item $k already exists; use append")
+      writer(normalize(df)).mode("errorifexists").parquet(p.toString)
+    }
   }
 
   /** Lazy handle: full scan of one item (reference `_Item`,
@@ -629,11 +704,11 @@ class Store private[sources] (
     * repeated observations; ours is the safer contract for a time store.
     */
   def append(key: String, df: DataFrame): Unit = withItemLock(key) {
-    val p = itemPath(key, mustExist = false)
-    if (!fs.exists(p))
+    if (!exists(key))
       throw new ItemKeyError(
         s"item ${validateKey(key)} does not exist; write it first"
       )
+    val p = dataPath(key, mustExist = true)
     val old = this(key).withColumn("__prov", lit(0))
     val incoming = normalize(df).withColumn("__prov", lit(1))
     // old-wins tie-break: min(__prov) row per full-row key. dropDuplicates
@@ -650,9 +725,11 @@ class Store private[sources] (
   }
 
   /** Replace item dir `p` with the (eagerly written) result of `df`,
-    * crash-safely, through the FileSystem abstraction. Staging lives
-    * OUTSIDE items/ so a half-written directory is never visible to
-    * [[listItems]]. The swap is a two-marker commit protocol:
+    * crash-safely, through the FileSystem abstraction. On the versioned
+    * layout this is a rename-free pointer swap ([[versionSwap]]); the
+    * flat layout below stages OUTSIDE items/ so a half-written
+    * directory is never visible to [[listItems]], with a two-marker
+    * commit protocol:
     *
     *  1. write new data to `.staging/KEY.tmp-ID`
     *  2. create marker `.staging/KEY.swap-ID`   (intent recorded)
@@ -681,7 +758,32 @@ class Store private[sources] (
     * step; the marker protocol is its recovery-log precursor and
     * already makes every between-step crash self-healing.
     */
-  private def stagedOverwrite(key: String, p: HPath, df: DataFrame): Unit = {
+  private def stagedOverwrite(key: String, p: HPath, df: DataFrame): Unit =
+    if (versioned) versionSwap(key, df)
+    else stagedOverwriteFlat(key, p, df)
+
+  /** Versioned-layout rewrite: write a fresh immutable version dir,
+    * commit it by overwriting the `_current` pointer — ONE single-object
+    * PUT, atomic on every real object store, no directory rename
+    * anywhere — then best-effort delete the superseded version (a crash
+    * before the delete leaves an invisible orphan for [[vacuum]]).
+    * A crash before the pointer write leaves readers on the old
+    * complete version; there is no intermediate state at all.
+    */
+  private def versionSwap(key: String, df: DataFrame): Unit = {
+    val k = validateKey(key)
+    val old = currentVersion(k)
+    val id = "v-" + java.util.UUID.randomUUID().toString
+    Store.activeStagingIds.add(id.stripPrefix("v-"))
+    try {
+      writer(df).mode("overwrite")
+        .parquet(new HPath(new HPath(itemsRoot, k), id).toString)
+      writeUTF8(fs, ptrPath(k), id) // the commit point
+      fs.delete(new HPath(new HPath(itemsRoot, k), old), true)
+    } finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
+  }
+
+  private def stagedOverwriteFlat(key: String, p: HPath, df: DataFrame): Unit = {
     val k = validateKey(key)
     fs.mkdirs(stagingRoot)
     val id = java.util.UUID.randomUUID().toString
@@ -714,7 +816,7 @@ class Store private[sources] (
     * Atomic: same staged-swap as [[append]].
     */
   def compact(key: String): Unit = withItemLock(key) {
-    val p = itemPath(key, mustExist = true)
+    val p = dataPath(key, mustExist = true)
     val canonical = this(key)
       .repartitionByRange(col(indexName))
       .sortWithinPartitions(col(indexName))
@@ -750,11 +852,11 @@ class Store private[sources] (
     * null-unsafe, so NULL-bearing rows would re-append forever.
     */
   def appendNewOnly(key: String, df: DataFrame): Unit = withItemLock(key) {
-    val p = itemPath(key, mustExist = false)
-    if (!fs.exists(p))
+    if (!exists(key))
       throw new ItemKeyError(
         s"item ${validateKey(key)} does not exist; write it first"
       )
+    val p = dataPath(key, mustExist = true)
     val incoming = normalize(df).dropDuplicates().as("i")
     val existing = this(key).as("e")
     val cond = schema.fieldNames
@@ -776,16 +878,25 @@ class Store private[sources] (
     * rename is finished by [[vacuum]]'s orphan sweep either way).
     */
   def drop(key: String): Unit = withItemLock(key) {
-    val p = itemPath(key, mustExist = true)
-    fs.mkdirs(stagingRoot)
-    val id = java.util.UUID.randomUUID().toString
-    val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
-    Store.activeStagingIds.add(id)
-    try {
-      if (!fs.rename(p, trash))
-        throw new java.io.IOException(s"rename $p -> $trash failed")
-      fs.delete(trash, true)
-    } finally Store.activeStagingIds.remove(id)
+    if (versioned) {
+      val k = validateKey(key)
+      if (!exists(k)) throw new ItemKeyError(s"no such item: $k")
+      // pointer delete IS the atomic disappear; the data tree is
+      // invisible debris after it (vacuum also sweeps orphan versions)
+      fs.delete(ptrPath(k), false)
+      fs.delete(new HPath(itemsRoot, k), true)
+    } else {
+      val p = itemPath(key, mustExist = true)
+      fs.mkdirs(stagingRoot)
+      val id = java.util.UUID.randomUUID().toString
+      val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
+      Store.activeStagingIds.add(id)
+      try {
+        if (!fs.rename(p, trash))
+          throw new java.io.IOException(s"rename $p -> $trash failed")
+        fs.delete(trash, true)
+      } finally Store.activeStagingIds.remove(id)
+    }
   }
 
   /** Retention: drop every time bucket of `key` strictly OLDER than the
@@ -801,7 +912,11 @@ class Store private[sources] (
     *
     * Only valid on bucketed stores ([[SchemaError]] otherwise — a flat
     * item has no sub-scan deletion unit). Returns the number of buckets
-    * dropped.
+    * dropped. On the versioned layout this deletes bucket dirs INSIDE
+    * the current version (retention is in-place by design — copying
+    * 100 TB minus a bucket into a fresh version to delete a directory
+    * would defeat the point); a reader listing mid-prune can observe a
+    * bucket disappear, the same contract as the flat layout.
     */
   def prune(key: String, before: Timestamp): Long = withItemLock(key) {
     val fmt = bucketFmt.getOrElse(
@@ -811,7 +926,7 @@ class Store private[sources] (
       )
     )
     requireTzAligned()
-    val p = itemPath(key, mustExist = true)
+    val p = dataPath(key, mustExist = true)
     val cutoff = java.time.format.DateTimeFormatter
       .ofPattern(fmt)
       .withZone(java.time.ZoneId.of(storeTz))
@@ -876,9 +991,12 @@ class Store private[sources] (
 
   private def vacuumLocked(olderThanMillis: Long): Long = {
     val staging = stagingRoot
-    if (!fs.exists(staging)) return 0L
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val entries = fs.listStatus(staging).toVector
+    // a versioned store with only clean swaps never creates .staging —
+    // jobs 1-2 see no entries, but job 3 must still sweep orphan versions
+    val entries =
+      if (fs.exists(staging)) fs.listStatus(staging).toVector
+      else Vector.empty[org.apache.hadoop.fs.FileStatus]
     def inFlight(name: String): Boolean =
       Store.stagingId(name).exists(Store.activeStagingIds.contains)
     var removed = 0L
@@ -923,6 +1041,24 @@ class Store private[sources] (
           !recovered.contains(n) && e.getModificationTime <= cutoff &&
           !inFlight(n) && fs.delete(e.getPath, true))
         removed += 1
+    }
+    // job 3 (versioned layout): sweep version dirs no pointer names —
+    // a versionSwap that crashed before its pointer write (invisible
+    // new version) or after it but before the old-version delete
+    // (superseded data). Same in-flight + age guards as the flat jobs.
+    if (versioned && fs.exists(itemsRoot)) {
+      fs.listStatus(itemsRoot).foreach { item =>
+        val ptr = new HPath(item.getPath, Store.CurrentPtr)
+        val current = if (fs.exists(ptr)) readUTF8(fs, ptr).trim else ""
+        fs.listStatus(item.getPath).foreach { v =>
+          val n = v.getPath.getName
+          if (n.startsWith("v-") && n != current &&
+              v.getModificationTime <= cutoff &&
+              !Store.activeStagingIds.contains(n.stripPrefix("v-")) &&
+              fs.delete(v.getPath, true))
+            removed += 1
+        }
+      }
     }
     removed
   }
@@ -980,7 +1116,7 @@ class Store private[sources] (
     * restart the stream with a fresh checkpoint.
     */
   def readStream(key: String): DataFrame = {
-    val p = itemPath(key, mustExist = true)
+    val p = dataPath(key, mustExist = true)
     requireTzAligned()
     // recursiveFileLookup descends into __bucket=... directories; the
     // bucket value is directory metadata, not file content, so the

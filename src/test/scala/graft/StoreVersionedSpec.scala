@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.{ItemExistsError, SchemaError, Store}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** The opt-in versioned item layout (`Store.open(..., versioned = true)`)
+  * — the object-store-native commit path: immutable `v-<id>` data dirs,
+  * one `_current` pointer object per item, rewrites committed by a
+  * single pointer PUT with NO directory rename anywhere on the write
+  * path. This spec proves layout persistence, full lifecycle parity
+  * with the flat layout, the pointer-swap commit (old version gone, new
+  * pointer target, readers never see an intermediate state), crash
+  * debris collection, and that appendNewOnly still lands incremental
+  * files inside the current version (cheap appends survive the layout
+  * change).
+  */
+class StoreVersionedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  def bars(n: Int, seed: Long = 21): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val t0 = java.time.LocalDate.parse("2022-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    (0 until n).map { i =>
+      (Timestamp.from(t0.plusDays(i).toInstant),
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        1000L + rnd.nextInt(1000))
+    }.toDF("date", "open", "high", "low", "close", "volume")
+  }
+
+  def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-versioned").toString
+
+  def hfs(p: String): (FileSystem, HPath) = {
+    val hp = new HPath(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  def versionDirs(fs: FileSystem, base: HPath, key: String): Seq[String] =
+    fs.listStatus(new HPath(new HPath(base, "items"), key))
+      .map(_.getPath.getName).filter(_.startsWith("v-")).toSeq
+
+  test("layout is persisted: reopen adopts versioned, flat store refuses versioned reopen") {
+    val dir = freshDir()
+    Store.open(spark, dir, versioned = true)
+    assert(Store.open(spark, dir).versioned, "reopen must adopt the persisted layout")
+    val flat = freshDir()
+    Store.open(spark, flat)
+    intercept[SchemaError] { Store.open(spark, flat, versioned = true) }
+  }
+
+  test("lifecycle parity: write/read/append/appendNewOnly/query/describe/listItems/drop") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(100))
+    assert(s("MSFT").count() == 100)
+    assert(s.exists("msft") && s.listItems() == Seq("MSFT"))
+    intercept[ItemExistsError] { s.write("msft", bars(10)) }
+
+    s.appendNewOnly("MSFT", bars(130)) // 30 new rows land INSIDE the current version
+    assert(s("MSFT").count() == 130)
+    assert(versionDirs(fs, base, "MSFT").size == 1,
+      "appendNewOnly must not create a new version — incremental files stay cheap")
+
+    val q = s.query("MSFT",
+      Some(Timestamp.valueOf("2022-02-01 00:00:00")),
+      Some(Timestamp.valueOf("2022-03-01 00:00:00")))
+    assert(q.count() == 29)
+    val st = s.describe("MSFT")
+    assert(st.rows == 130 && st.files >= 1)
+    assert(st.minIndex.contains(Timestamp.valueOf("2022-01-01 00:00:00")))
+
+    s.write("AAPL", bars(10, seed = 5))
+    s.drop("AAPL")
+    assert(!s.exists("AAPL") && s.listItems() == Seq("MSFT"))
+  }
+
+  test("rewrites commit by pointer swap: new version live, superseded version deleted") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(100))
+    val v0 = versionDirs(fs, base, "MSFT")
+    assert(v0.size == 1)
+    s.append("MSFT", bars(120)) // rewrite path: union-dedup into a fresh version
+    assert(s("MSFT").count() == 120)
+    val v1 = versionDirs(fs, base, "MSFT")
+    assert(v1.size == 1 && v1 != v0, "append must land in a NEW version dir and drop the old")
+    s.compact("MSFT")
+    val v2 = versionDirs(fs, base, "MSFT")
+    assert(v2.size == 1 && v2 != v1, "compact commits another pointer swap")
+    assert(s("MSFT").count() == 120)
+    // no .staging debris and nothing for vacuum to do after clean swaps
+    assert(s.vacuum(0L) == 0L)
+  }
+
+  test("crash debris: an orphan version (no pointer to it) is invisible and vacuum-swept") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(100))
+    // simulate a versionSwap that died before its pointer write: a
+    // complete version dir the pointer never named
+    s.write("GHOST", bars(50, seed = 9))
+    val ghostData = new HPath(new HPath(base, "items"), "GHOST")
+    val orphan = new HPath(new HPath(base, "items"), "MSFT")
+    val vGhost = fs.listStatus(ghostData).map(_.getPath)
+      .find(_.getName.startsWith("v-")).get
+    assert(fs.rename(vGhost, new HPath(orphan, "v-orphan-crash")))
+    fs.delete(ghostData, true)
+    // readers are completely unaffected by the orphan
+    assert(s("MSFT").count() == 100)
+    assert(s.describe("MSFT").rows == 100)
+    assert(versionDirs(fs, base, "MSFT").size == 2)
+    // age guard first: a fresh orphan is treated as possibly in flight
+    assert(s.vacuum() == 0L)
+    // force-sweep collects it; the live version is untouched
+    assert(s.vacuum(0L) == 1L)
+    assert(versionDirs(fs, base, "MSFT").size == 1)
+    assert(s("MSFT").count() == 100)
+  }
+
+  test("bucketed versioned store: partition pruning and prune() still work") {
+    val dir = freshDir()
+    val s = Store.open(spark, dir, bucket = Some("month"), versioned = true)
+    s.write("EVT", bars(100))
+    // directory pruning reaches the scan through the version dir
+    val q = s.query("EVT",
+      Some(Timestamp.valueOf("2022-02-01 00:00:00")),
+      Some(Timestamp.valueOf("2022-02-10 00:00:00")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n$plan")
+    assert(q.count() == 10)
+    val dropped = s.prune("EVT", Timestamp.valueOf("2022-03-01 00:00:00"))
+    assert(dropped == 2, "Jan + Feb buckets expired")
+    assert(s("EVT").count() == 100 - 59, "Jan(31) + Feb(28) rows gone")
+  }
+}
