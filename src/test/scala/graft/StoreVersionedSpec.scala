@@ -126,6 +126,31 @@ class StoreVersionedSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 100)
   }
 
+  test("streaming on the versioned layout: ingestStream auto-creates + lands idempotently, readStream tails the current version") {
+    val dir = freshDir()
+    val s = Store.open(spark, dir, versioned = true)
+    val work = java.nio.file.Files.createTempDirectory("graft-vstream").toString
+    val data = bars(60)
+    data.coalesce(1).write.parquet(s"$work/in/b0")
+    val src = spark.readStream.schema(spark.read.parquet(s"$work/in/b0").schema)
+      .option("recursiveFileLookup", "true").parquet(s"$work/in")
+    val q = s.ingestStream("MSFT", src, s"$work/chk")
+    q.awaitTermination()
+    assert(s("MSFT").count() == 60)
+    // replay with a fresh checkpoint: the anti-join sink dedups to a no-op
+    val q2 = s.ingestStream("MSFT", src, s"$work/chk2")
+    q2.awaitTermination()
+    assert(s("MSFT").count() == 60, "replayed batches must dedup to zero new rows")
+    // tail-read resolves through the pointer to the current version dir
+    val tail = s.readStream("MSFT")
+    val tq = tail.writeStream.format("parquet")
+      .option("path", s"$work/out").option("checkpointLocation", s"$work/tchk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    tq.awaitTermination()
+    assert(spark.read.parquet(s"$work/out").count() == 60)
+  }
+
   test("bucketed versioned store: partition pruning and prune() still work") {
     val dir = freshDir()
     val s = Store.open(spark, dir, bucket = Some("month"), versioned = true)
