@@ -88,9 +88,9 @@ object Store {
       base.toString + "#" + key,
       _ => new java.util.concurrent.locks.ReentrantLock())
 
-  /** Staging ids (the UUID suffix of `.tmp-`/`.old-`/`.swap-`/`.mid-`
-    * entries) of ops in flight IN THIS JVM. [[Store!.vacuum]] skips
-    * them unconditionally — unlike the age guard, this makes a
+  /** Staging ids (the UUID suffix of `.tmp-`/`.old-`/`.swap-`/`.mid-`/
+    * `.del-` entries) of ops in flight IN THIS JVM. [[Store!.vacuum]]
+    * skips them unconditionally — unlike the age guard, this makes a
     * force-sweep (`vacuum(0)`) safe against same-driver concurrent
     * maintenance, not just old debris.
     */
@@ -99,7 +99,7 @@ object Store {
 
   /** UUID suffix of a staging entry name, if it has one. */
   private[sources] def stagingId(name: String): Option[String] =
-    Seq(".tmp-", ".old-", ".swap-", ".mid-").iterator
+    Seq(".tmp-", ".old-", ".swap-", ".mid-", ".del-").iterator
       .map(t => (t, name.indexOf(t)))
       .collectFirst { case (t, i) if i >= 0 => name.substring(i + t.length) }
 
@@ -739,25 +739,98 @@ class Store private[sources] (
     *  6. delete old dir, then both markers
     *
     * A crash at any point between steps is recoverable by [[vacuum]]
-    * from the marker pair alone: `swap` without `mid` → the live dir
-    * never left items/ → roll BACK (drop tmp); `swap`+`mid` → the old
-    * data is already out → roll FORWARD (promote tmp, drop old). Marker
-    * names encode key+ID, so recovery needs no marker content, and
-    * marker creation is a single create-and-close — visible atomically
-    * on object stores too.
+    * from the marker pair: `swap` without `mid` → the swap never
+    * committed → roll BACK; `swap`+`mid` → the old data is already out
+    * → roll FORWARD (promote tmp, drop old). Marker names encode
+    * key+ID; marker CONTENT carries a file manifest — the swap marker
+    * lists the old live dir, the mid marker lists the staged tmp
+    * ([[manifestOf]]) — and marker creation is a single
+    * create-and-close, visible atomically on object stores too.
     *
     * Atomicity fine print: on HDFS/file: the renames themselves are
-    * atomic, so every crash point is covered. On raw object stores
-    * (s3a:) a directory "rename" is a per-object copy+delete — a crash
-    * INSIDE step 3/5 can leave a split directory that recovery resolves
-    * to the tmp version (roll forward re-deletes the partial live dir),
-    * which can lose no committed data but is not byte-identical to
-    * either pre-state until vacuum runs. The production-grade object
-    * store path — a single-object `_current` pointer naming the active
-    * data version, swapped by one atomic PUT — is the documented next
-    * step; the marker protocol is its recovery-log precursor and
-    * already makes every between-step crash self-healing.
+    * atomic, so marker-pair recovery alone covers every crash point.
+    * On raw object stores (s3a:) a directory "rename" is a per-object
+    * copy+delete, and a crash INSIDE step 3/5 leaves a split directory
+    * — this is where the manifests close the protocol: copy-before-
+    * delete guarantees one complete side at every crash point, and
+    * recovery restores or resumes per file against the manifest
+    * (roll-back refills a partially-moved live dir from the complete
+    * trash copy; roll-forward resumes the promote from tmp), so the
+    * item always lands byte-complete on one side of the swap. A live
+    * dir whose files fall outside the manifest was re-created by a
+    * later writer and is left untouched — a crashed swap can never
+    * clobber newer data. For write paths with NO rename at all (the
+    * commit primitive raw object stores actually guarantee), use the
+    * versioned layout's single-object `_current` pointer swap
+    * ([[versionSwap]]).
     */
+  /** Recursive (relative-path, byte-length) listing of `p` — the
+    * manifest a staging marker records. Why it matters: on a raw object
+    * store a directory "rename" is a per-object copy followed by a
+    * per-object delete, so a crash can leave BOTH endpoints partial-
+    * looking — but copy-before-delete guarantees exactly one side is
+    * COMPLETE at every crash point. The manifest is how [[vacuum]]
+    * tells which: a directory equal to its manifest is intact, a strict
+    * subset is partially moved (restorable from the other side), and a
+    * directory holding files OUTSIDE the manifest was re-created by a
+    * later writer (parquet part names carry fresh UUIDs, so distinct
+    * writes can never alias) and must not be touched. Metadata-only:
+    * one recursive LIST, no data reads.
+    */
+  private def manifestOf(p: HPath): Set[(String, Long)] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val root = p.toUri.getPath
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/"),
+          f.getLen))
+      }
+      b.result()
+    }
+
+  /** Marker wire format: line 1 the absolute path the marker is about,
+    * then one `<bytes>\t<relative path>` line per file. Marker content
+    * from older vintages (a bare note, or nothing) parses as an empty
+    * manifest, downgrading recovery to the manifest-less protocol.
+    */
+  private def renderMarker(about: HPath, manifest: Set[(String, Long)]): String =
+    (about.toString +: manifest.toSeq.sorted.map { case (r, l) => s"$l\t$r" })
+      .mkString("\n")
+
+  private def parseMarker(s: String): (Option[HPath], Set[(String, Long)]) = {
+    val lines = s.split("\n").toVector
+    val about = lines.headOption
+      .filter(l => l.contains("/") && !l.contains("\t"))
+      .map(new HPath(_))
+    val man = lines.drop(1).iterator.flatMap { line =>
+      val i = line.indexOf('\t')
+      if (i <= 0) None
+      else scala.util.Try(
+        (line.substring(i + 1), line.substring(0, i).toLong)).toOption
+    }.toSet
+    (about, man)
+  }
+
+  /** Idempotent per-file restore: copy every `expected` file that is
+    * absent from (or size-mismatched in) `dst` over from `src`.
+    * Re-runnable after any crash point — completeness is judged per
+    * file against the manifest, never by whether some move "finished".
+    */
+  private def copyMissing(
+      src: HPath, dst: HPath, expected: Set[(String, Long)]): Unit =
+    expected.foreach { case (rel, len) =>
+      val d = new HPath(dst, rel)
+      val ok = fs.exists(d) && fs.getFileStatus(d).getLen == len
+      if (!ok) {
+        val in = fs.open(new HPath(src, rel))
+        val out = fs.create(d, true)
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
+      }
+    }
+
   private def stagedOverwrite(key: String, p: HPath, df: DataFrame): Unit =
     if (versioned) versionSwap(key, df)
     else stagedOverwriteFlat(key, p, df)
@@ -794,10 +867,14 @@ class Store private[sources] (
     Store.activeStagingIds.add(id) // vacuum in this JVM must not touch us
     try {
       writer(df).mode("overwrite").parquet(tmp.toString)
-      writeUTF8(fs, swapMarker, p.toString)
+      // swap marker carries the manifest of the OLD live dir, mid
+      // marker the manifest of the staged tmp — between them vacuum can
+      // reconstruct the intended end state of either move exactly, even
+      // where "rename" is a crash-prone per-object copy+delete
+      writeUTF8(fs, swapMarker, renderMarker(p, manifestOf(p)))
       if (!fs.rename(p, trash))
         throw new java.io.IOException(s"rename $p -> $trash failed")
-      writeUTF8(fs, midMarker, p.toString)
+      writeUTF8(fs, midMarker, renderMarker(p, manifestOf(tmp)))
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"rename $tmp -> $p failed")
       fs.delete(trash, true)
@@ -874,8 +951,9 @@ class Store private[sources] (
     * the live directory is first renamed out of items/ into .staging,
     * so a kill mid-delete can never leave a half-deleted item visible
     * to [[listItems]]/[[exists]] — the item is either fully present or
-    * fully gone (on rename-atomic filesystems; an object-store partial
-    * rename is finished by [[vacuum]]'s orphan sweep either way).
+    * fully gone on rename-atomic filesystems, and where rename is a
+    * copy+delete, a `KEY.del-ID` intent marker (written first) lets
+    * [[vacuum]] finish an interrupted removal exactly.
     */
   def drop(key: String): Unit = withItemLock(key) {
     if (versioned) {
@@ -890,11 +968,21 @@ class Store private[sources] (
       fs.mkdirs(stagingRoot)
       val id = java.util.UUID.randomUUID().toString
       val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
+      val del = new HPath(stagingRoot, validateKey(key) + ".del-" + id)
       Store.activeStagingIds.add(id)
       try {
-        if (!fs.rename(p, trash))
+        // deletion intent marker (with the doomed dir's manifest): a
+        // crash mid-rename on a copy+delete filesystem leaves a partial
+        // live dir that the rename-atomic protocol could never see —
+        // vacuum finishes the drop from the marker (and the manifest
+        // keeps it from ever touching a later re-created item)
+        writeUTF8(fs, del, renderMarker(p, manifestOf(p)))
+        if (!fs.rename(p, trash)) {
+          fs.delete(del, false) // clean failure: nothing moved, intent void
           throw new java.io.IOException(s"rename $p -> $trash failed")
+        }
         fs.delete(trash, true)
+        fs.delete(del, false)
       } finally Store.activeStagingIds.remove(id)
     }
   }
@@ -907,8 +995,9 @@ class Store private[sources] (
     * run with `before` on a bucket boundary for exact cuts). Bucket
     * names are zero-padded so the lexicographic compare below IS the
     * chronological compare. Crash-safe like [[drop]]: each expired
-    * bucket is renamed into .staging before deletion, so a kill
-    * mid-prune leaves every bucket either fully present or fully gone.
+    * bucket writes a `KEY.del-ID` intent marker and is renamed into
+    * .staging before deletion, so a kill mid-prune leaves every bucket
+    * either fully present, fully gone, or finished by [[vacuum]].
     *
     * Only valid on bucketed stores ([[SchemaError]] otherwise — a flat
     * item has no sub-scan deletion unit). Returns the number of buckets
@@ -943,28 +1032,45 @@ class Store private[sources] (
     expired.foreach { d =>
       val id = java.util.UUID.randomUUID().toString
       val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
+      val del = new HPath(stagingRoot, validateKey(key) + ".del-" + id)
       Store.activeStagingIds.add(id)
       try {
-        if (!fs.rename(d, trash))
+        // same deletion-intent marker as [[drop]]: lets vacuum finish a
+        // bucket removal whose copy+delete rename died partway
+        writeUTF8(fs, del, renderMarker(d, manifestOf(d)))
+        if (!fs.rename(d, trash)) {
+          fs.delete(del, false)
           throw new java.io.IOException(s"rename $d -> $trash failed")
+        }
         fs.delete(trash, true)
+        fs.delete(del, false)
       } finally Store.activeStagingIds.remove(id)
     }
     expired.size.toLong
   }
 
   /** Crash-recovery sweep, finishing the atomicity story of
-    * [[append]]/[[compact]]/[[drop]]/[[prune]]. Two jobs:
+    * [[append]]/[[compact]]/[[drop]]/[[prune]]. Three jobs:
     *
     *  1. **Swap recovery** — an interrupted [[stagedOverwrite]] leaves
     *     its `KEY.swap-ID` (and possibly `KEY.mid-ID`) marker behind;
     *     the marker pair says exactly how far the swap got (protocol at
-    *     [[stagedOverwrite]]). `swap` without `mid`: the live dir never
-    *     left items/ → roll BACK by dropping the staged tmp. `swap` +
-    *     `mid`: the old data was already moved out → roll FORWARD by
-    *     promoting the staged tmp to live (deleting any partial live
-    *     dir first) and dropping the old. Either way the item ends
-    *     whole and the markers are cleared.
+    *     [[stagedOverwrite]]). `swap` without `mid`: the swap never
+    *     committed → roll BACK — and if the live dir lost files to a
+    *     partially-executed copy+delete rename (strict subset of the
+    *     swap marker's manifest), refill it per file from the complete
+    *     trash copy first. `swap` + `mid`: the old data was already
+    *     moved out → roll FORWARD by promoting the staged tmp per file
+    *     against the mid marker's manifest (idempotent, resumes partial
+    *     promotes) — unless the live dir holds files the manifest never
+    *     listed, which means a later writer re-created the item and the
+    *     stale swap is swept instead of promoted. Either way the item
+    *     ends whole and the markers are cleared.
+    *  1b. **Delete recovery** — an interrupted [[drop]]/[[prune]]
+    *     leaves its `KEY.del-ID` intent marker; recovery finishes the
+    *     delete (leftover live files and the trash copy), guarded by
+    *     the same manifest-subset rule so a re-created path is never
+    *     touched.
     *  2. **Orphan sweep** — `*.tmp-*` / `*.old-*` dirs whose op died
     *     between its last rename and its delete: invisible to readers
     *     (staging lives outside items/) but occupying storage; swept.
@@ -1017,22 +1123,78 @@ class Store private[sources] (
       val mid = new HPath(staging, s"$k.mid-$id")
       val live = new HPath(itemsRoot, k)
       if (fs.exists(mid)) {
-        // old data left items/ before the crash — roll FORWARD
-        if (fs.exists(tmp)) {
-          if (fs.exists(live)) fs.delete(live, true) // partial promote
-          if (!fs.rename(tmp, live) && !fs.exists(live))
-            throw new java.io.IOException(s"swap recovery: rename $tmp -> $live failed")
-          removed += 1
+        // old data left items/ before the crash — the swap committed;
+        // roll FORWARD, unless a later writer already re-created the
+        // item (its manifest then holds files the staged tmp never had
+        // — fresh parquet part names can't alias — and promoting the
+        // stale tmp over it would clobber newer data)
+        val newMan = parseMarker(readUTF8(fs, mid))._2 // manifest of tmp
+        val liveMan = manifestOf(live)
+        val recreated =
+          newMan.nonEmpty && liveMan.nonEmpty && !liveMan.subsetOf(newMan)
+        if (recreated) {
+          if (fs.delete(tmp, true)) removed += 1
+          if (fs.delete(trash, true)) removed += 1
+        } else if (newMan.nonEmpty) {
+          // manifest-bearing marker: promote per file, idempotently —
+          // exact even when the promote itself was a copy+delete rename
+          // that died partway (a strict-subset live simply resumes)
+          if (fs.exists(tmp)) {
+            copyMissing(tmp, live, newMan)
+            fs.delete(tmp, true)
+            removed += 1
+          }
+          if (fs.delete(trash, true)) removed += 1
+        } else {
+          // legacy manifest-less marker: single-rename promote
+          if (fs.exists(tmp)) {
+            if (fs.exists(live)) fs.delete(live, true) // partial promote
+            if (!fs.rename(tmp, live) && !fs.exists(live))
+              throw new java.io.IOException(s"swap recovery: rename $tmp -> $live failed")
+            removed += 1
+          }
+          if (fs.delete(trash, true)) removed += 1
         }
-        if (fs.delete(trash, true)) removed += 1
         fs.delete(mid, false)
       } else {
-        // live never left items/ — roll BACK (drop staged artifacts)
+        // the swap never committed (live never fully left items/) —
+        // roll BACK. On a copy+delete rename the live dir may have lost
+        // files mid-move (strict subset of the swap marker's manifest);
+        // copy-before-delete guarantees trash holds a complete copy
+        // then — restore it per file before sweeping the staging debris
+        val oldMan = parseMarker(readUTF8(fs, m.getPath))._2
+        val liveMan = manifestOf(live)
+        if (oldMan.nonEmpty && fs.exists(trash) &&
+            liveMan != oldMan && liveMan.subsetOf(oldMan))
+          copyMissing(trash, live, oldMan)
         if (fs.delete(tmp, true)) removed += 1
         if (fs.delete(trash, true)) removed += 1
       }
       fs.delete(m.getPath, false)
       recovered ++= Seq(tmp.getName, trash.getName, mid.getName)
+    }
+    // job 1b: finish interrupted deletes (drop / prune). The del marker
+    // records the doomed path and its manifest; recovery deletes the
+    // leftovers — but only while they are a manifest subset, so a path
+    // re-created by a later writer is never touched.
+    val delMarkers = entries.filter { e =>
+      val n = e.getPath.getName
+      n.contains(".del-") && e.getModificationTime <= cutoff && !inFlight(n)
+    }
+    delMarkers.foreach { m =>
+      val n = m.getPath.getName
+      val i = n.indexOf(".del-")
+      val k = n.substring(0, i)
+      val id = n.substring(i + ".del-".length)
+      val trash = new HPath(staging, s"$k.old-$id")
+      val (target, man) = parseMarker(readUTF8(fs, m.getPath))
+      target.foreach { t =>
+        if (manifestOf(t).subsetOf(man) && fs.exists(t) && fs.delete(t, true))
+          removed += 1
+      }
+      if (fs.delete(trash, true)) removed += 1
+      fs.delete(m.getPath, false)
+      recovered += trash.getName
     }
     // job 2: age-based orphan sweep of unclaimed tmp/old dirs
     entries.foreach { e =>
