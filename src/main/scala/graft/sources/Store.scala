@@ -432,7 +432,16 @@ class Store private[sources] (
   private def currentVersion(key: String): String = {
     val ptr = ptrPath(key)
     if (!fs.exists(ptr)) throw new ItemKeyError(s"no such item: ${validateKey(key)}")
-    readUTF8(fs, ptr).trim
+    val v = readUTF8(fs, ptr).trim
+    // a torn pointer (empty file from a crash between create and write,
+    // or naming a vanished dir) would otherwise surface as a baffling
+    // FileNotFound deep inside a scan; fail actionably instead —
+    // vacuum() repairs the pointer to the newest complete version
+    if (v.isEmpty || !fs.exists(new HPath(new HPath(itemsRoot, validateKey(key)), v)))
+      throw new java.io.IOException(
+        s"item ${validateKey(key)}: version pointer is torn or dangling " +
+          s"('$v'); run vacuum() to repair it to the newest complete version")
+    v
   }
 
   /** The directory holding an item's live DATA — the item dir itself on
@@ -1208,17 +1217,44 @@ class Store private[sources] (
     // a versionSwap that crashed before its pointer write (invisible
     // new version) or after it but before the old-version delete
     // (superseded data). Same in-flight + age guards as the flat jobs.
+    //
+    // Pointer-integrity guard: a pointer file that EXISTS but is torn —
+    // empty (a crash between its create and its write, on filesystems
+    // where create is visible before close) or naming a vanished dir —
+    // must never be read as "no version is current": that would turn
+    // the item's entire data set into sweepable orphans. Repair it to
+    // the newest COMPLETE version (`_SUCCESS` present) first; if none
+    // exists, leave the item entirely alone. A pointer that is ABSENT
+    // is different: that item never finished creating (or finished
+    // dropping), and its versions are genuine orphans.
     if (versioned && fs.exists(itemsRoot)) {
       fs.listStatus(itemsRoot).foreach { item =>
         val ptr = new HPath(item.getPath, Store.CurrentPtr)
-        val current = if (fs.exists(ptr)) readUTF8(fs, ptr).trim else ""
-        fs.listStatus(item.getPath).foreach { v =>
-          val n = v.getPath.getName
-          if (n.startsWith("v-") && n != current &&
-              v.getModificationTime <= cutoff &&
-              !Store.activeStagingIds.contains(n.stripPrefix("v-")) &&
-              fs.delete(v.getPath, true))
-            removed += 1
+        val versions = fs.listStatus(item.getPath)
+          .filter(_.getPath.getName.startsWith("v-"))
+        val raw = if (fs.exists(ptr)) Some(readUTF8(fs, ptr).trim) else None
+        val current: Option[String] = raw match {
+          case None => Some("") // no pointer: all versions are orphans
+          case Some(r) if r.nonEmpty && versions.exists(_.getPath.getName == r) =>
+            Some(r)
+          case Some(_) => // torn pointer: repair, never sweep blind
+            val complete = versions.filter(v =>
+              fs.exists(new HPath(v.getPath, "_SUCCESS")))
+            if (complete.isEmpty) None // nothing provably whole: hands off
+            else {
+              val best = complete.maxBy(_.getModificationTime).getPath.getName
+              writeUTF8(fs, ptr, best)
+              Some(best)
+            }
+        }
+        current.foreach { cur =>
+          versions.foreach { v =>
+            val n = v.getPath.getName
+            if (n != cur && v.getModificationTime <= cutoff &&
+                !Store.activeStagingIds.contains(n.stripPrefix("v-")) &&
+                fs.delete(v.getPath, true))
+              removed += 1
+          }
         }
       }
     }

@@ -126,6 +126,40 @@ class StoreVersionedSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 100)
   }
 
+  test("torn pointer: reads fail actionably, vacuum repairs to the newest complete version — never sweeps the data") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(100))
+    val ptr = new HPath(new HPath(new HPath(base, "items"), "MSFT"), "_current")
+    // a crash between the pointer file's create and its write (create
+    // is visible before close on HDFS-like filesystems) leaves an
+    // EMPTY pointer — the one state that must never read as "no
+    // version is current"
+    Store.writeUTF8(fs, ptr, "")
+    val e = intercept[java.io.IOException](s("MSFT").count())
+    assert(e.getMessage.contains("vacuum"), s"unhelpful error: ${e.getMessage}")
+    // force-sweep with the torn pointer: the version dir must SURVIVE
+    // and the pointer must be repaired to it
+    s.vacuum(0L)
+    assert(versionDirs(fs, base, "MSFT").size == 1)
+    assert(s("MSFT").count() == 100, "repaired pointer serves the data again")
+    assert(s.describe("MSFT").rows == 100)
+  }
+
+  test("dangling pointer (names a vanished dir): vacuum repairs to the surviving complete version") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(100))
+    val item = new HPath(new HPath(base, "items"), "MSFT")
+    val ptr = new HPath(item, "_current")
+    Store.writeUTF8(fs, ptr, "v-gone-" + java.util.UUID.randomUUID())
+    intercept[java.io.IOException](s("MSFT").count())
+    s.vacuum(0L)
+    assert(s("MSFT").count() == 100)
+  }
+
   test("streaming on the versioned layout: ingestStream auto-creates + lands idempotently, readStream tails the current version") {
     val dir = freshDir()
     val s = Store.open(spark, dir, versioned = true)
