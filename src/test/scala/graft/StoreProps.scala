@@ -111,15 +111,31 @@ object StoreProps extends Properties("Store") {
     }
 
   property("concurrent appendNewOnly + compactIfNeeded + vacuum(0): no lost rows, stats intact") =
+    forAll(Gen.choose(1L, 999L)) { seed => concurrentTorture(freshStore(), seed) }
+
+  /** The same torture through RAW-OBJECT-STORE rename semantics
+    * ([[ObjStoreFs]]: every directory rename is a per-object
+    * copy+delete): the staged swaps and the force-vacuum's marker
+    * recovery must hold up when the swap's two moves are long,
+    * non-atomic multi-file windows rather than instants.
+    */
+  property("concurrent maintenance over copy+delete renames (objstore://): no lost rows") =
     forAll(Gen.choose(1L, 999L)) { seed =>
-      // 4 appender threads (distinct batches), one compaction loop, one
-      // force-vacuum loop, all on ONE item: the per-item JVM locks
-      // serialize the mutations and the in-flight-id registry keeps
-      // vacuum(0) off live staging — end state must hold every distinct
-      // row, and describe() must still see footer stats (INT96 files
-      // carry none, so a non-None minIndex proves no write slipped
-      // through under a racing conf/committer)
-      val s = freshStore()
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+      val dir = "objstore://" + Files.createTempDirectory("graft-prop-obj").toString
+      concurrentTorture(Store.open(spark, dir), seed)
+    }
+
+  /** 4 appender threads (distinct batches), one compaction loop, one
+    * force-vacuum loop, all on ONE item: the per-item JVM locks
+    * serialize the mutations and the in-flight-id registry keeps
+    * vacuum(0) off live staging — end state must hold every distinct
+    * row, and describe() must still see footer stats (INT96 files
+    * carry none, so a non-None minIndex proves no write slipped
+    * through under a racing conf/committer).
+    */
+  private def concurrentTorture(s: Store, seed: Long): Boolean = {
       val batches = (0 until 4).map(i => bars(20, seed + i)) // distinct values per batch
       s.write("K", batches(0))
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -147,7 +163,7 @@ object StoreProps extends Properties("Store") {
         errs.forEach(e => { System.err.println(s"[concurrent-prop] thread error: $e"); e.printStackTrace() })
       }
       ok
-    }
+  }
 
   property("normalization is case-insensitive in column names") =
     forAll(Gen.choose(5, 15), Gen.choose(1L, 999L)) { (n, seed) =>
