@@ -151,6 +151,45 @@ class StoreFsSpec extends AnyFunSuite {
     assert(fs.listStatus(staging).isEmpty)
   }
 
+  test("crash between move-out and mid marker (live absent, data in trash): manifest roll-back restores the item") {
+    // The one crash window where the ORIGINAL manifest-less protocol
+    // lost data even on rename-atomic filesystems: rename(live->trash)
+    // completed but the mid marker was never written, so roll-back
+    // used to sweep the trash — and with it the only copy of the item.
+    // The swap marker's manifest now says live (absent = strict subset)
+    // is damaged and trash is the complete side: restore, then sweep.
+    val dir = fsDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(100))
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    val live = new HPath(new HPath(base, "items"), "MSFT")
+    val staging = new HPath(base, ".staging")
+    fs.mkdirs(staging)
+    // manifest exactly as stagedOverwriteFlat renders it
+    val files = {
+      val it = fs.listFiles(live, true)
+      val b = Seq.newBuilder[(String, Long)]
+      val root = live.toUri.getPath
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/"), f.getLen))
+      }
+      b.result()
+    }
+    val manifest = (live.toString +: files.sorted.map { case (r, l) => s"$l\t$r" })
+      .mkString("\n")
+    Store.writeUTF8(fs, new HPath(staging, "MSFT.tmp-crash1/junk"), "staged-but-uncommitted")
+    Store.writeUTF8(fs, new HPath(staging, "MSFT.swap-crash1"), manifest)
+    assert(fs.rename(live, new HPath(staging, "MSFT.old-crash1")))
+    // no mid marker: the swap never committed, yet live is GONE
+    assert(!fs.exists(live))
+    s.vacuum(0L)
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before,
+      "item restored from the trash copy instead of being swept with it")
+    assert(fs.listStatus(staging).isEmpty)
+  }
+
   test("age guard: a younger-than-cutoff swap marker is NOT recovered") {
     val dir = fsDir()
     val (fs, base) = hfs(dir)
