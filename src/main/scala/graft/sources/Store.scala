@@ -66,6 +66,7 @@ object Store {
   private val StagingDir = ".staging"
   private val VersionedMarker = "versioned"
   private[sources] val CurrentPtr = "_current"
+  private val LeaseDir = ".lease"
 
   /** JVM-wide per-(store, item) mutation locks. Every mutating control-
     * plane op runs on the DRIVER (they orchestrate Spark jobs, they
@@ -161,6 +162,14 @@ object Store {
     * cannot be reopened as versioned (the data would need migration),
     * while a versioned store serves any caller transparently.
     *
+    * `writerLease = true` additionally takes a cross-JVM lease file per
+    * mutated item (exclusive create + TTL + steal-on-expiry, contract
+    * at [[Store!.withLease]]) — the JVM-wide per-item locks only
+    * serialize writers inside ONE driver; the lease extends that to
+    * concurrent drivers sharing a store. An operational mode of this
+    * process, not a property of the data: it is NOT persisted, so every
+    * writer of a multi-driver deployment must opt in.
+    *
     * SESSION-WIDE SIDE EFFECT: open pins
     * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` for the
     * whole SparkSession (rationale at [[Store#requireMicrosTimestamps]]).
@@ -178,7 +187,8 @@ object Store {
       index: Option[String] = None,
       bucket: Option[String] = None,
       chunkRows: Long = 1000000L,
-      versioned: Boolean = false
+      versioned: Boolean = false,
+      writerLease: Boolean = false
   ): Store = {
     bucket.foreach { b =>
       require(BucketFormats.contains(b), s"bucket must be one of ${BucketFormats.keys}")
@@ -248,7 +258,7 @@ object Store {
           s"store at $basePath was created with the flat item layout; " +
             "it cannot be reopened as versioned")
       new Store(spark, base, persisted, persistedBucket, chunkRows, storeTz,
-        persistedVersioned)
+        persistedVersioned, writerLease)
     } else {
       val schema = requested.getOrElse(
         buildSchema(DefaultColumns, index.getOrElse(DefaultIndex))
@@ -256,7 +266,8 @@ object Store {
       writeUTF8(fs, schemaPath, schema.json)
       bucket.foreach(b => writeUTF8(fs, layoutPath, s"$b\n$sessionTz"))
       if (versioned) writeUTF8(fs, new HPath(base, VersionedMarker), "1")
-      new Store(spark, base, schema, bucket, chunkRows, sessionTz, versioned)
+      new Store(spark, base, schema, bucket, chunkRows, sessionTz, versioned,
+        writerLease)
     }
   }
 
@@ -321,7 +332,8 @@ class Store private[sources] (
     val bucket: Option[String] = None,
     val chunkRows: Long = 1000000L,
     val storeTz: String = "UTC",
-    val versioned: Boolean = false
+    val versioned: Boolean = false,
+    val writerLease: Boolean = false
 ) {
   import Store._
 
@@ -340,14 +352,79 @@ class Store private[sources] (
 
   private def itemsRoot: HPath = new HPath(base, ItemsDir)
   private def stagingRoot: HPath = new HPath(base, StagingDir)
+  private def leaseRoot: HPath = new HPath(base, LeaseDir)
 
   /** Serialize same-item mutations within this JVM (see
-    * [[Store$.lockFor]]); reads never take it.
+    * [[Store$.lockFor]]); reads never take it. When the store was
+    * opened with `writerLease = true`, the outermost hold additionally
+    * takes the cross-JVM [[withLease]] on the item.
     */
   private def withItemLock[T](key: String)(body: => T): T = {
     val l = Store.lockFor(base, validateKey(key))
     l.lock()
-    try body finally l.unlock()
+    try {
+      if (writerLease && l.getHoldCount == 1) withLease(validateKey(key))(body)
+      else body
+    } finally l.unlock()
+  }
+
+  /** Opt-in CROSS-JVM writer mutual exclusion (`writerLease = true` at
+    * [[Store$.open]]): one lease file per item under `.lease/`, taken
+    * by an exclusive create (`overwrite = false`) and released by the
+    * holder's delete. Content is `<uuid>\n<expiryEpochMillis>`; a lease
+    * whose expiry passed is STOLEN (deleted and re-contended), so a
+    * writer that died mid-op never wedges the item — the TTL
+    * (`-Dgraft.store.lease.ttlMs`, default 1 h, matching [[vacuum]]'s
+    * age guard) bounds the outage. Contending writers poll until
+    * `-Dgraft.store.lease.waitMs` (default 60 s), then fail loudly.
+    *
+    * Exactness contract, stated honestly: mutual exclusion is EXACT
+    * where create-no-overwrite is atomic (HDFS; object stores with
+    * conditional PUT wired into their connector) and best-effort
+    * elsewhere (raw `file:` check-then-create, object stores without
+    * If-None-Match) — there two stealers of the same expired lease can
+    * both proceed. Every mutation is already safe against that residue:
+    * appends are idempotent anti-joins, swaps are manifest-guarded, and
+    * versioned commits are last-writer-wins pointer PUTs. Expiry
+    * compares the LOCAL clock to the writer's stamp — the usual lease
+    * caveat about clock skew applies; keep TTL ≫ skew.
+    */
+  private def withLease[T](k: String)(body: => T): T = {
+    val p = new HPath(leaseRoot, k)
+    val id = java.util.UUID.randomUUID().toString
+    val ttl = sys.props.get("graft.store.lease.ttlMs").map(_.toLong)
+      .getOrElse(3600000L)
+    val wait = sys.props.get("graft.store.lease.waitMs").map(_.toLong)
+      .getOrElse(60000L)
+    val deadline = System.currentTimeMillis() + wait
+    fs.mkdirs(leaseRoot)
+    var held = false
+    while (!held) {
+      val now = System.currentTimeMillis()
+      held =
+        try { writeUTF8(fs, p, s"$id\n${now + ttl}", overwrite = false); true }
+        catch {
+          case _: java.io.IOException =>
+            val expiry =
+              try readUTF8(fs, p).split("\n").lift(1).map(_.trim.toLong)
+              catch { case _: Throwable => None } // torn or vanished: re-contend
+            if (expiry.exists(_ <= now)) fs.delete(p, false) // expired: steal
+            else if (now >= deadline)
+              throw new java.io.IOException(
+                s"item $k: writer lease $p held by another process" +
+                  expiry.fold("")(e => s" (expires $e)") +
+                  s"; gave up after $wait ms — raise -Dgraft.store.lease.waitMs to wait longer")
+            else Thread.sleep(math.max(1L, math.min(100L, deadline - now)))
+            false
+        }
+    }
+    try body finally {
+      // release only our own lease: an expired-and-stolen one now
+      // belongs to the thief and must not be deleted out from under it
+      val mine =
+        try readUTF8(fs, p).startsWith(id) catch { case _: Throwable => false }
+      if (mine) fs.delete(p, false)
+    }
   }
 
   /** The open() guard pins the session timezone once, but
