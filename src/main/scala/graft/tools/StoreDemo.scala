@@ -88,6 +88,24 @@ object StoreDemo {
         s"(compact committed by _current pointer swap; vacuum sweeps " +
         s"${vstore.vacuum(0L)} orphans on a clean store)")
 
+    // cross-JVM writer lease (opt-in): every mutation takes and
+    // releases a per-item lease file; multi-driver deployments enable
+    // this on every writer
+    val lstore = Store.open(
+      spark, baseDir + "-leased",
+      cols = Some(Seq(
+        "EVENT_ID" -> LongType, "USER_ID" -> LongType,
+        "EVENT_TYPE" -> StringType, "VALUE" -> DoubleType)),
+      index = Some("TS"), writerLease = true)
+    lstore.write("events", events)
+    lstore.appendNewOnly("events", events)
+    val leaseClear = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(baseDir + "-leased", ".lease", "EVENTS"))
+    println(
+      s"[demo] leased store: rows=${lstore("events").count()} " +
+        s"(each mutation held a cross-JVM .lease/EVENTS file; " +
+        s"released after: $leaseClear)")
+
     spark.stop()
   }
 }
