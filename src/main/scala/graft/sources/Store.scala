@@ -378,16 +378,25 @@ class Store private[sources] (
     * age guard) bounds the outage. Contending writers poll until
     * `-Dgraft.store.lease.waitMs` (default 60 s), then fail loudly.
     *
-    * Exactness contract, stated honestly: mutual exclusion is EXACT
-    * where create-no-overwrite is atomic (HDFS; object stores with
+    * While the op runs, a daemon thread RENEWS the lease every ttl/4 —
+    * the TTL is a crashed-writer detector, not a bound on how long a
+    * mutation may take; only a writer that stops renewing (process
+    * death, or a pause longer than the TTL) loses the lease.
+    *
+    * Exactness contract, stated honestly: mutual exclusion against a
+    * LIVE (unexpired, renewing) holder is EXACT where
+    * create-no-overwrite is atomic (HDFS; object stores with
     * conditional PUT wired into their connector) and best-effort
     * elsewhere (raw `file:` check-then-create, object stores without
-    * If-None-Match) — there two stealers of the same expired lease can
-    * both proceed. Every mutation is already safe against that residue:
-    * appends are idempotent anti-joins, swaps are manifest-guarded, and
-    * versioned commits are last-writer-wins pointer PUTs. Expiry
-    * compares the LOCAL clock to the writer's stamp — the usual lease
-    * caveat about clock skew applies; keep TTL ≫ skew.
+    * If-None-Match). Stealing an EXPIRED lease is delete-then-create
+    * with a re-read immediately before the delete plus a post-create
+    * confirmation read — two stealers deciding in the same instant can
+    * still both proceed, a residue only a server-side conditional
+    * delete could close. Every mutation is already safe against that
+    * residue: appends are idempotent anti-joins, swaps are
+    * manifest-guarded, versioned commits are last-writer-wins pointer
+    * PUTs. Expiry compares the LOCAL clock to the writer's stamp — the
+    * usual lease caveat about clock skew applies; keep TTL ≫ skew.
     */
   private def withLease[T](k: String)(body: => T): T = {
     val p = new HPath(leaseRoot, k)
@@ -398,18 +407,32 @@ class Store private[sources] (
       .getOrElse(60000L)
     val deadline = System.currentTimeMillis() + wait
     fs.mkdirs(leaseRoot)
+    def stamp(): String = s"$id\n${System.currentTimeMillis() + ttl}"
+    def content(): Option[String] =
+      try Some(readUTF8(fs, p)) catch { case _: Throwable => None }
     var held = false
     while (!held) {
       val now = System.currentTimeMillis()
       held =
-        try { writeUTF8(fs, p, s"$id\n${now + ttl}", overwrite = false); true }
-        catch {
+        try {
+          writeUTF8(fs, p, stamp(), overwrite = false)
+          // confirmation read: a contender acting on a stale expiry
+          // observation may have deleted our fresh lease already — only
+          // proceed while the file still carries our uuid
+          content().exists(_.startsWith(id))
+        } catch {
           case _: java.io.IOException =>
-            val expiry =
-              try readUTF8(fs, p).split("\n").lift(1).map(_.trim.toLong)
-              catch { case _: Throwable => None } // torn or vanished: re-contend
-            if (expiry.exists(_ <= now)) fs.delete(p, false) // expired: steal
-            else if (now >= deadline)
+            val seen = content()
+            val expiry = seen.flatMap(c =>
+              try c.split("\n").lift(1).map(_.trim.toLong)
+              catch { case _: Throwable => None }) // torn: re-contend
+            if (expiry.exists(_ <= now)) {
+              // expired: steal — but re-read first and delete only the
+              // exact content the expiry decision was made on, so a
+              // fresh lease created between our read and our delete
+              // survives
+              if (content() == seen) fs.delete(p, false)
+            } else if (now >= deadline)
               throw new java.io.IOException(
                 s"item $k: writer lease $p held by another process" +
                   expiry.fold("")(e => s" (expires $e)") +
@@ -418,12 +441,32 @@ class Store private[sources] (
             false
         }
     }
+    // renewal daemon: rewrite the expiry while the op runs, stop the
+    // moment the lease stops being ours (stolen after a pause — the op
+    // keeps running, but exclusion is already gone and release must
+    // then leave the thief's lease alone)
+    val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val renewer = new Thread(() => {
+      val interval = math.max(50L, ttl / 4)
+      while (renewing.get()) {
+        try Thread.sleep(interval) catch { case _: InterruptedException => () }
+        if (renewing.get()) {
+          if (content().exists(_.startsWith(id)))
+            try writeUTF8(fs, p, stamp())
+            catch { case _: Throwable => () } // next tick retries
+          else renewing.set(false) // lost to a thief: stop touching it
+        }
+      }
+    }, s"graft-lease-renew-$k")
+    renewer.setDaemon(true)
+    renewer.start()
     try body finally {
-      // release only our own lease: an expired-and-stolen one now
-      // belongs to the thief and must not be deleted out from under it
-      val mine =
-        try readUTF8(fs, p).startsWith(id) catch { case _: Throwable => false }
-      if (mine) fs.delete(p, false)
+      val wasRenewing = renewing.getAndSet(false)
+      renewer.interrupt()
+      // release only our own lease: an expired-and-stolen one belongs
+      // to the thief and must not be deleted out from under it
+      if (wasRenewing && content().exists(_.startsWith(id)))
+        fs.delete(p, false)
     }
   }
 
@@ -739,8 +782,28 @@ class Store private[sources] (
       val p = itemPath(key, mustExist = false)
       if (fs.exists(p))
         throw new ItemExistsError(s"item $k already exists; use append")
+      // creating a key whose crash markers still pend would make the
+      // marker manifests ambiguous (is the new dir this swap's partial
+      // promote, or unrelated fresh data?) — recovery's no-clobber
+      // guarantee rests on this refusal, so it comes before any write
+      if (stagingEntries(k).nonEmpty)
+        throw new ItemExistsError(
+          s"item $k has pending crash-recovery state in .staging " +
+            "(an interrupted append/compact/drop); run vacuum() first")
       writer(normalize(df)).mode("errorifexists").parquet(p.toString)
     }
+  }
+
+  /** Staging entries (markers + staged dirs) belonging to `key`. */
+  private def stagingEntries(key: String): Seq[HPath] = {
+    val k = validateKey(key)
+    if (!fs.exists(stagingRoot)) Seq.empty
+    else fs.listStatus(stagingRoot).iterator.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        Store.stagingId(n).isDefined && n.startsWith(k + ".")
+      }
+      .toSeq
   }
 
   /** Lazy handle: full scan of one item (reference `_Item`,
@@ -810,46 +873,6 @@ class Store private[sources] (
     stagedOverwrite(key, p, merged)
   }
 
-  /** Replace item dir `p` with the (eagerly written) result of `df`,
-    * crash-safely, through the FileSystem abstraction. On the versioned
-    * layout this is a rename-free pointer swap ([[versionSwap]]); the
-    * flat layout below stages OUTSIDE items/ so a half-written
-    * directory is never visible to [[listItems]], with a two-marker
-    * commit protocol:
-    *
-    *  1. write new data to `.staging/KEY.tmp-ID`
-    *  2. create marker `.staging/KEY.swap-ID`   (intent recorded)
-    *  3. rename live -> `.staging/KEY.old-ID`
-    *  4. create marker `.staging/KEY.mid-ID`    (old data is out)
-    *  5. rename tmp -> live
-    *  6. delete old dir, then both markers
-    *
-    * A crash at any point between steps is recoverable by [[vacuum]]
-    * from the marker pair: `swap` without `mid` → the swap never
-    * committed → roll BACK; `swap`+`mid` → the old data is already out
-    * → roll FORWARD (promote tmp, drop old). Marker names encode
-    * key+ID; marker CONTENT carries a file manifest — the swap marker
-    * lists the old live dir, the mid marker lists the staged tmp
-    * ([[manifestOf]]) — and marker creation is a single
-    * create-and-close, visible atomically on object stores too.
-    *
-    * Atomicity fine print: on HDFS/file: the renames themselves are
-    * atomic, so marker-pair recovery alone covers every crash point.
-    * On raw object stores (s3a:) a directory "rename" is a per-object
-    * copy+delete, and a crash INSIDE step 3/5 leaves a split directory
-    * — this is where the manifests close the protocol: copy-before-
-    * delete guarantees one complete side at every crash point, and
-    * recovery restores or resumes per file against the manifest
-    * (roll-back refills a partially-moved live dir from the complete
-    * trash copy; roll-forward resumes the promote from tmp), so the
-    * item always lands byte-complete on one side of the swap. A live
-    * dir whose files fall outside the manifest was re-created by a
-    * later writer and is left untouched — a crashed swap can never
-    * clobber newer data. For write paths with NO rename at all (the
-    * commit primitive raw object stores actually guarantee), use the
-    * versioned layout's single-object `_current` pointer swap
-    * ([[versionSwap]]).
-    */
   /** Recursive (relative-path, byte-length) listing of `p` — the
     * manifest a staging marker records. Why it matters: on a raw object
     * store a directory "rename" is a per-object copy followed by a
@@ -871,8 +894,16 @@ class Store private[sources] (
       val b = Set.newBuilder[(String, Long)]
       while (it.hasNext) {
         val f = it.next()
-        b += ((f.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/"),
-          f.getLen))
+        val rel = f.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+        // DATA files only: Spark-hidden entries (`_`/`.`-prefixed
+        // segments; `=`-bearing partition dirs exempt) are excluded —
+        // `_SUCCESS` is a constant-name zero-length file present in
+        // every parquet dir of every incarnation, so including it
+        // would alias across unrelated writes and defeat the
+        // "manifests of distinct writes never intersect" property
+        val hidden = rel.split("/").exists(s =>
+          (s.startsWith("_") || s.startsWith(".")) && !s.contains("="))
+        if (!hidden) b += ((rel, f.getLen))
       }
       b.result()
     }
@@ -917,6 +948,46 @@ class Store private[sources] (
       }
     }
 
+  /** Replace item dir `p` with the (eagerly written) result of `df`,
+    * crash-safely, through the FileSystem abstraction. On the versioned
+    * layout this is a rename-free pointer swap ([[versionSwap]]); the
+    * flat layout below stages OUTSIDE items/ so a half-written
+    * directory is never visible to [[listItems]], with a two-marker
+    * commit protocol:
+    *
+    *  1. write new data to `.staging/KEY.tmp-ID`
+    *  2. create marker `.staging/KEY.swap-ID`   (intent recorded)
+    *  3. rename live -> `.staging/KEY.old-ID`
+    *  4. create marker `.staging/KEY.mid-ID`    (old data is out)
+    *  5. rename tmp -> live
+    *  6. delete old dir, then both markers
+    *
+    * A crash at any point between steps is recoverable by [[vacuum]]
+    * from the marker pair: `swap` without `mid` → the swap never
+    * committed → roll BACK; `swap`+`mid` → the old data is already out
+    * → roll FORWARD (promote tmp, drop old). Marker names encode
+    * key+ID; marker CONTENT carries a file manifest — the swap marker
+    * lists the old live dir, the mid marker lists the staged tmp
+    * ([[manifestOf]]) — and marker creation is a single
+    * create-and-close, visible atomically on object stores too.
+    *
+    * Atomicity fine print: on HDFS/file: the renames themselves are
+    * atomic, so marker-pair recovery alone covers every crash point.
+    * On raw object stores (s3a:) a directory "rename" is a per-object
+    * copy+delete, and a crash INSIDE step 3/5 leaves a split directory
+    * — this is where the manifests close the protocol: copy-before-
+    * delete guarantees one complete side at every crash point, and
+    * recovery restores or resumes per file against the manifest
+    * (roll-back refills a partially-moved live dir from the complete
+    * trash copy; roll-forward resumes the promote from tmp), so the
+    * item always lands byte-complete on one side of the swap. A live
+    * dir whose files fall outside the manifest was re-created by a
+    * later writer and is left untouched — a crashed swap can never
+    * clobber newer data. For write paths with NO rename at all (the
+    * commit primitive raw object stores actually guarantee), use the
+    * versioned layout's single-object `_current` pointer swap
+    * ([[versionSwap]]).
+    */
   private def stagedOverwrite(key: String, p: HPath, df: DataFrame): Unit =
     if (versioned) versionSwap(key, df)
     else stagedOverwriteFlat(key, p, df)
@@ -1042,6 +1113,14 @@ class Store private[sources] (
     * [[vacuum]] finish an interrupted removal exactly.
     */
   def drop(key: String): Unit = withItemLock(key) {
+    // dropping an item also retires its crash-recovery debris: any
+    // pending markers described a live dir that no longer exists, and
+    // leaving them would block [[write]]'s re-creation refusal forever.
+    // Safe while we hold the item lock — no same-JVM op on this key is
+    // in flight (a concurrent OTHER-JVM writer racing a drop is already
+    // undefined; writerLease serializes that).
+    def sweepStaging(k: String): Unit =
+      stagingEntries(k).foreach(p => fs.delete(p, true))
     if (versioned) {
       val k = validateKey(key)
       if (!exists(k)) throw new ItemKeyError(s"no such item: $k")
@@ -1049,6 +1128,7 @@ class Store private[sources] (
       // invisible debris after it (vacuum also sweeps orphan versions)
       fs.delete(ptrPath(k), false)
       fs.delete(new HPath(itemsRoot, k), true)
+      sweepStaging(k)
     } else {
       val p = itemPath(key, mustExist = true)
       fs.mkdirs(stagingRoot)
@@ -1060,8 +1140,10 @@ class Store private[sources] (
         // deletion intent marker (with the doomed dir's manifest): a
         // crash mid-rename on a copy+delete filesystem leaves a partial
         // live dir that the rename-atomic protocol could never see —
-        // vacuum finishes the drop from the marker (and the manifest
-        // keeps it from ever touching a later re-created item)
+        // vacuum finishes the drop from the marker, deleting exactly
+        // the manifest's files (a later writer's files are preserved;
+        // re-creating the key while markers pend is blocked by
+        // [[write]]'s refusal until vacuum or drop clears them)
         writeUTF8(fs, del, renderMarker(p, manifestOf(p)))
         if (!fs.rename(p, trash)) {
           fs.delete(del, false) // clean failure: nothing moved, intent void
@@ -1069,6 +1151,7 @@ class Store private[sources] (
         }
         fs.delete(trash, true)
         fs.delete(del, false)
+        sweepStaging(validateKey(key))
       } finally Store.activeStagingIds.remove(id)
     }
   }
@@ -1210,18 +1293,14 @@ class Store private[sources] (
       val live = new HPath(itemsRoot, k)
       if (fs.exists(mid)) {
         // old data left items/ before the crash — the swap committed;
-        // roll FORWARD, unless a later writer already re-created the
-        // item (its manifest then holds files the staged tmp never had
-        // — fresh parquet part names can't alias — and promoting the
-        // stale tmp over it would clobber newer data)
+        // roll FORWARD. A clobber of unrelated newer data is
+        // structurally impossible here: [[write]] refuses to create an
+        // item while its crash markers pend and [[drop]] sweeps them,
+        // so a live dir coexisting with these markers can only be this
+        // swap's partial promote plus (at most) post-crash appends —
+        // whose fresh-named files copyMissing leaves untouched.
         val newMan = parseMarker(readUTF8(fs, mid))._2 // manifest of tmp
-        val liveMan = manifestOf(live)
-        val recreated =
-          newMan.nonEmpty && liveMan.nonEmpty && !liveMan.subsetOf(newMan)
-        if (recreated) {
-          if (fs.delete(tmp, true)) removed += 1
-          if (fs.delete(trash, true)) removed += 1
-        } else if (newMan.nonEmpty) {
+        if (newMan.nonEmpty) {
           // manifest-bearing marker: promote per file, idempotently —
           // exact even when the promote itself was a copy+delete rename
           // that died partway (a strict-subset live simply resumes)
@@ -1245,14 +1324,26 @@ class Store private[sources] (
       } else {
         // the swap never committed (live never fully left items/) —
         // roll BACK. On a copy+delete rename the live dir may have lost
-        // files mid-move (strict subset of the swap marker's manifest);
-        // copy-before-delete guarantees trash holds a complete copy
-        // then — restore it per file before sweeping the staging debris
+        // files mid-move; copy-before-delete guarantees trash holds a
+        // complete copy then — restore the MISSING manifest files per
+        // file before sweeping the staging debris. Files outside the
+        // manifest are left alone (a post-crash append's rows survive
+        // recovery), and the write-refusal/drop-sweep discipline (see
+        // roll-forward above) guarantees live is never an unrelated
+        // re-created item.
         val oldMan = parseMarker(readUTF8(fs, m.getPath))._2
-        val liveMan = manifestOf(live)
         if (oldMan.nonEmpty && fs.exists(trash) &&
-            liveMan != oldMan && liveMan.subsetOf(oldMan))
+            !oldMan.subsetOf(manifestOf(live)))
           copyMissing(trash, live, oldMan)
+        else if (oldMan.isEmpty && !fs.exists(live) && fs.exists(trash)) {
+          // legacy manifest-less marker with the item's only copy in
+          // trash (crash between move-out and mid marker): put it back
+          // whole rather than sweeping it — without a manifest the
+          // whole-dir rename is the only faithful restore
+          if (!fs.rename(trash, live) && !fs.exists(live))
+            throw new java.io.IOException(
+              s"swap recovery: rename $trash -> $live failed")
+        }
         if (fs.delete(tmp, true)) removed += 1
         if (fs.delete(trash, true)) removed += 1
       }
@@ -1260,9 +1351,11 @@ class Store private[sources] (
       recovered ++= Seq(tmp.getName, trash.getName, mid.getName)
     }
     // job 1b: finish interrupted deletes (drop / prune). The del marker
-    // records the doomed path and its manifest; recovery deletes the
-    // leftovers — but only while they are a manifest subset, so a path
-    // re-created by a later writer is never touched.
+    // records the doomed path and its manifest; recovery deletes
+    // exactly the MANIFEST files still present there — files outside
+    // the manifest belong to a later writer (a re-created item, or an
+    // append that raced the half-executed delete) and are preserved —
+    // then removes the dir only once nothing is left in it.
     val delMarkers = entries.filter { e =>
       val n = e.getPath.getName
       n.contains(".del-") && e.getModificationTime <= cutoff && !inFlight(n)
@@ -1275,8 +1368,13 @@ class Store private[sources] (
       val trash = new HPath(staging, s"$k.old-$id")
       val (target, man) = parseMarker(readUTF8(fs, m.getPath))
       target.foreach { t =>
-        if (manifestOf(t).subsetOf(man) && fs.exists(t) && fs.delete(t, true))
-          removed += 1
+        if (fs.exists(t)) {
+          man.foreach { case (rel, _) =>
+            val f = new HPath(t, rel)
+            if (fs.exists(f)) fs.delete(f, false)
+          }
+          if (manifestOf(t).isEmpty && fs.delete(t, true)) removed += 1
+        }
       }
       if (fs.delete(trash, true)) removed += 1
       fs.delete(m.getPath, false)
@@ -1307,17 +1405,26 @@ class Store private[sources] (
     if (versioned && fs.exists(itemsRoot)) {
       fs.listStatus(itemsRoot).foreach { item =>
         val ptr = new HPath(item.getPath, Store.CurrentPtr)
-        val versions = fs.listStatus(item.getPath)
-          .filter(_.getPath.getName.startsWith("v-"))
         val raw = if (fs.exists(ptr)) Some(readUTF8(fs, ptr).trim) else None
         val current: Option[String] = raw match {
           case None => Some("") // no pointer: all versions are orphans
-          case Some(r) if r.nonEmpty && versions.exists(_.getPath.getName == r) =>
-            Some(r)
+          case Some(r) if r.nonEmpty &&
+              fs.exists(new HPath(item.getPath, r)) => // fresh check, not
+            Some(r) // a stale pre-listing snapshot (a swap may commit mid-walk)
           case Some(_) => // torn pointer: repair, never sweep blind
-            val complete = versions.filter(v =>
+            // re-list NOW: the version a concurrent swap is committing
+            // was created before its pointer write, so a fresh listing
+            // sees it; skip the whole item while any of its versions
+            // belongs to an op in flight in this JVM (the transiently-
+            // truncated pointer of a same-JVM versionSwap overwrite
+            // must not be "repaired" backward mid-commit)
+            val fresh = fs.listStatus(item.getPath)
+              .filter(_.getPath.getName.startsWith("v-"))
+            val swapInFlight = fresh.exists(v => Store.activeStagingIds
+              .contains(v.getPath.getName.stripPrefix("v-")))
+            val complete = fresh.filter(v =>
               fs.exists(new HPath(v.getPath, "_SUCCESS")))
-            if (complete.isEmpty) None // nothing provably whole: hands off
+            if (swapInFlight || complete.isEmpty) None // hands off
             else {
               val best = complete.maxBy(_.getModificationTime).getPath.getName
               writeUTF8(fs, ptr, best)
@@ -1325,7 +1432,8 @@ class Store private[sources] (
             }
         }
         current.foreach { cur =>
-          versions.foreach { v =>
+          fs.listStatus(item.getPath)
+            .filter(_.getPath.getName.startsWith("v-")).foreach { v =>
             val n = v.getPath.getName
             if (n != cur && v.getModificationTime <= cutoff &&
                 !Store.activeStagingIds.contains(n.stripPrefix("v-")) &&

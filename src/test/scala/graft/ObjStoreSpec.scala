@@ -152,7 +152,7 @@ class ObjStoreSpec extends AnyFunSuite {
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
 
-  test("re-created item is never clobbered by a stale crashed swap (manifest guard)") {
+  test("re-creation cannot race a crashed swap: write() refuses while markers pend, vacuum + drop clear the way") {
     ObjStoreFs.reset()
     val dir = objDir()
     val s = open(dir)
@@ -161,17 +161,80 @@ class ObjStoreSpec extends AnyFunSuite {
     // (swap+mid), tmp staged, live dir about to be rebuilt
     ObjStoreFs.crash = Some(ObjStoreFs.Crash(".tmp-", "copy", 0))
     intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
-    // operator answers the incident by re-writing the item from source
     val (fs, base) = hfs(dir)
     fs.delete(new HPath(new HPath(base, "items"), "MSFT"), true)
+    // an operator re-writing the key from source CANNOT create an
+    // ambiguous incarnation next to the crashed swap's markers — the
+    // no-clobber guarantee of recovery rests on this refusal
+    val e = intercept[Exception](s.write("MSFT", bars(30, seed = 77)))
+    assert(e.getMessage.contains("vacuum"), s"unhelpful error: ${e.getMessage}")
+    // the sanctioned path: recover first (the committed swap rolls
+    // forward), then drop and re-create
+    s.vacuum(0L)
+    assert(s("MSFT").count() == 100, "crashed swap recovered whole")
+    s.drop("MSFT")
     s.write("MSFT", bars(30, seed = 77))
     val fresh = s("MSFT").collect().map(_.toSeq).toSet
-    // the later vacuum must recognize live's files are NOT the staged
-    // swap's (fresh part names) and sweep the stale tmp instead of
-    // promoting it over the re-created item
     s.vacuum(0L)
     assert(s("MSFT").collect().map(_.toSeq).toSet == fresh,
-      "re-created item survives recovery of the stale swap")
+      "re-created item untouched by later vacuums")
+    assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
+  }
+
+  test("drop retires the key's crash markers so the key is re-creatable without vacuum") {
+    ObjStoreFs.reset()
+    val dir = objDir()
+    val s = open(dir)
+    s.write("MSFT", bars(100))
+    ObjStoreFs.crash = Some(ObjStoreFs.Crash("items/MSFT", "delete", 1))
+    intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    // the half-moved item still exists (partial live) — drop it
+    s.drop("MSFT")
+    assert(!s.exists("MSFT"))
+    val (fs, base) = hfs(dir)
+    assert(fs.listStatus(new HPath(base, ".staging")).isEmpty,
+      "drop swept the crashed swap's markers and staged dirs")
+    s.write("MSFT", bars(30, seed = 88)) // no refusal: markers are gone
+    assert(s("MSFT").count() == 30)
+  }
+
+  test("append AFTER a move-out crash: recovery restores the old rows AND keeps the appended ones") {
+    ObjStoreFs.reset()
+    val dir = objDir()
+    val s = open(dir)
+    s.write("MSFT", bars(100))
+    s.appendNewOnly("MSFT", bars(150)) // ≥2 data files
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    // die after deleting _SUCCESS and a DATA file: live is genuinely
+    // missing rows, trash holds the only complete copy
+    ObjStoreFs.crash = Some(ObjStoreFs.Crash("items/MSFT", "delete", 2))
+    intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    // another writer appends into the half-moved live dir before any
+    // vacuum runs — its fresh-named file must not flip recovery into
+    // "item was re-created" (which would sweep the complete trash copy)
+    val extra = bars(30, seed = 5151).collect().map(_.toSeq).toSet
+    s.appendNewOnly("MSFT", bars(30, seed = 5151))
+    s.vacuum(0L)
+    assert(s("MSFT").collect().map(_.toSeq).toSet == (before ++ extra),
+      "old rows restored from trash, post-crash append preserved")
+    val (fs, base) = hfs(dir)
+    assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
+  }
+
+  test("append AFTER a partial-promote crash: recovery resumes the promote AND keeps the appended file") {
+    ObjStoreFs.reset()
+    val dir = objDir()
+    val s = open(dir)
+    s.write("MSFT", bars(100))
+    val committed = s("MSFT").collect().map(_.toSeq).toSet // compact preserves rows
+    ObjStoreFs.crash = Some(ObjStoreFs.Crash(".tmp-", "copy", 1))
+    intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    val extra = bars(30, seed = 7272).collect().map(_.toSeq).toSet
+    s.appendNewOnly("MSFT", bars(30, seed = 7272))
+    s.vacuum(0L)
+    assert(s("MSFT").collect().map(_.toSeq).toSet == (committed ++ extra),
+      "promote resumed from tmp, post-crash append preserved")
+    val (fs, base) = hfs(dir)
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
 

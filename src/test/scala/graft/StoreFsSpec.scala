@@ -190,6 +190,27 @@ class StoreFsSpec extends AnyFunSuite {
     assert(fs.listStatus(staging).isEmpty)
   }
 
+  test("LEGACY manifest-less marker, live absent: trash is renamed back, not swept") {
+    // same crash window as above but the marker came from a release
+    // that wrote no manifest — recovery can't verify per file, so the
+    // faithful move is the whole-dir rename of trash back to live
+    val dir = fsDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(100))
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    val live = new HPath(new HPath(base, "items"), "MSFT")
+    val staging = new HPath(base, ".staging")
+    fs.mkdirs(staging)
+    Store.writeUTF8(fs, new HPath(staging, "MSFT.tmp-crash1/junk"), "staged")
+    Store.writeUTF8(fs, new HPath(staging, "MSFT.swap-crash1"), "intent")
+    assert(fs.rename(live, new HPath(staging, "MSFT.old-crash1")))
+    s.vacuum(0L)
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before,
+      "legacy marker: item renamed back from trash")
+    assert(fs.listStatus(staging).isEmpty)
+  }
+
   test("age guard: a younger-than-cutoff swap marker is NOT recovered") {
     val dir = fsDir()
     val (fs, base) = hfs(dir)

@@ -102,6 +102,50 @@ class StoreLeaseSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 150)
   }
 
+  test("the lease is RENEWED while an op outlives its ttl — ttl is a death detector, not an op bound") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true)
+    s.write("MSFT", bars(100))
+    System.setProperty("graft.store.lease.ttlMs", "400")
+    try {
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val opStart = System.currentTimeMillis()
+      val opEnd = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t = new Thread(() => {
+        s.compact("MSFT")
+        opEnd.set(System.currentTimeMillis()); done.set(true)
+      })
+      t.start()
+      // watch the lease file while the op runs: its expiry must move
+      // forward (renewal), never lapse into stealable-expired
+      val p = leasePath(base, "MSFT")
+      def expiry: Option[Long] =
+        try Store.readUTF8(fs, p).split("\n").lift(1).map(_.trim.toLong)
+        catch { case _: Throwable => None }
+      var first: Option[Long] = None
+      val deadline = System.currentTimeMillis() + 10000
+      while (first.isEmpty && System.currentTimeMillis() < deadline && !done.get())
+        { first = expiry; Thread.sleep(20) }
+      var renewed = false
+      while (!renewed && System.currentTimeMillis() < deadline && !done.get()) {
+        Thread.sleep(50)
+        renewed = expiry.exists(e => first.exists(e > _))
+      }
+      t.join(30000)
+      assert(done.get(), "compact must complete")
+      // renewal is only REQUIRED when the op actually outlived the
+      // ttl — a warm compact can finish inside 400 ms, in which case
+      // there is legitimately nothing to renew (and possibly no
+      // observation window at all)
+      val outlived = opEnd.get() - opStart > 450
+      assert(renewed || !outlived || first.isEmpty,
+        s"op ran ${opEnd.get() - opStart} ms > ttl yet the lease never renewed")
+      assert(!fs.exists(p), "released after the op despite renewals")
+      assert(s("MSFT").count() == 100)
+    } finally System.clearProperty("graft.store.lease.ttlMs")
+  }
+
   test("leasing off (default): no lease files are ever created") {
     val dir = freshDir()
     val (fs, base) = hfs(dir)

@@ -127,6 +127,16 @@ object StoreProps extends Properties("Store") {
       concurrentTorture(Store.open(spark, dir), seed)
     }
 
+  /** And on the VERSIONED layout: pointer-swap commits + vacuum's
+    * orphan sweep and torn-pointer repair must never mis-read a swap
+    * mid-commit (the repair path re-lists and honors in-flight ids).
+    */
+  property("concurrent maintenance on the versioned layout: no lost rows, pointer stays valid") =
+    forAll(Gen.choose(1L, 999L)) { seed =>
+      val dir = Files.createTempDirectory("graft-prop-v").toString
+      concurrentTorture(Store.open(spark, dir, versioned = true), seed)
+    }
+
   /** 4 appender threads (distinct batches), one compaction loop, one
     * force-vacuum loop, all on ONE item: the per-item JVM locks
     * serialize the mutations and the in-flight-id registry keeps
