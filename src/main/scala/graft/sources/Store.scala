@@ -980,13 +980,15 @@ class Store private[sources] (
     * recovery restores or resumes per file against the manifest
     * (roll-back refills a partially-moved live dir from the complete
     * trash copy; roll-forward resumes the promote from tmp), so the
-    * item always lands byte-complete on one side of the swap. A live
-    * dir whose files fall outside the manifest was re-created by a
-    * later writer and is left untouched — a crashed swap can never
-    * clobber newer data. For write paths with NO rename at all (the
-    * commit primitive raw object stores actually guarantee), use the
-    * versioned layout's single-object `_current` pointer swap
-    * ([[versionSwap]]).
+    * item always lands byte-complete on one side of the swap. Files
+    * OUTSIDE the manifest are never touched — a post-crash append's
+    * rows survive recovery — and clobbering unrelated newer data is
+    * structurally impossible: [[write]] refuses to create a key whose
+    * crash markers still pend and [[drop]] retires them, so no
+    * re-created incarnation can coexist with these markers. For write
+    * paths with NO rename at all (the commit primitive raw object
+    * stores actually guarantee), use the versioned layout's
+    * single-object `_current` pointer swap ([[versionSwap]]).
     */
   private def stagedOverwrite(key: String, p: HPath, df: DataFrame): Unit =
     if (versioned) versionSwap(key, df)
