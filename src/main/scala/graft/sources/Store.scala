@@ -418,8 +418,11 @@ class Store private[sources] (
           writeUTF8(fs, p, stamp(), overwrite = false)
           // confirmation read: a contender acting on a stale expiry
           // observation may have deleted our fresh lease already — only
-          // proceed while the file still carries our uuid
-          content().exists(_.startsWith(id))
+          // proceed while the file still carries our uuid. A FAILED
+          // read is not evidence of that (the create just succeeded):
+          // treating it as loss would orphan our own lease and wedge
+          // every writer until the ttl lapses.
+          content().forall(_.startsWith(id))
         } catch {
           case _: java.io.IOException =>
             val seen = content()
@@ -441,20 +444,29 @@ class Store private[sources] (
             false
         }
     }
-    // renewal daemon: rewrite the expiry while the op runs, stop the
-    // moment the lease stops being ours (stolen after a pause — the op
-    // keeps running, but exclusion is already gone and release must
-    // then leave the thief's lease alone)
+    // renewal daemon: rewrite the expiry while the op runs. Three rules
+    // keep it from ever harming another writer's lease:
+    //  - a SUCCESSFUL read showing foreign content stops renewal for
+    //    good (stolen after a pause; release must then leave it alone);
+    //  - a successful read showing our own content ALREADY EXPIRED also
+    //    stops — rewriting it would resurrect exactly the state a thief
+    //    is entitled to steal, clobbering a live thief mid-steal;
+    //  - a FAILED read (transient FS error) is neither: retry next tick
+    //    rather than concluding theft and silently dropping exclusion.
     val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
     val renewer = new Thread(() => {
       val interval = math.max(50L, ttl / 4)
       while (renewing.get()) {
         try Thread.sleep(interval) catch { case _: InterruptedException => () }
-        if (renewing.get()) {
-          if (content().exists(_.startsWith(id)))
-            try writeUTF8(fs, p, stamp())
+        if (renewing.get()) content() match {
+          case None => () // transient read failure: retry next tick
+          case Some(c) if c.startsWith(id) =>
+            val expired = (try c.split("\n").lift(1).map(_.trim.toLong)
+              catch { case _: Throwable => None }).exists(_ <= System.currentTimeMillis())
+            if (expired) renewing.set(false) // lapsed: now stealable, hands off
+            else try writeUTF8(fs, p, stamp())
             catch { case _: Throwable => () } // next tick retries
-          else renewing.set(false) // lost to a thief: stop touching it
+          case Some(_) => renewing.set(false) // stolen: stop touching it
         }
       }
     }, s"graft-lease-renew-$k")
@@ -463,6 +475,10 @@ class Store private[sources] (
     try body finally {
       val wasRenewing = renewing.getAndSet(false)
       renewer.interrupt()
+      // JOIN before releasing: a renewer mid-tick could otherwise
+      // re-create the lease file right after our delete, wedging the
+      // item for every writer until the ttl lapses
+      renewer.join(10000)
       // release only our own lease: an expired-and-stolen one belongs
       // to the thief and must not be deleted out from under it
       if (wasRenewing && content().exists(_.startsWith(id)))
@@ -773,11 +789,18 @@ class Store private[sources] (
       throw new ItemExistsError(s"item $k already exists; use append")
     if (versioned) {
       val id = "v-" + java.util.UUID.randomUUID().toString
-      writer(normalize(df)).mode("errorifexists")
-        .parquet(new HPath(new HPath(itemsRoot, k), id).toString)
-      // overwrite=false: the loser of a cross-JVM create race gets the
-      // same error an errorifexists write would — first pointer wins
-      writeUTF8(fs, ptrPath(k), id, overwrite = false)
+      // register the version id like versionSwap does: before the
+      // pointer exists every v-dir looks like an orphan, and a
+      // concurrent same-JVM vacuum(0) must not sweep the one being
+      // written this instant
+      Store.activeStagingIds.add(id.stripPrefix("v-"))
+      try {
+        writer(normalize(df)).mode("errorifexists")
+          .parquet(new HPath(new HPath(itemsRoot, k), id).toString)
+        // overwrite=false: the loser of a cross-JVM create race gets the
+        // same error an errorifexists write would — first pointer wins
+        writeUTF8(fs, ptrPath(k), id, overwrite = false)
+      } finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
     } else {
       val p = itemPath(key, mustExist = false)
       if (fs.exists(p))
@@ -786,24 +809,45 @@ class Store private[sources] (
       // marker manifests ambiguous (is the new dir this swap's partial
       // promote, or unrelated fresh data?) — recovery's no-clobber
       // guarantee rests on this refusal, so it comes before any write
-      if (stagingEntries(k).nonEmpty)
-        throw new ItemExistsError(
-          s"item $k has pending crash-recovery state in .staging " +
-            "(an interrupted append/compact/drop); run vacuum() first")
+      requireNoPendingMarkers(k)
       writer(normalize(df)).mode("errorifexists").parquet(p.toString)
     }
   }
 
-  /** Staging entries (markers + staged dirs) belonging to `key`. */
+  /** Staging entries (markers + staged dirs) belonging to `key`,
+    * matched EXACTLY: the entry name must be `<KEY><token><id>` for one
+    * of the marker tokens — a bare `startsWith(key + ".")` would let
+    * key "A" claim key "A.B"'s entries (dots are legal in keys). The
+    * tokens themselves are lowercase while on-disk keys are uppercased,
+    * so a token can never occur inside a key.
+    */
   private def stagingEntries(key: String): Seq[HPath] = {
     val k = validateKey(key)
     if (!fs.exists(stagingRoot)) Seq.empty
     else fs.listStatus(stagingRoot).iterator.map(_.getPath)
       .filter { p =>
         val n = p.getName
-        Store.stagingId(n).isDefined && n.startsWith(k + ".")
+        Seq(".tmp-", ".old-", ".swap-", ".mid-", ".del-")
+          .exists(t => n.startsWith(k + t))
       }
       .toSeq
+  }
+
+  /** The mutation gate shared by every writer entry point: an item
+    * whose crash markers still pend is in a HALF-MOVED state — an
+    * append could anti-join against the partial live dir and re-insert
+    * rows whose only copy sits in trash (duplicated on restore), and a
+    * rewrite would make the marker manifests ambiguous. Recovery's
+    * correctness rests on mutations being refused until [[vacuum]]
+    * finishes the interrupted op.
+    */
+  private def requireNoPendingMarkers(key: String): Unit = {
+    val k = validateKey(key)
+    if (stagingEntries(k).nonEmpty)
+      throw new ItemExistsError(
+        s"item $k has pending crash-recovery state in .staging " +
+          "(an interrupted append/compact/drop/prune); run vacuum() " +
+          "first — vacuum(0) if no other writer can be live")
   }
 
   /** Lazy handle: full scan of one item (reference `_Item`,
@@ -857,6 +901,7 @@ class Store private[sources] (
       throw new ItemKeyError(
         s"item ${validateKey(key)} does not exist; write it first"
       )
+    requireNoPendingMarkers(key)
     val p = dataPath(key, mustExist = true)
     val old = this(key).withColumn("__prov", lit(0))
     val incoming = normalize(df).withColumn("__prov", lit(1))
@@ -1052,6 +1097,7 @@ class Store private[sources] (
     * Atomic: same staged-swap as [[append]].
     */
   def compact(key: String): Unit = withItemLock(key) {
+    requireNoPendingMarkers(key)
     val p = dataPath(key, mustExist = true)
     val canonical = this(key)
       .repartitionByRange(col(indexName))
@@ -1092,6 +1138,7 @@ class Store private[sources] (
       throw new ItemKeyError(
         s"item ${validateKey(key)} does not exist; write it first"
       )
+    requireNoPendingMarkers(key)
     val p = dataPath(key, mustExist = true)
     val incoming = normalize(df).dropDuplicates().as("i")
     val existing = this(key).as("e")
@@ -1118,11 +1165,20 @@ class Store private[sources] (
     // dropping an item also retires its crash-recovery debris: any
     // pending markers described a live dir that no longer exists, and
     // leaving them would block [[write]]'s re-creation refusal forever.
-    // Safe while we hold the item lock — no same-JVM op on this key is
-    // in flight (a concurrent OTHER-JVM writer racing a drop is already
-    // undefined; writerLease serializes that).
-    def sweepStaging(k: String): Unit =
-      stagingEntries(k).foreach(p => fs.delete(p, true))
+    // The item lock excludes same-JVM WRITERS of this key; the vacuum
+    // pseudo-lock (which vacuum holds for its whole sweep, taking no
+    // item locks) excludes a same-JVM vacuum mid-recovery of these very
+    // markers — without it the sweep could delete a trash dir while
+    // vacuum's copyMissing reads from it. Ordering is item-lock →
+    // vacuum-lock everywhere, vacuum takes no item locks: no cycle. (A
+    // concurrent OTHER-JVM writer racing a drop is already undefined;
+    // writerLease serializes that.)
+    def sweepStaging(k: String): Unit = {
+      val vl = Store.lockFor(base, "..vacuum")
+      vl.lock()
+      try stagingEntries(k).foreach(p => fs.delete(p, true))
+      finally vl.unlock()
+    }
     if (versioned) {
       val k = validateKey(key)
       if (!exists(k)) throw new ItemKeyError(s"no such item: $k")
@@ -1186,6 +1242,7 @@ class Store private[sources] (
       )
     )
     requireTzAligned()
+    requireNoPendingMarkers(key)
     val p = dataPath(key, mustExist = true)
     val cutoff = java.time.format.DateTimeFormatter
       .ofPattern(fmt)
@@ -1438,9 +1495,18 @@ class Store private[sources] (
             .filter(_.getPath.getName.startsWith("v-")).foreach { v =>
             val n = v.getPath.getName
             if (n != cur && v.getModificationTime <= cutoff &&
-                !Store.activeStagingIds.contains(n.stripPrefix("v-")) &&
-                fs.delete(v.getPath, true))
-              removed += 1
+                !Store.activeStagingIds.contains(n.stripPrefix("v-"))) {
+              // last-instant re-read: a versionSwap that fully
+              // committed between our pointer read and this delete has
+              // already unregistered its id — the fresh pointer is the
+              // only evidence left that n became current. (A swap still
+              // BETWEEN its pointer write and its unregister is caught
+              // by the in-flight check above.)
+              val freshCur =
+                if (fs.exists(ptr)) readUTF8(fs, ptr).trim else cur
+              if (n != freshCur && fs.delete(v.getPath, true))
+                removed += 1
+            }
           }
         }
       }

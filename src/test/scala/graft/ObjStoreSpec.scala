@@ -198,7 +198,7 @@ class ObjStoreSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 30)
   }
 
-  test("append AFTER a move-out crash: recovery restores the old rows AND keeps the appended ones") {
+  test("mutating a half-moved item is refused until vacuum; recovery then restores and the append lands") {
     ObjStoreFs.reset()
     val dir = objDir()
     val s = open(dir)
@@ -209,19 +209,22 @@ class ObjStoreSpec extends AnyFunSuite {
     // missing rows, trash holds the only complete copy
     ObjStoreFs.crash = Some(ObjStoreFs.Crash("items/MSFT", "delete", 2))
     intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
-    // another writer appends into the half-moved live dir before any
-    // vacuum runs — its fresh-named file must not flip recovery into
-    // "item was re-created" (which would sweep the complete trash copy)
-    val extra = bars(30, seed = 5151).collect().map(_.toSeq).toSet
-    s.appendNewOnly("MSFT", bars(30, seed = 5151))
+    // a writer hitting the half-moved item is REFUSED until recovery —
+    // an append here could anti-join against the partial live dir and
+    // re-insert rows whose only copy sits in trash, duplicating them
+    // when the restore lands
+    val e = intercept[Exception](s.appendNewOnly("MSFT", bars(30, seed = 5151)))
+    assert(e.getMessage.contains("vacuum"), s"unhelpful error: ${e.getMessage}")
     s.vacuum(0L)
+    val extra = bars(30, seed = 5151).collect().map(_.toSeq).toSet
+    s.appendNewOnly("MSFT", bars(30, seed = 5151)) // markers cleared: flows
     assert(s("MSFT").collect().map(_.toSeq).toSet == (before ++ extra),
-      "old rows restored from trash, post-crash append preserved")
+      "old rows restored from trash, append lands after recovery")
     val (fs, base) = hfs(dir)
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
 
-  test("append AFTER a partial-promote crash: recovery resumes the promote AND keeps the appended file") {
+  test("mutating a half-promoted item is refused until vacuum; recovery resumes the promote") {
     ObjStoreFs.reset()
     val dir = objDir()
     val s = open(dir)
@@ -229,11 +232,13 @@ class ObjStoreSpec extends AnyFunSuite {
     val committed = s("MSFT").collect().map(_.toSeq).toSet // compact preserves rows
     ObjStoreFs.crash = Some(ObjStoreFs.Crash(".tmp-", "copy", 1))
     intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    // mutations are refused on the half-promoted item; compact too
+    intercept[Exception](s.compact("MSFT"))
+    s.vacuum(0L)
     val extra = bars(30, seed = 7272).collect().map(_.toSeq).toSet
     s.appendNewOnly("MSFT", bars(30, seed = 7272))
-    s.vacuum(0L)
     assert(s("MSFT").collect().map(_.toSeq).toSet == (committed ++ extra),
-      "promote resumed from tmp, post-crash append preserved")
+      "promote resumed from tmp, append lands after recovery")
     val (fs, base) = hfs(dir)
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
