@@ -22,6 +22,14 @@ class SchemaError(msg: String) extends IllegalArgumentException(msg)
   */
 class ItemExistsError(msg: String) extends IllegalArgumentException(msg)
 
+/** The item has pending crash-recovery markers in `.staging` — mutations
+  * are refused until [[Store!.vacuum]] finishes the interrupted op. A
+  * distinct type from [[ItemExistsError]] so an upsert-style
+  * `catch ItemExistsError → append` caller never converts
+  * "run vacuum() first" into an append attempt.
+  */
+class PendingRecoveryError(msg: String) extends IllegalStateException(msg)
+
 object Store {
 
   /** Reference key charset: `^[-a-zA-Z0-9_.]+\Z` (oakstore/store.py:28). */
@@ -98,9 +106,17 @@ object Store {
   private[sources] val activeStagingIds: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The one list of staging-entry name tokens — [[stagingId]] (the
+    * in-flight guard) and `stagingEntries` (the mutation gate) must
+    * agree on it, or a marker kind added to one but not the other would
+    * silently escape that guard.
+    */
+  private[sources] val MarkerTokens: Seq[String] =
+    Seq(".tmp-", ".old-", ".swap-", ".mid-", ".del-")
+
   /** UUID suffix of a staging entry name, if it has one. */
   private[sources] def stagingId(name: String): Option[String] =
-    Seq(".tmp-", ".old-", ".swap-", ".mid-", ".del-").iterator
+    MarkerTokens.iterator
       .map(t => (t, name.indexOf(t)))
       .collectFirst { case (t, i) if i >= 0 => name.substring(i + t.length) }
 
@@ -461,9 +477,18 @@ class Store private[sources] (
         if (renewing.get()) content() match {
           case None => () // transient read failure: retry next tick
           case Some(c) if c.startsWith(id) =>
-            val expired = (try c.split("\n").lift(1).map(_.trim.toLong)
-              catch { case _: Throwable => None }).exists(_ <= System.currentTimeMillis())
-            if (expired) renewing.set(false) // lapsed: now stealable, hands off
+            val expiryMs = (try c.split("\n").lift(1).map(_.trim.toLong)
+              catch { case _: Throwable => None }).getOrElse(0L)
+            // stop not at expiry but one full tick BEFORE it: the
+            // read-then-overwrite below is a TOCTOU against a thief's
+            // guarded steal, and a plain FS has no compare-and-swap to
+            // close it. Requiring a full interval of headroom at the
+            // last instant before the write means a pause (GC, FS
+            // stall) must span > ttl/4 between these two adjacent
+            // statements for a renew to land on a stolen lease —
+            // versus "any pause before expiry" without the guard.
+            if (expiryMs - System.currentTimeMillis() <= interval)
+              renewing.set(false) // too close to stealable: hands off
             else try writeUTF8(fs, p, stamp())
             catch { case _: Throwable => () } // next tick retries
           case Some(_) => renewing.set(false) // stolen: stop touching it
@@ -480,9 +505,23 @@ class Store private[sources] (
       // item for every writer until the ttl lapses
       renewer.join(10000)
       // release only our own lease: an expired-and-stolen one belongs
-      // to the thief and must not be deleted out from under it
-      if (wasRenewing && content().exists(_.startsWith(id)))
-        fs.delete(p, false)
+      // to the thief and must not be deleted out from under it. One
+      // transient read failure must NOT skip the delete — that would
+      // orphan our freshly-renewed lease and wedge every contender for
+      // the rest of the TTL — so retry the read a few times; only a
+      // persistently unreadable lease is left for TTL expiry (deleting
+      // blind could take out a thief who stole during the outage).
+      if (wasRenewing) {
+        var verdict: Option[Boolean] = None // Some(ours?) once a read lands
+        var tries = 0
+        while (verdict.isEmpty && tries < 5) {
+          tries += 1
+          verdict = content().map(_.startsWith(id))
+          if (verdict.isEmpty && !fs.exists(p)) verdict = Some(false) // already gone
+          if (verdict.isEmpty && tries < 5) Thread.sleep(100L * tries)
+        }
+        if (verdict.contains(true)) fs.delete(p, false)
+      }
     }
   }
 
@@ -827,8 +866,7 @@ class Store private[sources] (
     else fs.listStatus(stagingRoot).iterator.map(_.getPath)
       .filter { p =>
         val n = p.getName
-        Seq(".tmp-", ".old-", ".swap-", ".mid-", ".del-")
-          .exists(t => n.startsWith(k + t))
+        Store.MarkerTokens.exists(t => n.startsWith(k + t))
       }
       .toSeq
   }
@@ -844,7 +882,7 @@ class Store private[sources] (
   private def requireNoPendingMarkers(key: String): Unit = {
     val k = validateKey(key)
     if (stagingEntries(k).nonEmpty)
-      throw new ItemExistsError(
+      throw new PendingRecoveryError(
         s"item $k has pending crash-recovery state in .staging " +
           "(an interrupted append/compact/drop/prune); run vacuum() " +
           "first — vacuum(0) if no other writer can be live")
@@ -1167,18 +1205,24 @@ class Store private[sources] (
     // leaving them would block [[write]]'s re-creation refusal forever.
     // The item lock excludes same-JVM WRITERS of this key; the vacuum
     // pseudo-lock (which vacuum holds for its whole sweep, taking no
-    // item locks) excludes a same-JVM vacuum mid-recovery of these very
-    // markers — without it the sweep could delete a trash dir while
-    // vacuum's copyMissing reads from it. Ordering is item-lock →
+    // item locks) excludes a same-JVM vacuum for the WHOLE drop — not
+    // just the marker sweep. Holding it only around the sweep left a
+    // window where vacuum, mid-recovery of this key's old markers,
+    // could copyMissing stale files back into items/KEY right after
+    // our rename moved it out — resurrecting a dropped item with no
+    // pending markers left to flag it. Ordering is item-lock →
     // vacuum-lock everywhere, vacuum takes no item locks: no cycle. (A
     // concurrent OTHER-JVM writer racing a drop is already undefined;
     // writerLease serializes that.)
-    def sweepStaging(k: String): Unit = {
-      val vl = Store.lockFor(base, "..vacuum")
-      vl.lock()
-      try stagingEntries(k).foreach(p => fs.delete(p, true))
-      finally vl.unlock()
-    }
+    val vl = Store.lockFor(base, "..vacuum")
+    vl.lock()
+    try dropLocked(key)
+    finally vl.unlock()
+  }
+
+  private def dropLocked(key: String): Unit = {
+    def sweepStaging(k: String): Unit =
+      stagingEntries(k).foreach(p => fs.delete(p, true))
     if (versioned) {
       val k = validateKey(key)
       if (!exists(k)) throw new ItemKeyError(s"no such item: $k")
@@ -1362,9 +1406,19 @@ class Store private[sources] (
         if (newMan.nonEmpty) {
           // manifest-bearing marker: promote per file, idempotently —
           // exact even when the promote itself was a copy+delete rename
-          // that died partway (a strict-subset live simply resumes)
+          // that died partway (a strict-subset live simply resumes).
+          // Defense-in-depth guard: under this binary's write-refusal
+          // discipline live can only hold a subset of the manifest
+          // here, but a store last written by an UNGATED binary can
+          // carry a re-created incarnation next to stale markers
+          // (parquet part names bear fresh UUIDs, so its files fall
+          // outside the manifest) — promoting into it would mix two
+          // unrelated writes. Foreign names in live → sweep the stale
+          // staging debris and leave live untouched.
+          val liveForeign =
+            !manifestOf(live).map(_._1).subsetOf(newMan.map(_._1))
           if (fs.exists(tmp)) {
-            copyMissing(tmp, live, newMan)
+            if (!liveForeign) copyMissing(tmp, live, newMan)
             fs.delete(tmp, true)
             removed += 1
           }
@@ -1391,17 +1445,28 @@ class Store private[sources] (
         // roll-forward above) guarantees live is never an unrelated
         // re-created item.
         val oldMan = parseMarker(readUTF8(fs, m.getPath))._2
-        if (oldMan.nonEmpty && fs.exists(trash) &&
+        // same ungated-binary guard as roll-forward: a live dir holding
+        // names outside the old manifest is a re-created incarnation,
+        // not a partial move-out — never copy stale files into it
+        val liveForeign = oldMan.nonEmpty &&
+          !manifestOf(live).map(_._1).subsetOf(oldMan.map(_._1))
+        if (oldMan.nonEmpty && fs.exists(trash) && !liveForeign &&
             !oldMan.subsetOf(manifestOf(live)))
           copyMissing(trash, live, oldMan)
-        else if (oldMan.isEmpty && !fs.exists(live) && fs.exists(trash)) {
-          // legacy manifest-less marker with the item's only copy in
-          // trash (crash between move-out and mid marker): put it back
-          // whole rather than sweeping it — without a manifest the
-          // whole-dir rename is the only faithful restore
-          if (!fs.rename(trash, live) && !fs.exists(live))
-            throw new java.io.IOException(
-              s"swap recovery: rename $trash -> $live failed")
+        else if (oldMan.isEmpty && fs.exists(trash)) {
+          // legacy manifest-less marker with the complete copy in trash
+          // (crash between move-out and mid marker). live absent →
+          // whole-dir rename back; live PRESENT but partially moved out
+          // → refill the missing files from trash per trash's own
+          // listing (without a manifest the trash copy is the only
+          // record of what the item held; copy-before-delete guarantees
+          // it is complete) — falling through to the sweep here used to
+          // destroy the only complete copy.
+          if (!fs.exists(live)) {
+            if (!fs.rename(trash, live) && !fs.exists(live))
+              throw new java.io.IOException(
+                s"swap recovery: rename $trash -> $live failed")
+          } else copyMissing(trash, live, manifestOf(trash))
         }
         if (fs.delete(tmp, true)) removed += 1
         if (fs.delete(trash, true)) removed += 1
@@ -1464,13 +1529,26 @@ class Store private[sources] (
     if (versioned && fs.exists(itemsRoot)) {
       fs.listStatus(itemsRoot).foreach { item =>
         val ptr = new HPath(item.getPath, Store.CurrentPtr)
-        val raw = if (fs.exists(ptr)) Some(readUTF8(fs, ptr).trim) else None
+        // check-then-read tolerance: a concurrent drop() in another JVM
+        // can delete the pointer between exists and read (same-JVM
+        // drops now hold the vacuum lock). Read failure with the
+        // pointer GONE is a completed drop — versions are orphans;
+        // read failure with the pointer still present is a transient
+        // FS error — hands off the whole item this round (sweeping on
+        // a failed read could orphan live data).
+        val raw: Option[Option[String]] = // None = unreadable, skip item
+          if (!fs.exists(ptr)) Some(None)
+          else (try Some(readUTF8(fs, ptr).trim) catch { case _: Throwable => None }) match {
+            case Some(r) => Some(Some(r))
+            case None => if (!fs.exists(ptr)) Some(None) else None
+          }
         val current: Option[String] = raw match {
-          case None => Some("") // no pointer: all versions are orphans
-          case Some(r) if r.nonEmpty &&
+          case None => None // unreadable pointer: skip this item
+          case Some(None) => Some("") // no pointer: all versions are orphans
+          case Some(Some(r)) if r.nonEmpty &&
               fs.exists(new HPath(item.getPath, r)) => // fresh check, not
             Some(r) // a stale pre-listing snapshot (a swap may commit mid-walk)
-          case Some(_) => // torn pointer: repair, never sweep blind
+          case Some(Some(_)) => // torn pointer: repair, never sweep blind
             // re-list NOW: the version a concurrent swap is committing
             // was created before its pointer write, so a fresh listing
             // sees it; skip the whole item while any of its versions
@@ -1501,9 +1579,13 @@ class Store private[sources] (
               // already unregistered its id — the fresh pointer is the
               // only evidence left that n became current. (A swap still
               // BETWEEN its pointer write and its unregister is caught
-              // by the in-flight check above.)
+              // by the in-flight check above.) A read failure here —
+              // another JVM's drop deleting the pointer mid-read, or a
+              // transient FS error — must not abort the whole vacuum:
+              // treat the candidate as current (skip it this round).
               val freshCur =
-                if (fs.exists(ptr)) readUTF8(fs, ptr).trim else cur
+                try { if (fs.exists(ptr)) readUTF8(fs, ptr).trim else cur }
+                catch { case _: Throwable => n }
               if (n != freshCur && fs.delete(v.getPath, true))
                 removed += 1
             }

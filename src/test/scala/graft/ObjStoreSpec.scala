@@ -317,4 +317,64 @@ class ObjStoreSpec extends AnyFunSuite {
     val (fs, base) = hfs(dir)
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
+
+  test("LEGACY manifest-less marker + partial live: vacuum refills from trash instead of destroying the only complete copy") {
+    ObjStoreFs.reset()
+    val dir = objDir()
+    val s = open(dir)
+    s.write("MSFT", bars(100))
+    s.appendNewOnly("MSFT", bars(150)) // ≥2 data files
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    // crash in move-out's delete phase: live is a strict subset, trash
+    // holds the complete copy, only the swap marker exists (no mid)
+    ObjStoreFs.crash = Some(ObjStoreFs.Crash("items/MSFT", "delete", 1))
+    intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    // simulate an OLD-VINTAGE marker: truncate the manifest lines so
+    // parseMarker sees the manifest-less legacy format — recovery must
+    // still restore the item rather than sweep the trash copy
+    val (fs, base) = hfs(dir)
+    val staging = new HPath(base, ".staging")
+    val marker = fs.listStatus(staging)
+      .map(_.getPath).find(_.getName.contains(".swap-")).get
+    val firstLine = {
+      val in = fs.open(marker)
+      val txt = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      in.close(); txt.split("\n").head
+    }
+    val out = fs.create(marker, true)
+    out.write(firstLine.getBytes("UTF-8")); out.close()
+    assert(s.vacuum(0L) >= 1L)
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before,
+      "legacy roll-back restored the partially-moved live dir from trash")
+    assert(s.describe("MSFT").rows == 150, "no duplicated rows either")
+    assert(fs.listStatus(staging).isEmpty)
+  }
+
+  test("UNGATED-binary re-creation next to stale swap markers: vacuum never mixes the stale promote into the fresh item") {
+    ObjStoreFs.reset()
+    val dir = objDir()
+    val s = open(dir)
+    s.write("MSFT", bars(100))
+    // crash mid-promote: swap+mid markers pend, tmp staged, live partial
+    ObjStoreFs.crash = Some(ObjStoreFs.Crash(".tmp-", "copy", 1))
+    intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    // simulate a writer from a binary WITHOUT the write-refusal gate
+    // re-creating the item from source while the markers still pend:
+    // delete live, write a fresh incarnation straight through Spark
+    val (fs, base) = hfs(dir)
+    val live = new HPath(new HPath(base, "items"), "MSFT")
+    fs.delete(live, true)
+    val fresh = bars(30, seed = 99)
+    fresh.withColumn("date", org.apache.spark.sql.functions.col("date"))
+      .write.parquet(live.toString)
+    val freshCount = 30L
+    // vacuum must treat the foreign-named live dir as a re-created
+    // incarnation: sweep the stale staging debris, touch nothing in live
+    s.vacuum(0L)
+    assert(spark.read.parquet(live.toString).count() == freshCount,
+      "stale swap files were mixed into the re-created item")
+    assert(fs.listStatus(new HPath(base, ".staging")).isEmpty,
+      "stale markers and staged dirs must drain")
+  }
 }
