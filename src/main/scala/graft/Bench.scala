@@ -94,21 +94,36 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
 
+    // A sample that THREW must never publish: its near-zero elapsed
+    // time would win the min and report an impossible speedup. Failed
+    // samples are dropped; a query with NO successful sample records
+    // the 999 s penalty sentinel (loud in any baseline ratio) instead
+    // of a silent fake.
+    val FailedQuery = 999.0
     def timeSet(names: Seq[String]): Seq[(String, Seq[Double])] = names.map { name =>
-      val samples = (1 to nSamples).map { _ =>
+      val samples: Seq[Double] = (1 to nSamples).flatMap { _ =>
         spark.catalog.clearCache()
         System.gc()
         Thread.sleep(200) // settle: let GC/compilation/background IO drain
         val t0 = System.nanoTime()
-        try materialize(name)
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { materialize(name); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      System.err.println(
-        f"[bench] $name%-22s min=${samples.min}%.3fs max=${samples.max}%.3fs " +
-          f"spread=${samples.max / samples.min}%.2fx samples=" +
-          samples.map(v => f"$v%.3f").mkString("[", ",", "]"))
-      name -> samples
+      if (samples.isEmpty) {
+        System.err.println(f"[bench] $name%-22s ALL SAMPLES FAILED — recording $FailedQuery%.0f")
+        name -> Seq(FailedQuery)
+      } else {
+        System.err.println(
+          f"[bench] $name%-22s min=${samples.min}%.3fs max=${samples.max}%.3fs " +
+            f"spread=${samples.max / samples.min}%.2fx samples=" +
+            samples.map(v => f"$v%.3f").mkString("[", ",", "]"))
+        name -> samples
+      }
     }
 
     val allSamples = timeSet(only.getOrElse(headline.filter(SparkEntry.queries.contains)))
@@ -136,31 +151,52 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         Thread.sleep(200)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
-        val store = Store.open(spark, tmp,
-          cols = Some(Seq(
-            "EVENT_ID" -> org.apache.spark.sql.types.LongType,
-            "USER_ID" -> org.apache.spark.sql.types.LongType,
-            "EVENT_TYPE" -> org.apache.spark.sql.types.StringType,
-            "VALUE" -> org.apache.spark.sql.types.DoubleType)),
-          index = Some("TS"), bucket = Some("day"))
-        val t0 = System.nanoTime()
-        try store.write("events", events) catch { case _: Throwable => () }
-        val tw = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        try store.query("events",
-          Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
-          Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).count()
-        catch { case _: Throwable => () }
-        val tq = (System.nanoTime() - t1) / 1e9
-        (tw, tq)
+        val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench-store")
+        try {
+          val store = Store.open(spark, tmpDir.toString,
+            cols = Some(Seq(
+              "EVENT_ID" -> org.apache.spark.sql.types.LongType,
+              "USER_ID" -> org.apache.spark.sql.types.LongType,
+              "EVENT_TYPE" -> org.apache.spark.sql.types.StringType,
+              "VALUE" -> org.apache.spark.sql.types.DoubleType)),
+            index = Some("TS"), bucket = Some("day"))
+          // a sample whose op THREW reports no time (see timeSet): a
+          // failed write's near-zero elapsed must not win the min
+          val t0 = System.nanoTime()
+          val wOk = try { store.write("events", events); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] store_ingest sample failed: ${e.getMessage}"); false }
+          val tw = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val qOk = wOk && (try {
+            store.query("events",
+              Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+              Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).count()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] store_slice sample failed: ${e.getMessage}"); false })
+          val tq = (System.nanoTime() - t1) / 1e9
+          (if (wOk) Some(tw) else None, if (qOk) Some(tq) else None)
+        } finally {
+          // each sample ingests a full copy of events — leaking
+          // max(2,N) stores per run fills /tmp across bench iterations
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }
       }
+      val ingests = samples.flatMap(_._1)
+      val slices = samples.flatMap(_._2)
       System.err.println(
-        f"[bench] store_ingest min=${samples.map(_._1).min}%.3fs " +
-          f"samples=${samples.map(s => f"${s._1}%.3f").mkString("[", ",", "]")}; " +
-          f"store_slice min=${samples.map(_._2).min}%.3fs " +
-          f"samples=${samples.map(s => f"${s._2}%.3f").mkString("[", ",", "]")}")
-      Seq("store_ingest" -> samples.map(_._1).min, "store_slice" -> samples.map(_._2).min)
+        f"[bench] store_ingest min=${ingests.minOption.getOrElse(FailedQuery)}%.3fs " +
+          f"samples=${ingests.map(s => f"$s%.3f").mkString("[", ",", "]")}; " +
+          f"store_slice min=${slices.minOption.getOrElse(FailedQuery)}%.3fs " +
+          f"samples=${slices.map(s => f"$s%.3f").mkString("[", ",", "]")}")
+      Seq("store_ingest" -> ingests.minOption.getOrElse(FailedQuery),
+        "store_slice" -> slices.minOption.getOrElse(FailedQuery))
     }
 
     val qs = (results ++ storeResults)

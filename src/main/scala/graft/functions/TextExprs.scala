@@ -90,10 +90,11 @@ object TextExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Word-shingle width used by the SQL surface — matches the dedup
-    * pipelines' 5-word shingles (LlmOps.ShingleK).
+  /** Word-shingle width used by the SQL surface — the SAME constant the
+    * dedup pipelines shingle with, so SQL-path bands can never drift
+    * from kernel-pipeline bands if the width is ever tuned.
     */
-  val ShingleWidth = 5
+  val ShingleWidth: Int = graft.operators.LlmOps.ShingleK
 
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))

@@ -80,14 +80,25 @@ object LlmOps {
     * data either way — only the storage of the cut differs (spec:
     * LlmOpsSpec "dedup_clusters: reliable checkpoint path").
     */
+  /** The configured-dir value [[roundCheckpoint]] last passed to
+    * `setCheckpointDir`. The context's own `getCheckpointDir` cannot
+    * serve as the guard: it returns the FULLY QUALIFIED path of a
+    * fresh UUID subdir (`file:/dir/<uuid>`), which never startsWith
+    * the raw configured string — comparing against it re-set the dir
+    * (one FS mkdirs + an abandoned UUID dir) every propagation round.
+    */
+  @volatile private var checkpointDirSet: Option[String] = None
+
   private def roundCheckpoint(df: DataFrame): DataFrame =
     sys.props.get("graft.checkpoint.dir")
       .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // idempotent: only (re)set when unset or pointed elsewhere
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        if (!checkpointDirSet.contains(dir) || sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(dir)
+          checkpointDirSet = Some(dir)
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
@@ -116,8 +127,13 @@ object LlmOps {
     val img =
       if (!isImageMagic) null
       else
+        // NonFatal, not just IOException: the JDK readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds /
+        // NegativeArraySize / CMMException on magic-matching-but-
+        // malformed payloads — the fallback contract must hold for
+        // those too, not fail the whole Spark job
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
     if (img != null) {
       val w = img.getWidth; val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -3042,7 +3058,7 @@ object LlmOps {
                 _.getField("vq")
               ).as("varr")
             )
-        val v0 = s.range(1).select(array_repeat(lit(VG), 64).as("varr"))
+        val v0 = s.range(1).select(array_repeat(lit(VG), EmbedDim).as("varr"))
         val it3 = step(toRow(step(toRow(step(v0)))))
         it3
           .select(col("i").cast("long").as("dim"), (col("vq") / 1000.0).as("loading"))

@@ -45,6 +45,13 @@ case class UserState(n: Long, sum: Double)
   * see funnelOn's disorder contract), best funnel level reached,
   * cumulative funnel event count, and the max event time seen (the
   * pruning anchor).
+  *
+  * STATE-SCHEMA COMPATIBILITY: pendClicks/pendPurch widened this state
+  * from 5 to 7 fields. A funnel query restarted against a DURABLE
+  * checkpoint written by the 5-field vintage will fail Spark's state
+  * schema check — start a fresh checkpointLocation when upgrading (the
+  * funnel emits per-batch updates, not cumulative-from-history, so a
+  * restart loses only in-horizon candidate state).
   */
 case class FunnelSt(
     views: Array[Long],
