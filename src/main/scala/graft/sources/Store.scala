@@ -1098,7 +1098,19 @@ class Store private[sources] (
     } finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
   }
 
-  private def stagedOverwriteFlat(key: String, p: HPath, df: DataFrame): Unit = {
+  private def stagedOverwriteFlat(key: String, p: HPath, df: DataFrame): Unit =
+    stagedSwapFlat(key, p, tmp => writer(df).mode("overwrite").parquet(tmp))
+
+  /** The two-marker swap protocol itself, target-path-generic: `p` may
+    * be an item dir (append/compact) or a single bucket dir inside one
+    * ([[compactBuckets]]) — the swap/mid markers record `p` in their
+    * CONTENT (line 1), and [[vacuum]] recovers against that recorded
+    * path, so bucket-level swaps crash-recover exactly like item-level
+    * ones. `writeTmp` materializes the replacement into the staged tmp
+    * path (parquet write included — it runs INSIDE the in-flight id
+    * guard so a concurrent force-vacuum never sweeps a tmp mid-write).
+    */
+  private def stagedSwapFlat(key: String, p: HPath, writeTmp: String => Unit): Unit = {
     val k = validateKey(key)
     fs.mkdirs(stagingRoot)
     val id = java.util.UUID.randomUUID().toString
@@ -1108,7 +1120,7 @@ class Store private[sources] (
     val trash = new HPath(stagingRoot, s"$k.old-$id")
     Store.activeStagingIds.add(id) // vacuum in this JVM must not touch us
     try {
-      writer(df).mode("overwrite").parquet(tmp.toString)
+      writeTmp(tmp.toString)
       // swap marker carries the manifest of the OLD live dir, mid
       // marker the manifest of the staged tmp — between them vacuum can
       // reconstruct the intended end state of either move exactly, even
@@ -1162,6 +1174,69 @@ class Store private[sources] (
     if (needed) compact(key)
     needed
   }
+
+  /** Bucket-granular compaction — the 100 TB shape of [[compact]].
+    * [[compact]] rewrites the WHOLE item; on a multi-year time-series
+    * store that is O(history) I/O to fix small files that only ever
+    * accumulate in the buckets appends currently land in. This rewrites
+    * ONLY buckets whose data-file count exceeds `maxFilesPerBucket`,
+    * each through the same two-marker crash-safe swap as [[compact]]
+    * (the markers record the bucket path; [[vacuum]] finishes an
+    * interrupted bucket swap without touching its siblings), so steady-
+    * state maintenance cost tracks the append rate, not the item size.
+    * Cold buckets are never read OR rewritten — the decision is one
+    * LIST per bucket (O(buckets) metadata, zero data rows).
+    *
+    * Returns the number of buckets rewritten. [[SchemaError]] on
+    * non-bucketed stores (use [[compact]]/[[compactIfNeeded]]). On the
+    * versioned layout this rewrites inside the current version,
+    * in-place like [[prune]] — copying the other 100 TB of buckets
+    * into a fresh version to compact one directory would defeat the
+    * point. Same [[readStream]] caveat as [[compact]]: a rewrite
+    * renames files, so restart streaming tails with a fresh checkpoint
+    * after any bucket trips.
+    */
+  def compactBuckets(key: String, maxFilesPerBucket: Long = 16L): Long =
+    withItemLock(key) {
+      require(maxFilesPerBucket > 0, "maxFilesPerBucket must be positive")
+      if (bucketFmt.isEmpty)
+        throw new SchemaError(
+          s"store at $base is not bucketed; compactBuckets needs directory " +
+            "buckets (open with bucket = day|month|year) — use compact()")
+      requireTzAligned()
+      requireNoPendingMarkers(key)
+      val p = dataPath(key, mustExist = true)
+      val buckets = fs.listStatus(p).iterator
+        .map(_.getPath)
+        .filter(_.getName.startsWith(BucketCol + "="))
+        .toVector
+      var rewritten = 0L
+      buckets.foreach { d =>
+        val dataFiles = fs.listStatus(d).count { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (dataFiles > maxFilesPerBucket) {
+          // bucket files store the data columns only (the bucket value
+          // lives in the dir name), so the rewrite is a plain parquet
+          // round-trip: sorted by the index, 1 M-row chunk contract
+          val canonical = spark.read.parquet(d.toString)
+            .repartitionByRange(col(indexName))
+            .sortWithinPartitions(col(indexName))
+          stagedSwapFlat(key, d, tmp => {
+            requireTzAligned()
+            requireMicrosTimestamps()
+            canonical.write
+              .option("compression", "snappy")
+              .option("maxRecordsPerFile", chunkRows)
+              .mode("overwrite")
+              .parquet(tmp)
+          })
+          rewritten += 1
+        }
+      }
+      rewritten
+    }
 
   /** Scalable append: left-anti join the incoming batch against existing
     * rows and append only genuinely-new files — O(new ⋈ old-overlap)
@@ -1393,7 +1468,13 @@ class Store private[sources] (
       val tmp = new HPath(staging, s"$k.tmp-$id")
       val trash = new HPath(staging, s"$k.old-$id")
       val mid = new HPath(staging, s"$k.mid-$id")
-      val live = new HPath(itemsRoot, k)
+      // the swapped dir is recorded in the marker CONTENT (line 1):
+      // item-level swaps record items/KEY, bucket-level swaps
+      // (compactBuckets) record the bucket dir inside it — recovery
+      // targets whichever was swapped. Markers from vintages that
+      // predate the recorded path fall back to the item dir.
+      def liveOf(markerContent: String): HPath =
+        parseMarker(markerContent)._1.getOrElse(new HPath(itemsRoot, k))
       if (fs.exists(mid)) {
         // old data left items/ before the crash — the swap committed;
         // roll FORWARD. A clobber of unrelated newer data is
@@ -1402,7 +1483,9 @@ class Store private[sources] (
         // so a live dir coexisting with these markers can only be this
         // swap's partial promote plus (at most) post-crash appends —
         // whose fresh-named files copyMissing leaves untouched.
-        val newMan = parseMarker(readUTF8(fs, mid))._2 // manifest of tmp
+        val midContent = readUTF8(fs, mid)
+        val live = liveOf(midContent)
+        val newMan = parseMarker(midContent)._2 // manifest of tmp
         if (newMan.nonEmpty) {
           // manifest-bearing marker: promote per file, idempotently —
           // exact even when the promote itself was a copy+delete rename
@@ -1444,7 +1527,9 @@ class Store private[sources] (
         // recovery), and the write-refusal/drop-sweep discipline (see
         // roll-forward above) guarantees live is never an unrelated
         // re-created item.
-        val oldMan = parseMarker(readUTF8(fs, m.getPath))._2
+        val swapContent = readUTF8(fs, m.getPath)
+        val live = liveOf(swapContent)
+        val oldMan = parseMarker(swapContent)._2
         // same ungated-binary guard as roll-forward: a live dir holding
         // names outside the old manifest is a re-created incarnation,
         // not a partial move-out — never copy stale files into it

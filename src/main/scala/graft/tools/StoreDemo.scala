@@ -64,6 +64,14 @@ object StoreDemo {
       s"[demo] compactIfNeeded: files=$f0 -> noop@maxFiles=$f0 (ran=$ran), " +
         s"compacted@maxFiles=${math.max(1, f0 / 2)} (ran=$ran2, files now " +
         s"${store.describe("EVENTS").files}, rows ${store("events").count()})")
+    // the 100 TB-shape maintenance op: rewrite only OVERSIZED buckets
+    // (O(append-rate), not O(history)); on this freshly-compacted
+    // day-bucketed store every bucket is already one file, so it's a
+    // metadata-only no-op
+    val bRewritten = store.compactBuckets("events", maxFilesPerBucket = 4)
+    println(
+      s"[demo] compactBuckets: $bRewritten oversized buckets rewritten " +
+        s"(threshold 4 files/bucket; rows ${store("events").count()})")
 
     try store.write("bad key!", events)
     catch { case e: ItemKeyError => println(s"[demo] bad key rejected: ${e.getMessage}") }

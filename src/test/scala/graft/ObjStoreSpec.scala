@@ -318,6 +318,49 @@ class ObjStoreSpec extends AnyFunSuite {
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
 
+  test("bucket-swap crash points (compactBuckets): vacuum recovers the ONE bucket against the marker-recorded path") {
+    // both phases of both renames, like the item-swap property — but
+    // the swapped dir is a single bucket, so recovery must restore or
+    // promote THAT directory (recorded in the marker content) and leave
+    // every sibling bucket alone
+    val points = Seq(
+      ObjStoreFs.Crash("__bucket=2020-01", "delete", 1), // move-out, live split
+      ObjStoreFs.Crash("__bucket=2020-01", "copy", 1), // move-out, copy phase
+      ObjStoreFs.Crash(".tmp-", "copy", 0), // promote never starts landing
+      ObjStoreFs.Crash(".tmp-", "copy", 1) // promote half-landed
+    )
+    points.foreach { pt =>
+      ObjStoreFs.reset()
+      val dir = objDir()
+      val s = Store.open(spark, dir,
+        cols = Some(Seq(
+          "price" -> org.apache.spark.sql.types.DoubleType,
+          "volume" -> org.apache.spark.sql.types.LongType)),
+        index = Some("date"), bucket = Some("month"))
+      s.write("MSFT", bars(60)) // Jan-Feb 2020
+      s.appendNewOnly("MSFT", bars(60, seed = 12))
+      s.appendNewOnly("MSFT", bars(60, seed = 13))
+      val content = s("MSFT").collect().map(_.toSeq).toSet
+      val total = s.describe("MSFT").rows
+      ObjStoreFs.crash = Some(pt)
+      try s.compactBuckets("MSFT", maxFilesPerBucket = 1)
+      catch { case _: ObjStoreFs.InjectedCrash => () }
+      ObjStoreFs.crash = None
+      s.vacuum(0L)
+      assert(s("MSFT").collect().map(_.toSeq).toSet == content,
+        s"bucket-swap crash point $pt corrupted the item")
+      assert(s.describe("MSFT").rows == total,
+        s"bucket-swap crash point $pt lost or duplicated rows")
+      val (fs, base) = hfs(dir)
+      assert(fs.listStatus(new HPath(base, ".staging")).isEmpty,
+        s"bucket-swap crash point $pt left staging debris")
+      // recovery leaves a consistent store: the compaction can simply
+      // be re-run to completion
+      s.compactBuckets("MSFT", maxFilesPerBucket = 1)
+      assert(s("MSFT").collect().map(_.toSeq).toSet == content)
+    }
+  }
+
   test("LEGACY manifest-less marker + partial live: vacuum refills from trash instead of destroying the only complete copy") {
     ObjStoreFs.reset()
     val dir = objDir()

@@ -545,4 +545,40 @@ class StoreSpec extends AnyFunSuite {
     assert(out.as[(Timestamp, Double, Double, Double, Double, Long)].head()._6 == 5L)
     intercept[SchemaError] { s.normalize(df.drop("close")) }
   }
+
+  test("compactBuckets: rewrites only oversized buckets, cold buckets byte-untouched") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    // three appends landing in Jan-Feb 2015 pile small files into those
+    // buckets; a fourth, disjoint append makes a single-file cold bucket
+    s.write("MSFT", bars(40)) // Jan 1 .. Feb 9
+    s.appendNewOnly("MSFT", bars(40, seed = 8))
+    s.appendNewOnly("MSFT", bars(40, seed = 9))
+    s.appendNewOnly("MSFT", bars(10, startDay = "2015-06-01")) // cold bucket
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    val items = java.nio.file.Paths.get(dir, "items", "MSFT")
+    import scala.jdk.CollectionConverters._
+    def filesIn(bucket: String): Set[String] = {
+      val d = items.resolve(s"__bucket=$bucket")
+      val st = java.nio.file.Files.list(d)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      finally st.close()
+    }
+    val coldBefore = filesIn("2015-06")
+    val janBefore = filesIn("2015-01").size
+    assert(janBefore > 2, s"fixture must pile files in Jan (got $janBefore)")
+    val rewritten = s.compactBuckets("MSFT", maxFilesPerBucket = 2)
+    assert(rewritten >= 1, "at least the Jan bucket must trip the threshold")
+    assert(filesIn("2015-01").size < janBefore, "oversized bucket rewritten smaller")
+    assert(filesIn("2015-06") == coldBefore, "cold bucket files untouched (same names)")
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before, "rows preserved exactly")
+    assert(s.describe("MSFT").rows == before.size, "no duplicated rows")
+    // threshold satisfied now: a second pass is a metadata-only no-op
+    assert(s.compactBuckets("MSFT", maxFilesPerBucket = 2) == 0L)
+    // non-bucketed stores have no sub-item rewrite unit
+    val flat = Store.open(spark, tmpDir())
+    flat.write("MSFT", bars(10))
+    intercept[SchemaError] { flat.compactBuckets("MSFT") }
+  }
 }
