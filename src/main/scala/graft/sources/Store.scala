@@ -1195,20 +1195,40 @@ class Store private[sources] (
     * point. Same [[readStream]] caveat as [[compact]]: a rewrite
     * renames files, so restart streaming tails with a fresh checkpoint
     * after any bucket trips.
+    *
+    * `since` bounds even the metadata cost: only buckets at or after
+    * the bucket containing it are LISTed at all (bucket names are
+    * zero-padded, so the cutoff is one string compare per name from
+    * the single item-dir listing). A steady-state maintenance loop
+    * passes its append horizon here — e.g. yesterday — and the op
+    * stops scaling with store age entirely.
     */
-  def compactBuckets(key: String, maxFilesPerBucket: Long = 16L): Long =
+  def compactBuckets(
+      key: String,
+      maxFilesPerBucket: Long = 16L,
+      since: Option[Timestamp] = None
+  ): Long =
     withItemLock(key) {
       require(maxFilesPerBucket > 0, "maxFilesPerBucket must be positive")
-      if (bucketFmt.isEmpty)
+      val fmt = bucketFmt.getOrElse(
         throw new SchemaError(
           s"store at $base is not bucketed; compactBuckets needs directory " +
-            "buckets (open with bucket = day|month|year) — use compact()")
+            "buckets (open with bucket = day|month|year) — use compact()"))
       requireTzAligned()
       requireNoPendingMarkers(key)
       val p = dataPath(key, mustExist = true)
+      val cutoff = since.map(t =>
+        java.time.format.DateTimeFormatter
+          .ofPattern(fmt)
+          .withZone(java.time.ZoneId.of(storeTz))
+          .format(t.toInstant))
       val buckets = fs.listStatus(p).iterator
         .map(_.getPath)
-        .filter(_.getName.startsWith(BucketCol + "="))
+        .filter { d =>
+          val n = d.getName
+          n.startsWith(BucketCol + "=") &&
+          cutoff.forall(c => n.stripPrefix(BucketCol + "=") >= c)
+        }
         .toVector
       var rewritten = 0L
       buckets.foreach { d =>

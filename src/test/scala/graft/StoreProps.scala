@@ -137,6 +137,18 @@ object StoreProps extends Properties("Store") {
       concurrentTorture(Store.open(spark, dir, versioned = true), seed)
     }
 
+  /** Bucket-granular compaction under the same torture: per-bucket
+    * swaps racing appends and a force-vacuum must leave every row and
+    * clear every marker, exactly like whole-item compaction does.
+    */
+  property("concurrent maintenance with compactBuckets (bucketed store): no lost rows") =
+    forAll(Gen.choose(1L, 999L)) { seed =>
+      val dir = Files.createTempDirectory("graft-prop-bc").toString
+      concurrentTorture(
+        Store.open(spark, dir, bucket = Some("month")), seed,
+        st => { st.compactBuckets("K", maxFilesPerBucket = 1L); () })
+    }
+
   /** 4 appender threads (distinct batches), one compaction loop, one
     * force-vacuum loop, all on ONE item: the per-item JVM locks
     * serialize the mutations and the in-flight-id registry keeps
@@ -145,7 +157,10 @@ object StoreProps extends Properties("Store") {
     * carry none, so a non-None minIndex proves no write slipped
     * through under a racing conf/committer).
     */
-  private def concurrentTorture(s: Store, seed: Long): Boolean = {
+  private def concurrentTorture(
+      s: Store, seed: Long,
+      maintainOp: Store => Unit = st => { st.compactIfNeeded("K", 2L); () }
+  ): Boolean = {
       val batches = (0 until 4).map(i => bars(20, seed + i)) // distinct values per batch
       s.write("K", batches(0))
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -155,7 +170,7 @@ object StoreProps extends Properties("Store") {
         t.start(); t
       }
       val appenders = (1 until 4).map(i => thread { s.appendNewOnly("K", batches(i)) })
-      val maintain = thread { while (!stop.get()) { s.compactIfNeeded("K", 2L); Thread.sleep(5) } }
+      val maintain = thread { while (!stop.get()) { maintainOp(s); Thread.sleep(5) } }
       val sweeper = thread { while (!stop.get()) { s.vacuum(0L); Thread.sleep(3) } }
       appenders.foreach(_.join())
       stop.set(true)

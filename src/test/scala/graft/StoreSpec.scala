@@ -576,6 +576,16 @@ class StoreSpec extends AnyFunSuite {
     assert(s.describe("MSFT").rows == before.size, "no duplicated rows")
     // threshold satisfied now: a second pass is a metadata-only no-op
     assert(s.compactBuckets("MSFT", maxFilesPerBucket = 2) == 0L)
+    // the since bound skips older buckets entirely: pile files into Jan
+    // again, then compact only from June — Jan must stay oversized
+    s.appendNewOnly("MSFT", bars(40, seed = 21))
+    s.appendNewOnly("MSFT", bars(40, seed = 22))
+    val janPiled = filesIn("2015-01").size
+    assert(janPiled > 2)
+    assert(s.compactBuckets("MSFT", maxFilesPerBucket = 2,
+      since = Some(Timestamp.valueOf("2015-06-01 00:00:00"))) == 0L)
+    assert(filesIn("2015-01").size == janPiled, "pre-cutoff bucket untouched")
+    assert(s.compactBuckets("MSFT", maxFilesPerBucket = 2) >= 1L)
     // non-bucketed stores have no sub-item rewrite unit
     val flat = Store.open(spark, tmpDir())
     flat.write("MSFT", bars(10))
