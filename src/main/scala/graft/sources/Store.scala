@@ -546,14 +546,24 @@ class Store private[sources] (
     bucketFmt.fold(df)(f =>
       df.withColumn(BucketCol, date_format(col(indexName), f)))
 
-  private def writer(df: DataFrame) = {
+  /** The write-side invariants every parquet write of this store must
+    * carry — session guards + snappy + the reference 1 M-row chunk
+    * contract (store.py:27,174: cap rows per file so row-group stats
+    * stay selective without a driver count). [[writer]] adds the bucket
+    * column + partitioning on top; [[compactBuckets]] writes single
+    * bucket dirs through this directly (the bucket value lives in the
+    * dir name, not the files).
+    */
+  private def flatWriter(df: DataFrame) = {
     requireTzAligned()
     requireMicrosTimestamps()
-    val w = withBucket(df).write
+    df.write
       .option("compression", "snappy")
-      // reference 1 M-row chunk contract (store.py:27,174): cap rows per
-      // file so row-group stats stay selective without a driver count
       .option("maxRecordsPerFile", chunkRows)
+  }
+
+  private def writer(df: DataFrame) = {
+    val w = flatWriter(withBucket(df))
     bucket.fold(w)(_ => w.partitionBy(BucketCol))
   }
 
@@ -1014,6 +1024,25 @@ class Store private[sources] (
     (about, man)
   }
 
+  /** Re-base a marker-recorded absolute path against THIS store's items
+    * root. Markers record the swapped/doomed dir at write time; a store
+    * relocated between crash and recovery (backup restored elsewhere,
+    * mount point moved) must recover into its CURRENT location, not the
+    * recorded one. The suffix below the last `/items/` segment
+    * identifies the dir in any location (keys are uppercased and marker
+    * tokens lowercase, so the literal lowercase segment can only be the
+    * layout's own). Paths without one fall back to `dflt`.
+    */
+  private def rebase(recorded: HPath, dflt: HPath): HPath = {
+    val s = recorded.toUri.getPath
+    val i = s.lastIndexOf("/items/")
+    if (i < 0) dflt
+    else {
+      val rel = s.substring(i + "/items/".length)
+      if (rel.isEmpty) dflt else new HPath(itemsRoot, rel)
+    }
+  }
+
   /** Idempotent per-file restore: copy every `expected` file that is
     * absent from (or size-mismatched in) `dst` over from `src`.
     * Re-runnable after any crash point — completeness is judged per
@@ -1202,6 +1231,13 @@ class Store private[sources] (
     * the single item-dir listing). A steady-state maintenance loop
     * passes its append horizon here — e.g. yesterday — and the op
     * stops scaling with store age entirely.
+    *
+    * Cross-vintage caveat: bucket-swap markers are recovered correctly
+    * only by binaries that read the marker's recorded path (this
+    * vintage onward). In a mixed-version deployment, do not run an
+    * OLDER binary's `vacuum()` against a newer writer's crash debris —
+    * its recovery assumes item-level swaps and would mis-handle a
+    * bucket-level one; recover with the writer's own version first.
     */
   def compactBuckets(
       key: String,
@@ -1217,46 +1253,82 @@ class Store private[sources] (
       requireTzAligned()
       requireNoPendingMarkers(key)
       val p = dataPath(key, mustExist = true)
-      val cutoff = since.map(t =>
-        java.time.format.DateTimeFormatter
-          .ofPattern(fmt)
-          .withZone(java.time.ZoneId.of(storeTz))
-          .format(t.toInstant))
-      val buckets = fs.listStatus(p).iterator
-        .map(_.getPath)
-        .filter { d =>
-          val n = d.getName
-          n.startsWith(BucketCol + "=") &&
-          cutoff.forall(c => n.stripPrefix(BucketCol + "=") >= c)
-        }
-        .toVector
+      val cutoff = since.map(bucketLabel(fmt, _))
+      val buckets = bucketDirs(p)(b => cutoff.forall(b >= _))
       var rewritten = 0L
       buckets.foreach { d =>
         val dataFiles = fs.listStatus(d).count { st =>
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         }
-        if (dataFiles > maxFilesPerBucket) {
+        // convergence guard: a bucket holding more rows than
+        // maxFilesPerBucket × chunkRows can never compact below the
+        // threshold — without the canonical-count clamp it would be
+        // fully rewritten on EVERY maintenance call, forever. Footer
+        // row counts (read only for over-threshold buckets, metadata
+        // the size of a rewrite's first LIST) bound the target:
+        // rewrite only when the bucket has more files than its rows
+        // canonically need.
+        lazy val canonicalFiles =
+          math.max(1L, (bucketRows(d) + chunkRows - 1) / chunkRows)
+        if (dataFiles > maxFilesPerBucket && dataFiles > canonicalFiles) {
           // bucket files store the data columns only (the bucket value
           // lives in the dir name), so the rewrite is a plain parquet
           // round-trip: sorted by the index, 1 M-row chunk contract
           val canonical = spark.read.parquet(d.toString)
             .repartitionByRange(col(indexName))
             .sortWithinPartitions(col(indexName))
-          stagedSwapFlat(key, d, tmp => {
-            requireTzAligned()
-            requireMicrosTimestamps()
-            canonical.write
-              .option("compression", "snappy")
-              .option("maxRecordsPerFile", chunkRows)
-              .mode("overwrite")
-              .parquet(tmp)
-          })
+          stagedSwapFlat(key, d,
+            tmp => flatWriter(canonical).mode("overwrite").parquet(tmp))
           rewritten += 1
         }
       }
       rewritten
     }
+
+  /** Render `t` as the bucket-directory label under format `fmt` in the
+    * store timezone — zero-padded, so string compare = time compare.
+    */
+  private def bucketLabel(fmt: String, t: Timestamp): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern(fmt)
+      .withZone(java.time.ZoneId.of(storeTz))
+      .format(t.toInstant)
+
+  /** Bucket directories of item dir `p` whose label satisfies `pred` —
+    * the one shared listing both bucket-granular maintenance ops
+    * ([[prune]], [[compactBuckets]]) filter on.
+    */
+  private def bucketDirs(p: HPath)(pred: String => Boolean): Vector[HPath] =
+    fs.listStatus(p).iterator
+      .map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        n.startsWith(BucketCol + "=") && pred(n.stripPrefix(BucketCol + "="))
+      }
+      .toVector
+
+  /** Exact row count of one bucket dir from parquet FOOTERS only —
+    * driver-side sequential reads, sized for the handful of files a
+    * threshold-tripping bucket holds (the executor-parallel variant for
+    * whole items is [[describe]]).
+    */
+  private def bucketRows(d: HPath): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(d).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }
+      .sum
+  }
 
   /** Scalable append: left-anti join the incoming batch against existing
     * rows and append only genuinely-new files — O(new ⋈ old-overlap)
@@ -1383,19 +1455,9 @@ class Store private[sources] (
     requireTzAligned()
     requireNoPendingMarkers(key)
     val p = dataPath(key, mustExist = true)
-    val cutoff = java.time.format.DateTimeFormatter
-      .ofPattern(fmt)
-      .withZone(java.time.ZoneId.of(storeTz))
-      .format(before.toInstant)
+    val cutoff = bucketLabel(fmt, before)
     fs.mkdirs(stagingRoot)
-    val expired: Seq[HPath] = fs.listStatus(p).iterator
-      .map(_.getPath)
-      .filter { d =>
-        val n = d.getName
-        n.startsWith(BucketCol + "=") &&
-        n.stripPrefix(BucketCol + "=") < cutoff
-      }
-      .toVector
+    val expired: Seq[HPath] = bucketDirs(p)(_ < cutoff)
     expired.foreach { d =>
       val id = java.util.UUID.randomUUID().toString
       val trash = new HPath(stagingRoot, validateKey(key) + ".old-" + id)
@@ -1491,10 +1553,17 @@ class Store private[sources] (
       // the swapped dir is recorded in the marker CONTENT (line 1):
       // item-level swaps record items/KEY, bucket-level swaps
       // (compactBuckets) record the bucket dir inside it — recovery
-      // targets whichever was swapped. Markers from vintages that
-      // predate the recorded path fall back to the item dir.
+      // targets whichever was swapped, RE-BASED against this store's
+      // own items root (see [[rebase]]: the marker records an absolute
+      // path, but the store may have been relocated — backup restore,
+      // mount move — between crash and recovery, and recovering into
+      // the stale original location could orphan or destroy the trash
+      // copy). Markers from vintages that predate the recorded path
+      // fall back to the item dir.
       def liveOf(markerContent: String): HPath =
-        parseMarker(markerContent)._1.getOrElse(new HPath(itemsRoot, k))
+        parseMarker(markerContent)._1
+          .map(rebase(_, new HPath(itemsRoot, k)))
+          .getOrElse(new HPath(itemsRoot, k))
       if (fs.exists(mid)) {
         // old data left items/ before the crash — the swap committed;
         // roll FORWARD. A clobber of unrelated newer data is
@@ -1596,7 +1665,7 @@ class Store private[sources] (
       val id = n.substring(i + ".del-".length)
       val trash = new HPath(staging, s"$k.old-$id")
       val (target, man) = parseMarker(readUTF8(fs, m.getPath))
-      target.foreach { t =>
+      target.map(t => rebase(t, t)).foreach { t => // relocation-safe, like liveOf
         if (fs.exists(t)) {
           man.foreach { case (rel, _) =>
             val f = new HPath(t, rel)

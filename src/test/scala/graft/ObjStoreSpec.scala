@@ -394,6 +394,40 @@ class ObjStoreSpec extends AnyFunSuite {
     assert(fs.listStatus(staging).isEmpty)
   }
 
+  test("RELOCATED store: vacuum recovers against the current base, not the marker's recorded absolute path") {
+    ObjStoreFs.reset()
+    val dirA = objDir()
+    val s = open(dirA)
+    s.write("MSFT", bars(100))
+    s.appendNewOnly("MSFT", bars(150))
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    // crash mid move-out: live split, trash complete, markers recording
+    // dirA's ABSOLUTE paths
+    ObjStoreFs.crash = Some(ObjStoreFs.Crash("items/MSFT", "delete", 1))
+    intercept[ObjStoreFs.InjectedCrash](s.compact("MSFT"))
+    // relocate the whole store tree — the backup-restore scenario — and
+    // recover at the NEW base: the marker's recorded path must be
+    // re-based, not trusted (recovering into dead dirA would strand or
+    // destroy the trash copy)
+    val srcRoot = java.nio.file.Paths.get(dirA.stripPrefix("objstore://"))
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-obj-moved")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(srcRoot).iterator().asScala.foreach { p =>
+      val t = dstRoot.resolve(srcRoot.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val moved = open("objstore://" + dstRoot.toString)
+    assert(moved.vacuum(0L) >= 1L)
+    assert(moved("MSFT").collect().map(_.toSeq).toSet == before,
+      "item restored at the RELOCATED base")
+    assert(moved.describe("MSFT").rows == 150)
+    val (fs, base) = hfs("objstore://" + dstRoot.toString)
+    assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
+  }
+
   test("UNGATED-binary re-creation next to stale swap markers: vacuum never mixes the stale promote into the fresh item") {
     ObjStoreFs.reset()
     val dir = objDir()

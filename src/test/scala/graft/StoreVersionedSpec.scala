@@ -200,4 +200,32 @@ class StoreVersionedSpec extends AnyFunSuite {
     assert(dropped == 2, "Jan + Feb buckets expired")
     assert(s("EVT").count() == 100 - 59, "Jan(31) + Feb(28) rows gone")
   }
+
+  test("bucketed versioned store: compactBuckets rewrites in place inside the current version") {
+    val dir = freshDir()
+    val s = Store.open(spark, dir, bucket = Some("month"), versioned = true)
+    s.write("EVT", bars(60)) // Jan-Feb 2022
+    s.appendNewOnly("EVT", bars(60, seed = 31))
+    s.appendNewOnly("EVT", bars(60, seed = 32))
+    val before = s("EVT").collect().map(_.toSeq).toSet
+    val (fs, base) = hfs(dir)
+    val vsBefore = versionDirs(fs, base, "EVT")
+    assert(vsBefore.size == 1)
+    def janFiles(): Int = {
+      val jan = new HPath(new HPath(new HPath(
+        new HPath(base, "items"), "EVT"), vsBefore.head), "__bucket=2022-01")
+      fs.listStatus(jan).count { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val piled = janFiles()
+    assert(piled > 1, s"fixture must pile files (got $piled)")
+    assert(s.compactBuckets("EVT", maxFilesPerBucket = 1) >= 1L)
+    // in-place: the CURRENT version dir is rewritten, no new version
+    assert(versionDirs(fs, base, "EVT") == vsBefore, "no version churn")
+    assert(janFiles() < piled, "bucket rewritten smaller inside the version")
+    assert(s("EVT").collect().map(_.toSeq).toSet == before, "rows preserved")
+    assert(s.vacuum(0L) == 0L, "clean bucket swaps leave nothing to vacuum")
+  }
 }
