@@ -1208,8 +1208,13 @@ class Store private[sources] (
     * [[compact]] rewrites the WHOLE item; on a multi-year time-series
     * store that is O(history) I/O to fix small files that only ever
     * accumulate in the buckets appends currently land in. This rewrites
-    * ONLY buckets whose data-file count exceeds `maxFilesPerBucket`,
-    * each through the same two-marker crash-safe swap as [[compact]]
+    * ONLY buckets whose data-file count exceeds `maxFilesPerBucket` —
+    * a rewrite TRIGGER, not an exact guarantee: the rewritten file
+    * count is the canonical ceil(rows / chunkRows) (± range-sampling
+    * skew), and buckets already within 2× of canonical are left alone
+    * so the op converges instead of re-rewriting a large bucket
+    * forever — each through the same two-marker crash-safe swap as
+    * [[compact]]
     * (the markers record the bucket path; [[vacuum]] finishes an
     * interrupted bucket swap without touching its siblings), so steady-
     * state maintenance cost tracks the append rate, not the item size.
@@ -1265,18 +1270,29 @@ class Store private[sources] (
         // maxFilesPerBucket × chunkRows can never compact below the
         // threshold — without the canonical-count clamp it would be
         // fully rewritten on EVERY maintenance call, forever. Footer
-        // row counts (read only for over-threshold buckets, metadata
-        // the size of a rewrite's first LIST) bound the target:
-        // rewrite only when the bucket has more files than its rows
-        // canonically need.
+        // row counts (read only for over-threshold buckets) bound the
+        // target: rewrite only when the bucket has more than TWICE the
+        // files its rows canonically need — the 2× slack absorbs
+        // range-partition sampling skew (a partition nudged past
+        // chunkRows splits into an extra file), so a just-rewritten
+        // bucket always lands under the trigger and the op is a
+        // fixed point, not an oscillator.
         lazy val canonicalFiles =
           math.max(1L, (bucketRows(d) + chunkRows - 1) / chunkRows)
-        if (dataFiles > maxFilesPerBucket && dataFiles > canonicalFiles) {
+        if (dataFiles > maxFilesPerBucket && dataFiles > 2 * canonicalFiles) {
           // bucket files store the data columns only (the bucket value
           // lives in the dir name), so the rewrite is a plain parquet
-          // round-trip: sorted by the index, 1 M-row chunk contract
+          // round-trip: sorted by the index, 1 M-row chunk contract.
+          // The partition count is the EXPLICIT canonical file count —
+          // letting the planner pick (shuffle.partitions / AQE) emits
+          // however many range partitions it advises, which can exceed
+          // the threshold and make every later maintenance call rewrite
+          // the bucket again forever; n = ceil(rows/chunkRows) is the
+          // fixed point (next call: dataFiles == canonicalFiles → skip).
           val canonical = spark.read.parquet(d.toString)
-            .repartitionByRange(col(indexName))
+            .repartitionByRange(
+              math.min(canonicalFiles, Int.MaxValue.toLong).toInt,
+              col(indexName))
             .sortWithinPartitions(col(indexName))
           stagedSwapFlat(key, d,
             tmp => flatWriter(canonical).mode("overwrite").parquet(tmp))
@@ -1308,26 +1324,41 @@ class Store private[sources] (
       }
       .toVector
 
-  /** Exact row count of one bucket dir from parquet FOOTERS only —
-    * driver-side sequential reads, sized for the handful of files a
-    * threshold-tripping bucket holds (the executor-parallel variant for
-    * whole items is [[describe]]).
+  /** Exact row count of one bucket dir from parquet FOOTERS only.
+    * Driver-side sequential reads up to a few dozen files; past that
+    * (exactly the piled-up-small-files state this count exists to
+    * diagnose) the footer reads fan out over executors like
+    * [[describe]]'s — a 256-small-file bucket must not serialize 256
+    * open/read round-trips on the driver.
     */
   private def bucketRows(d: HPath): Long = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sparkContext.hadoopConfiguration
-    fs.listStatus(d).iterator
+    def countOne(conf: org.apache.hadoop.conf.Configuration, p: String): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(p), conf))
+      try r.getRecordCount finally r.close()
+    }
+    val paths = fs.listStatus(d).iterator
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && n.endsWith(".parquet") &&
         !n.startsWith("_") && !n.startsWith(".")
       }
-      .map { st =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        try r.getRecordCount finally r.close()
-      }
-      .sum
+      .map(_.getPath.toString)
+      .toVector
+    if (paths.size <= 32) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.map(countOne(conf, _)).sum
+    } else {
+      val sc = spark.sparkContext
+      sc.parallelize(paths, math.max(1, math.min(paths.size / 8, sc.defaultParallelism)))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          Iterator.single(it.map(countOne(conf, _)).sum)
+        }
+        .sum().toLong
+    }
   }
 
   /** Scalable append: left-anti join the incoming batch against existing
