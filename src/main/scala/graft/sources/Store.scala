@@ -114,6 +114,17 @@ object Store {
   private[sources] val MarkerTokens: Seq[String] =
     Seq(".tmp-", ".old-", ".swap-", ".mid-", ".del-")
 
+  /** Rebuild a Hadoop Configuration from shipped driver entries — a
+    * STATIC helper so executor closures capture only the entry Seq,
+    * never a Store instance (see [[Store!.hadoopConfEntries]]).
+    */
+  private[sources] def confFrom(
+      entries: Seq[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** UUID suffix of a staging entry name, if it has one. */
   private[sources] def stagingId(name: String): Option[String] =
     MarkerTokens.iterator
@@ -733,18 +744,19 @@ class Store private[sources] (
     val bytes = files.map(_._2).sum
     val idx = indexName
     val paths = files.map(_._1)
+    val confEntries = hadoopConfEntries
     val perFile = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { fs =>
-        import org.apache.hadoop.conf.Configuration
         import org.apache.parquet.hadoop.ParquetFileReader
         import org.apache.parquet.io.InputFile
         import org.apache.parquet.hadoop.util.HadoopInputFile
-        // one Configuration per partition, not per file — Configuration
-        // construction loads XML resources and is measurable at very
-        // high file counts. On executors it loads the deployment's
-        // core-site.xml, so scheme resolution matches the driver's.
-        val conf = new Configuration()
+        // one Configuration per partition, not per file — construction
+        // is measurable at very high file counts. Rebuilt from the
+        // DRIVER's effective entries, not `new Configuration()`: a bare
+        // one would drop every `spark.hadoop.*`-injected setting (s3a
+        // credentials, custom scheme impls) on the executor side.
+        val conf = Store.confFrom(confEntries)
         fs.flatMap { f =>
           // a concurrent compact can swap a listed file out between the
           // listing and this footer read; describe is a point-in-time
@@ -1024,6 +1036,20 @@ class Store private[sources] (
     (about, man)
   }
 
+  /** The driver session's effective Hadoop conf as plain entries, for
+    * shipping to executor-side metadata readers: a bare
+    * `new Configuration()` on an executor loads only the deployment's
+    * XML resources and silently drops everything injected via
+    * `spark.hadoop.*` (s3a credentials/endpoints, custom scheme impls)
+    * — exactly the settings an object-store deployment relies on.
+    */
+  private def hadoopConfEntries: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue))
+      .toVector
+  }
+
   /** Re-base a marker-recorded absolute path against THIS store's items
     * root. Markers record the swapped/doomed dir at write time; a store
     * relocated between crash and recovery (backup restored elsewhere,
@@ -1262,40 +1288,46 @@ class Store private[sources] (
       val buckets = bucketDirs(p)(b => cutoff.forall(b >= _))
       var rewritten = 0L
       buckets.foreach { d =>
-        val dataFiles = fs.listStatus(d).count { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
+        val dataPaths = fs.listStatus(d).iterator
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(_.getPath.toString)
+          .toVector
+        val dataFiles = dataPaths.size
         // convergence guard: a bucket holding more rows than
         // maxFilesPerBucket × chunkRows can never compact below the
         // threshold — without the canonical-count clamp it would be
         // fully rewritten on EVERY maintenance call, forever. Footer
-        // row counts (read only for over-threshold buckets) bound the
-        // target: rewrite only when the bucket has more than TWICE the
-        // files its rows canonically need — the 2× slack absorbs
-        // range-partition sampling skew (a partition nudged past
-        // chunkRows splits into an extra file), so a just-rewritten
-        // bucket always lands under the trigger and the op is a
-        // fixed point, not an oscillator.
+        // row counts (read only for over-threshold buckets, from the
+        // SAME listing) bound the target: rewrite only when the bucket
+        // holds more files than its rows canonically need.
         lazy val canonicalFiles =
-          math.max(1L, (bucketRows(d) + chunkRows - 1) / chunkRows)
-        if (dataFiles > maxFilesPerBucket && dataFiles > 2 * canonicalFiles) {
+          math.max(1L, (footerRows(dataPaths) + chunkRows - 1) / chunkRows)
+        if (dataFiles > maxFilesPerBucket && dataFiles > canonicalFiles) {
           // bucket files store the data columns only (the bucket value
           // lives in the dir name), so the rewrite is a plain parquet
-          // round-trip: sorted by the index, 1 M-row chunk contract.
-          // The partition count is the EXPLICIT canonical file count —
-          // letting the planner pick (shuffle.partitions / AQE) emits
-          // however many range partitions it advises, which can exceed
-          // the threshold and make every later maintenance call rewrite
-          // the bucket again forever; n = ceil(rows/chunkRows) is the
-          // fixed point (next call: dataFiles == canonicalFiles → skip).
+          // round-trip sorted by the index. The partition count is the
+          // EXPLICIT canonical file count — letting the planner pick
+          // (shuffle.partitions / AQE) emits however many range
+          // partitions it advises — and per-file row capping is OFF for
+          // this write (maxRecordsPerFile=0): a range partition nudged
+          // past chunkRows by sampling skew must not split into an
+          // extra file, so the output is EXACTLY canonicalFiles files
+          // and the next call's dataFiles == canonicalFiles skips — an
+          // exact fixed point, no slack factor scaling debris with
+          // bucket size. Files target chunkRows rows ± that skew;
+          // row-group stats stay per-group either way.
           val canonical = spark.read.parquet(d.toString)
             .repartitionByRange(
               math.min(canonicalFiles, Int.MaxValue.toLong).toInt,
               col(indexName))
             .sortWithinPartitions(col(indexName))
           stagedSwapFlat(key, d,
-            tmp => flatWriter(canonical).mode("overwrite").parquet(tmp))
+            tmp => flatWriter(canonical)
+              .option("maxRecordsPerFile", 0L)
+              .mode("overwrite").parquet(tmp))
           rewritten += 1
         }
       }
@@ -1324,14 +1356,17 @@ class Store private[sources] (
       }
       .toVector
 
-  /** Exact row count of one bucket dir from parquet FOOTERS only.
-    * Driver-side sequential reads up to a few dozen files; past that
-    * (exactly the piled-up-small-files state this count exists to
-    * diagnose) the footer reads fan out over executors like
-    * [[describe]]'s — a 256-small-file bucket must not serialize 256
-    * open/read round-trips on the driver.
+  /** Exact row count over `paths` from parquet FOOTERS only (the
+    * listing comes from the caller — no second LIST of a dir the
+    * caller just listed). Driver-side sequential reads up to a few
+    * dozen files; past that (exactly the piled-up-small-files state
+    * this count exists to diagnose) the footer reads fan out over
+    * executors like [[describe]]'s — a 256-small-file bucket must not
+    * serialize 256 open/read round-trips on the driver. Executors get
+    * the DRIVER's effective conf ([[hadoopConfEntries]]), not a bare
+    * `new Configuration()` that would drop `spark.hadoop.*` settings.
     */
-  private def bucketRows(d: HPath): Long = {
+  private def footerRows(paths: Seq[String]): Long = {
     def countOne(conf: org.apache.hadoop.conf.Configuration, p: String): Long = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1339,22 +1374,15 @@ class Store private[sources] (
         HadoopInputFile.fromPath(new HPath(p), conf))
       try r.getRecordCount finally r.close()
     }
-    val paths = fs.listStatus(d).iterator
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") &&
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(_.getPath.toString)
-      .toVector
     if (paths.size <= 32) {
       val conf = spark.sparkContext.hadoopConfiguration
       paths.map(countOne(conf, _)).sum
     } else {
       val sc = spark.sparkContext
+      val entries = hadoopConfEntries
       sc.parallelize(paths, math.max(1, math.min(paths.size / 8, sc.defaultParallelism)))
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = Store.confFrom(entries)
           Iterator.single(it.map(countOne(conf, _)).sum)
         }
         .sum().toLong

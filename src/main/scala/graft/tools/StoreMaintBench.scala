@@ -64,7 +64,7 @@ object StoreMaintBench {
 
     def build(dir: String): Store = {
       val s = freshStore(dir)
-      // 24 months of compacted history in one write...
+      // `months` months of compacted history in one write...
       s.write("EVENTS", (0 until months).map(monthData(_, 0)).reduce(_ unionByName _))
       // ...then append churn into the LAST month only (the hot bucket)
       (1 to hotAppends).foreach(i =>
