@@ -25,26 +25,28 @@ class CosineExprSpec extends AnyFunSuite {
         // float-input path of the native expression
         CosineSimilarity.cosineSim(col("embedding"), col("probe")).as("native_f")
       )
+    // a NULL native value makes `=!=` evaluate to NULL — the row would
+    // silently drop out of `bad` and a completely-broken expression
+    // (all NULLs) would pass; guard the comparison population first
+    val total = both.count()
+    assert(total > 0, "probe row missing: comparison is over zero rows")
+    assert(both.filter(col("hof").isNull || col("native").isNull ||
+      col("native_f").isNull).count() == 0, "NULL outputs in the comparison")
     val bad = both.filter(col("hof") =!= col("native") || col("hof") =!= col("native_f"))
     assert(bad.count() == 0, "native cosine differs from HOF reference")
   }
 
   test("cosine_sim is SQL-registered via GraftExtensions") {
-    // TestSpark's session isn't built with the extension; register the
-    // same function the extension injects and drive it through SQL.
-    new graft.plans.GraftExtensions()
-    val s2 = spark.newSession()
-    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => graft.functions.CosineSimilarity(exprs.head, exprs(1)),
-      "built-in"
-    )
-    Tables.embeddings(s2, dir).createOrReplaceTempView("emb")
-    val n = s2.sql(
+    // TestSpark builds the session WITH spark.sql.extensions =
+    // GraftExtensions — drive the SQL name straight through it, no
+    // manual registration (which would mask a lost injectFunction)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb")
+    val rows = spark.sql(
       """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
         |FROM emb a JOIN emb b ON b.vec_id = 0
         |WHERE a.vec_id < 10""".stripMargin
-    ).filter(col("c").isNotNull).count()
-    assert(n == 10)
+    ).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(!_.isNullAt(1)), "cosine_sim returned NULLs via SQL")
   }
 }

@@ -65,12 +65,17 @@ class GraftSqlSpec extends AnyFunSuite {
       .select(col("id"), VectorKernels.pqArgmin(col("a"), col("cb")).as("pq"))
       .orderBy("id")
     sameResults(sql, api)
-    // tie case: query == b, entries 7 and 2 are both exact matches → cell 2
-    val tie = sql.selectExpr("pq.cell").as[Long].collect()
+    // tie case: query == b, entries 7 and 2 are both exact matches →
+    // cell 2 — asserted on BOTH paths (the SQL query must tie-break in
+    // the registered expression too, not just the DataFrame builder)
+    val sqlTie = spark.sql("SELECT pq_argmin(b, cb).cell AS cell FROM vcb")
+      .as[Long].collect()
     val apiTie = withCb.select(VectorKernels.pqArgmin(col("b"), col("cb")).as("pq"))
       .selectExpr("pq.cell").as[Long].collect()
-    assert(apiTie.forall(_ == 2L), "equal-d2 tie must resolve to the smallest cell")
-    assert(tie.nonEmpty)
+    assert(sqlTie.nonEmpty && sqlTie.forall(_ == 2L),
+      "SQL path: equal-d2 tie must resolve to the smallest cell")
+    assert(apiTie.nonEmpty && apiTie.forall(_ == 2L),
+      "DataFrame path: equal-d2 tie must resolve to the smallest cell")
   }
 
   test("simhash64 / minhash_band: SQL == DataFrame, NULL for unshingleable docs") {
@@ -96,5 +101,13 @@ class GraftSqlSpec extends AnyFunSuite {
       spark.sql("SELECT cosine_sim(array(1.0d)) ").collect()
     }
     assert(e.getMessage.contains("cosine_sim"))
+    // the error must be the ARITY check, not 'Undefined function' — a
+    // lost registration would also mention the name and mask the real
+    // regression behind this test's pass
+    assert(!e.getMessage.toLowerCase.contains("undefined function")
+      && !e.getMessage.contains("UNRESOLVED_ROUTINE"),
+      s"cosine_sim is not registered at all: ${e.getMessage}")
+    assert(e.getMessage.toLowerCase.matches("(?s).*(arity|argument|parameter).*"),
+      s"not an arity error: ${e.getMessage}")
   }
 }

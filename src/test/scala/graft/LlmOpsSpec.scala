@@ -51,6 +51,8 @@ class LlmOpsSpec extends AnyFunSuite {
       .map { case (a, b, c) => (a, b, math.rint(c * 1e6) / 1e6) }
       .toSeq
     val got = df.as[(Long, Long, Double)].collect().toSeq
+    assert(expected.nonEmpty,
+      "fixture has no pair above the threshold — spec is vacuous")
     assert(got == expected, s"got $got\nexpected $expected")
   }
 

@@ -43,18 +43,28 @@ class NanosPushdownSpec extends AnyFunSuite {
       .filter(col("ts") > lit_ts("2024-01-10 00:00:00") &&
         col("ts") < lit_ts("2024-01-20 00:00:00") &&
         col("event_type") === "click")
-    val plain = Tables.events(spark, dir)
+    // INDEPENDENT reference: eventsWhere filters in the RAW ts domain
+    // before any conversion, so it does not pass through the
+    // NanosRangePushdown rewrite under test — a bound-conversion bug
+    // cannot cancel out of both sides (a same-path `plain` comparison
+    // would be tautological)
+    val expect = Tables.eventsWhere(spark, dir)((ts, l) =>
+        ts > l("2024-01-10T00:00:00Z") && ts < l("2024-01-20T00:00:00Z"))
       .filter(col("event_type") === "click")
-      .filter(col("ts") > lit_ts("2024-01-10 00:00:00"))
-      .filter(col("ts") < lit_ts("2024-01-20 00:00:00"))
-    assert(q.count() == plain.count())
+    assert(q.count() > 0, "strict-range fixture selects nothing")
+    assert(q.count() == expect.count())
+    assert(q.exceptAll(expect).count() == 0)
     // the toString elides long PushedFilters lists; check the full
-    // formatted explain output instead
+    // formatted explain output instead — BOTH strict bounds pinned to
+    // their exact converted literals (> t → ≥ t·1000+1; < t → ≤ t·1000−1)
     val full = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    if (nanosVintage)
+    if (nanosVintage) {
       assert(full.contains("GreaterThanOrEqual(ts,1704844800000000001"), full)
-    else
+      assert(full.contains("LessThanOrEqual(ts,1705708799999999999"), full)
+    } else {
       assert(full.contains("GreaterThan(ts,"), full)
+      assert(full.contains("LessThan(ts,"), full)
+    }
   }
 }

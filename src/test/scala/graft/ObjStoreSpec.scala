@@ -281,7 +281,10 @@ class ObjStoreSpec extends AnyFunSuite {
       ObjStoreFs.crash = Some(pt)
       try s.compact("MSFT")
       catch { case _: ObjStoreFs.InjectedCrash => () }
-      ObjStoreFs.crash = None
+      // the armed point is one-shot (cleared when it fires) — a point
+      // that never fired means the fixture no longer produces that
+      // crash window and the recovery claim would pass vacuously
+      assert(ObjStoreFs.crash.isEmpty, s"crash point $pt never fired")
       s.vacuum(0L)
       assert(s("MSFT").collect().map(_.toSeq).toSet == content,
         s"crash point $pt corrupted the item")
@@ -345,7 +348,8 @@ class ObjStoreSpec extends AnyFunSuite {
       ObjStoreFs.crash = Some(pt)
       try s.compactBuckets("MSFT", maxFilesPerBucket = 1)
       catch { case _: ObjStoreFs.InjectedCrash => () }
-      ObjStoreFs.crash = None
+      assert(ObjStoreFs.crash.isEmpty,
+        s"bucket-swap crash point $pt never fired") // see item-swap loop
       s.vacuum(0L)
       assert(s("MSFT").collect().map(_.toSeq).toSet == content,
         s"bucket-swap crash point $pt corrupted the item")

@@ -14,8 +14,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle query has matching column names in queries map") {
-    // weak static check: oracleSql keys ⊆ queries keys
+  test("every oracleSql key has a queries implementation") {
+    // key-level check only — column-NAME parity between the Spark
+    // result and the DuckDB oracle is verified end-to-end by the
+    // driver's Verify/oracle compare (tools/oracle_check.py), which
+    // hash-compares name-sorted columns; it cannot be checked
+    // statically here without parsing SQL
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

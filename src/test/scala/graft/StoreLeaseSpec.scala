@@ -139,6 +139,16 @@ class StoreLeaseSpec extends AnyFunSuite {
       // there is legitimately nothing to renew (and possibly no
       // observation window at all)
       val outlived = opEnd.get() - opStart > 450
+      // the lease file must have been OBSERVED during the op — a lease
+      // mechanism that silently stopped creating files would otherwise
+      // pass through the first.isEmpty escape hatch (and the released
+      // check below would be trivially true on a never-created file).
+      // Gated on a 2 s op, not the 450 ms ttl: the 20 ms-poll watcher
+      // thread can be starved for one ttl under full-suite load, but
+      // missing EVERY poll across 2 s of a real lease means the file
+      // was genuinely never there.
+      assert(first.nonEmpty || opEnd.get() - opStart <= 2000,
+        s"op ran ${opEnd.get() - opStart} ms yet no lease file was ever observed at $p")
       assert(renewed || !outlived || first.isEmpty,
         s"op ran ${opEnd.get() - opStart} ms > ttl yet the lease never renewed")
       assert(!fs.exists(p), "released after the op despite renewals")

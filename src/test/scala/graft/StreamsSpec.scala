@@ -349,7 +349,13 @@ class StreamsSpec extends AnyFunSuite {
       ev.filter(expr(s"unix_micros(ts) >= ${cuts(0)} AND unix_micros(ts) < ${cuts(1)}")),
       ev.filter(expr(s"unix_micros(ts) >= ${cuts(1)} AND unix_micros(ts) < ${cuts(2)}")),
       ev.filter(expr(s"unix_micros(ts) >= ${cuts(2)}")))
-    parts.zipWithIndex.foreach { case (p, i) =>
+    // two-phase staging makes the checkpoint-resume claim FALSIFIABLE:
+    // only the first half is visible to run 1, so run 2 necessarily
+    // restores run 1's ring-buffer state from the checkpoint to score
+    // the second half — with everything staged upfront, a fast run 1
+    // could drain all four files before the kill landed and run 2
+    // would be a no-op, passing even with state restore broken
+    parts.zipWithIndex.take(2).foreach { case (p, i) =>
       p.coalesce(1).write.parquet(s"$stage/b$i")
       stampMtime(s"$stage/b$i", 1000000L + i * 100)
     }
@@ -359,8 +365,15 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
     runStaged(stage, out, chk, schema, Streams.zscoreOn, killEarly = true)
+    val afterKill = spark.read.parquet(out).count()
+    parts.zipWithIndex.drop(2).foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
     runStaged(stage, out, chk, schema, Streams.zscoreOn, killEarly = false)
     val streamed = spark.read.parquet(out)
+    assert(streamed.count() > afterKill,
+      "run 2 must process the late-staged input through restored state")
     val batch = SparkEntry.queries("ts_zscore")(spark, dir)
       .select("event_id", "user_id", "value", "n_window", "z")
     assert(streamed.count() == batch.count(), "resumed run must emit every event exactly once")
@@ -467,11 +480,15 @@ class StreamsSpec extends AnyFunSuite {
     val ev = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val n = ev.count()
-    (0 until 4).foreach { i =>
+    def stagePart(i: Int): Unit = {
       ev.filter(col("event_id") >= n * i / 4 && col("event_id") < n * (i + 1) / 4)
         .coalesce(1).write.parquet(s"$stage/b$i")
       stampMtime(s"$stage/b$i", 1000000L + i * 100)
     }
+    // two-phase staging: run 2 MUST restore the per-user totals from
+    // the checkpoint to extend them over the second half (see the
+    // zscore test for why all-upfront staging can pass vacuously)
+    (0 until 2).foreach(stagePart)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
@@ -479,7 +496,11 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
     runStaged(stage, out, chk, schema, Streams.customStateOn, killEarly = true)
+    val afterKill = spark.read.parquet(out).count()
+    (2 until 4).foreach(stagePart)
     runStaged(stage, out, chk, schema, Streams.customStateOn, killEarly = false)
+    assert(spark.read.parquet(out).count() > afterKill,
+      "run 2 must emit totals extended over the late-staged half")
     val streamed = spark.read.parquet(out)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
@@ -510,17 +531,25 @@ class StreamsSpec extends AnyFunSuite {
     // per-bucket-min oracle stays valid across ANY kill/restart point —
     // and a lost claimant would make the restarted run elect a new one
     // and diverge from it
-    (0 until 4).foreach { i =>
+    def stagePart(i: Int): Unit = {
       docs.filter(col("doc_id") >= n * i / 4 && col("doc_id") < n * (i + 1) / 4)
         .coalesce(1).write.parquet(s"$stage/b$i")
       stampMtime(s"$stage/b$i", 1000000L + i * 100)
     }
+    // two-phase staging: run 2 MUST restore the bucket-claimant state
+    // from the checkpoint to judge the second half's docs (see the
+    // zscore test for why all-upfront staging can pass vacuously)
+    (0 until 2).foreach(stagePart)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
     runStaged(stage, out, chk, schema, Streams.minhashDedupOn, killEarly = true)
+    val afterKill = spark.read.parquet(out).count()
+    (2 until 4).foreach(stagePart)
     runStaged(stage, out, chk, schema, Streams.minhashDedupOn, killEarly = false)
     val streamed = spark.read.parquet(out)
+    assert(streamed.count() > afterKill,
+      "run 2 must judge the late-staged docs through restored claimants")
     val (k, rpb) = (LlmOps.ShingleK, LlmOps.RowsPerBand)
     val sigs = docs.as[(Long, String)]
       .flatMap { case (id, t) => TextKernels.docBandKey(t, k, rpb).map((id, _)).iterator }
