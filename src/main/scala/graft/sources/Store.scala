@@ -509,30 +509,31 @@ class Store private[sources] (
     renewer.setDaemon(true)
     renewer.start()
     try body finally {
-      val wasRenewing = renewing.getAndSet(false)
+      renewing.set(false)
       renewer.interrupt()
       // JOIN before releasing: a renewer mid-tick could otherwise
       // re-create the lease file right after our delete, wedging the
       // item for every writer until the ttl lapses
       renewer.join(10000)
-      // release only our own lease: an expired-and-stolen one belongs
-      // to the thief and must not be deleted out from under it. One
-      // transient read failure must NOT skip the delete — that would
-      // orphan our freshly-renewed lease and wedge every contender for
-      // the rest of the TTL — so retry the read a few times; only a
+      // release iff the file CURRENTLY carries our uuid — the content
+      // check alone decides, NOT whether the renewer was still running
+      // (it legitimately stops itself inside the pre-expiry guard band
+      // while the lease is still live and ours; gating the delete on
+      // that would orphan the lease for the rest of the TTL — the bug
+      // the full-suite run caught). A foreign or vanished file belongs
+      // to a thief and is left alone. One transient read failure must
+      // NOT skip the delete either — retry a few times; only a
       // persistently unreadable lease is left for TTL expiry (deleting
       // blind could take out a thief who stole during the outage).
-      if (wasRenewing) {
-        var verdict: Option[Boolean] = None // Some(ours?) once a read lands
-        var tries = 0
-        while (verdict.isEmpty && tries < 5) {
-          tries += 1
-          verdict = content().map(_.startsWith(id))
-          if (verdict.isEmpty && !fs.exists(p)) verdict = Some(false) // already gone
-          if (verdict.isEmpty && tries < 5) Thread.sleep(100L * tries)
-        }
-        if (verdict.contains(true)) fs.delete(p, false)
+      var verdict: Option[Boolean] = None // Some(ours?) once a read lands
+      var tries = 0
+      while (verdict.isEmpty && tries < 5) {
+        tries += 1
+        verdict = content().map(_.startsWith(id))
+        if (verdict.isEmpty && !fs.exists(p)) verdict = Some(false) // already gone
+        if (verdict.isEmpty && tries < 5) Thread.sleep(100L * tries)
       }
+      if (verdict.contains(true)) fs.delete(p, false)
     }
   }
 
