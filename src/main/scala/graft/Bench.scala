@@ -226,6 +226,24 @@ object Bench {
     println(summary)
     println(line)
     println(summary)
+    // self-contained artifact: the stdout capture has repeatedly
+    // truncated the detail line (BENCH_r07–r09 recorded parsed:null),
+    // so the full result also lands as a file next to the repo root —
+    // one JSON object, written atomically via temp+move so a reader
+    // never sees a half-written file.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json"))
+      val tmp = java.nio.file.Files.createTempFile(
+        out.toAbsolutePath.getParent, ".bench_summary", ".tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
+    }
     // also emit on the raw fd: under `sbt runMain` the in-process
     // System.out is wrapped by sbt's logger, which prefixes "[info] " —
     // unparseable as bare JSON; /dev/stdout bypasses the wrapper.

@@ -224,10 +224,12 @@ object TextKernels {
     * token PAIR (separator-joined), never by concatenation: once
     * tokens are multi-character, "ab"+"c" and "a"+"bc" concatenate to
     * the same string but are different merges, and a concat-keyed
-    * table would apply one where the other was learned. A space cannot
-    * occur inside a space-split token, so the key is unambiguous.
+    * table would apply one where the other was learned. The NUL
+    * separator (written as the unicode escape for U+0000 so the source file
+    * stays text to git/grep) cannot occur inside a token, so the key
+    * is unambiguous.
     */
-  @inline def bpePairKey(a: String, b: String): String = a + ' ' + b
+  @inline def bpePairKey(a: String, b: String): String = a + '\u0000' + b
 
   /** BPE segmentation: start from single characters and repeatedly
     * apply the BEST-RANKED merge present anywhere in the token

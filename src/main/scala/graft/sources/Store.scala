@@ -895,16 +895,31 @@ class Store private[sources] (
   }
 
   /** The mutation gate shared by every writer entry point: an item
-    * whose crash markers still pend is in a HALF-MOVED state — an
-    * append could anti-join against the partial live dir and re-insert
-    * rows whose only copy sits in trash (duplicated on restore), and a
-    * rewrite would make the marker manifests ambiguous. Recovery's
-    * correctness rests on mutations being refused until [[vacuum]]
-    * finishes the interrupted op.
+    * whose crash RECOVERY MARKERS (`.swap-`/`.mid-`/`.del-`) still pend
+    * is in a HALF-MOVED state — an append could anti-join against the
+    * partial live dir and re-insert rows whose only copy sits in trash
+    * (duplicated on restore), and a rewrite would make the marker
+    * manifests ambiguous. Recovery's correctness rests on mutations
+    * being refused until [[vacuum]] finishes the interrupted op.
+    *
+    * Deliberately NARROWER than [[stagingEntries]]: a markerless
+    * `.tmp-`/`.old-` orphan is NOT a half-moved state — the protocol
+    * creates the swap marker before the first rename and deletes it
+    * only after the live dir is whole again, so an orphan without its
+    * marker means the live dir was never touched (a crash inside
+    * writeTmp, or debris whose op completed). Blocking on those wedged
+    * every later mutation behind one transient job failure until
+    * vacuum's age guard; now they are just storage debris for vacuum's
+    * orphan sweep.
     */
   private def requireNoPendingMarkers(key: String): Unit = {
     val k = validateKey(key)
-    if (stagingEntries(k).nonEmpty)
+    val recovery = Seq(".swap-", ".mid-", ".del-")
+    val pending = stagingEntries(k).filter { p =>
+      val n = p.getName
+      recovery.exists(t => n.startsWith(k + t))
+    }
+    if (pending.nonEmpty)
       throw new PendingRecoveryError(
         s"item $k has pending crash-recovery state in .staging " +
           "(an interrupted append/compact/drop/prune); run vacuum() " +
@@ -1175,6 +1190,12 @@ class Store private[sources] (
     val midMarker = new HPath(stagingRoot, s"$k.mid-$id")
     val trash = new HPath(stagingRoot, s"$k.old-$id")
     Store.activeStagingIds.add(id) // vacuum in this JVM must not touch us
+    // true once fs.rename MAY have moved live data: from just before
+    // the first rename call — except when that call returned a CLEAN
+    // false (the HDFS/file contract: nothing moved). A rename that
+    // THREW instead may have partially executed on a copy+delete
+    // filesystem, so it keeps the flag.
+    var liveTouched = false
     try {
       writeTmp(tmp.toString)
       // swap marker carries the manifest of the OLD live dir, mid
@@ -1182,14 +1203,32 @@ class Store private[sources] (
       // reconstruct the intended end state of either move exactly, even
       // where "rename" is a crash-prone per-object copy+delete
       writeUTF8(fs, swapMarker, renderMarker(p, manifestOf(p)))
-      if (!fs.rename(p, trash))
+      liveTouched = true
+      if (!fs.rename(p, trash)) {
+        liveTouched = false
         throw new java.io.IOException(s"rename $p -> $trash failed")
+      }
       writeUTF8(fs, midMarker, renderMarker(p, manifestOf(tmp)))
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"rename $tmp -> $p failed")
       fs.delete(trash, true)
       fs.delete(midMarker, false)
       fs.delete(swapMarker, false)
+    } catch {
+      case e: Throwable =>
+        // a THROWN failure with the live dir still intact — a Spark job
+        // failure inside writeTmp (executor OOM, transient FS error), a
+        // failed marker write, or a cleanly-refused first rename — is
+        // not a half-moved state: retire our own staging debris so one
+        // transient error does not wedge the item behind
+        // [[PendingRecoveryError]] until vacuum's age guard. Once the
+        // first rename may have moved anything, hands off — the markers
+        // are exactly what [[vacuum]] recovers from.
+        if (!liveTouched) {
+          try fs.delete(swapMarker, false) catch { case _: Throwable => () }
+          try fs.delete(tmp, true) catch { case _: Throwable => () }
+        }
+        throw e
     } finally Store.activeStagingIds.remove(id)
   }
 
@@ -1235,13 +1274,15 @@ class Store private[sources] (
     * [[compact]] rewrites the WHOLE item; on a multi-year time-series
     * store that is O(history) I/O to fix small files that only ever
     * accumulate in the buckets appends currently land in. This rewrites
-    * ONLY buckets whose data-file count exceeds `maxFilesPerBucket` —
-    * a rewrite TRIGGER, not an exact guarantee: the rewritten file
-    * count is the canonical ceil(rows / chunkRows) (± range-sampling
-    * skew), and buckets already within 2× of canonical are left alone
-    * so the op converges instead of re-rewriting a large bucket
-    * forever — each through the same two-marker crash-safe swap as
-    * [[compact]]
+    * ONLY buckets whose data-file count exceeds `maxFilesPerBucket`
+    * AND exceeds the canonical count ceil(rows / chunkRows) — the
+    * rewrite emits EXACTLY that canonical file count (per-file row
+    * capping off for this write, so range-sampling skew cannot split
+    * an extra file), which makes `dataFiles == canonicalFiles` an
+    * exact fixed point: a bucket too large to ever fit under
+    * `maxFilesPerBucket` is rewritten once and then skipped, never
+    * re-rewritten forever — each rewrite through the same two-marker
+    * crash-safe swap as [[compact]]
     * (the markers record the bucket path; [[vacuum]] finishes an
     * interrupted bucket swap without touching its siblings), so steady-
     * state maintenance cost tracks the append rate, not the item size.

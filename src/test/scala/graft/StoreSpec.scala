@@ -591,4 +591,69 @@ class StoreSpec extends AnyFunSuite {
     flat.write("MSFT", bars(10))
     intercept[SchemaError] { flat.compactBuckets("MSFT") }
   }
+
+  test("pending recovery markers gate every mutation; drop retires them; markerless orphans do not block") {
+    import graft.sources.PendingRecoveryError
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100))
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new HPath(dir, ".staging")
+    fs.mkdirs(staging)
+    // a crashed writer's swap marker (the exact state an interrupted
+    // stagedSwapFlat leaves): every mutation path must refuse with the
+    // distinct PendingRecoveryError naming the remedy
+    Store.writeUTF8(fs, new HPath(staging, "MSFT.swap-dead"), s"$dir/items/MSFT")
+    val e = intercept[PendingRecoveryError] { s.append("MSFT", bars(10)) }
+    assert(e.getMessage.contains("vacuum"), s"remedy not named: ${e.getMessage}")
+    intercept[PendingRecoveryError] { s.appendNewOnly("MSFT", bars(10)) }
+    intercept[PendingRecoveryError] { s.compact("MSFT") }
+    intercept[PendingRecoveryError] { s.compactBuckets("MSFT") }
+    intercept[PendingRecoveryError] {
+      s.prune("MSFT", Timestamp.valueOf("2015-03-01 00:00:00"))
+    }
+    assert(s("MSFT").count() == 100, "reads flow while mutations are gated")
+    // write()'s re-creation refusal: markers pending for an ABSENT key
+    // block creating it (recovery's no-clobber guarantee rests on this)
+    Store.writeUTF8(fs, new HPath(staging, "GONE.del-dead"), s"$dir/items/GONE")
+    intercept[PendingRecoveryError] { s.write("GONE", bars(10)) }
+    // drop() retires the markers with the item: re-creation succeeds
+    s.drop("MSFT")
+    assert(!fs.exists(new HPath(staging, "MSFT.swap-dead")), "drop must sweep markers")
+    s.write("MSFT", bars(50))
+    assert(s("MSFT").count() == 50)
+    // markerless .tmp-/.old- orphans are debris, NOT half-moved state
+    // (the swap marker exists before the first rename): they must not
+    // wedge writers — vacuum's age sweep owns them
+    fs.mkdirs(new HPath(staging, "MSFT.tmp-orphan"))
+    fs.mkdirs(new HPath(staging, "MSFT.old-orphan"))
+    s.appendNewOnly("MSFT", bars(60))
+    assert(s("MSFT").count() == 60)
+    // a marker for key "MSFT.X" must not gate key "MSFT" (dots are
+    // legal in keys; the match is exact, not prefix)
+    Store.writeUTF8(fs, new HPath(staging, "MSFT.X.swap-dead"), s"$dir/items/MSFT.X")
+    s.compact("MSFT")
+    assert(s("MSFT").count() == 60)
+  }
+
+  test("a transient job failure inside a staged swap cleans up after itself — no vacuum needed") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(100))
+    // a batch that fails at ACTION time (inside stagedSwapFlat's
+    // writeTmp), like an executor OOM or a flaky object store would:
+    // assert_true throws mid-job, after the swap marker may exist
+    val poison = bars(50, seed = 99)
+      .withColumn("open", expr("assert_true(open > 1e18)").cast("double"))
+    intercept[Exception] { s.append("MSFT", poison) }
+    // the failed op retired its own staging debris: the very next
+    // mutation runs WITHOUT any vacuum() in between
+    s.append("MSFT", bars(150))
+    assert(s("MSFT").count() == 150)
+    val staging = new java.io.File(dir, ".staging")
+    val leftovers = Option(staging.list()).fold(Seq.empty[String])(_.toSeq)
+      .filter(n => n.contains(".swap-") || n.contains(".mid-") || n.contains(".del-"))
+    assert(leftovers.isEmpty, s"recovery markers left behind: $leftovers")
+  }
 }
