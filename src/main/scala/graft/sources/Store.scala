@@ -298,6 +298,38 @@ object Store {
     }
   }
 
+  /** Read-only attach to an EXISTING store: loads the persisted
+    * schema/layout and builds a handle without creating anything on
+    * disk and without pinning any session conf — the entry point for
+    * metadata-only consumers like the `graft` DataSource V2 table
+    * provider ([[graft.sources.v2.GraftDataSource]]), where a path
+    * typo must fail fast instead of materializing an empty store the
+    * way [[open]]'s create-if-absent contract would. Reads through the
+    * returned handle are full-fidelity (bucket pruning, tz guard);
+    * WRITES through it still work but require the session to carry
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` (the
+    * per-write guard names the remedy) — writers should use [[open]],
+    * which pins it.
+    */
+  def attach(spark: SparkSession, basePath: String): Store = {
+    val raw = new HPath(basePath)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(raw)
+    val schemaPath = new HPath(base, SchemaFile)
+    if (!fs.exists(schemaPath))
+      throw new SchemaError(s"no graft store at $basePath (missing $SchemaFile)")
+    val persisted = readSchema(fs, schemaPath)
+    val layoutPath = new HPath(base, LayoutFile)
+    val layoutLines =
+      if (fs.exists(layoutPath))
+        readUTF8(fs, layoutPath).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty
+    new Store(spark, base, persisted,
+      bucket = layoutLines.headOption,
+      storeTz = layoutLines.drop(1).headOption.getOrElse("UTC"),
+      versioned = fs.exists(new HPath(base, VersionedMarker)))
+  }
+
   /** Index column first (TimestampType), then value columns, all
     * uppercased — the reference uppercases names at ingest
     * (store.py:159-160) and keys on disk (store.py:191).
@@ -1987,6 +2019,34 @@ class Store private[sources] (
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
       .drop(BucketCol)
       .select(outCols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Directory roots a time-range read of `key` must scan — the
+    * pruning decision of [[query]] exposed as metadata, for consumers
+    * that assemble their own scan (the DataSource V2 provider,
+    * [[graft.sources.v2.GraftDataSource]]). On a bucketed store this
+    * is the list of bucket directories whose zero-padded label falls
+    * inside the range (ALL bucket dirs when unbounded — returning the
+    * item dir instead would re-expose the internal `__bucket` column
+    * through partition discovery); on an unbucketed store, the item
+    * data dir. Bounds are inclusive, mirroring [[query]]; one
+    * directory LIST, no data I/O. Returns an empty seq when no bucket
+    * matches (an empty relation, not an error).
+    */
+  private[sources] def prunedRoots(
+      key: String,
+      start: Option[Timestamp],
+      end: Option[Timestamp]
+  ): Seq[HPath] = {
+    requireTzAligned()
+    val p = dataPath(key, mustExist = true)
+    bucketFmt match {
+      case Some(f) =>
+        val lo = start.map(bucketLabel(f, _))
+        val hi = end.map(bucketLabel(f, _))
+        bucketDirs(p)(b => lo.forall(b >= _) && hi.forall(b <= _))
+      case None => Seq(p)
+    }
   }
 
   /** Multi-key union read (at-scale extension; the reference reads one

@@ -1,0 +1,209 @@
+package graft.sources.v2
+
+import graft.sources.{SchemaError, Store}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** SQL/catalog front door for Store items: a DataSource V2 table
+  * provider registered as format `graft`, so ANY Spark binding — SQL,
+  * Python, R — can read an item as a table with the same pruning the
+  * Scala `store.query(...)` helper applies:
+  *
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("item", "EVENTS").load("/path/to/store")
+  *
+  *   CREATE TABLE events USING graft
+  *     OPTIONS (path '/path/to/store', item 'EVENTS');
+  *   SELECT * FROM events WHERE TS BETWEEN '...' AND '...';
+  * }}}
+  *
+  * Why it exists: reading the item's parquet directory directly
+  * (`spark.read.parquet(itemPath)`) silently loses bucket-directory
+  * pruning — the range predicate is on the TIME column, while the
+  * directories are named by the derived `__bucket` string only
+  * `Store.query` knew to translate into. This provider does that
+  * translation inside the Spark pushdown contract: range filters on
+  * the index column reach [[GraftScanBuilder]] via
+  * `SupportsPushDownFilters`, are mapped to the store's zero-padded
+  * bucket-label range, and the scan is assembled over ONLY the
+  * matching bucket directories (plus the same filters pushed on to
+  * parquet row-group stats) — `SELECT … WHERE ts BETWEEN` prunes
+  * directories before any file I/O, exactly like `store.query`
+  * (`Store.scala` query/prunedRoots; reference contract
+  * oakstore/store.py:255-264 generalized to the SQL surface).
+  *
+  * Read-only by design: mutation goes through the Store API, whose
+  * append/dedup/crash-safety semantics (old-wins dedup, staged swaps,
+  * leases) are richer than SQL INSERT could express — an INSERT fails
+  * with Spark's standard "table does not support append" error.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def basePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    if (p == null || p.isEmpty)
+      throw new SchemaError(
+        "graft source requires a store path: .load(\"/store\") or OPTIONS (path '/store')")
+    p
+  }
+
+  private def itemKey(options: CaseInsensitiveStringMap): String = {
+    val k = options.get("item")
+    if (k == null || k.isEmpty)
+      throw new SchemaError(
+        "graft source requires an item key: .option(\"item\", \"EVENTS\") " +
+          "or OPTIONS (item 'EVENTS')")
+    k
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val store = Store.attach(spark, basePath(options))
+    store.validateKey(itemKey(options)) // fail fast on an invalid key
+    store.schema
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val store = Store.attach(spark, basePath(options))
+    val key = store.validateKey(itemKey(options))
+    // a catalog-persisted schema (CREATE TABLE round-trip) must agree
+    // with the store's source of truth — a store whose schema changed
+    // out from under the catalog entry fails loudly, never reads
+    // misaligned columns
+    if (schema != null && schema.length > 0 && schema.json != store.schema.json)
+      throw new SchemaError(
+        s"table schema ${schema.catalogString} does not match the store's " +
+          s"persisted schema ${store.schema.catalogString} at ${basePath(options)}")
+    new GraftTable(store, key)
+  }
+}
+
+/** One Store item as a DSv2 table. Existence is checked lazily at scan
+  * build (the catalog may hold entries for items created later).
+  */
+class GraftTable(store: Store, key: String) extends Table with SupportsRead {
+  override def name(): String = s"graft.`${store.base}`.$key"
+  override def schema(): StructType = store.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(store, key, options)
+}
+
+/** Pushdown → pruning translation. `pushFilters` keeps every filter as
+  * a residual (Spark re-applies them after the scan — bucket pruning
+  * and row-group stats are PERFORMANCE layers, exactness never depends
+  * on them), while the accepted set drives two scan-time decisions:
+  *
+  *  - index-column range bounds → bucket-directory pruning
+  *    ([[Store.prunedRoots]]): the scan's file index is built over only
+  *    the matching bucket dirs, so out-of-range directories are never
+  *    even LISTed for files;
+  *  - the same filters ride into the parquet scan's `pushedFilters`,
+  *    where row-group min/max stats skip non-matching groups inside
+  *    the surviving files (the store writes INT64-micros timestamps
+  *    precisely so these stats exist).
+  *
+  * Column pruning (`SupportsPushDownRequiredColumns`) flows into the
+  * parquet ReadSchema — a 2-column projection of a wide item decodes 2
+  * columns. The heavy lifting — vectorized parquet reading, whole-stage
+  * codegen compatibility, split planning — is delegated to Spark's own
+  * [[ParquetScan]], assembled over the pruned file index: this provider
+  * adds knowledge, not a reader.
+  */
+class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = store.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies, pushdown is never load-bearing
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Inclusive [start, end] bounds on the index column implied by the
+    * pushed filters. Conjunctions tighten; anything else (Or, Not,
+    * non-index columns) contributes nothing — pruning stays a superset
+    * of the true result, the residual filters make it exact. Filter
+    * values arrive as [[java.sql.Timestamp]] (default) or
+    * [[java.time.Instant]] (datetimeJava8API); both are handled.
+    */
+  private def tsBounds(filters: Seq[Filter]): (Option[Timestamp], Option[Timestamp]) = {
+    val idx = store.indexName
+    def ts(v: Any): Option[Timestamp] = v match {
+      case t: java.sql.Timestamp => Some(t)
+      case i: java.time.Instant => Some(Timestamp.from(i))
+      case _ => None
+    }
+    def later(a: Option[Timestamp], b: Option[Timestamp]): Option[Timestamp] =
+      (a ++ b).reduceOption((x, y) => if (x.after(y)) x else y)
+    def earlier(a: Option[Timestamp], b: Option[Timestamp]): Option[Timestamp] =
+      (a ++ b).reduceOption((x, y) => if (x.before(y)) x else y)
+    def one(f: Filter): (Option[Timestamp], Option[Timestamp]) = f match {
+      case GreaterThan(c, v) if c.equalsIgnoreCase(idx) => (ts(v), None)
+      case GreaterThanOrEqual(c, v) if c.equalsIgnoreCase(idx) => (ts(v), None)
+      case LessThan(c, v) if c.equalsIgnoreCase(idx) => (None, ts(v))
+      case LessThanOrEqual(c, v) if c.equalsIgnoreCase(idx) => (None, ts(v))
+      case EqualTo(c, v) if c.equalsIgnoreCase(idx) => (ts(v), ts(v))
+      case And(l, r) =>
+        val (ll, lh) = one(l); val (rl, rh) = one(r)
+        (later(ll, rl), earlier(lh, rh))
+      case _ => (None, None)
+    }
+    filters.map(one).foldLeft((Option.empty[Timestamp], Option.empty[Timestamp])) {
+      case ((lo, hi), (l, h)) => (later(lo, l), earlier(hi, h))
+    }
+  }
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val (start, end) = tsBounds(pushed.toIndexedSeq)
+    // the pruning decision: LIST only the bucket dirs the bounds allow
+    val roots = store.prunedRoots(key, start, end)
+    val caseInsensitiveMap = new CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap[String, String]())
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fileIndex = new InMemoryFileIndex(
+      classic,
+      roots.toIndexedSeq,
+      Map.empty[String, String],
+      Some(store.schema),
+      FileStatusCache.getOrCreate(classic))
+    ParquetScan(
+      classic,
+      classic.sessionState.newHadoopConf(),
+      fileIndex,
+      dataSchema = store.schema,
+      readDataSchema = required,
+      readPartitionSchema = new StructType(),
+      pushedFilters = pushed,
+      options = caseInsensitiveMap)
+  }
+}

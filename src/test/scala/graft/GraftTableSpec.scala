@@ -1,0 +1,171 @@
+package graft
+
+import graft.sources.{SchemaError, Store}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** The `graft` DataSource V2 table provider: Store items readable as
+  * tables from SQL/any binding, with index-range predicates translated
+  * into the SAME bucket-directory pruning `store.query` applies — the
+  * pruning is asserted on the PLAN (which directories the scan's file
+  * index holds), not inferred from timings, and results are checked
+  * bit-equal to the Scala API.
+  */
+class GraftTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  def bars(n: Int, seed: Long = 7): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val t0 = java.time.LocalDate.parse("2015-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    var px = 100.0
+    (0 until n).map { i =>
+      px = math.max(1.0, px + rnd.nextGaussian())
+      (Timestamp.from(t0.plusDays(i).toInstant), px, px + 1, px - 1, px, 1000L + i)
+    }.toDF("date", "open", "high", "low", "close", "volume")
+  }
+
+  def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+
+  /** The ParquetScans of a materialized DataFrame's final plan. */
+  def parquetScans(df: DataFrame): Seq[ParquetScan] = {
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    strip(root).collect { case b: BatchScanExec => b.scan }.collect {
+      case ps: ParquetScan => ps
+    }
+  }
+
+  def bucketDirNames(ps: ParquetScan): Set[String] =
+    ps.fileIndex.rootPaths.map(_.getName).toSet
+
+  test("range read prunes to exactly the matching bucket dirs, pushes row-group filters, and is bit-equal to store.query") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 2015-01-01 .. 2015-04-10 → 4 month buckets
+    val t0 = "2015-02-01 00:00:00"
+    val t1 = "2015-03-01 00:00:00"
+
+    val df = spark.read.format("graft").option("item", "msft").load(dir)
+      .where($"DATE" >= t0 && $"DATE" <= t1)
+    // bit-equality with the Scala API (same rows, same values)
+    val api = s.query("MSFT", Some(Timestamp.valueOf(t0)), Some(Timestamp.valueOf(t1)))
+    assert(df.count() == 29)
+    assert(df.exceptAll(api).count() == 0 && api.exceptAll(df).count() == 0)
+
+    // plan-asserted pruning: the scan's file index holds ONLY the two
+    // bucket dirs the range touches — 2015-01 and 2015-04 were never
+    // listed for files, let alone read
+    val scans = parquetScans(df)
+    assert(scans.size == 1, s"expected one parquet scan, got ${scans.size}")
+    assert(bucketDirNames(scans.head) ==
+      Set("__bucket=2015-02", "__bucket=2015-03"))
+    // and the same range rides into parquet row-group pushdown
+    val pushedStr = scans.head.pushedFilters.mkString(";")
+    assert(pushedStr.contains("GreaterThanOrEqual(DATE") &&
+      pushedStr.contains("LessThanOrEqual(DATE"), s"pushed: $pushedStr")
+  }
+
+  test("SQL front door: CREATE TABLE USING graft + WHERE BETWEEN prunes dirs and prunes columns") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100))
+    spark.sql("DROP TABLE IF EXISTS graft_msft")
+    spark.sql(
+      s"CREATE TABLE graft_msft USING graft OPTIONS (path '$dir', item 'MSFT')")
+    try {
+      val df = spark.sql(
+        "SELECT OPEN, CLOSE FROM graft_msft " +
+          "WHERE DATE BETWEEN '2015-02-01' AND '2015-03-01'")
+      val api = s.query("MSFT",
+        Some(Timestamp.valueOf("2015-02-01 00:00:00")),
+        Some(Timestamp.valueOf("2015-03-01 00:00:00")),
+        columns = Some(Seq("OPEN", "CLOSE")))
+      assert(df.exceptAll(api).count() == 0 && api.exceptAll(df).count() == 0)
+      val scans = parquetScans(df)
+      assert(scans.size == 1)
+      assert(bucketDirNames(scans.head) ==
+        Set("__bucket=2015-02", "__bucket=2015-03"))
+      // column pruning reaches the parquet ReadSchema: the residual
+      // filter needs DATE, the projection needs OPEN/CLOSE — the other
+      // three columns are never decoded
+      val read = scans.head.readDataSchema.fieldNames.toSet
+      assert(read == Set("DATE", "OPEN", "CLOSE"), s"ReadSchema: $read")
+
+      // an unbounded scan reads every bucket (and nothing breaks)
+      assert(spark.sql("SELECT count(*) FROM graft_msft").as[Long].head() == 100)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_msft")
+  }
+
+  test("strict bounds, equality, and half-open ranges prune correctly") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100))
+    val base = spark.read.format("graft").option("item", "MSFT").load(dir)
+
+    // strict > on a mid-bucket instant: bucket containing it must stay
+    val strict = base.where($"DATE" > "2015-03-15 00:00:00")
+    assert(strict.count() ==
+      s.query("MSFT").where($"DATE" > "2015-03-15 00:00:00").count())
+    assert(bucketDirNames(parquetScans(strict).head) ==
+      Set("__bucket=2015-03", "__bucket=2015-04"))
+
+    // equality pins one bucket
+    val eq = base.where($"DATE" === "2015-02-10 00:00:00")
+    assert(eq.count() == 1)
+    assert(bucketDirNames(parquetScans(eq).head) == Set("__bucket=2015-02"))
+
+    // a range entirely outside the data is an empty relation, not an error
+    val none = base.where($"DATE" >= "2030-01-01")
+    assert(none.count() == 0)
+  }
+
+  test("unbucketed stores read through the provider; row-group pushdown still applies") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir) // flat layout, no buckets
+    s.write("MSFT", bars(50))
+    val df = spark.read.format("graft").option("item", "MSFT").load(dir)
+      .where($"DATE" <= "2015-01-10 00:00:00")
+    assert(df.count() == 10)
+    val api = s.query("MSFT", None, Some(Timestamp.valueOf("2015-01-10 00:00:00")))
+    assert(df.exceptAll(api).count() == 0 && api.exceptAll(df).count() == 0)
+    assert(parquetScans(df).head.pushedFilters.mkString.contains("LessThanOrEqual(DATE"))
+  }
+
+  test("failure modes: missing store, missing item, tz drift") {
+    // a path with no store must fail fast, not materialize an empty one
+    val empty = tmpDir()
+    intercept[SchemaError] {
+      spark.read.format("graft").option("item", "X").load(empty + "/nope")
+    }
+    assert(!new java.io.File(empty + "/nope").exists(),
+      "a read attempt must not create a store")
+
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(10))
+    // unknown item: fails at scan planning with the store's own error
+    val df = spark.read.format("graft").option("item", "NOPE").load(dir)
+    intercept[Exception] { df.collect() }
+
+    // bucketed reads under a drifted session timezone must refuse —
+    // bucket labels were rendered under the store tz
+    val ok = spark.read.format("graft").option("item", "MSFT").load(dir)
+      .where($"DATE" >= "2015-01-05")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try intercept[Exception] { ok.collect() }
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert(ok.count() == 6, "aligned session reads again")
+  }
+}
