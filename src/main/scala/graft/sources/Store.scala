@@ -357,6 +357,30 @@ object Store {
     } finally in.close()
   }
 
+  /** Diagnostic view of one item's lease-log directory (protocol at
+    * [[Store!.withLease]]): the (uuid, expiryEpochMillis) of the
+    * highest parseable slot entry — None when no lease was ever taken.
+    * A RELEASED lease reads ("-", 0): released is a sentinel slot, not
+    * an absent directory, because deleting the max entry would let two
+    * contenders disagree about the next slot number.
+    */
+  def leaseState(fs: FileSystem, leaseDir: HPath): Option[(String, Long)] = {
+    val entries =
+      try fs.listStatus(leaseDir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.length > 1 && n.charAt(0) == 'e')
+          scala.util.Try(n.substring(1).toLong).toOption.map(_ -> s.getPath)
+        else None
+      } catch { case _: java.io.IOException => Seq.empty }
+    entries.sortBy(-_._1).iterator.flatMap { case (_, p) =>
+      try {
+        val lines = readUTF8(fs, p).split("\n")
+        lines.lift(1).flatMap(e => scala.util.Try(e.trim.toLong).toOption)
+          .map(exp => (lines.head.trim, exp))
+      } catch { case _: Throwable => None }
+    }.nextOption()
+  }
+
   /** Single-stream create-and-close: on object stores the object only
     * becomes visible at close, which makes each marker/metadata write
     * all-or-nothing — the property the swap protocol leans on.
@@ -428,113 +452,159 @@ class Store private[sources] (
   }
 
   /** Opt-in CROSS-JVM writer mutual exclusion (`writerLease = true` at
-    * [[Store$.open]]): one lease file per item under `.lease/`, taken
-    * by an exclusive create (`overwrite = false`) and released by the
-    * holder's delete. Content is `<uuid>\n<expiryEpochMillis>`; a lease
-    * whose expiry passed is STOLEN (deleted and re-contended), so a
-    * writer that died mid-op never wedges the item — the TTL
-    * (`-Dgraft.store.lease.ttlMs`, default 1 h, matching [[vacuum]]'s
-    * age guard) bounds the outage. Contending writers poll until
-    * `-Dgraft.store.lease.waitMs` (default 60 s), then fail loudly.
+    * [[Store$.open]]), as a SLOT LOG: each item's lease is a directory
+    * `.lease/<KEY>/` of immutable numbered entries `e<seq>`, content
+    * `<uuid>\n<expiryEpochMillis>`. The lease state is always the
+    * HIGHEST-numbered entry; EVERY transition — acquire, steal of an
+    * expired lease, renew, release — is performed by creating entry
+    * `seq+1` with `create(overwrite = false)`, so contention for any
+    * transition is arbitrated by atomic exclusive create and NOTHING is
+    * ever deleted during contention (superseded entries are garbage-
+    * collected only after a higher slot exists, which every reader's
+    * max-seq rule already prefers). Release writes a `-\n0` sentinel
+    * slot rather than deleting — a deleted max entry would let two
+    * contenders disagree about which slot number is next.
     *
-    * While the op runs, a daemon thread RENEWS the lease every ttl/4 —
-    * the TTL is a crashed-writer detector, not a bound on how long a
-    * mutation may take; only a writer that stops renewing (process
-    * death, or a pause longer than the TTL) loses the lease.
+    * Why the log shape: the previous protocol stole an expired lease by
+    * delete-then-create, and two stealers deciding in the same instant
+    * could both proceed (the delete of one could remove the other's
+    * FRESH lease — a TOCTOU a plain filesystem cannot close without a
+    * conditional delete). In the log protocol that race is gone BY
+    * CONSTRUCTION: both stealers target the same next slot and exactly
+    * one create wins; the loser re-reads and sees a live foreign lease.
+    * The same argument covers a renewer racing a thief (both target
+    * `seq+1`) and a release racing a late renewal.
     *
-    * Exactness contract, stated honestly: mutual exclusion against a
-    * LIVE (unexpired, renewing) holder is EXACT where
-    * create-no-overwrite is atomic (HDFS; object stores with
-    * conditional PUT wired into their connector) and best-effort
-    * elsewhere (raw `file:` check-then-create, object stores without
-    * If-None-Match). Stealing an EXPIRED lease is delete-then-create
-    * with a re-read immediately before the delete plus a post-create
-    * confirmation read — two stealers deciding in the same instant can
-    * still both proceed, a residue only a server-side conditional
-    * delete could close. Every mutation is already safe against that
-    * residue: appends are idempotent anti-joins, swaps are
-    * manifest-guarded, versioned commits are last-writer-wins pointer
-    * PUTs. Expiry compares the LOCAL clock to the writer's stamp — the
-    * usual lease caveat about clock skew applies; keep TTL ≫ skew.
+    * Exactness contract: mutual exclusion against a live holder is
+    * EXACT wherever `create(overwrite = false)` is atomic — HDFS, and
+    * object stores whose connector maps it to a conditional
+    * (If-None-Match) PUT — and best-effort where create is
+    * check-then-act (raw local `file:`; the in-JVM window there is
+    * closed separately by the per-item locks, and the residual
+    * cross-process window is microseconds). StoreLeaseSpec proves the
+    * exact case: an injected FileSystem whose exclusive create IS
+    * atomic runs a many-contender steal stress with an invariant
+    * single-holder counter. The inherent lease caveats remain: expiry
+    * compares the local clock to the writer's stamp (keep TTL ≫ clock
+    * skew), and a holder paused longer than its TTL between renewer
+    * ticks can believe it holds for up to one tick after losing — the
+    * residue every lease design shares unless the protected resource
+    * itself validates tokens.
+    *
+    * TTL `-Dgraft.store.lease.ttlMs` (default 1 h, matching [[vacuum]]'s
+    * age guard) bounds the outage a crashed holder causes; contenders
+    * poll until `-Dgraft.store.lease.waitMs` (default 60 s) then fail
+    * loudly, naming the remedy. A daemon thread renews every ttl/4
+    * while the op runs — the TTL is a crashed-writer detector, not a
+    * bound on op duration. An unparseable max entry (torn write, or a
+    * pre-log-vintage lease FILE at the dir's path) is neither held nor
+    * expired: contenders wait to their deadline and fail loudly; the
+    * named remedy is deleting the corrupt entry.
     */
-  private def withLease[T](k: String)(body: => T): T = {
-    val p = new HPath(leaseRoot, k)
+  private[graft] def withLease[T](k: String)(body: => T): T = {
+    val dir = new HPath(leaseRoot, k)
     val id = java.util.UUID.randomUUID().toString
     val ttl = sys.props.get("graft.store.lease.ttlMs").map(_.toLong)
       .getOrElse(3600000L)
     val wait = sys.props.get("graft.store.lease.waitMs").map(_.toLong)
       .getOrElse(60000L)
     val deadline = System.currentTimeMillis() + wait
-    fs.mkdirs(leaseRoot)
     def stamp(): String = s"$id\n${System.currentTimeMillis() + ttl}"
-    def content(): Option[String] =
-      try Some(readUTF8(fs, p)) catch { case _: Throwable => None }
-    var held = false
-    while (!held) {
-      val now = System.currentTimeMillis()
-      held =
+    def entryName(seq: Long): String = f"e$seq%019d"
+    def seqOf(name: String): Option[Long] =
+      if (name.length > 1 && name.charAt(0) == 'e')
+        scala.util.Try(name.substring(1).toLong).toOption
+      else None
+    // (seq, uuid, expiry) of the max entry; expiry None = torn/garbage.
+    // A read failure on the max entry usually means a newer slot landed
+    // and GC removed this one — re-LIST (never re-read blind), bounded.
+    def state(): Option[(Long, String, Option[Long])] = {
+      var tries = 0
+      while (true) {
+        tries += 1
+        val entries =
+          try fs.listStatus(dir).flatMap(s =>
+            seqOf(s.getPath.getName).map(_ -> s.getPath))
+          catch { case _: java.io.IOException => Array.empty[(Long, HPath)] }
+        if (entries.isEmpty) return None
+        val (mx, p) = entries.maxBy(_._1)
         try {
-          writeUTF8(fs, p, stamp(), overwrite = false)
-          // confirmation read: a contender acting on a stale expiry
-          // observation may have deleted our fresh lease already — only
-          // proceed while the file still carries our uuid. A FAILED
-          // read is not evidence of that (the create just succeeded):
-          // treating it as loss would orphan our own lease and wedge
-          // every writer until the ttl lapses.
-          content().forall(_.startsWith(id))
+          val lines = readUTF8(fs, p).split("\n")
+          return Some((mx, lines.headOption.getOrElse("").trim,
+            lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)))
         } catch {
-          case _: java.io.IOException =>
-            val seen = content()
-            val expiry = seen.flatMap(c =>
-              try c.split("\n").lift(1).map(_.trim.toLong)
-              catch { case _: Throwable => None }) // torn: re-contend
-            if (expiry.exists(_ <= now)) {
-              // expired: steal — but re-read first and delete only the
-              // exact content the expiry decision was made on, so a
-              // fresh lease created between our read and our delete
-              // survives
-              if (content() == seen) fs.delete(p, false)
-            } else if (now >= deadline)
-              throw new java.io.IOException(
-                s"item $k: writer lease $p held by another process" +
-                  expiry.fold("")(e => s" (expires $e)") +
-                  s"; gave up after $wait ms — raise -Dgraft.store.lease.waitMs to wait longer")
-            else Thread.sleep(math.max(1L, math.min(100L, deadline - now)))
-            false
+          case _: Throwable if tries < 5 => Thread.sleep(20L * tries)
+          case _: Throwable => return Some((mx, "", None)) // torn: wait path
         }
+      }
+      None // unreachable
     }
-    // renewal daemon: rewrite the expiry while the op runs. Three rules
-    // keep it from ever harming another writer's lease:
-    //  - a SUCCESSFUL read showing foreign content stops renewal for
-    //    good (stolen after a pause; release must then leave it alone);
-    //  - a successful read showing our own content ALREADY EXPIRED also
-    //    stops — rewriting it would resurrect exactly the state a thief
-    //    is entitled to steal, clobbering a live thief mid-steal;
-    //  - a FAILED read (transient FS error) is neither: retry next tick
-    //    rather than concluding theft and silently dropping exclusion.
+    def claim(seq: Long, content: String): Boolean =
+      try {
+        fs.mkdirs(dir)
+        writeUTF8(fs, new HPath(dir, entryName(seq)), content, overwrite = false)
+        true
+      } catch { case _: java.io.IOException => false }
+    // sweep superseded entries — only ever called by the CURRENT slot
+    // holder, and only for seqs below its own, so no reader's max is
+    // affected (a reader catching a deleted entry re-lists)
+    def gc(current: Long): Unit =
+      try fs.listStatus(dir).foreach { s =>
+        seqOf(s.getPath.getName).foreach { q =>
+          if (q < current) fs.delete(s.getPath, false)
+        }
+      } catch { case _: Throwable => () }
+
+    var heldSeq = -1L
+    while (heldSeq < 0) {
+      val now = System.currentTimeMillis()
+      state() match {
+        case None =>
+          // no entries: claim the first slot. A persistent claim
+          // failure with an EMPTY log is not a lost race — e.g. a
+          // pre-log-vintage lease FILE occupying the dir's path — so
+          // the deadline applies here too, with the same loud failure.
+          if (claim(1L, stamp())) heldSeq = 1L
+          else if (now >= deadline)
+            throw new java.io.IOException(
+              s"item $k: cannot create lease log at $dir (no entries, yet the " +
+                s"first-slot claim keeps failing — a pre-log lease file or a " +
+                s"permission problem?); gave up after $wait ms")
+          else Thread.sleep(math.max(1L, math.min(50L, deadline - now)))
+        case Some((seq, _, exp)) if exp.exists(_ <= now) =>
+          // expired (or released sentinel): steal = claim the next slot.
+          // Two stealers, or a stealer racing a late renewal, all
+          // target seq+1 — exactly one wins, no deletes involved.
+          if (claim(seq + 1, stamp())) heldSeq = seq + 1
+        case Some((seq, _, exp)) =>
+          // live foreign lease (or torn entry: neither held nor
+          // expired — never steal what we cannot judge)
+          if (now >= deadline)
+            throw new java.io.IOException(
+              s"item $k: writer lease $dir/${entryName(seq)} held by another process" +
+                exp.fold(" (entry unparseable — delete it if its writer is known dead)")(
+                  e => s" (expires $e)") +
+                s"; gave up after $wait ms — raise -Dgraft.store.lease.waitMs to wait longer")
+          else Thread.sleep(math.max(1L, math.min(100L, deadline - now)))
+      }
+    }
+    gc(heldSeq)
+    // renewal daemon: claim a fresh slot every ttl/4 while the op runs.
+    // Renewing THROUGH the log means a renewal can never resurrect a
+    // stolen lease: if a thief claimed the slot first, our claim fails
+    // and the next read shows foreign content — stop for good.
     val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
     val renewer = new Thread(() => {
       val interval = math.max(50L, ttl / 4)
       while (renewing.get()) {
         try Thread.sleep(interval) catch { case _: InterruptedException => () }
-        if (renewing.get()) content() match {
-          case None => () // transient read failure: retry next tick
-          case Some(c) if c.startsWith(id) =>
-            val expiryMs = (try c.split("\n").lift(1).map(_.trim.toLong)
-              catch { case _: Throwable => None }).getOrElse(0L)
-            // stop not at expiry but one full tick BEFORE it: the
-            // read-then-overwrite below is a TOCTOU against a thief's
-            // guarded steal, and a plain FS has no compare-and-swap to
-            // close it. Requiring a full interval of headroom at the
-            // last instant before the write means a pause (GC, FS
-            // stall) must span > ttl/4 between these two adjacent
-            // statements for a renew to land on a stolen lease —
-            // versus "any pause before expiry" without the guard.
-            if (expiryMs - System.currentTimeMillis() <= interval)
-              renewing.set(false) // too close to stealable: hands off
-            else try writeUTF8(fs, p, stamp())
-            catch { case _: Throwable => () } // next tick retries
+        if (renewing.get()) state() match {
+          case Some((seq, uuid, _)) if uuid == id =>
+            if (claim(seq + 1, stamp())) gc(seq + 1)
+          // claim failed: a thief (after our expiry) or our own release
+          // won the slot; the next tick's read resolves which
           case Some(_) => renewing.set(false) // stolen: stop touching it
+          case None => () // transient listing failure: retry next tick
         }
       }
     }, s"graft-lease-renew-$k")
@@ -543,29 +613,23 @@ class Store private[sources] (
     try body finally {
       renewing.set(false)
       renewer.interrupt()
-      // JOIN before releasing: a renewer mid-tick could otherwise
-      // re-create the lease file right after our delete, wedging the
-      // item for every writer until the ttl lapses
       renewer.join(10000)
-      // release iff the file CURRENTLY carries our uuid — the content
-      // check alone decides, NOT whether the renewer was still running
-      // (it legitimately stops itself inside the pre-expiry guard band
-      // while the lease is still live and ours; gating the delete on
-      // that would orphan the lease for the rest of the TTL — the bug
-      // the full-suite run caught). A foreign or vanished file belongs
-      // to a thief and is left alone. One transient read failure must
-      // NOT skip the delete either — retry a few times; only a
-      // persistently unreadable lease is left for TTL expiry (deleting
-      // blind could take out a thief who stole during the outage).
-      var verdict: Option[Boolean] = None // Some(ours?) once a read lands
+      // release: claim a released sentinel ON TOP of our slot. A
+      // renewer thread blocked past the join window may still claim
+      // one more slot — each iteration below either lands the sentinel
+      // after it or observes a foreign max and stops; the claims are
+      // create-arbitrated, so no interleaving wedges the item.
+      var done = false
       var tries = 0
-      while (verdict.isEmpty && tries < 5) {
+      while (!done && tries < 20) {
         tries += 1
-        verdict = content().map(_.startsWith(id))
-        if (verdict.isEmpty && !fs.exists(p)) verdict = Some(false) // already gone
-        if (verdict.isEmpty && tries < 5) Thread.sleep(100L * tries)
+        state() match {
+          case Some((seq, uuid, _)) if uuid == id =>
+            if (claim(seq + 1, "-\n0")) { gc(seq + 1); done = true }
+            else if (tries < 20) Thread.sleep(50)
+          case _ => done = true // stolen or gone: not ours to release
+        }
       }
-      if (verdict.contains(true)) fs.delete(p, false)
     }
   }
 

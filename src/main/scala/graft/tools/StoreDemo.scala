@@ -107,11 +107,15 @@ object StoreDemo {
       index = Some("TS"), writerLease = true)
     lstore.write("events", events)
     lstore.appendNewOnly("events", events)
-    val leaseClear = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(baseDir + "-leased", ".lease", "EVENTS"))
+    // the lease log's max slot carries the "-" released sentinel once
+    // the holder let go (slots are claimed, never deleted, so release
+    // is a sentinel entry rather than an absent file)
+    val leaseHp = new org.apache.hadoop.fs.Path(baseDir + "-leased", ".lease/EVENTS")
+    val leaseFs = leaseHp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseClear = Store.leaseState(leaseFs, leaseHp).forall(_._1 == "-")
     println(
       s"[demo] leased store: rows=${lstore("events").count()} " +
-        s"(each mutation held a cross-JVM .lease/EVENTS file; " +
+        s"(each mutation claimed a cross-JVM .lease/EVENTS slot; " +
         s"released after: $leaseClear)")
 
     spark.stop()

@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.Store
+import org.apache.spark.sql.SparkSession
+
+/** The SECOND JVM of the two-process crash/lease integration tests
+  * (TwoProcessSpec). Forked via ProcessBuilder on the sbt test
+  * classpath; each mode drives a real Store op and then either parks
+  * (to be hard-killed by the parent) or halts itself at an injected
+  * point — real process death, not a thrown exception, so the parent
+  * proves the recovery protocols against the genuine on-disk state a
+  * dead writer leaves.
+  *
+  * Modes:
+  *  - `hold <storeDir> <key> <flagFile>` — acquire the item's writer
+  *    lease, touch the flag file, park forever (renewer keeps the
+  *    lease live until the parent kills the process).
+  *  - `swapcrash <objstoreDir> <key>` — run compact() over the
+  *    objstore:// filesystem with a crash armed INSIDE the live→trash
+  *    rename's delete phase; the armed crash calls Runtime.halt(42),
+  *    so the JVM dies mid-copy+delete leaving a genuinely split
+  *    directory.
+  */
+object CrashChild {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-crash-child")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args(0) match {
+      case "hold" =>
+        val Array(_, dir, key, flag) = args
+        val s = Store.open(spark, dir, writerLease = true)
+        s.withLease(key) {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(flag), "HELD".getBytes("UTF-8"))
+          Thread.sleep(3600000L) // parked: the parent hard-kills us
+        }
+      case "swapcrash" =>
+        val Array(_, dir, key) = args
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+        val s = Store.open(spark, dir) // existing store: persisted schema
+        // die inside the live→trash move-out, after _SUCCESS plus one
+        // data file were already deleted from the live dir — the
+        // half-moved state only a copy+delete "rename" can produce
+        ObjStoreFs.crash = Some(ObjStoreFs.Crash(
+          s"items/$key", phase = "delete", afterFiles = 2, halt = true))
+        s.compact(key)
+        // reaching here means the crash never fired — loud failure
+        System.err.println("CrashChild: compact completed, crash never armed/matched")
+        sys.exit(1)
+      case other =>
+        System.err.println(s"CrashChild: unknown mode $other")
+        sys.exit(2)
+    }
+  }
+}

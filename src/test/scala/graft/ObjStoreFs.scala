@@ -72,6 +72,10 @@ class ObjStoreFs extends RawLocalFileSystem {
           !src.toUri.getPath.contains(c.srcExcludes) && c.phase == phase &&
           n == c.afterFiles) {
         ObjStoreFs.crash = None // one-shot, like the process death it models
+        // halt = REAL process death (no finally blocks, no cleanup —
+        // the two-process crash spec uses this in a forked child JVM);
+        // otherwise model it as a thrown error inside one JVM
+        if (c.halt) Runtime.getRuntime.halt(42)
         throw new ObjStoreFs.InjectedCrash(
           s"injected crash: rename of $src died in $phase phase after $n files")
       }
@@ -125,7 +129,7 @@ object ObjStoreFs {
     */
   @volatile var crash: Option[Crash] = None
   final case class Crash(srcContains: String, phase: String, afterFiles: Int,
-      srcExcludes: String = "_temporary")
+      srcExcludes: String = "_temporary", halt: Boolean = false)
   final class InjectedCrash(msg: String) extends java.io.IOException(msg)
 
   def reset(): Unit = { renames.clear(); crash = None }

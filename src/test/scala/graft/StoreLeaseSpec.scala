@@ -1,16 +1,82 @@
 package graft
 
 import graft.sources.Store
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FSDataOutputStream, Path => HPath, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
 import java.sql.Timestamp
 
-/** The opt-in cross-JVM writer lease (`writerLease = true`): exclusive
-  * create + TTL + steal-on-expiry, one lease file per item under
-  * `.lease/`. The JVM-wide per-item locks already serialize writers
-  * inside one driver; the lease is the other-JVM story, so these tests
-  * impersonate a foreign writer by planting lease files by hand.
+/** Test-only local FileSystem whose `create(overwrite = false)` is
+  * genuinely ATOMIC (java.nio `Files.createFile` = O_CREAT|O_EXCL),
+  * unlike RawLocalFileSystem's check-then-act. This is the filesystem
+  * class the lease protocol's exactness contract names — HDFS, or an
+  * object store whose connector maps exclusive create to a conditional
+  * PUT — so the steal-race stress below PROVES mutual exclusion rather
+  * than relying on a narrow local-FS window. Registered under
+  * `atomicfs://` via `fs.atomicfs.impl`.
+  */
+class AtomicFs extends RawLocalFileSystem {
+  override def getScheme: String = "atomicfs"
+  override def getUri: URI = AtomicFs.SchemeUri
+
+  /** Same materialized-FileStatus trick as ObjStoreFs: the lazy
+    * permission probe dies on non-file scheme URIs.
+    */
+  private def solid(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      FsPermission.getDirDefault, "graft", "graft", st.getPath)
+
+  override def getFileStatus(f: HPath): FileStatus = solid(super.getFileStatus(f))
+  override def listStatus(f: HPath): Array[FileStatus] =
+    super.listStatus(f).map(solid)
+
+  /** O_EXCL-create the file first, atomically, then open it for
+    * writing; only the thread whose createFile won proceeds.
+    */
+  private def exclusiveTouch(f: HPath): Unit = {
+    val file = pathToFile(f)
+    Option(file.getParentFile).foreach(_.mkdirs())
+    try java.nio.file.Files.createFile(file.toPath) // atomic O_EXCL
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"$f already exists")
+    }
+  }
+
+  // BOTH public create overloads must be covered: RawLocalFileSystem's
+  // (Path, boolean, ...) overload does NOT funnel through the
+  // permission one, and FileSystem.create(Path, boolean) lands there.
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite) exclusiveTouch(f)
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite) exclusiveTouch(f)
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  }
+}
+
+object AtomicFs {
+  val SchemeUri: URI = URI.create("atomicfs:///")
+}
+
+/** The opt-in cross-JVM writer lease (`writerLease = true`), a slot
+  * LOG under `.lease/<KEY>/`: every transition (acquire, steal, renew,
+  * release) claims slot entry `e<seq+1>` by exclusive create; state is
+  * the highest entry; release is a `-\n0` sentinel slot. The JVM-wide
+  * per-item locks already serialize writers inside one driver; the
+  * lease is the other-JVM story, so these tests impersonate a foreign
+  * writer by planting slot entries by hand.
   */
 class StoreLeaseSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
@@ -36,21 +102,35 @@ class StoreLeaseSpec extends AnyFunSuite {
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
-  def leasePath(base: HPath, key: String): HPath =
+  def leaseDir(base: HPath, key: String): HPath =
     new HPath(new HPath(base, ".lease"), key)
+
+  def slot(fs: FileSystem, dir: HPath, seq: Long, content: String): Unit =
+    Store.writeUTF8(fs, new HPath(dir, f"e$seq%019d"), content)
+
+  /** (uuid, expiry) of the current max slot; None = never leased. */
+  def state(fs: FileSystem, dir: HPath): Option[(String, Long)] =
+    Store.leaseState(fs, dir)
+
+  def released(fs: FileSystem, dir: HPath): Boolean =
+    state(fs, dir).forall(_._1 == "-")
 
   test("mutations acquire and release the lease; the store works end to end with leasing on") {
     val dir = freshDir()
     val (fs, base) = hfs(dir)
     val s = Store.open(spark, dir, writerLease = true)
     s.write("MSFT", bars(100))
+    assert(released(fs, leaseDir(base, "MSFT")), "released after write")
     s.appendNewOnly("MSFT", bars(150))
     s.compact("MSFT")
     assert(s("MSFT").count() == 150)
-    // every op released its lease on the way out
-    assert(!fs.exists(leasePath(base, "MSFT")))
+    // every op released its lease (sentinel slot, uuid "-") on the way out
+    assert(released(fs, leaseDir(base, "MSFT")))
+    // and at most two slot entries survive (current + none below after GC)
+    val entries = fs.listStatus(leaseDir(base, "MSFT")).map(_.getPath.getName)
+    assert(entries.length <= 2, s"GC must bound the log: ${entries.toSeq}")
     s.drop("MSFT")
-    assert(!fs.exists(leasePath(base, "MSFT")))
+    assert(released(fs, leaseDir(base, "MSFT")))
   }
 
   test("a live foreign lease blocks writers until it expires; the failure names the remedy") {
@@ -58,8 +138,8 @@ class StoreLeaseSpec extends AnyFunSuite {
     val (fs, base) = hfs(dir)
     val s = Store.open(spark, dir, writerLease = true)
     s.write("MSFT", bars(100))
-    // a foreign writer holds the lease for another hour
-    Store.writeUTF8(fs, leasePath(base, "MSFT"),
+    // a foreign writer holds the current slot for another hour
+    slot(fs, leaseDir(base, "MSFT"), 10,
       s"other-writer\n${System.currentTimeMillis() + 3600000L}")
     System.setProperty("graft.store.lease.waitMs", "300")
     try {
@@ -67,39 +147,56 @@ class StoreLeaseSpec extends AnyFunSuite {
       assert(e.getMessage.contains("lease"), s"unhelpful error: ${e.getMessage}")
       assert(s("MSFT").count() == 100, "blocked writer must not have mutated")
     } finally System.clearProperty("graft.store.lease.waitMs")
-    // the foreign holder's lease survived the failed contender
-    assert(fs.exists(leasePath(base, "MSFT")))
+    // the foreign holder's slot survived the failed contender
+    assert(state(fs, leaseDir(base, "MSFT")).exists(_._1 == "other-writer"))
   }
 
-  test("an expired foreign lease is stolen: the op proceeds and leaves no lease behind") {
+  test("an expired foreign lease is stolen by claiming the NEXT slot — the stale entry is never deleted first") {
     val dir = freshDir()
     val (fs, base) = hfs(dir)
     val s = Store.open(spark, dir, writerLease = true)
     s.write("MSFT", bars(100))
-    // a writer that died an hour ago
-    Store.writeUTF8(fs, leasePath(base, "MSFT"),
+    // a writer that died an hour ago, at slot 7
+    slot(fs, leaseDir(base, "MSFT"), 7,
       s"dead-writer\n${System.currentTimeMillis() - 3600000L}")
     s.appendNewOnly("MSFT", bars(150))
     assert(s("MSFT").count() == 150)
-    assert(!fs.exists(leasePath(base, "MSFT")))
+    // the op stole via slot 8 and released via slot 9
+    assert(released(fs, leaseDir(base, "MSFT")))
+    val maxSeq = fs.listStatus(leaseDir(base, "MSFT")).map(_.getPath.getName)
+      .filter(_.startsWith("e")).map(_.drop(1).toLong).max
+    assert(maxSeq == 9, s"steal must extend the log past slot 7, got max $maxSeq")
   }
 
-  test("a torn lease file (no expiry line) is re-contended, not wedged") {
+  test("a torn max slot is neither held nor expired: fail loudly, never steal blind") {
     val dir = freshDir()
     val (fs, base) = hfs(dir)
     val s = Store.open(spark, dir, writerLease = true)
     s.write("MSFT", bars(100))
-    Store.writeUTF8(fs, leasePath(base, "MSFT"), "garbage-without-expiry")
-    // unparseable = neither held nor expired: the contender polls to
-    // its deadline and fails loudly rather than stealing what it cannot
-    // judge or proceeding as if unguarded
+    slot(fs, leaseDir(base, "MSFT"), 3, "garbage-without-expiry")
     System.setProperty("graft.store.lease.waitMs", "300")
     try intercept[java.io.IOException](s.appendNewOnly("MSFT", bars(150)))
     finally System.clearProperty("graft.store.lease.waitMs")
-    // operator remedy: remove the corrupt lease, writes flow again
-    fs.delete(leasePath(base, "MSFT"), false)
+    // operator remedy: remove the corrupt entry, writes flow again
+    fs.delete(new HPath(leaseDir(base, "MSFT"), f"e${3L}%019d"), false)
     s.appendNewOnly("MSFT", bars(150))
     assert(s("MSFT").count() == 150)
+  }
+
+  test("a pre-log-vintage lease FILE at the dir path wedges loudly, not silently") {
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true)
+    s.write("MSFT", bars(50))
+    fs.delete(leaseDir(base, "MSFT"), true)
+    // an old-binary lease file occupies the path the log dir needs
+    Store.writeUTF8(fs, leaseDir(base, "MSFT"), "old-writer\n123")
+    System.setProperty("graft.store.lease.waitMs", "300")
+    try intercept[java.io.IOException](s.appendNewOnly("MSFT", bars(60)))
+    finally System.clearProperty("graft.store.lease.waitMs")
+    fs.delete(leaseDir(base, "MSFT"), false)
+    s.appendNewOnly("MSFT", bars(60))
+    assert(s("MSFT").count() == 60)
   }
 
   test("the lease is RENEWED while an op outlives its ttl — ttl is a death detector, not an op bound") {
@@ -117,12 +214,12 @@ class StoreLeaseSpec extends AnyFunSuite {
         opEnd.set(System.currentTimeMillis()); done.set(true)
       })
       t.start()
-      // watch the lease file while the op runs: its expiry must move
-      // forward (renewal), never lapse into stealable-expired
-      val p = leasePath(base, "MSFT")
+      // watch the lease log while the op runs: the max slot's expiry
+      // must move forward (renewal claims fresh slots), never lapse
+      // into stealable-expired
+      val d = leaseDir(base, "MSFT")
       def expiry: Option[Long] =
-        try Store.readUTF8(fs, p).split("\n").lift(1).map(_.trim.toLong)
-        catch { case _: Throwable => None }
+        state(fs, d).filter(_._1 != "-").map(_._2)
       var first: Option[Long] = None
       val deadline = System.currentTimeMillis() + 10000
       while (first.isEmpty && System.currentTimeMillis() < deadline && !done.get())
@@ -134,24 +231,15 @@ class StoreLeaseSpec extends AnyFunSuite {
       }
       t.join(30000)
       assert(done.get(), "compact must complete")
-      // renewal is only REQUIRED when the op actually outlived the
-      // ttl — a warm compact can finish inside 400 ms, in which case
-      // there is legitimately nothing to renew (and possibly no
-      // observation window at all)
+      // renewal is only REQUIRED when the op actually outlived the ttl
       val outlived = opEnd.get() - opStart > 450
-      // the lease file must have been OBSERVED during the op — a lease
-      // mechanism that silently stopped creating files would otherwise
-      // pass through the first.isEmpty escape hatch (and the released
-      // check below would be trivially true on a never-created file).
-      // Gated on a 2 s op, not the 450 ms ttl: the 20 ms-poll watcher
-      // thread can be starved for one ttl under full-suite load, but
-      // missing EVERY poll across 2 s of a real lease means the file
-      // was genuinely never there.
+      // the lease must have been OBSERVED during a long op (see the
+      // round-8 note: a silently-absent lease would pass vacuously)
       assert(first.nonEmpty || opEnd.get() - opStart <= 2000,
-        s"op ran ${opEnd.get() - opStart} ms yet no lease file was ever observed at $p")
+        s"op ran ${opEnd.get() - opStart} ms yet no live lease was ever observed at $d")
       assert(renewed || !outlived || first.isEmpty,
         s"op ran ${opEnd.get() - opStart} ms > ttl yet the lease never renewed")
-      assert(!fs.exists(p), "released after the op despite renewals")
+      assert(released(fs, d), "released after the op despite renewals")
       assert(s("MSFT").count() == 100)
     } finally System.clearProperty("graft.store.lease.ttlMs")
   }
@@ -163,5 +251,55 @@ class StoreLeaseSpec extends AnyFunSuite {
     s.write("MSFT", bars(100))
     s.compact("MSFT")
     assert(!fs.exists(new HPath(base, ".lease")))
+  }
+
+  test("EXACT steal race under atomic exclusive create: many contenders, never two holders") {
+    // route the whole store (control plane only — no parquet runs here)
+    // through AtomicFs, whose create(overwrite=false) is O_EXCL-atomic:
+    // the filesystem class the protocol's exactness contract names.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.atomicfs.impl", classOf[AtomicFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-lease-atomic")
+    val dir = "atomicfs://" + local.toString
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true)
+    // an expired foreign lease: every contender is entitled to steal it
+    slot(fs, leaseDir(base, "RACE"), 1,
+      s"dead-writer\n${System.currentTimeMillis() - 3600000L}")
+    System.setProperty("graft.store.lease.waitMs", "30000")
+    try {
+      val contenders = 8
+      val active = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+      val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to contenders).map { _ =>
+        new Thread(() => {
+          try {
+            s.withLease("RACE") {
+              val now = active.incrementAndGet()
+              maxActive.updateAndGet(m => math.max(m, now))
+              Thread.sleep(25) // widen any violation window
+              active.decrementAndGet()
+              completed.incrementAndGet()
+            }
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(errors.isEmpty, s"contenders failed: ${errors.asScala().map(_.getMessage)}")
+      assert(completed.get() == contenders, s"only ${completed.get()}/$contenders finished")
+      assert(maxActive.get() == 1,
+        s"MUTUAL EXCLUSION VIOLATED: ${maxActive.get()} concurrent holders")
+      assert(released(fs, leaseDir(base, "RACE")), "last holder released")
+    } finally System.clearProperty("graft.store.lease.waitMs")
+  }
+
+  implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
+    def asScala(): Seq[Throwable] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.toSeq
+    }
   }
 }

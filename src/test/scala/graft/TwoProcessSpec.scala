@@ -1,0 +1,157 @@
+package graft
+
+import graft.sources.{PendingRecoveryError, Store}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** TRUE cross-process proof of the cross-JVM claims: a real second JVM
+  * (forked on the sbt test classpath) acquires a lease / starts a swap
+  * and is HARD-KILLED — `destroyForcibly` from outside, or
+  * `Runtime.halt` at an injected rename crash point — then THIS
+  * process observes, steals, and vacuums. Everything the in-process
+  * suites simulate with thrown exceptions (ObjStoreSpec) or planted
+  * files (StoreLeaseSpec) is exercised here across genuine process
+  * death: no finally blocks ran in the child, no shared JVM state
+  * helped.
+  */
+class TwoProcessSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = TestSpark.session
+    s.sparkContext.hadoopConfiguration
+      .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+    s
+  }
+  import spark.implicits._
+
+  def bars(n: Int, seed: Long = 31): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val t0 = java.time.LocalDate.parse("2021-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    (0 until n).map { i =>
+      (Timestamp.from(t0.plusDays(i).toInstant),
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        1000L + rnd.nextInt(1000))
+    }.toDF("date", "open", "high", "low", "close", "volume")
+  }
+
+  def hfs(p: String): (FileSystem, HPath) = {
+    val hp = new HPath(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  /** Fork `CrashChild` with this JVM's module flags + classpath. The
+    * child's stdio lands in a temp log that is printed on failure.
+    */
+  def forkChild(childArgs: Seq[String], extraJvm: Seq[String]): (Process, java.io.File) = {
+    import scala.jdk.CollectionConverters._
+    val rt = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toVector
+    val jvmArgs = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < rt.length) {
+        val a = rt(i)
+        if (a == "--add-opens" && i + 1 < rt.length) { b += a += rt(i + 1); i += 2 }
+        else if (a.startsWith("--add-opens")) { b += a; i += 1 }
+        else i += 1
+      }
+      b.result()
+    }
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val log = java.io.File.createTempFile("graft-child", ".log")
+    val cmd = Seq(javaBin) ++ jvmArgs ++ extraJvm ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"), "graft.CrashChild") ++ childArgs
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    (pb.start(), log)
+  }
+
+  def tail(log: java.io.File): String =
+    try new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8").takeRight(3000)
+    catch { case _: Throwable => "<no log>" }
+
+  test("a lease held by a LIVE foreign process blocks this one; hard kill -> TTL lapse -> steal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-2proc-lease").toString
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true)
+    s.write("MSFT", bars(100))
+    val flag = java.nio.file.Files.createTempDirectory("graft-2proc").resolve("held")
+    // child takes the lease with a 3 s TTL and renews every ~750 ms
+    val (proc, log) = forkChild(
+      Seq("hold", dir, "MSFT", flag.toString),
+      Seq("-Dgraft.store.lease.ttlMs=3000"))
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!java.nio.file.Files.exists(flag) &&
+             System.currentTimeMillis() < deadline && proc.isAlive)
+        Thread.sleep(100)
+      assert(java.nio.file.Files.exists(flag),
+        s"child never acquired the lease; log:\n${tail(log)}")
+
+      // the child is ALIVE and renewing: this process must block and
+      // then fail loudly — across real process boundaries, not threads
+      System.setProperty("graft.store.lease.waitMs", "1500")
+      val e = intercept[java.io.IOException](s.appendNewOnly("MSFT", bars(150)))
+      assert(e.getMessage.contains("lease"), s"wrong failure: ${e.getMessage}")
+      assert(s("MSFT").count() == 100)
+
+      // kill -9: no release runs in the child. Renewals stop, the 3 s
+      // TTL lapses, and this process steals by claiming the next slot.
+      proc.destroyForcibly()
+      proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(!proc.isAlive, "child must be dead")
+      System.setProperty("graft.store.lease.waitMs", "30000")
+      s.appendNewOnly("MSFT", bars(150)) // steals within the wait budget
+      assert(s("MSFT").count() == 150)
+      assert(Store.leaseState(fs,
+        new HPath(new HPath(base, ".lease"), "MSFT")).exists(_._1 == "-"),
+        "this process released after the stolen op")
+    } finally {
+      System.clearProperty("graft.store.lease.waitMs")
+      proc.destroyForcibly()
+    }
+  }
+
+  test("a swap killed MID-RENAME in another process (halt, objstore semantics) is vacuumed exactly here") {
+    val dir = "objstore://" +
+      java.nio.file.Files.createTempDirectory("graft-2proc-swap").toString
+    // small chunkRows => several data files in the live dir, so the
+    // child's injected delete-phase crash (after 2 files: _SUCCESS +
+    // one data file) leaves the live dir genuinely MISSING data whose
+    // only complete copy sits in trash — the state per-file restore
+    // exists for
+    val s = Store.open(spark, dir, chunkRows = 50)
+    s.write("MSFT", bars(120))
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    assert(before.size == 120)
+
+    val (proc, log) = forkChild(Seq("swapcrash", dir, "MSFT"), Seq.empty)
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"child did not finish; log:\n${tail(log)}")
+    assert(proc.exitValue() == 42,
+      s"child must die AT the injected halt (exit 42), got ${proc.exitValue()}; log:\n${tail(log)}")
+
+    // the dead writer's markers gate mutations in this process...
+    intercept[PendingRecoveryError] { s.append("MSFT", bars(10)) }
+    // ...and vacuum(0) (safe: the only other writer is provably dead)
+    // rolls the half-moved live dir back byte-complete
+    s.vacuum(0L)
+    val after = s("MSFT").collect().map(_.toSeq).toSet
+    assert(after == before, "rows must survive a mid-rename process death exactly")
+    // the item is writable again, and no recovery debris remains
+    s.appendNewOnly("MSFT", bars(130))
+    assert(s("MSFT").count() == 130)
+    val (fs, base) = hfs(dir)
+    val staging = new HPath(base, ".staging")
+    val leftovers =
+      if (!fs.exists(staging)) Seq.empty
+      else fs.listStatus(staging).map(_.getPath.getName).toSeq
+    assert(leftovers.isEmpty, s"staging debris left: $leftovers")
+  }
+}
