@@ -115,13 +115,30 @@ object Streams {
     */
   def runToBatch(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val before = s.conf.getOption("spark.sql.shuffle.partitions")
+    // stateful operators create one STATE STORE per shuffle partition,
+    // and every micro-batch commits a checkpoint delta per store — at
+    // 32 shuffle partitions that is 32 HDFS-state-store commits per
+    // batch of fixed overhead, dwarfing the actual aggregation on
+    // bench-scale inputs. Pin the streaming drive to 8 state
+    // partitions: state volume per query here is thousands of keys
+    // (windows × types, sessions × users), where 8 stores are plenty;
+    // a production 24/7 deployment sizes shuffle.partitions to its key
+    // cardinality instead. Restored after the drain — the conf is
+    // read at stream START, so the scoped set cannot leak into
+    // concurrently PLANNED batch queries (Spark snapshots the conf per
+    // query execution), only into streams started inside this window —
+    // and all graft streaming drives funnel through here.
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally before.foreach(s.conf.set("spark.sql.shuffle.partitions", _))
     s.table(name)
   }
 
