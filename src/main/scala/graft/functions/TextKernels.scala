@@ -224,12 +224,16 @@ object TextKernels {
     * token PAIR (separator-joined), never by concatenation: once
     * tokens are multi-character, "ab"+"c" and "a"+"bc" concatenate to
     * the same string but are different merges, and a concat-keyed
-    * table would apply one where the other was learned. The NUL
-    * separator (written as the unicode escape for U+0000 so the source file
-    * stays text to git/grep) cannot occur inside a token, so the key
-    * is unambiguous.
+    * table would apply one where the other was learned. The separator
+    * is a SPACE because that is the one character that provably cannot
+    * occur inside a token here: every token reaching this key comes
+    * from [[wsTokens]]' space-split (and BPE sub-segments thereof). A
+    * NUL separator — the previous choice — was actually WEAKER: split
+    * removes only spaces, so a binary-contaminated document can put a
+    * literal NUL inside a token and alias two different merges to one
+    * key (besides making this source file binary to git/grep).
     */
-  @inline def bpePairKey(a: String, b: String): String = a + '\u0000' + b
+  @inline def bpePairKey(a: String, b: String): String = a + ' ' + b
 
   /** BPE segmentation: start from single characters and repeatedly
     * apply the BEST-RANKED merge present anywhere in the token

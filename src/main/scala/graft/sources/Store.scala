@@ -252,11 +252,7 @@ object Store {
               s"conflicting schema ${r.catalogString} requested"
           )
       }
-      val layoutLines =
-        if (fs.exists(layoutPath))
-          readUTF8(fs, layoutPath).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-        else Seq.empty
-      val persistedBucket = layoutLines.headOption
+      val (persistedBucket, storeTz, persistedVersioned) = readLayout(fs, base)
       bucket.foreach { b =>
         if (!persistedBucket.contains(b))
           throw new SchemaError(
@@ -265,10 +261,7 @@ object Store {
       }
       // timezone guard: bucket directory names were rendered under the
       // creating session's timezone — a different one would silently
-      // prune the wrong directories. Stores from before the tz line was
-      // persisted carried the then-hard-coded UTC invariant, so a
-      // missing line means UTC, not "skip the check".
-      val storeTz = layoutLines.drop(1).headOption.getOrElse("UTC")
+      // prune the wrong directories.
       if (persistedBucket.isDefined && storeTz != sessionTz)
         throw new SchemaError(
           s"store at $basePath was bucketed under timezone '$storeTz'; " +
@@ -279,7 +272,6 @@ object Store {
       // versioned store), but explicitly requesting versioned semantics
       // on a flat store must fail — the caller is relying on atomic
       // pointer swaps the flat layout cannot provide
-      val persistedVersioned = fs.exists(new HPath(base, VersionedMarker))
       if (versioned && !persistedVersioned)
         throw new SchemaError(
           s"store at $basePath was created with the flat item layout; " +
@@ -319,15 +311,29 @@ object Store {
     if (!fs.exists(schemaPath))
       throw new SchemaError(s"no graft store at $basePath (missing $SchemaFile)")
     val persisted = readSchema(fs, schemaPath)
+    val (bucket, storeTz, versioned) = readLayout(fs, base)
+    new Store(spark, base, persisted,
+      bucket = bucket, storeTz = storeTz, versioned = versioned)
+  }
+
+  /** The ONE reader of a store's persisted layout — (bucket, storeTz,
+    * versioned) — shared by [[open]] and [[attach]] so the parsing and
+    * defaulting rules can never diverge between the write-side and the
+    * read-only entry points. A missing layout file means unbucketed; a
+    * missing timezone line means the pre-tz vintage's hard-coded UTC
+    * invariant (NOT "skip the check"); versioned-ness is the marker
+    * file's existence.
+    */
+  private def readLayout(
+      fs: FileSystem, base: HPath): (Option[String], String, Boolean) = {
     val layoutPath = new HPath(base, LayoutFile)
-    val layoutLines =
+    val lines =
       if (fs.exists(layoutPath))
         readUTF8(fs, layoutPath).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       else Seq.empty
-    new Store(spark, base, persisted,
-      bucket = layoutLines.headOption,
-      storeTz = layoutLines.drop(1).headOption.getOrElse("UTC"),
-      versioned = fs.exists(new HPath(base, VersionedMarker)))
+    (lines.headOption,
+      lines.drop(1).headOption.getOrElse("UTC"),
+      fs.exists(new HPath(base, VersionedMarker)))
   }
 
   /** Index column first (TimestampType), then value columns, all
@@ -515,29 +521,49 @@ class Store private[sources] (
       if (name.length > 1 && name.charAt(0) == 'e')
         scala.util.Try(name.substring(1).toLong).toOption
       else None
-    // (seq, uuid, expiry) of the max entry; expiry None = torn/garbage.
+    // The lease view MUST distinguish "no lease exists" from "I could
+    // not look": a transient listStatus failure read as an empty log
+    // would let a contender claim slot 1 while a foreign holder is
+    // live at a higher slot (e1 is long GC'd in steady state) — a
+    // silent mutual-exclusion violation. NoLease is only concluded
+    // from a SUCCESSFUL listing (or the dir genuinely missing);
+    // everything else is Unknown, which every caller treats like a
+    // live foreign lease: wait and retry, never act.
+    sealed trait View
+    case object NoLease extends View
+    case object Unknown extends View
+    case class Cur(seq: Long, uuid: String, exp: Option[Long]) extends View
+    // Cur.exp None = torn/garbage entry (neither held nor expired).
     // A read failure on the max entry usually means a newer slot landed
     // and GC removed this one — re-LIST (never re-read blind), bounded.
-    def state(): Option[(Long, String, Option[Long])] = {
+    def state(): View = {
       var tries = 0
       while (true) {
         tries += 1
         val entries =
           try fs.listStatus(dir).flatMap(s =>
             seqOf(s.getPath.getName).map(_ -> s.getPath))
-          catch { case _: java.io.IOException => Array.empty[(Long, HPath)] }
-        if (entries.isEmpty) return None
-        val (mx, p) = entries.maxBy(_._1)
-        try {
-          val lines = readUTF8(fs, p).split("\n")
-          return Some((mx, lines.headOption.getOrElse("").trim,
-            lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)))
-        } catch {
-          case _: Throwable if tries < 5 => Thread.sleep(20L * tries)
-          case _: Throwable => return Some((mx, "", None)) // torn: wait path
+          catch {
+            case _: java.io.FileNotFoundException =>
+              return NoLease // dir never created: genuinely no lease
+            case _: java.io.IOException if tries < 5 =>
+              Thread.sleep(20L * tries); null
+            case _: java.io.IOException => return Unknown
+          }
+        if (entries != null) {
+          if (entries.isEmpty) return NoLease
+          val (mx, p) = entries.maxBy(_._1)
+          try {
+            val lines = readUTF8(fs, p).split("\n")
+            return Cur(mx, lines.headOption.getOrElse("").trim,
+              lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption))
+          } catch {
+            case _: Throwable if tries < 5 => Thread.sleep(20L * tries)
+            case _: Throwable => return Cur(mx, "", None) // torn: wait path
+          }
         }
       }
-      None // unreachable
+      Unknown // unreachable
     }
     def claim(seq: Long, content: String): Boolean =
       try {
@@ -555,37 +581,51 @@ class Store private[sources] (
         }
       } catch { case _: Throwable => () }
 
+    // every blocked acquire path — live holder, torn entry, failed
+    // claim, unreadable log — funnels through one deadline-guarded
+    // wait, so no branch can busy-spin and no branch can out-wait the
+    // contract silently
+    def waitOrFail(now: Long, why: String): Unit =
+      if (now >= deadline)
+        throw new java.io.IOException(
+          s"item $k: $why; gave up after $wait ms — raise " +
+            "-Dgraft.store.lease.waitMs to wait longer")
+      else Thread.sleep(math.max(1L, math.min(100L, deadline - now)))
+
     var heldSeq = -1L
     while (heldSeq < 0) {
       val now = System.currentTimeMillis()
       state() match {
-        case None =>
+        case NoLease =>
           // no entries: claim the first slot. A persistent claim
           // failure with an EMPTY log is not a lost race — e.g. a
           // pre-log-vintage lease FILE occupying the dir's path — so
           // the deadline applies here too, with the same loud failure.
           if (claim(1L, stamp())) heldSeq = 1L
-          else if (now >= deadline)
-            throw new java.io.IOException(
-              s"item $k: cannot create lease log at $dir (no entries, yet the " +
-                s"first-slot claim keeps failing — a pre-log lease file or a " +
-                s"permission problem?); gave up after $wait ms")
-          else Thread.sleep(math.max(1L, math.min(50L, deadline - now)))
-        case Some((seq, _, exp)) if exp.exists(_ <= now) =>
+          else waitOrFail(now,
+            s"cannot create lease log at $dir (no entries, yet the first-slot " +
+              "claim keeps failing — a pre-log lease file or a permission problem?)")
+        case Cur(seq, _, exp) if exp.exists(_ <= now) =>
           // expired (or released sentinel): steal = claim the next slot.
           // Two stealers, or a stealer racing a late renewal, all
-          // target seq+1 — exactly one wins, no deletes involved.
+          // target seq+1 — exactly one wins, no deletes involved. A
+          // FAILED claim here is usually a lost race (loop re-reads),
+          // but a persistent failure (quota, permissions) must fail
+          // loudly at the deadline, not spin hot forever.
           if (claim(seq + 1, stamp())) heldSeq = seq + 1
-        case Some((seq, _, exp)) =>
+          else waitOrFail(now,
+            s"expired lease at $dir/${entryName(seq)} but the steal claim keeps failing")
+        case Cur(seq, _, exp) =>
           // live foreign lease (or torn entry: neither held nor
           // expired — never steal what we cannot judge)
-          if (now >= deadline)
-            throw new java.io.IOException(
-              s"item $k: writer lease $dir/${entryName(seq)} held by another process" +
-                exp.fold(" (entry unparseable — delete it if its writer is known dead)")(
-                  e => s" (expires $e)") +
-                s"; gave up after $wait ms — raise -Dgraft.store.lease.waitMs to wait longer")
-          else Thread.sleep(math.max(1L, math.min(100L, deadline - now)))
+          waitOrFail(now,
+            s"writer lease $dir/${entryName(seq)} held by another process" +
+              exp.fold(" (entry unparseable — delete it if its writer is known dead)")(
+                e => s" (expires $e)"))
+        case Unknown =>
+          // could not LIST: indistinguishable from a live holder —
+          // acting on it (claiming slot 1) could seat two writers
+          waitOrFail(now, s"lease log at $dir is unreadable (transient FS errors)")
       }
     }
     gc(heldSeq)
@@ -599,12 +639,12 @@ class Store private[sources] (
       while (renewing.get()) {
         try Thread.sleep(interval) catch { case _: InterruptedException => () }
         if (renewing.get()) state() match {
-          case Some((seq, uuid, _)) if uuid == id =>
+          case Cur(seq, uuid, _) if uuid == id =>
             if (claim(seq + 1, stamp())) gc(seq + 1)
           // claim failed: a thief (after our expiry) or our own release
           // won the slot; the next tick's read resolves which
-          case Some(_) => renewing.set(false) // stolen: stop touching it
-          case None => () // transient listing failure: retry next tick
+          case Cur(_, _, _) => renewing.set(false) // stolen (or torn): hands off
+          case NoLease | Unknown => () // cannot judge: retry next tick
         }
       }
     }, s"graft-lease-renew-$k")
@@ -618,16 +658,22 @@ class Store private[sources] (
       // renewer thread blocked past the join window may still claim
       // one more slot — each iteration below either lands the sentinel
       // after it or observes a foreign max and stops; the claims are
-      // create-arbitrated, so no interleaving wedges the item.
+      // create-arbitrated, so no interleaving wedges the item. Only a
+      // POSITIVE foreign/absent observation ends the loop early — a
+      // transient read failure (Unknown, or a torn read of our own
+      // entry) must retry, not abandon a live lease to its full TTL.
       var done = false
       var tries = 0
       while (!done && tries < 20) {
         tries += 1
         state() match {
-          case Some((seq, uuid, _)) if uuid == id =>
+          case Cur(seq, uuid, _) if uuid == id =>
             if (claim(seq + 1, "-\n0")) { gc(seq + 1); done = true }
             else if (tries < 20) Thread.sleep(50)
-          case _ => done = true // stolen or gone: not ours to release
+          case Cur(_, uuid, _) if uuid.nonEmpty =>
+            done = true // positively foreign: stolen, not ours to release
+          case NoLease => done = true // positively gone
+          case _ => if (tries < 20) Thread.sleep(50) // Unknown/torn: retry
         }
       }
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -190,12 +190,16 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     val caseInsensitiveMap = new CaseInsensitiveStringMap(
       java.util.Collections.emptyMap[String, String]())
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // default file-status cache = NoopCache: every scan LISTS fresh.
+    // Items are APPEND-ABLE — a shared FileStatusCache could serve a
+    // pre-append listing and silently drop the newest rows; the
+    // listing here is already bounded by bucket pruning, so freshness
+    // costs one LIST of only the in-range directories.
     val fileIndex = new InMemoryFileIndex(
       classic,
       roots.toIndexedSeq,
       Map.empty[String, String],
-      Some(store.schema),
-      FileStatusCache.getOrCreate(classic))
+      Some(store.schema))
     ParquetScan(
       classic,
       classic.sessionState.newHadoopConf(),

@@ -113,9 +113,14 @@ object Streams {
   /** Run `out` to completion under AvailableNow into a memory sink and
     * return the materialized result.
     */
+  /** Serializes the shuffle-partition save/set/restore below: two
+    * concurrent drives interleaving their save and restore would leave
+    * the session pinned at 8 for good.
+    */
+  private val driveLock = new Object
+
   def runToBatch(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val before = s.conf.getOption("spark.sql.shuffle.partitions")
     // stateful operators create one STATE STORE per shuffle partition,
     // and every micro-batch commits a checkpoint delta per store — at
     // 32 shuffle partitions that is 32 HDFS-state-store commits per
@@ -124,21 +129,25 @@ object Streams {
     // partitions: state volume per query here is thousands of keys
     // (windows × types, sessions × users), where 8 stores are plenty;
     // a production 24/7 deployment sizes shuffle.partitions to its key
-    // cardinality instead. Restored after the drain — the conf is
-    // read at stream START, so the scoped set cannot leak into
-    // concurrently PLANNED batch queries (Spark snapshots the conf per
-    // query execution), only into streams started inside this window —
-    // and all graft streaming drives funnel through here.
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = out.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally before.foreach(s.conf.set("spark.sql.shuffle.partitions", _))
+    // cardinality instead. The set/restore pair is a SESSION-WIDE side
+    // effect held for the drive's duration: driveLock keeps concurrent
+    // drives from interleaving save/restore, but an unrelated batch
+    // query PLANNED on another thread inside the window does pick up
+    // the scoped value — callers sharing one session across threads
+    // should drive streams from a dedicated session (s.newSession()).
+    driveLock.synchronized {
+      val before = s.conf.getOption("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally before.foreach(s.conf.set("spark.sql.shuffle.partitions", _))
+    }
     s.table(name)
   }
 

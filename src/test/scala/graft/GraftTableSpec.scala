@@ -143,6 +143,19 @@ class GraftTableSpec extends AnyFunSuite {
     assert(parquetScans(df).head.pushedFilters.mkString.contains("LessThanOrEqual(DATE"))
   }
 
+  test("reads are listing-fresh: rows appended AFTER a first read appear in the next") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(50))
+    val df = spark.read.format("graft").option("item", "MSFT").load(dir)
+    assert(df.count() == 50)
+    // append lands new files in existing buckets AND a new bucket; the
+    // SAME DataFrame must see them on its next action — a cached file
+    // listing would silently drop the newest rows on an append-able item
+    s.appendNewOnly("MSFT", bars(80))
+    assert(df.count() == 80, "post-append rows missing: stale file listing")
+  }
+
   test("failure modes: missing store, missing item, tz drift") {
     // a path with no store must fail fast, not materialize an empty one
     val empty = tmpDir()
