@@ -302,8 +302,17 @@ object Store {
     * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` (the
     * per-write guard names the remedy) — writers should use [[open]],
     * which pins it.
+    *
+    * `writerLease` opts writes through THIS handle into the cross-JVM
+    * lease, same contract as [[open]]. It matters for the DSv2 INSERT
+    * path: in a multi-driver deployment where every writer leases, an
+    * attach-backed SQL INSERT without it would mutate under only the
+    * in-JVM lock — pass the `writerLease` table option there.
     */
-  def attach(spark: SparkSession, basePath: String): Store = {
+  def attach(
+      spark: SparkSession,
+      basePath: String,
+      writerLease: Boolean = false): Store = {
     val raw = new HPath(basePath)
     val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(raw)
@@ -313,7 +322,8 @@ object Store {
     val persisted = readSchema(fs, schemaPath)
     val (bucket, storeTz, versioned) = readLayout(fs, base)
     new Store(spark, base, persisted,
-      bucket = bucket, storeTz = storeTz, versioned = versioned)
+      bucket = bucket, storeTz = storeTz, versioned = versioned,
+      writerLease = writerLease)
   }
 
   /** The ONE reader of a store's persisted layout — (bucket, storeTz,
@@ -363,28 +373,39 @@ object Store {
     } finally in.close()
   }
 
+  /** Slot number of a lease-log entry name (`e<zero-padded seq>`) —
+    * the ONE parser of the log's naming scheme, shared by the protocol
+    * ([[Store!.withLease]]) and the diagnostic below.
+    */
+  private[sources] def leaseSeqOf(name: String): Option[Long] =
+    if (name.length > 1 && name.charAt(0) == 'e')
+      scala.util.Try(name.substring(1).toLong).toOption
+    else None
+
   /** Diagnostic view of one item's lease-log directory (protocol at
-    * [[Store!.withLease]]): the (uuid, expiryEpochMillis) of the
-    * highest parseable slot entry — None when no lease was ever taken.
-    * A RELEASED lease reads ("-", 0): released is a sentinel slot, not
-    * an absent directory, because deleting the max entry would let two
-    * contenders disagree about the next slot number.
+    * [[Store!.withLease]]): the (uuid, expiryEpochMillis) of the MAX
+    * slot entry — None when no lease was ever taken. A RELEASED lease
+    * reads ("-", 0): released is a sentinel slot, not an absent
+    * directory, because deleting the max entry would let two contenders
+    * disagree about the next slot number. The judgment matches the
+    * protocol's exactly: only the TRUE max entry counts, and an
+    * unreadable/unparseable max reports ("<unparseable>", -1) — it must
+    * NOT fall back to a stale lower slot, which could report "released"
+    * while every writer is actually wedged on the torn max.
     */
   def leaseState(fs: FileSystem, leaseDir: HPath): Option[(String, Long)] = {
     val entries =
       try fs.listStatus(leaseDir).toSeq.flatMap { s =>
-        val n = s.getPath.getName
-        if (n.length > 1 && n.charAt(0) == 'e')
-          scala.util.Try(n.substring(1).toLong).toOption.map(_ -> s.getPath)
-        else None
+        leaseSeqOf(s.getPath.getName).map(_ -> s.getPath)
       } catch { case _: java.io.IOException => Seq.empty }
-    entries.sortBy(-_._1).iterator.flatMap { case (_, p) =>
-      try {
+    entries.maxByOption(_._1).map { case (_, p) =>
+      (try {
         val lines = readUTF8(fs, p).split("\n")
         lines.lift(1).flatMap(e => scala.util.Try(e.trim.toLong).toOption)
           .map(exp => (lines.head.trim, exp))
-      } catch { case _: Throwable => None }
-    }.nextOption()
+      } catch { case _: Throwable => None })
+        .getOrElse(("<unparseable>", -1L))
+    }
   }
 
   /** Single-stream create-and-close: on object stores the object only
@@ -517,10 +538,7 @@ class Store private[sources] (
     val deadline = System.currentTimeMillis() + wait
     def stamp(): String = s"$id\n${System.currentTimeMillis() + ttl}"
     def entryName(seq: Long): String = f"e$seq%019d"
-    def seqOf(name: String): Option[Long] =
-      if (name.length > 1 && name.charAt(0) == 'e')
-        scala.util.Try(name.substring(1).toLong).toOption
-      else None
+    def seqOf(name: String): Option[Long] = Store.leaseSeqOf(name)
     // The lease view MUST distinguish "no lease exists" from "I could
     // not look": a transient listStatus failure read as an empty log
     // would let a contender claim slot 1 while a foreign holder is
@@ -643,8 +661,16 @@ class Store private[sources] (
             if (claim(seq + 1, stamp())) gc(seq + 1)
           // claim failed: a thief (after our expiry) or our own release
           // won the slot; the next tick's read resolves which
-          case Cur(_, _, _) => renewing.set(false) // stolen (or torn): hands off
-          case NoLease | Unknown => () // cannot judge: retry next tick
+          case Cur(_, uuid, _) if uuid.nonEmpty =>
+            renewing.set(false) // POSITIVELY foreign: stolen, hands off
+          case _ =>
+            // torn read of the max entry (Cur with empty uuid), no
+            // entries, or an unreadable listing: none of these is
+            // evidence of theft — concluding "stolen" here would stop
+            // renewal for good and silently drop mutual exclusion at
+            // TTL for a long op riding out ~200 ms of FS throttling.
+            // Retry next tick; only a readable foreign entry stops us.
+            ()
         }
       }
     }, s"graft-lease-renew-$k")

@@ -3,9 +3,10 @@ package graft.sources.v2
 import graft.sources.{SchemaError, Store}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
@@ -72,8 +73,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     k
   }
 
+  /** One attach per (path, lease) per provider instance: Spark calls
+    * inferSchema and then getTable on the SAME provider for one read,
+    * and each attach is several metadata round-trips (schema + layout +
+    * marker probes) — measurable latency per query on an object store.
+    * The memo is per-READ, not long-lived (providers are created per
+    * load), so a store's persisted metadata is still re-read by the
+    * next query.
+    */
+  private val attached =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Store]()
+  private def attachOnce(options: CaseInsensitiveStringMap): Store = {
+    val lease = options.getBoolean("writerLease", false)
+    attached.computeIfAbsent((basePath(options), lease),
+      { case (p, l) => Store.attach(spark, p, writerLease = l) })
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val store = Store.attach(spark, basePath(options))
+    val store = attachOnce(options)
     store.validateKey(itemKey(options)) // fail fast on an invalid key
     store.schema
   }
@@ -83,7 +100,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val store = Store.attach(spark, basePath(options))
+    val store = attachOnce(options)
     val key = store.validateKey(itemKey(options))
     // a catalog-persisted schema (CREATE TABLE round-trip) must agree
     // with the store's source of truth — a store whose schema changed
@@ -99,14 +116,70 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 /** One Store item as a DSv2 table. Existence is checked lazily at scan
   * build (the catalog may hold entries for items created later).
+  *
+  * Writes: `INSERT INTO` carries the reference's `store[k] += df`
+  * semantics — [[Store.appendNewOnly]] (creation on first insert, like
+  * [[Store.ingestStream]]'s first batch), so re-running the same INSERT
+  * appends ZERO rows instead of duplicating; SQL users get the store's
+  * dedup contract, not blind file appends. Implemented through the V1
+  * write bridge (`V1Write` → `InsertableRelation`): the insert arrives
+  * as one driver-side DataFrame, exactly what the append path wants —
+  * the distribution happens inside appendNewOnly's anti-join, and the
+  * write inherits the store's staged-swap/lease machinery for free.
+  * `INSERT OVERWRITE` is refused: the destructive rewrite has richer
+  * semantics (drop + write) that belong behind the Store API.
+  *
+  * SESSION-WIDE SIDE EFFECT (same as [[Store.open]], documented here
+  * because a SQL-only user cannot see that scaladoc): the first INSERT
+  * pins `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` for
+  * the whole session, so every later parquet write — store-related or
+  * not — emits INT64-micros timestamps instead of Spark's INT96
+  * default. That is what gives store files their pruning statistics;
+  * set the conf back per write if a downstream truly requires INT96.
+  *
+  * Multi-driver deployments where writers lease
+  * (`Store.open(writerLease = true)`): pass the `writerLease` table
+  * option (`OPTIONS (..., writerLease 'true')`) so SQL INSERTs take
+  * the same cross-JVM lease — without it an INSERT mutates under only
+  * the in-JVM item lock.
   */
-class GraftTable(store: Store, key: String) extends Table with SupportsRead {
+class GraftTable(store: Store, key: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`${store.base}`.$key"
   override def schema(): StructType = store.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, key, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(
+                  data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite)
+                  throw new SchemaError(
+                    s"INSERT OVERWRITE is not supported on graft item $key — " +
+                      "a destructive rewrite is drop() + write() through the Store API")
+                // the provider attaches read-only (no session conf
+                // pinned); an INSERT is a WRITE entry point, so pin
+                // the micros-timestamp invariant here exactly like
+                // Store.open does for its writers — without it the
+                // per-write guard would refuse every SQL insert
+                data.sparkSession.conf
+                  .set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
+                if (store.exists(key)) store.appendNewOnly(key, data)
+                else store.write(key, data)
+              }
+            }
+        }
+    }
 }
 
 /** Pushdown → pruning translation. `pushFilters` keeps every filter as

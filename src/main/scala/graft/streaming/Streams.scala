@@ -110,15 +110,15 @@ object Streams {
     }
   }
 
-  /** Run `out` to completion under AvailableNow into a memory sink and
-    * return the materialized result.
-    */
   /** Serializes the shuffle-partition save/set/restore below: two
     * concurrent drives interleaving their save and restore would leave
     * the session pinned at 8 for good.
     */
   private val driveLock = new Object
 
+  /** Run `out` to completion under AvailableNow into a memory sink and
+    * return the materialized result.
+    */
   def runToBatch(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     // stateful operators create one STATE STORE per shuffle partition,

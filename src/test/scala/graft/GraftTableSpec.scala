@@ -143,6 +143,65 @@ class GraftTableSpec extends AnyFunSuite {
     assert(parquetScans(df).head.pushedFilters.mkString.contains("LessThanOrEqual(DATE"))
   }
 
+  test("INSERT INTO carries the store's += semantics: idempotent append, creation on first insert, OVERWRITE refused") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(10))
+    spark.sql("DROP TABLE IF EXISTS graft_w")
+    spark.sql(s"CREATE TABLE graft_w USING graft OPTIONS (path '$dir', item 'MSFT')")
+    try {
+      spark.sql(
+        "INSERT INTO graft_w VALUES " +
+          "(TIMESTAMP'2015-05-01 00:00:00', 1.0, 2.0, 0.5, 1.5, 100), " +
+          "(TIMESTAMP'2015-05-02 00:00:00', 1.1, 2.1, 0.6, 1.6, 101)")
+      assert(s("MSFT").count() == 12, "insert must append through the store")
+      // re-running the SAME insert appends zero rows (appendNewOnly's
+      // anti-join): the reference's += contract, not blind file appends
+      spark.sql(
+        "INSERT INTO graft_w VALUES " +
+          "(TIMESTAMP'2015-05-01 00:00:00', 1.0, 2.0, 0.5, 1.5, 100), " +
+          "(TIMESTAMP'2015-05-02 00:00:00', 1.1, 2.1, 0.6, 1.6, 101)")
+      assert(s("MSFT").count() == 12, "duplicate insert must dedup to a no-op")
+      // and the rows really landed in the right bucket, visible to reads
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_w WHERE DATE >= '2015-05-01'").as[Long].head() == 2)
+      // destructive rewrite stays behind the Store API: the table
+      // declares no TRUNCATE capability, so Spark refuses INSERT
+      // OVERWRITE at ANALYSIS ("does not support truncate") — it never
+      // even reaches the provider
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_w VALUES (TIMESTAMP'2015-01-01', 1, 1, 1, 1, 1)")
+      }
+      assert(e.getMessage.toLowerCase.contains("not supported"), s"wrong error: ${e.getMessage}")
+      assert(s("MSFT").count() == 12)
+
+      // first INSERT into a not-yet-existing item CREATES it (the
+      // ingestStream first-batch contract)
+      spark.sql("DROP TABLE IF EXISTS graft_w2")
+      spark.sql(s"CREATE TABLE graft_w2 USING graft OPTIONS (path '$dir', item 'FRESH')")
+      spark.sql("INSERT INTO graft_w2 VALUES (TIMESTAMP'2016-01-01 00:00:00', 1, 2, 0, 1, 7)")
+      assert(s("FRESH").count() == 1)
+      spark.sql("DROP TABLE IF EXISTS graft_w2")
+
+      // the writerLease table option routes SQL INSERTs through the
+      // cross-JVM lease: the insert claims and releases a lease slot
+      spark.sql("DROP TABLE IF EXISTS graft_w3")
+      spark.sql(s"CREATE TABLE graft_w3 USING graft " +
+        s"OPTIONS (path '$dir', item 'MSFT', writerLease 'true')")
+      spark.sql("INSERT INTO graft_w3 VALUES (TIMESTAMP'2015-06-01 00:00:00', 3, 4, 2, 3, 200)")
+      assert(s("MSFT").count() == 13)
+      val (fs, base) = {
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+      }
+      val leaseDir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(base, ".lease"), "MSFT")
+      assert(Store.leaseState(fs, leaseDir).exists(_._1 == "-"),
+        "leased INSERT must have claimed and released a lease slot")
+      spark.sql("DROP TABLE IF EXISTS graft_w3")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_w")
+  }
+
   test("reads are listing-fresh: rows appended AFTER a first read appear in the next") {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("month"))
