@@ -45,10 +45,12 @@ import scala.jdk.CollectionConverters._
   * (`Store.scala` query/prunedRoots; reference contract
   * oakstore/store.py:255-264 generalized to the SQL surface).
   *
-  * Read-only by design: mutation goes through the Store API, whose
-  * append/dedup/crash-safety semantics (old-wins dedup, staged swaps,
-  * leases) are richer than SQL INSERT could express — an INSERT fails
-  * with Spark's standard "table does not support append" error.
+  * Writes: `INSERT INTO` is supported with the store's `+=` contract
+  * (see [[GraftTable]] — appendNewOnly, idempotent re-runs, creation
+  * on first insert, a `writerLease` option for leased deployments).
+  * Everything more destructive — INSERT OVERWRITE, compaction,
+  * retention, drop — stays behind the Store API, whose staged-swap /
+  * lease semantics SQL cannot express.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
 
