@@ -70,6 +70,41 @@ object AtomicFs {
   val SchemeUri: URI = URI.create("atomicfs:///")
 }
 
+/** [[AtomicFs]] plus deterministic TRANSIENT READ failures: while
+  * armed, every 6th listStatus/open call throws IOException. The
+  * exclusive-create arbitration itself never fails spuriously — the
+  * injected flakiness is precisely the failure class the protocol must
+  * never misread: a failed LIST is not "no lease exists", a failed
+  * read of the max entry is not "stolen". Registered under
+  * `flakyfs://`.
+  */
+class FlakyAtomicFs extends AtomicFs {
+  override def getScheme: String = "flakyfs"
+  override def getUri: URI = FlakyAtomicFs.SchemeUri
+
+  private def maybeFail(op: String): Unit =
+    if (FlakyAtomicFs.armed.get()) {
+      val n = FlakyAtomicFs.calls.incrementAndGet()
+      if (n % 6 == 3)
+        throw new java.io.IOException(s"injected transient $op failure #$n")
+    }
+
+  override def listStatus(f: HPath): Array[FileStatus] = {
+    maybeFail("listStatus")
+    super.listStatus(f)
+  }
+  override def open(f: HPath, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    maybeFail("open")
+    super.open(f, bufferSize)
+  }
+}
+
+object FlakyAtomicFs {
+  val SchemeUri: URI = URI.create("flakyfs:///")
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** The opt-in cross-JVM writer lease (`writerLease = true`), a slot
   * LOG under `.lease/<KEY>/`: every transition (acquire, steal, renew,
   * release) claims slot entry `e<seq+1>` by exclusive create; state is
@@ -294,6 +329,59 @@ class StoreLeaseSpec extends AnyFunSuite {
         s"MUTUAL EXCLUSION VIOLATED: ${maxActive.get()} concurrent holders")
       assert(released(fs, leaseDir(base, "RACE")), "last holder released")
     } finally System.clearProperty("graft.store.lease.waitMs")
+  }
+
+  test("transient read failures never seat a second writer (absence of evidence is not evidence of absence)") {
+    // the regression guard for the review-pass bug class: a foreign
+    // writer died at slot 5 — e1 is long GC'd — so a contender that
+    // misreads ONE failed LIST as "empty log" would claim the FREE
+    // slot 1 and seat itself beside whoever legitimately steals slot 6.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.flakyfs.impl", classOf[FlakyAtomicFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-lease-flaky")
+    val dir = "flakyfs://" + local.toString
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true) // setup unarmed
+    slot(fs, leaseDir(base, "RACE"), 5,
+      s"dead-writer\n${System.currentTimeMillis() - 3600000L}")
+    System.setProperty("graft.store.lease.waitMs", "30000")
+    FlakyAtomicFs.armed.set(true)
+    try {
+      val contenders = 6
+      val active = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+      val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to contenders).map { _ =>
+        new Thread(() => {
+          try {
+            s.withLease("RACE") {
+              val now = active.incrementAndGet()
+              maxActive.updateAndGet(m => math.max(m, now))
+              Thread.sleep(20)
+              active.decrementAndGet()
+              completed.incrementAndGet()
+            }
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(errors.isEmpty,
+        s"contenders failed under flaky reads: ${errors.asScala().map(_.getMessage)}")
+      assert(completed.get() == contenders, s"only ${completed.get()}/$contenders finished")
+      assert(maxActive.get() == 1,
+        s"MUTUAL EXCLUSION VIOLATED under transient read failures: ${maxActive.get()} holders")
+    } finally {
+      FlakyAtomicFs.armed.set(false)
+      System.clearProperty("graft.store.lease.waitMs")
+    }
+    assert(released(fs, leaseDir(base, "RACE")), "last holder released despite flaky reads")
+    // and nobody ever took the slot-1 shortcut: the log advanced PAST
+    // the dead writer's slot 5, it was never restarted below it
+    val minSeq = fs.listStatus(leaseDir(base, "RACE")).map(_.getPath.getName)
+      .filter(_.startsWith("e")).map(_.drop(1).toLong).min
+    assert(minSeq > 5, s"a contender claimed a pre-GC slot (min=$minSeq): misread an empty listing")
   }
 
   implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
