@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft.sources.Store
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** SQL-front-door receipt: the DSv2 `graft` format must cost the same
+  * as the Scala `store.query` path on a ranged read (both assemble the
+  * same pruned parquet scan), and both must beat an unpruned full read
+  * by roughly the pruning ratio. Fixture: the sf events table in a
+  * DAY-bucketed store (~30 buckets), a 5-day range (~1/6 of the data).
+  * Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.SqlFrontDoorBench /tmp/sqlfd"
+  * Prints min-of-3 per path; the receipt lives in PLANS.md.
+  */
+object SqlFrontDoorBench {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/tmp/sqlfd")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = java.nio.file.Paths.get(baseDir)
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val store = Store.open(spark, baseDir,
+      cols = Some(Seq(
+        "EVENT_ID" -> LongType, "USER_ID" -> LongType,
+        "EVENT_TYPE" -> StringType, "VALUE" -> DoubleType)),
+      index = Some("TS"), bucket = Some("day"))
+    // 50 disjoint copies (shifted event ids): enough volume that scan
+    // cost dominates fixed overhead, so the pruning ratio is visible
+    val ev = graft.Tables.events(spark, sfDir)
+    val big = (0 until 50).map { i =>
+      ev.withColumn("event_id",
+        org.apache.spark.sql.functions.col("event_id") + i.toLong * 100000000L)
+    }.reduce(_ unionByName _)
+    store.write("EVENTS", big)
+    val buckets = store.describe("EVENTS").files
+    println(s"[sqlfd] ingested ${store("EVENTS").count()} rows, $buckets files (day buckets)")
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    spark.sql("DROP TABLE IF EXISTS sqlfd_events")
+    spark.sql(
+      s"CREATE TABLE sqlfd_events USING graft OPTIONS (path '$baseDir', item 'EVENTS')")
+
+    def timed(label: String)(body: => Long): Unit = {
+      val samples = (1 to 3).map { _ =>
+        val s0 = System.nanoTime()
+        val n = body
+        ((System.nanoTime() - s0) / 1e9, n)
+      }
+      println(f"[sqlfd] $label%-28s min=${samples.map(_._1).min}%.3f s " +
+        f"(rows=${samples.head._2}, samples=${samples.map(s => f"${s._1}%.3f").mkString(",")})")
+    }
+
+    // sum(VALUE), not count(*): ParquetScan pushes bare counts down to
+    // row-group metadata (no data pages read), which would make every
+    // path look footer-fast; a real aggregate forces the scan the
+    // pruning exists to bound
+    import org.apache.spark.sql.functions.{col, sum}
+    timed("store.query ranged") {
+      store.query("EVENTS", Some(t0), Some(t1))
+        .agg(sum("VALUE")).collect()(0).getDouble(0).toLong
+    }
+    timed("DSv2 SQL ranged") {
+      spark.sql(
+        "SELECT sum(VALUE) FROM sqlfd_events " +
+          "WHERE TS BETWEEN '2024-01-10' AND '2024-01-15'"
+      ).collect()(0).getDouble(0).toLong
+    }
+    timed("DSv2 SQL full (no filter)") {
+      spark.sql("SELECT sum(VALUE) FROM sqlfd_events").collect()(0).getDouble(0).toLong
+    }
+    timed("raw parquet ranged (no pruning)") {
+      // what a user bypassing the store/table pays: every bucket dir
+      // listed and scanned, range applied only at row-group stats
+      spark.read.parquet(baseDir + "/items/EVENTS")
+        .where(col("TS").between(t0, t1))
+        .agg(sum("VALUE")).collect()(0).getDouble(0).toLong
+    }
+    spark.sql("DROP TABLE IF EXISTS sqlfd_events")
+    spark.stop()
+  }
+}

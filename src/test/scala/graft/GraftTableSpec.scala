@@ -215,6 +215,51 @@ class GraftTableSpec extends AnyFunSuite {
     assert(df.count() == 80, "post-append rows missing: stale file listing")
   }
 
+  test("DSv2 equals store.query over randomized inclusive ranges, bucketed AND flat") {
+    // the two fixed-range tests above pin the plan shape; this pins the
+    // SEMANTICS across the range space: seeded random bounds (inside,
+    // straddling, outside, inverted, exact row timestamps) plus the
+    // half-open and unbounded edges, each compared bit-exactly against
+    // the Scala API on a bucketed and an unbucketed store
+    val rnd = new scala.util.Random(42)
+    val data = bars(200) // 2015-01-01 .. 2015-07-19
+    val dataTs = data.collect().map(_.getTimestamp(0)).sorted
+    for (bucketed <- Seq(true, false)) {
+      val dir = tmpDir()
+      val s = Store.open(spark, dir,
+        bucket = if (bucketed) Some("month") else None)
+      s.write("MSFT", data)
+      val df = spark.read.format("graft").option("item", "MSFT").load(dir)
+      def randTs(): Timestamp = {
+        // a window wider than the data so bounds land outside it too
+        val lo = Timestamp.valueOf("2014-11-01 00:00:00").getTime
+        val hi = Timestamp.valueOf("2015-09-01 00:00:00").getTime
+        new Timestamp(lo + (rnd.nextDouble() * (hi - lo)).toLong)
+      }
+      val ranges: Seq[(Option[Timestamp], Option[Timestamp])] =
+        (1 to 8).map(_ => (Some(randTs()), Some(randTs()))) ++ Seq(
+          (Some(randTs()), None), // half-open both ways
+          (None, Some(randTs())),
+          (None, None), // unbounded
+          (Some(dataTs(50)), Some(dataTs(50))), // exact row ts: equality edge
+          (Some(dataTs(10)), Some(dataTs(150))) // exact boundaries inclusive
+        )
+      ranges.foreach { case (lo, hi) =>
+        val viaSql = (lo, hi) match {
+          case (Some(a), Some(b)) => df.where($"DATE" >= a && $"DATE" <= b)
+          case (Some(a), None) => df.where($"DATE" >= a)
+          case (None, Some(b)) => df.where($"DATE" <= b)
+          case (None, None) => df
+        }
+        val viaApi = s.query("MSFT", lo, hi)
+        val label = s"bucketed=$bucketed range=($lo, $hi)"
+        assert(viaSql.count() == viaApi.count(), label)
+        assert(viaSql.exceptAll(viaApi).count() == 0 &&
+          viaApi.exceptAll(viaSql).count() == 0, s"row mismatch at $label")
+      }
+    }
+  }
+
   test("failure modes: missing store, missing item, tz drift") {
     // a path with no store must fail fast, not materialize an empty one
     val empty = tmpDir()
