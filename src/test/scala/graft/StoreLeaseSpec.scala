@@ -84,9 +84,19 @@ class FlakyAtomicFs extends AtomicFs {
 
   private def maybeFail(op: String): Unit =
     if (FlakyAtomicFs.armed.get()) {
-      val n = FlakyAtomicFs.calls.incrementAndGet()
-      if (n % 6 == 3)
-        throw new java.io.IOException(s"injected transient $op failure #$n")
+      FlakyAtomicFs.calls.incrementAndGet()
+      // TIME-based failure bursts (all reads fail for 300 ms out of
+      // every 900 ms), the shape real object-store throttling has.
+      // Bursts must OUTLAST state()'s internal retry budget (~200 ms
+      // of backed-off re-lists): scattered or call-indexed failures
+      // get absorbed by the retries and never force the protocol to
+      // decide what an unreadable log MEANS — which is exactly the
+      // decision this harness exists to check (mutation-verified: with
+      // the old unreadable=NoLease bug re-introduced, a contender
+      // whose burst-spanning retries exhaust mid-window claims the
+      // free low slot and the overlap assertion below fails).
+      if ((System.currentTimeMillis() / 300) % 3 == 1)
+        throw new java.io.IOException(s"injected transient $op failure")
     }
 
   override def listStatus(f: HPath): Array[FileStatus] = {
@@ -358,7 +368,13 @@ class StoreLeaseSpec extends AnyFunSuite {
             s.withLease("RACE") {
               val now = active.incrementAndGet()
               maxActive.updateAndGet(m => math.max(m, now))
-              Thread.sleep(20)
+              // holds must be LONG relative to state()'s ~200 ms retry
+              // phase: a contender that wrongly concludes "no lease"
+              // out of a failure burst claims its bogus slot right
+              // after that phase, and only a still-running legitimate
+              // holder turns the violation into an observable overlap
+              // (mutation-checked: 20 ms holds let the bug escape)
+              Thread.sleep(150)
               active.decrementAndGet()
               completed.incrementAndGet()
             }
