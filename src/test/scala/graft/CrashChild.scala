@@ -54,6 +54,26 @@ object CrashChild {
         // reaching here means the crash never fired — loud failure
         System.err.println("CrashChild: compact completed, crash never armed/matched")
         sys.exit(1)
+      case "appendloop" =>
+        // live two-writer contention: append `n` disjoint daily-bar
+        // batches under the writer lease while the parent does the
+        // same — every batch is lease-serialized against the parent's
+        val Array(_, dir, key, nStr, seedStr) = args
+        val s = Store.open(spark, dir, writerLease = true)
+        val seed = seedStr.toInt
+        (0 until nStr.toInt).foreach { i =>
+          import spark.implicits._
+          val t0 = java.time.LocalDate.parse("2021-01-01")
+            .atStartOfDay(java.time.ZoneOffset.UTC)
+          val rows = (0 until 50).map { j =>
+            val k = (seed * 1000 + i) * 100 + j // globally unique per batch
+            (java.sql.Timestamp.from(t0.plusDays(k.toLong % 3650).toInstant),
+              k.toDouble, k + 1.0, k - 1.0, k.toDouble, 1000L + k)
+          }.toDF("date", "open", "high", "low", "close", "volume")
+          s.appendNewOnly(key, rows)
+        }
+        println("APPENDLOOP_DONE")
+        sys.exit(0)
       case other =>
         System.err.println(s"CrashChild: unknown mode $other")
         sys.exit(2)

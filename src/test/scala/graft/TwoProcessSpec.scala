@@ -118,6 +118,46 @@ class TwoProcessSpec extends AnyFunSuite {
     }
   }
 
+  test("two LIVE processes append under the lease concurrently: every row lands exactly once") {
+    // the cross-JVM analogue of StoreProps' same-JVM concurrent-writer
+    // torture: this process and a real second JVM interleave leased
+    // appendNewOnly batches into ONE item. The lease serializes the
+    // cross-process mutations; the anti-join guarantees idempotence —
+    // together: no lost rows, no duplicates, exact final count.
+    val dir = java.nio.file.Files.createTempDirectory("graft-2proc-appends").toString
+    val s = Store.open(spark, dir, writerLease = true)
+    def batch(seed: Int, i: Int): DataFrame = {
+      // mirrors CrashChild's appendloop generation: globally unique k
+      // per (seed, batch, row) keeps all batches disjoint
+      val t0 = java.time.LocalDate.parse("2021-01-01")
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      (0 until 50).map { j =>
+        val k = (seed * 1000 + i) * 100 + j
+        (Timestamp.from(t0.plusDays(k.toLong % 3650).toInstant),
+          k.toDouble, k + 1.0, k - 1.0, k.toDouble, 1000L + k)
+      }.toDF("date", "open", "high", "low", "close", "volume")
+    }
+    s.write("RACE", batch(0, 0)) // seed the item (seed 0 ∩ others = ∅)
+    val nBatches = 5
+    val (proc, log) = forkChild(
+      Seq("appendloop", dir, "RACE", nBatches.toString, "1"), Seq.empty)
+    try {
+      (0 until nBatches).foreach(i => s.appendNewOnly("RACE", batch(2, i)))
+      assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        s"child appendloop did not finish; log:\n${tail(log)}")
+      assert(proc.exitValue() == 0, s"child failed; log:\n${tail(log)}")
+      assert(tail(log).contains("APPENDLOOP_DONE"), s"child incomplete; log:\n${tail(log)}")
+      val expected = 50L * (1 + 2 * nBatches)
+      assert(s("RACE").count() == expected,
+        s"lost or phantom rows across two leased writer processes")
+      assert(s("RACE").distinct().count() == expected, "duplicated rows")
+      // both writers released: the lease log's max slot is the sentinel
+      val (fs, base) = hfs(dir)
+      assert(Store.leaseState(fs,
+        new HPath(new HPath(base, ".lease"), "RACE")).exists(_._1 == "-"))
+    } finally proc.destroyForcibly()
+  }
+
   test("a swap killed MID-RENAME in another process (halt, objstore semantics) is vacuumed exactly here") {
     val dir = "objstore://" +
       java.nio.file.Files.createTempDirectory("graft-2proc-swap").toString
