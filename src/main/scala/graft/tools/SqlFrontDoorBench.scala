@@ -28,12 +28,7 @@ object SqlFrontDoorBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val d = java.nio.file.Paths.get(baseDir)
-    if (java.nio.file.Files.exists(d)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    ToolUtil.wipeDir(baseDir)
     val store = Store.open(spark, baseDir,
       cols = Some(Seq(
         "EVENT_ID" -> LongType, "USER_ID" -> LongType,

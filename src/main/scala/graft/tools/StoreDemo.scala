@@ -106,16 +106,21 @@ object StoreDemo {
       "SELECT count(*) AS n FROM demo_events " +
         "WHERE TS BETWEEN '2024-01-10' AND '2024-01-20'"
     ).collect()(0).getLong(0)
+    // the printed deltas are MEASURED, not hard-coded: on a re-run
+    // against an existing baseDir the row already exists and both
+    // inserts honestly report 0
     val before = spark.sql("SELECT count(*) FROM demo_events").collect()(0).getLong(0)
     spark.sql(
       "INSERT INTO demo_events VALUES (TIMESTAMP'2024-02-01 00:00:00', 999999, 1, 'click', 1.0)")
+    val mid = spark.sql("SELECT count(*) FROM demo_events").collect()(0).getLong(0)
     spark.sql( // idempotent: the same insert again appends zero rows
       "INSERT INTO demo_events VALUES (TIMESTAMP'2024-02-01 00:00:00', 999999, 1, 'click', 1.0)")
     val after = spark.sql("SELECT count(*) FROM demo_events").collect()(0).getLong(0)
     spark.sql("DROP TABLE IF EXISTS demo_events")
     println(
       s"[demo] sql front door: $sqlRows rows in range via SELECT (bucket-pruned), " +
-        s"INSERT INTO twice: $before -> $after rows (+1, second was a dedup no-op)")
+        s"INSERT INTO twice: $before -> $mid -> $after rows " +
+        s"(first +${mid - before}, second +${after - mid}: a dedup no-op)")
 
     // cross-JVM writer lease (opt-in): every mutation takes and
     // releases a per-item lease file; multi-driver deployments enable

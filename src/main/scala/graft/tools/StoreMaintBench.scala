@@ -46,12 +46,7 @@ object StoreMaintBench {
     }
 
     def freshStore(dir: String, versioned: Boolean = false): Store = {
-      val d = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(d)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      ToolUtil.wipeDir(dir)
       // chunkRows sized so the hot bucket's canonical rewrite has real
       // parallelism (rows/chunkRows partitions) — at production scale a
       // hot bucket holds many chunks by construction; the default 1 M

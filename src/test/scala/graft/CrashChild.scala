@@ -20,6 +20,10 @@ import org.apache.spark.sql.SparkSession
   *    rename's delete phase; the armed crash calls Runtime.halt(42),
   *    so the JVM dies mid-copy+delete leaving a genuinely split
   *    directory.
+  *  - `appendloop <storeDir> <key> <nBatches> <seed>` — append
+  *    `nBatches` leased 50-row batches ([[TwoProcFixtures.batch]])
+  *    while the parent does the same with a different seed; prints
+  *    APPENDLOOP_DONE and exits 0.
   */
 object CrashChild {
   def main(args: Array[String]): Unit = {
@@ -55,22 +59,13 @@ object CrashChild {
         System.err.println("CrashChild: compact completed, crash never armed/matched")
         sys.exit(1)
       case "appendloop" =>
-        // live two-writer contention: append `n` disjoint daily-bar
-        // batches under the writer lease while the parent does the
-        // same — every batch is lease-serialized against the parent's
+        // live two-writer contention: append `n` disjoint batches under
+        // the writer lease while the parent does the same — every batch
+        // is lease-serialized against the parent's
         val Array(_, dir, key, nStr, seedStr) = args
         val s = Store.open(spark, dir, writerLease = true)
-        val seed = seedStr.toInt
         (0 until nStr.toInt).foreach { i =>
-          import spark.implicits._
-          val t0 = java.time.LocalDate.parse("2021-01-01")
-            .atStartOfDay(java.time.ZoneOffset.UTC)
-          val rows = (0 until 50).map { j =>
-            val k = (seed * 1000 + i) * 100 + j // globally unique per batch
-            (java.sql.Timestamp.from(t0.plusDays(k.toLong % 3650).toInstant),
-              k.toDouble, k + 1.0, k - 1.0, k.toDouble, 1000L + k)
-          }.toDF("date", "open", "high", "low", "close", "volume")
-          s.appendNewOnly(key, rows)
+          s.appendNewOnly(key, TwoProcFixtures.batch(spark, seedStr.toInt, i))
         }
         println("APPENDLOOP_DONE")
         sys.exit(0)
@@ -78,5 +73,25 @@ object CrashChild {
         System.err.println(s"CrashChild: unknown mode $other")
         sys.exit(2)
     }
+  }
+}
+
+/** The ONE generator of the two-process append fixture, shared by
+  * CrashChild's appendloop mode and TwoProcessSpec's parent loop — the
+  * exactly-once count assertion is only valid while both writers
+  * generate from the same formula, so it lives in exactly one place.
+  * `k = (seed*1000 + i)*100 + j` is globally unique per (seed, batch,
+  * row), making every batch disjoint from every other seed's.
+  */
+object TwoProcFixtures {
+  def batch(spark: SparkSession, seed: Int, i: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val t0 = java.time.LocalDate.parse("2021-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    (0 until 50).map { j =>
+      val k = (seed * 1000 + i) * 100 + j
+      (java.sql.Timestamp.from(t0.plusDays(k.toLong % 3650).toInstant),
+        k.toDouble, k + 1.0, k - 1.0, k.toDouble, 1000L + k)
+    }.toDF("date", "open", "high", "low", "close", "volume")
   }
 }

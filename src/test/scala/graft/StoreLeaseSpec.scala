@@ -70,13 +70,16 @@ object AtomicFs {
   val SchemeUri: URI = URI.create("atomicfs:///")
 }
 
-/** [[AtomicFs]] plus deterministic TRANSIENT READ failures: while
-  * armed, every 6th listStatus/open call throws IOException. The
+/** [[AtomicFs]] plus TRANSIENT READ failures in wall-clock BURSTS:
+  * while armed, every listStatus/open call inside a 300 ms window out
+  * of each 900 ms throws IOException (bursts must outlast state()'s
+  * ~200 ms internal retry budget — see maybeFail). The
   * exclusive-create arbitration itself never fails spuriously — the
   * injected flakiness is precisely the failure class the protocol must
   * never misread: a failed LIST is not "no lease exists", a failed
   * read of the max entry is not "stolen". Registered under
-  * `flakyfs://`.
+  * `flakyfs://`; [[FlakyAtomicFs.thrown]] counts the failures that
+  * actually fired, so specs can prove the harness engaged.
   */
 class FlakyAtomicFs extends AtomicFs {
   override def getScheme: String = "flakyfs"
@@ -95,8 +98,10 @@ class FlakyAtomicFs extends AtomicFs {
       // the old unreadable=NoLease bug re-introduced, a contender
       // whose burst-spanning retries exhaust mid-window claims the
       // free low slot and the overlap assertion below fails).
-      if ((System.currentTimeMillis() / 300) % 3 == 1)
+      if ((System.currentTimeMillis() / 300) % 3 == 1) {
+        FlakyAtomicFs.thrown.incrementAndGet()
         throw new java.io.IOException(s"injected transient $op failure")
+      }
     }
 
   override def listStatus(f: HPath): Array[FileStatus] = {
@@ -113,6 +118,7 @@ object FlakyAtomicFs {
   val SchemeUri: URI = URI.create("flakyfs:///")
   val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
   val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+  val thrown = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** The opt-in cross-JVM writer lease (`writerLease = true`), a slot
@@ -388,6 +394,11 @@ class StoreLeaseSpec extends AnyFunSuite {
       assert(completed.get() == contenders, s"only ${completed.get()}/$contenders finished")
       assert(maxActive.get() == 1,
         s"MUTUAL EXCLUSION VIOLATED under transient read failures: ${maxActive.get()} holders")
+      // the harness must have ENGAGED: zero thrown injections would
+      // mean this test silently degenerated to the clean-FS steal test
+      // (e.g. a refactor routing reads around listStatus/open)
+      assert(FlakyAtomicFs.thrown.get() > 0,
+        "no injected failure ever fired — the flaky harness is disconnected")
     } finally {
       FlakyAtomicFs.armed.set(false)
       System.clearProperty("graft.store.lease.waitMs")

@@ -126,17 +126,10 @@ class TwoProcessSpec extends AnyFunSuite {
     // together: no lost rows, no duplicates, exact final count.
     val dir = java.nio.file.Files.createTempDirectory("graft-2proc-appends").toString
     val s = Store.open(spark, dir, writerLease = true)
-    def batch(seed: Int, i: Int): DataFrame = {
-      // mirrors CrashChild's appendloop generation: globally unique k
-      // per (seed, batch, row) keeps all batches disjoint
-      val t0 = java.time.LocalDate.parse("2021-01-01")
-        .atStartOfDay(java.time.ZoneOffset.UTC)
-      (0 until 50).map { j =>
-        val k = (seed * 1000 + i) * 100 + j
-        (Timestamp.from(t0.plusDays(k.toLong % 3650).toInstant),
-          k.toDouble, k + 1.0, k - 1.0, k.toDouble, 1000L + k)
-      }.toDF("date", "open", "high", "low", "close", "volume")
-    }
+    // the ONE shared generator (TwoProcFixtures) both writers draw
+    // from — the exactly-once count below rests on the batches of
+    // different seeds being disjoint by construction
+    def batch(seed: Int, i: Int): DataFrame = TwoProcFixtures.batch(spark, seed, i)
     s.write("RACE", batch(0, 0)) // seed the item (seed 0 ∩ others = ∅)
     val nBatches = 5
     val (proc, log) = forkChild(
