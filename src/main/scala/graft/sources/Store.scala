@@ -583,12 +583,40 @@ class Store private[sources] (
       }
       Unknown // unreachable
     }
-    def claim(seq: Long, content: String): Boolean =
+    // Claim = exclusive create of the slot file + content write. The
+    // two failure modes are NOT symmetric: a failed CREATE means we
+    // lost the race (someone else owns the slot — back off), but a
+    // failed content WRITE after our create succeeded means the slot
+    // is OURS and currently 0 bytes — left behind, that torn max entry
+    // wedges every reader forever ("neither held nor expired": release
+    // gives up, contenders wait out their deadline). Since create
+    // arbitration makes the slot exclusively ours, retiring the empty
+    // file is safe and returns the log to the previous max, as if the
+    // claim never happened. The concrete trigger observed as a suite
+    // intermittent: the release path interrupts the renewer, and the
+    // interrupt can surface as an IOException inside the renewer's
+    // in-flight claim write — create landed, content didn't. The
+    // interrupt flag is parked around the cleanup so the delete itself
+    // is not sabotaged by it.
+    def claim(seq: Long, content: String): Boolean = {
+      val p = new HPath(dir, entryName(seq))
+      try fs.mkdirs(dir) catch { case _: java.io.IOException => return false }
+      val out =
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => return false } // lost the race
       try {
-        fs.mkdirs(dir)
-        writeUTF8(fs, new HPath(dir, entryName(seq)), content, overwrite = false)
+        out.write(content.getBytes(StandardCharsets.UTF_8))
+        out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: java.io.IOException =>
+          val wasInterrupted = Thread.interrupted() // park the flag
+          try out.close() catch { case _: Throwable => () }
+          try fs.delete(p, false) catch { case _: Throwable => () }
+          if (wasInterrupted) Thread.currentThread().interrupt()
+          false
+      }
+    }
     // sweep superseded entries — only ever called by the CURRENT slot
     // holder, and only for seqs below its own, so no reader's max is
     // affected (a reader catching a deleted entry re-lists)

@@ -121,6 +121,51 @@ object FlakyAtomicFs {
   val thrown = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
+/** [[AtomicFs]] whose next exclusive-create's content WRITE fails
+  * (one-shot arming): the real slot file is created — 0 bytes, exactly
+  * the on-disk state — and the returned stream throws on write. Models
+  * a claimant that wins the create but cannot land content: an
+  * interrupt surfacing mid-write, a disk error, a process about to
+  * die. Registered under `writefailfs://`.
+  */
+class WriteFailFs extends AtomicFs {
+  override def getScheme: String = "writefailfs"
+  override def getUri: URI = WriteFailFs.SchemeUri
+
+  private def maybeFailing(out: FSDataOutputStream, overwrite: Boolean): FSDataOutputStream =
+    if (!overwrite && WriteFailFs.armOnce.compareAndSet(true, false)) {
+      out.close() // the 0-byte slot file now exists, like the real failure
+      new FSDataOutputStream(new java.io.OutputStream {
+        override def write(b: Int): Unit =
+          throw new java.io.IOException("injected content-write failure")
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          throw new java.io.IOException("injected content-write failure")
+      }, null)
+    } else out
+
+  // both public create overloads, like AtomicFs: FileSystem.create(
+  // Path, boolean) lands on the non-permission one
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    maybeFailing(
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress),
+      overwrite)
+
+  override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    maybeFailing(
+      super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress),
+      overwrite)
+}
+
+object WriteFailFs {
+  val SchemeUri: URI = URI.create("writefailfs:///")
+  val armOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** The opt-in cross-JVM writer lease (`writerLease = true`), a slot
   * LOG under `.lease/<KEY>/`: every transition (acquire, steal, renew,
   * release) claims slot entry `e<seq+1>` by exclusive create; state is
@@ -290,7 +335,17 @@ class StoreLeaseSpec extends AnyFunSuite {
         s"op ran ${opEnd.get() - opStart} ms yet no live lease was ever observed at $d")
       assert(renewed || !outlived || first.isEmpty,
         s"op ran ${opEnd.get() - opStart} ms > ttl yet the lease never renewed")
-      assert(released(fs, d), "released after the op despite renewals")
+      // on failure, dump the whole lease log — name AND content per
+      // entry — so an intermittent leaves enough evidence to diagnose
+      def leaseDump(): String =
+        try fs.listStatus(d).map { st =>
+          val c = try Store.readUTF8(fs, st.getPath).replace("\n", "\\n")
+            catch { case e: Throwable => s"<read failed: ${e.getMessage}>" }
+          s"${st.getPath.getName}='$c'"
+        }.mkString(", ")
+        catch { case e: Throwable => s"<list failed: ${e.getMessage}>" }
+      assert(released(fs, d),
+        s"released after the op despite renewals; now=${System.currentTimeMillis()} dir: ${leaseDump()}")
       assert(s("MSFT").count() == 100)
     } finally System.clearProperty("graft.store.lease.ttlMs")
   }
@@ -409,6 +464,35 @@ class StoreLeaseSpec extends AnyFunSuite {
     val minSeq = fs.listStatus(leaseDir(base, "RACE")).map(_.getPath.getName)
       .filter(_.startsWith("e")).map(_.drop(1).toLong).min
     assert(minSeq > 5, s"a contender claimed a pre-GC slot (min=$minSeq): misread an empty listing")
+  }
+
+  test("a claim that wins the create but cannot land content retires its own slot — no torn wedge") {
+    // the intermittent the full suite caught: the release-path
+    // interrupt can surface inside the renewer's in-flight claim WRITE
+    // (create landed, content didn't), and a permanent 0-byte max
+    // entry wedges release and every later contender as torn-forever.
+    // The claim must retire its own slot file on a content failure.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.writefailfs.impl", classOf[WriteFailFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-lease-wf")
+    val dir = "writefailfs://" + local.toString
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true)
+    // the NEXT exclusive create (= the first lease slot claim of the
+    // write below; store metadata writes use overwrite=true) fails at
+    // content-write time
+    WriteFailFs.armOnce.set(true)
+    s.write("MSFT", bars(20)) // acquire retries past the failed claim
+    assert(!WriteFailFs.armOnce.get(), "the injected failure must have fired")
+    assert(s("MSFT").count() == 20)
+    assert(released(fs, leaseDir(base, "MSFT")), "released cleanly after the retry")
+    // and no torn debris: every surviving slot entry parses
+    val d = leaseDir(base, "MSFT")
+    fs.listStatus(d).foreach { st =>
+      val c = Store.readUTF8(fs, st.getPath)
+      assert(c.split("\n").length >= 2,
+        s"torn 0-byte slot left behind: ${st.getPath.getName}='$c'")
+    }
   }
 
   implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
