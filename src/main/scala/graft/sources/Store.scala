@@ -502,6 +502,19 @@ class Store private[sources] (
     * The same argument covers a renewer racing a thief (both target
     * `seq+1`) and a release racing a late renewal.
     *
+    * One residual race the log alone does not close: garbage
+    * collection of superseded slots RECYCLES slot numbers, so a
+    * contender stalled between choosing `seq+1` and creating it can
+    * win the create of a number that was already claimed, superseded,
+    * and swept — under a live foreign lease at a higher slot (the
+    * classic ABA). Therefore every successful claim is CONFIRMED by a
+    * fresh listing before the claimant acts as holder: the max
+    * sequence is monotone (nothing ever deletes the max), so a
+    * recycled-number claim always shows a higher slot in the
+    * confirmation listing, the claim is retired, and the claimant
+    * re-enters the wait loop. An unreadable confirmation counts as
+    * not-confirmed, never as held.
+    *
     * Exactness contract: mutual exclusion against a live holder is
     * EXACT wherever `create(overwrite = false)` is atomic — HDFS, and
     * object stores whose connector maps it to a conditional
@@ -617,9 +630,52 @@ class Store private[sources] (
           false
       }
     }
-    // sweep superseded entries — only ever called by the CURRENT slot
-    // holder, and only for seqs below its own, so no reader's max is
-    // affected (a reader catching a deleted entry re-lists)
+    // ABA guard. gc() deletes superseded slot files, so a contender
+    // that stalled between deciding on a slot number and creating it
+    // can exclusively create a number that was already claimed,
+    // superseded, and swept — the create SUCCEEDS while a live foreign
+    // lease sits at a higher slot (e.g. holder at N expires, a thief
+    // advances to N+2 and gc's N+1; our stalled steal of N+1 then
+    // lands). The closing property: creating a GC'd slot can only
+    // succeed when a higher slot ALREADY exists (gc runs strictly
+    // below the sweeping holder's slot, and the max entry is never
+    // deleted — release writes a sentinel), and the max sequence is
+    // MONOTONE (every transition creates a higher slot). So a
+    // post-claim re-list always exposes the conflict, and once a
+    // higher slot is visible the claim is lost FOR GOOD — no later
+    // listing can make our slot the max again. Every successful claim
+    // must therefore be confirmed before acting as holder; a lost or
+    // unconfirmable claim is retired (the file is exclusively ours by
+    // create arbitration and provably superseded, so no reader's max
+    // is affected) and the caller re-enters its wait loop. An
+    // unreadable confirmation listing counts as NOT confirmed — never
+    // as held.
+    def confirmedMax(seq: Long, who: String): Boolean = {
+      var tries = 0
+      while (tries < 5) {
+        tries += 1
+        state() match {
+          case Cur(s, uuid, _) if s == seq && uuid == who => return true
+          case Cur(s, _, _) if s > seq => return false // superseded: lost
+          case Cur(s, _, _) if s == seq =>
+            Thread.sleep(20L * tries) // torn read of our own entry: retry
+          case _ =>
+            // listing missed our own just-created file (s < seq,
+            // NoLease) or failed outright (Unknown): retry bounded,
+            // then fail the confirmation — conservative, never seats
+            // a holder on an unverifiable claim
+            Thread.sleep(20L * tries)
+        }
+      }
+      false
+    }
+    def retire(seq: Long): Unit =
+      try fs.delete(new HPath(dir, entryName(seq)), false)
+      catch { case _: Throwable => () }
+    // sweep superseded entries — only ever called by the CONFIRMED
+    // current slot holder, and only for seqs below its own, so no
+    // reader's max is affected (a reader catching a deleted entry
+    // re-lists)
     def gc(current: Long): Unit =
       try fs.listStatus(dir).foreach { s =>
         seqOf(s.getPath.getName).foreach { q =>
@@ -647,19 +703,28 @@ class Store private[sources] (
           // failure with an EMPTY log is not a lost race — e.g. a
           // pre-log-vintage lease FILE occupying the dir's path — so
           // the deadline applies here too, with the same loud failure.
-          if (claim(1L, stamp())) heldSeq = 1L
-          else waitOrFail(now,
+          if (claim(1L, stamp())) {
+            if (confirmedMax(1L, id)) heldSeq = 1L
+            else retire(1L) // superseded while claiming: loop re-reads
+          } else waitOrFail(now,
             s"cannot create lease log at $dir (no entries, yet the first-slot " +
               "claim keeps failing — a pre-log lease file or a permission problem?)")
         case Cur(seq, _, exp) if exp.exists(_ <= now) =>
           // expired (or released sentinel): steal = claim the next slot.
           // Two stealers, or a stealer racing a late renewal, all
-          // target seq+1 — exactly one wins, no deletes involved. A
-          // FAILED claim here is usually a lost race (loop re-reads),
-          // but a persistent failure (quota, permissions) must fail
-          // loudly at the deadline, not spin hot forever.
-          if (claim(seq + 1, stamp())) heldSeq = seq + 1
-          else waitOrFail(now,
+          // target seq+1 — exactly one wins, no deletes involved. The
+          // winner still CONFIRMS (see confirmedMax): if this steal
+          // stalled long enough that seq+1 was claimed, superseded,
+          // and GC'd by others, the create lands on a recycled number
+          // under a live foreign max — confirmed-or-retired closes
+          // that ABA. A FAILED claim here is usually a lost race
+          // (loop re-reads), but a persistent failure (quota,
+          // permissions) must fail loudly at the deadline, not spin
+          // hot forever.
+          if (claim(seq + 1, stamp())) {
+            if (confirmedMax(seq + 1, id)) heldSeq = seq + 1
+            else retire(seq + 1) // ABA: foreign lease lives higher — loop
+          } else waitOrFail(now,
             s"expired lease at $dir/${entryName(seq)} but the steal claim keeps failing")
         case Cur(seq, _, exp) =>
           // live foreign lease (or torn entry: neither held nor
@@ -686,7 +751,14 @@ class Store private[sources] (
         try Thread.sleep(interval) catch { case _: InterruptedException => () }
         if (renewing.get()) state() match {
           case Cur(seq, uuid, _) if uuid == id =>
-            if (claim(seq + 1, stamp())) gc(seq + 1)
+            if (claim(seq + 1, stamp())) {
+              if (confirmedMax(seq + 1, id)) gc(seq + 1)
+              else { retire(seq + 1); renewing.set(false) }
+              // unconfirmed = a thief advanced past us between our
+              // read and our claim (our create landed on a recycled
+              // GC'd number) — the lease is positively foreign now,
+              // same terminal verdict as reading foreign content
+            }
           // claim failed: a thief (after our expiry) or our own release
           // won the slot; the next tick's read resolves which
           case Cur(_, uuid, _) if uuid.nonEmpty =>
@@ -722,8 +794,15 @@ class Store private[sources] (
         tries += 1
         state() match {
           case Cur(seq, uuid, _) if uuid == id =>
-            if (claim(seq + 1, "-\n0")) { gc(seq + 1); done = true }
-            else if (tries < 20) Thread.sleep(50)
+            if (claim(seq + 1, "-\n0")) {
+              // confirm before sweeping: if the sentinel landed on a
+              // recycled GC'd number under a foreign max (the same
+              // ABA as acquire), retire it — the lease is foreign,
+              // which is released-from-our-side either way
+              if (confirmedMax(seq + 1, "-")) gc(seq + 1)
+              else retire(seq + 1)
+              done = true
+            } else if (tries < 20) Thread.sleep(50)
           case Cur(_, uuid, _) if uuid.nonEmpty =>
             done = true // positively foreign: stolen, not ours to release
           case NoLease => done = true // positively gone

@@ -166,6 +166,56 @@ object WriteFailFs {
   val armOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
+/** [[AtomicFs]] that can HOLD one exclusive create at a gate: when
+  * armed, the next `create(overwrite = false)` whose path contains the
+  * armed substring signals [[BlockingCreateFs.arrived]] and parks on
+  * [[BlockingCreateFs.gate]] BEFORE performing the create. This
+  * freezes a lease claimant between its state read and its slot
+  * create — the exact window the slot-log ABA lives in — so a spec can
+  * interleave a foreign advance underneath it deterministically.
+  * Registered under `blockfs://`.
+  */
+class BlockingCreateFs extends AtomicFs {
+  override def getScheme: String = "blockfs"
+  override def getUri: URI = BlockingCreateFs.SchemeUri
+
+  private def maybeBlock(f: HPath, overwrite: Boolean): Unit =
+    if (!overwrite && f.toUri.getPath.contains(BlockingCreateFs.pathContains) &&
+        BlockingCreateFs.armed.compareAndSet(true, false)) {
+      BlockingCreateFs.arrived.countDown()
+      BlockingCreateFs.gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    maybeBlock(f, overwrite)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    maybeBlock(f, overwrite)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+}
+
+object BlockingCreateFs {
+  val SchemeUri: URI = URI.create("blockfs:///")
+  @volatile var pathContains: String = " never"
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var arrived = new java.util.concurrent.CountDownLatch(1)
+  @volatile var gate = new java.util.concurrent.CountDownLatch(1)
+  def arm(substr: String): Unit = {
+    pathContains = substr
+    arrived = new java.util.concurrent.CountDownLatch(1)
+    gate = new java.util.concurrent.CountDownLatch(1)
+    armed.set(true)
+  }
+}
+
 /** The opt-in cross-JVM writer lease (`writerLease = true`), a slot
   * LOG under `.lease/<KEY>/`: every transition (acquire, steal, renew,
   * release) claims slot entry `e<seq+1>` by exclusive create; state is
@@ -493,6 +543,67 @@ class StoreLeaseSpec extends AnyFunSuite {
       assert(c.split("\n").length >= 2,
         s"torn 0-byte slot left behind: ${st.getPath.getName}='$c'")
     }
+  }
+
+  test("slot-number recycling cannot seat a stale claimant under a live foreign lease (ABA)") {
+    // the round-10 review's HIGH finding: gc() deletes superseded slot
+    // files, so a stealer frozen between deciding on slot N+1 and
+    // creating it can win the create of a number that was already
+    // claimed, superseded by a renewal, and SWEPT — its exclusive
+    // create succeeds while a live foreign lease sits at a higher
+    // slot. The post-claim confirmation (re-list, claimed slot must be
+    // the true max) must catch this: the max entry is never deleted,
+    // so the foreign higher slot is always visible.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.blockfs.impl", classOf[BlockingCreateFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-lease-aba")
+    val dir = "blockfs://" + local.toString
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, writerLease = true)
+    s.write("MSFT", bars(100))
+    val d = leaseDir(base, "MSFT")
+    // reset the log to: a foreign writer died at slot 7 — every
+    // contender is entitled to steal by claiming slot 8
+    fs.delete(d, true)
+    slot(fs, d, 7, s"dead-writer\n${System.currentTimeMillis() - 3600000L}")
+    // freeze the victim between its state read and its create of e8
+    BlockingCreateFs.arm(f"/.lease/MSFT/e${8L}%019d")
+    System.setProperty("graft.store.lease.waitMs", "2500")
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try s.appendNewOnly("MSFT", bars(150))
+      catch { case e: Throwable => err.set(e) }
+    })
+    try {
+      t.start()
+      assert(BlockingCreateFs.arrived.await(20, java.util.concurrent.TimeUnit.SECONDS),
+        "victim never reached its slot-8 create")
+      // while the victim is frozen: a thief steals slot 8, renews to
+      // slot 9, and gc's 8 — the net observable state is a live
+      // foreign lease at e9 with slot number 8 free for recycling
+      slot(fs, d, 9, s"thief\n${System.currentTimeMillis() + 3600000L}")
+      BlockingCreateFs.gate.countDown() // the victim's e8 create now SUCCEEDS
+      t.join(30000)
+      assert(!t.isAlive, "victim wedged")
+      // the victim must NOT have mutated under the thief's live lease:
+      // its recycled-number claim is superseded — it retires the claim,
+      // re-enters the wait loop, and fails loudly at its deadline
+      assert(err.get() != null,
+        "victim claimed a recycled GC'd slot and ran as a second writer")
+      assert(err.get().getMessage.contains("lease"), s"wrong failure: ${err.get()}")
+      assert(s("MSFT").count() == 100, "data mutated under a live foreign lease")
+      assert(state(fs, d).exists(_._1 == "thief"), "foreign max entry must survive")
+      assert(!fs.exists(new HPath(d, f"e${8L}%019d")),
+        "the retired stale claim must not linger in the log")
+    } finally {
+      BlockingCreateFs.gate.countDown()
+      System.clearProperty("graft.store.lease.waitMs")
+    }
+    // recovery: once the thief's lease expires, writes flow again
+    Store.writeUTF8(fs, new HPath(d, f"e${9L}%019d"),
+      s"thief\n${System.currentTimeMillis() - 10L}")
+    s.appendNewOnly("MSFT", bars(150))
+    assert(s("MSFT").count() == 150)
   }
 
   implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
