@@ -131,13 +131,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * `INSERT OVERWRITE` is refused: the destructive rewrite has richer
   * semantics (drop + write) that belong behind the Store API.
   *
-  * SESSION-WIDE SIDE EFFECT (same as [[Store.open]], documented here
-  * because a SQL-only user cannot see that scaladoc): the first INSERT
-  * pins `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` for
-  * the whole session, so every later parquet write — store-related or
-  * not — emits INT64-micros timestamps instead of Spark's INT96
-  * default. That is what gives store files their pruning statistics;
-  * set the conf back per write if a downstream truly requires INT96.
+  * Timestamp encoding: each INSERT runs with
+  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` — that is
+  * what gives store files their pruning statistics — but the setting
+  * is SCOPED to the insert call (set, write, restore), so a SQL-only
+  * user's later unrelated parquet writes keep their own timestamp
+  * type. (This is deliberately tighter than [[Store.open]], which pins
+  * the conf session-wide for its Scala writers and documents that.)
   *
   * Multi-driver deployments where writers lease
   * (`Store.open(writerLease = true)`): pass the `writerLease` table
@@ -170,14 +170,28 @@ class GraftTable(store: Store, key: String)
                     s"INSERT OVERWRITE is not supported on graft item $key — " +
                       "a destructive rewrite is drop() + write() through the Store API")
                 // the provider attaches read-only (no session conf
-                // pinned); an INSERT is a WRITE entry point, so pin
-                // the micros-timestamp invariant here exactly like
-                // Store.open does for its writers — without it the
-                // per-write guard would refuse every SQL insert
-                data.sparkSession.conf
-                  .set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
-                if (store.exists(key)) store.appendNewOnly(key, data)
-                else store.write(key, data)
+                // pinned); an INSERT is a WRITE entry point, so the
+                // micros-timestamp invariant must hold for the write —
+                // but SCOPED to it: the insert runs the whole write
+                // job synchronously in this call, so set/restore
+                // brackets it exactly, and a later unrelated parquet
+                // write in the session keeps whatever timestamp type
+                // it had (the earlier shape mutated the session for
+                // good, invisibly to a SQL-only user). A concurrent
+                // write planned inside this bracket on another thread
+                // is caught by the store's per-write guard, which
+                // fails fast naming the conf remedy — never a silent
+                // INT96 store file.
+                val conf = data.sparkSession.conf
+                val prior = conf.getOption(Store.TimestampTypeKey)
+                conf.set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
+                try {
+                  if (store.exists(key)) store.appendNewOnly(key, data)
+                  else store.write(key, data)
+                } finally prior match {
+                  case Some(v) => conf.set(Store.TimestampTypeKey, v)
+                  case None => conf.unset(Store.TimestampTypeKey)
+                }
               }
             }
         }

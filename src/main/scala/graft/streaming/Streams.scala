@@ -110,45 +110,47 @@ object Streams {
     }
   }
 
-  /** Serializes the shuffle-partition save/set/restore below: two
-    * concurrent drives interleaving their save and restore would leave
-    * the session pinned at 8 for good.
+  /** A CLONED session dedicated to one streaming drive. Stateful
+    * operators create one state store per shuffle partition and commit
+    * a checkpoint delta per store per micro-batch — at 32 partitions
+    * that is 32 fixed-overhead commits per batch, dwarfing the actual
+    * aggregation on bench-scale inputs, so the drive wants 8 state
+    * partitions (state volume per query here is thousands of keys;
+    * a production 24/7 deployment sizes shuffle.partitions to its
+    * state key cardinality instead). The earlier shape pinned
+    * `spark.sql.shuffle.partitions = 8` on the SHARED session for the
+    * drive's duration and restored it afterwards — a session-wide side
+    * effect that any batch query planned concurrently on another
+    * thread silently inherited (and a None from getOption would have
+    * left the pin behind forever). `newSession()` — same SparkContext
+    * and builder confs, isolated runtime SQLConf, isolated temp
+    * views — scopes the pin to exactly this drive: nothing to lock,
+    * nothing to restore, nothing to leak. Every public op here builds
+    * its source through this, so the whole stream graph (and the
+    * memory-sink table it lands in) lives on the clone.
     */
-  private val driveLock = new Object
+  private[graft] def driveSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2
+  }
 
   /** Run `out` to completion under AvailableNow into a memory sink and
-    * return the materialized result.
+    * return the materialized result. The sink table registers in the
+    * session the stream graph is bound to (`out.sparkSession` — the
+    * [[driveSession]] clone when built through the public ops), so the
+    * lookup must go there, not to the caller's session.
     */
   def runToBatch(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    // stateful operators create one STATE STORE per shuffle partition,
-    // and every micro-batch commits a checkpoint delta per store — at
-    // 32 shuffle partitions that is 32 HDFS-state-store commits per
-    // batch of fixed overhead, dwarfing the actual aggregation on
-    // bench-scale inputs. Pin the streaming drive to 8 state
-    // partitions: state volume per query here is thousands of keys
-    // (windows × types, sessions × users), where 8 stores are plenty;
-    // a production 24/7 deployment sizes shuffle.partitions to its key
-    // cardinality instead. The set/restore pair is a SESSION-WIDE side
-    // effect held for the drive's duration: driveLock keeps concurrent
-    // drives from interleaving save/restore, but an unrelated batch
-    // query PLANNED on another thread inside the window does pick up
-    // the scoped value — callers sharing one session across threads
-    // should drive streams from a dedicated session (s.newSession()).
-    driveLock.synchronized {
-      val before = s.conf.getOption("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = out.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(mode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally before.foreach(s.conf.set("spark.sql.shuffle.partitions", _))
-    }
-    s.table(name)
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
   }
 
   /** The tumbling aggregation itself, source-agnostic: 1-hour windows
@@ -169,7 +171,7 @@ object Streams {
     * which the spec asserts.
     */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
-    val agg = tumblingAggOn(eventsStream(s, dir))
+    val agg = tumblingAggOn(eventsStream(driveSession(s), dir))
     runToBatch(s, agg, "complete")
       .select(
         col("window.start").as("w_start"),
@@ -192,7 +194,7 @@ object Streams {
 
   /** Session windows (30-minute gap) per user. */
   def session(s: SparkSession, dir: String): DataFrame = {
-    val agg = sessionAggOn(eventsStream(s, dir))
+    val agg = sessionAggOn(eventsStream(driveSession(s), dir))
     runToBatch(s, agg, "complete")
       .select(
         col("session_window.start").as("s_start"),
@@ -208,7 +210,7 @@ object Streams {
     * must equal the distinct batch row set.
     */
   def dedupState(s: SparkSession, dir: String): DataFrame = {
-    val e = eventsStream(s, dir)
+    val e = eventsStream(driveSession(s), dir)
     val doubled = e.unionByName(e).withWatermark("ts", "10 minutes")
     val deduped = doubled.dropDuplicatesWithinWatermark("event_id")
     runToBatch(s, deduped.select("event_id", "ts", "user_id", "event_type", "value"), "append")
@@ -249,7 +251,7 @@ object Streams {
   }
 
   def customState(s: SparkSession, dir: String): DataFrame = {
-    val updated = customStateOn(eventsStream(s, dir))
+    val updated = customStateOn(eventsStream(driveSession(s), dir))
     runToBatch(s, updated, "append")
       .groupBy("user_id") // keep only the final emission per user
       .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
@@ -282,7 +284,7 @@ object Streams {
     * bucket).
     */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val src = s.readStream
+    val src = driveSession(s).readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -344,7 +346,8 @@ object Streams {
     * query terminate when the source is exhausted.
     */
   def zscore(s: SparkSession, dir: String): DataFrame =
-    runToBatch(s, zscoreOn(eventsStream(s, dir)), "append").orderBy("event_id")
+    runToBatch(s, zscoreOn(eventsStream(driveSession(s), dir)), "append")
+      .orderBy("event_id")
 
   /** Streaming windowed funnel — the continuous form of the batch
     * `funnel_steps` (same 4-hour conversion window): per user, a
@@ -374,7 +377,7 @@ object Streams {
     * length.
     */
   def funnel(s: SparkSession, dir: String): DataFrame =
-    runToBatch(s, funnelOn(eventsStream(s, dir)), "append")
+    runToBatch(s, funnelOn(eventsStream(driveSession(s), dir)), "append")
       .groupBy("user_id")
       // n is cumulative and steps monotone: max(struct) = final emission
       .agg(max(struct(col("n_events"), col("steps"))).as("fin"))
@@ -588,11 +591,12 @@ object Streams {
     * 24/7 pipeline). Append mode; result equals the batch join (spec).
     */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val purchases = eventsStream(s, dir)
+    val sd = driveSession(s) // ONE clone: both join legs must share a session
+    val purchases = eventsStream(sd, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
-    val clicks = eventsStream(s, dir)
+    val clicks = eventsStream(sd, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
@@ -617,7 +621,7 @@ object Streams {
     * emitted; the spec asserts equality with the batch bars.
     */
   def ohlcv(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
+    val agg = eventsStream(driveSession(s), dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -666,7 +670,7 @@ object Streams {
     * drained AvailableNow and unpacked to ranked rows.
     */
   def topk(s: SparkSession, dir: String): DataFrame = {
-    val agg = topkOn(s, eventsStream(s, dir), 5).toDF("hour_epoch", "top")
+    val agg = topkOn(s, eventsStream(driveSession(s), dir), 5).toDF("hour_epoch", "top")
     runToBatch(s, agg, "complete")
       .select(col("hour_epoch"), posexplode(col("top.items")).as(Seq("pos0", "c")))
       .select(

@@ -202,6 +202,30 @@ class GraftTableSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_w")
   }
 
+  test("INSERT's micros-timestamp pin is scoped to the insert, never leaked session-wide") {
+    // round-10 review (low): a SQL INSERT used to repoint
+    // spark.sql.parquet.outputTimestampType for the whole session —
+    // every later parquet write silently switched INT96 → INT64,
+    // invisible to a SQL-only user. The pin is now set/write/restore.
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(3))
+    spark.sql("DROP TABLE IF EXISTS graft_scope")
+    spark.sql(s"CREATE TABLE graft_scope USING graft OPTIONS (path '$dir', item 'MSFT')")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.sql(
+        "INSERT INTO graft_scope VALUES (TIMESTAMP'2015-07-01 00:00:00', 1, 2, 0, 1, 5)")
+      assert(s("MSFT").count() == 4, "insert must append through the store")
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96",
+        "INSERT leaked its timestamp-type pin into the session")
+    } finally {
+      // this suite's other writers want the store invariant back
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.sql("DROP TABLE IF EXISTS graft_scope")
+    }
+  }
+
   test("reads are listing-fresh: rows appended AFTER a first read appear in the next") {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("month"))
