@@ -236,6 +236,7 @@ object Store {
     // always agree on what a path means.
     val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(raw)
+    if (writerLease) requireExactLease(base)
     fs.mkdirs(new HPath(base, ItemsDir))
     val schemaPath = new HPath(base, SchemaFile)
     val layoutPath = new HPath(base, LayoutFile)
@@ -259,14 +260,13 @@ object Store {
             s"store at $basePath has bucket layout $persistedBucket; conflicting bucket '$b' requested"
           )
       }
-      // timezone guard: bucket directory names were rendered under the
-      // creating session's timezone — a different one would silently
-      // prune the wrong directories.
-      if (persistedBucket.isDefined && storeTz != sessionTz)
-        throw new SchemaError(
-          s"store at $basePath was bucketed under timezone '$storeTz'; " +
-            s"session timezone is '$sessionTz' — set spark.sql.session.timeZone to match"
-        )
+      // no timezone gate on OPEN: reads and label-driven maintenance
+      // render every bucket bound under the PERSISTED store timezone
+      // ([[bucketLabel]]) and compare instants otherwise, so a session
+      // in any timezone reads correctly; only bucketed WRITES require
+      // alignment and their per-write guard ([[requireTzAligned]])
+      // fails fast with the remedy. A read-only consumer in another
+      // timezone — the common multi-region deployment — just works.
       // the layout is a property of the data on disk: an existing store
       // keeps its persisted layout (flat callers transparently read a
       // versioned store), but explicitly requesting versioned semantics
@@ -316,6 +316,7 @@ object Store {
     val raw = new HPath(basePath)
     val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(raw)
+    if (writerLease) requireExactLease(base)
     val schemaPath = new HPath(base, SchemaFile)
     if (!fs.exists(schemaPath))
       throw new SchemaError(s"no graft store at $basePath (missing $SchemaFile)")
@@ -377,6 +378,65 @@ object Store {
     * the ONE parser of the log's naming scheme, shared by the protocol
     * ([[Store!.withLease]]) and the diagnostic below.
     */
+  /** How the lease's slot claims achieve exclusive-create EXACTNESS on
+    * a given filesystem scheme (protocol at [[Store!.withLease]]):
+    *
+    *  - [[CreateExact]]: `fs.create(overwrite = false)` is atomic on
+    *    this filesystem — HDFS-family schemes, plus any scheme the
+    *    operator ATTESTS via
+    *    `-Dgraft.store.lease.exactCreateSchemes=s3a,gs,...` (the knob
+    *    for object-store connectors whose exclusive create maps to a
+    *    conditional If-None-Match PUT — e.g. s3a with conditional
+    *    create enabled, gcs preconditions — which this zero-egress
+    *    build cannot probe live).
+    *  - [[NioExact]]: the local filesystem. Hadoop's
+    *    RawLocalFileSystem `create(false)` is CHECK-THEN-ACT, but the
+    *    OS underneath has true O_CREAT|O_EXCL — slot claims go through
+    *    `java.nio.file.Files.createFile` on the local path, so the
+    *    local scheme is exact too (the arbitration is the create; the
+    *    content write happens on the exclusively-owned slot after).
+    *  - [[NotExact]]: everything else. The lease REFUSES LOUDLY at
+    *    `Store.open(writerLease = true)` instead of degrading to a
+    *    silent best-effort mode: a mutual-exclusion primitive that is
+    *    only usually exclusive is worse than none, because callers
+    *    build correctness on it. The error names both remedies
+    *    (attest the scheme, or run single-driver under the in-JVM
+    *    item locks).
+    */
+  private[sources] sealed trait ClaimMode
+  private[sources] case object CreateExact extends ClaimMode
+  private[sources] case object NioExact extends ClaimMode
+  private[sources] final case class NotExact(scheme: String) extends ClaimMode
+
+  private[sources] def claimMode(scheme: String): ClaimMode = {
+    val sch = Option(scheme).getOrElse("file").toLowerCase
+    val attested = sys.props.get("graft.store.lease.exactCreateSchemes")
+      .iterator.flatMap(_.split(",")).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSet
+    if (attested.contains(sch)) CreateExact
+    else if (sch == "file" || sch == "local") NioExact
+    else if (Set("hdfs", "viewfs", "webhdfs", "swebhdfs").contains(sch)) CreateExact
+    else NotExact(sch)
+  }
+
+  /** Loud refusal for [[NotExact]] schemes — called by every
+    * `writerLease = true` entry point, so the failure happens at open
+    * time with the remedy named, not at the first mutation.
+    */
+  private[sources] def requireExactLease(base: HPath): Unit =
+    claimMode(base.toUri.getScheme) match {
+      case NotExact(sch) =>
+        throw new SchemaError(
+          s"writerLease on scheme '$sch' ($base): exclusive create is not " +
+            "known to be atomic here, and a best-effort writer lease would " +
+            "be a silent mutual-exclusion hazard. If this connector maps " +
+            "create-without-overwrite to a conditional PUT (If-None-Match), " +
+            s"attest it with -Dgraft.store.lease.exactCreateSchemes=$sch; " +
+            "otherwise run writers in one driver (the in-JVM item locks " +
+            "serialize them) or on an HDFS-family / local store path")
+      case _ => ()
+    }
+
   private[sources] def leaseSeqOf(name: String): Option[Long] =
     if (name.length > 1 && name.charAt(0) == 'e')
       scala.util.Try(name.substring(1).toLong).toOption
@@ -516,15 +576,19 @@ class Store private[sources] (
     * not-confirmed, never as held.
     *
     * Exactness contract: mutual exclusion against a live holder is
-    * EXACT wherever `create(overwrite = false)` is atomic — HDFS, and
-    * object stores whose connector maps it to a conditional
-    * (If-None-Match) PUT — and best-effort where create is
-    * check-then-act (raw local `file:`; the in-JVM window there is
-    * closed separately by the per-item locks, and the residual
-    * cross-process window is microseconds). StoreLeaseSpec proves the
-    * exact case: an injected FileSystem whose exclusive create IS
-    * atomic runs a many-contender steal stress with an invariant
-    * single-holder counter. The inherent lease caveats remain: expiry
+    * EXACT everywhere the lease runs AT ALL — there is no best-effort
+    * mode. Slot claims are arbitrated per [[Store$.claimMode]]: atomic
+    * `create(overwrite = false)` on HDFS-family schemes and
+    * operator-attested conditional-PUT connectors
+    * (`-Dgraft.store.lease.exactCreateSchemes`), true O_EXCL via
+    * java.nio on the local scheme (where Hadoop's own create is
+    * check-then-act), and a LOUD REFUSAL at open on anything else —
+    * a lease that is only usually exclusive would be a silent hazard
+    * callers build correctness on. StoreLeaseSpec proves the exact
+    * case: an injected FileSystem whose exclusive create IS atomic
+    * runs a many-contender steal stress with an invariant
+    * single-holder counter, and a non-atomic unattested FS is proven
+    * to refuse. The inherent lease caveats remain: expiry
     * compares the local clock to the writer's stamp (keep TTL ≫ clock
     * skew), and a holder paused longer than its TTL between renewer
     * ticks can believe it holds for up to one tick after losing — the
@@ -611,12 +675,34 @@ class Store private[sources] (
     // in-flight claim write — create landed, content didn't. The
     // interrupt flag is parked around the cleanup so the delete itself
     // is not sabotaged by it.
+    val nioClaim = Store.claimMode(base.toUri.getScheme) == Store.NioExact
     def claim(seq: Long, content: String): Boolean = {
       val p = new HPath(dir, entryName(seq))
       try fs.mkdirs(dir) catch { case _: java.io.IOException => return false }
       val out =
-        try fs.create(p, false)
-        catch { case _: java.io.IOException => return false } // lost the race
+        if (nioClaim) {
+          // local FS: Hadoop's create(overwrite=false) is
+          // check-then-act, but the OS has true O_CREAT|O_EXCL — the
+          // ARBITRATION is the nio createFile; the content then goes
+          // into the exclusively-owned slot via an overwrite stream
+          // (same two-step shape as an object store's conditional PUT
+          // followed by content visibility at close)
+          val f = new java.io.File(p.toUri.getPath)
+          try java.nio.file.Files.createFile(f.toPath)
+          catch { case _: Throwable => return false } // lost the race
+          try fs.create(p, true)
+          catch {
+            case _: java.io.IOException =>
+              // the slot IS ours (create won) but we cannot write it:
+              // retire the empty file so the log returns to the prior
+              // max, as if the claim never happened
+              try fs.delete(p, false) catch { case _: Throwable => () }
+              return false
+          }
+        } else {
+          try fs.create(p, false)
+          catch { case _: java.io.IOException => return false } // lost the race
+        }
       try {
         out.write(content.getBytes(StandardCharsets.UTF_8))
         out.close()
@@ -812,19 +898,32 @@ class Store private[sources] (
     }
   }
 
-  /** The open() guard pins the session timezone once, but
-    * `spark.sql.session.timeZone` is runtime-mutable — re-check at every
-    * bucketed write/query so a mid-session change fails fast instead of
-    * rendering bucket strings (write) or bounds (query) in a drifted
-    * timezone and silently mis-pruning.
+  /** WRITE-path timezone guard, and only the write path. Bucket
+    * labels are rendered at write time by `date_format` ([[withBucket]]),
+    * which is codegen'd against the SESSION timezone — the one hot-path
+    * expression in the store that cannot be retargeted to the persisted
+    * store timezone without demoting the write to a per-row interpreted
+    * formatter. So a bucketed WRITE under a drifted session refuses,
+    * naming the remedy (receipt: the alternative would silently label
+    * rows into wrong buckets — mislabeled data, not just mis-pruning).
+    *
+    * READS and label-driven maintenance need no such guard: every
+    * read-side label ([[query]]'s bucket bounds, [[prunedRoots]],
+    * [[prune]]/[[compactBuckets]]'s cutoffs) is rendered by
+    * [[bucketLabel]] under the PERSISTED store timezone, and the
+    * residual time predicates compare instants — both
+    * session-tz-independent, pinned by spec (GraftTableSpec/StoreSpec
+    * drifted-session reads return correct rows).
     */
   private def requireTzAligned(): Unit =
     if (bucket.isDefined) {
       val sessionTz = spark.conf.get("spark.sql.session.timeZone")
       if (sessionTz != storeTz)
         throw new SchemaError(
-          s"store at $base is bucketed under timezone '$storeTz' but the session " +
-            s"timezone is now '$sessionTz' — set spark.sql.session.timeZone to match"
+          s"store at $base renders bucket labels under timezone '$storeTz' but " +
+            s"the session timezone is '$sessionTz' — bucketed WRITES require " +
+            "alignment; set spark.sql.session.timeZone to match (reads are " +
+            "timezone-independent and unaffected)"
         )
     }
 
@@ -842,7 +941,6 @@ class Store private[sources] (
     * dir name, not the files).
     */
   private def flatWriter(df: DataFrame) = {
-    requireTzAligned()
     requireMicrosTimestamps()
     df.write
       .option("compression", "snappy")
@@ -850,6 +948,7 @@ class Store private[sources] (
   }
 
   private def writer(df: DataFrame) = {
+    requireTzAligned() // withBucket's date_format renders in session tz
     val w = flatWriter(withBucket(df))
     bucket.fold(w)(_ => w.partitionBy(BucketCol))
   }
@@ -882,10 +981,41 @@ class Store private[sources] (
   }
 
   /** Raw read keeping the partition column (for pruning predicates). */
+  /** Raw item read, always under the store's OWN schema — never
+    * inference. Three reasons: an EMPTY item (a just-created table, a
+    * fully-retained-away one) has no footer to infer from and must
+    * still read as zero rows of the right shape; inference costs a
+    * footer read per query; and on bucketed stores partition-value
+    * inference would type a day-format `__bucket` as DATE, when the
+    * pruning contract (lexicographic label comparison, [[query]]) is
+    * defined on the zero-padded STRING.
+    */
   private def loadRaw(key: String): DataFrame = {
     val p = dataPath(key, mustExist = true).toString
-    if (bucket.isDefined) spark.read.parquet(p)
+    if (bucket.isDefined)
+      spark.read.schema(schema.add(BucketCol, StringType)).parquet(p)
     else spark.read.schema(schema).parquet(p)
+  }
+
+  /** Sorted listing of the item's current DATA files (full path
+    * strings), recursive across bucket dirs, hidden/marker files
+    * (`_SUCCESS`, dot-files) excluded. One flat recursive LIST (a
+    * paged object-store LIST, not a directory walk) — the metadata
+    * backbone of the DSv2 micro-batch stream's offsets
+    * ([[graft.sources.v2.GraftMicroBatchStream]]). On a versioned
+    * store this resolves the CURRENT version pointer at call time,
+    * like every read.
+    */
+  private[sources] def dataFiles(key: String): Seq[String] = {
+    val it = fs.listFiles(dataPath(key, mustExist = true), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        buf += st.getPath.toString
+    }
+    buf.sorted.toSeq
   }
 
   private def itemPath(key: String, mustExist: Boolean): HPath = {
@@ -1598,7 +1728,6 @@ class Store private[sources] (
         throw new SchemaError(
           s"store at $base is not bucketed; compactBuckets needs directory " +
             "buckets (open with bucket = day|month|year) — use compact()"))
-      requireTzAligned()
       requireNoPendingMarkers(key)
       val p = dataPath(key, mustExist = true)
       val cutoff = since.map(bucketLabel(fmt, _))
@@ -1828,7 +1957,6 @@ class Store private[sources] (
           "(open with bucket = day|month|year)"
       )
     )
-    requireTzAligned()
     requireNoPendingMarkers(key)
     val p = dataPath(key, mustExist = true)
     val cutoff = bucketLabel(fmt, before)
@@ -2200,7 +2328,6 @@ class Store private[sources] (
     */
   def readStream(key: String): DataFrame = {
     val p = dataPath(key, mustExist = true)
-    requireTzAligned()
     // recursiveFileLookup descends into __bucket=... directories; the
     // bucket value is directory metadata, not file content, so the
     // store schema (which never includes it) is the file schema
@@ -2244,12 +2371,10 @@ class Store private[sources] (
     // directory-level pruning first (bucketed stores): the bucket format
     // is lexicographically ordered, so the time range maps to a string
     // range on the partition column and Spark prunes whole directories.
-    // Bucket strings are written by date_format, which renders in the
-    // session timezone — requireTzAligned() (also called by the write
-    // path) pins the session to the store's persisted timezone, and the
-    // bounds here are derived from that same persisted timezone, so a
-    // non-UTC or drifted session can never silently drop partitions.
-    requireTzAligned()
+    // The bounds are rendered under the PERSISTED store timezone (same
+    // zone the labels were written in) and the residual ts predicates
+    // compare instants, so reads are correct under ANY session
+    // timezone — only writes require alignment ([[requireTzAligned]]).
     val bucketPreds = bucketFmt.toSeq.flatMap { f =>
       val fmt = java.time.format.DateTimeFormatter.ofPattern(f)
         .withZone(java.time.ZoneId.of(storeTz))
@@ -2281,7 +2406,6 @@ class Store private[sources] (
       start: Option[Timestamp],
       end: Option[Timestamp]
   ): Seq[HPath] = {
-    requireTzAligned()
     val p = dataPath(key, mustExist = true)
     bucketFmt match {
       case Some(f) =>

@@ -7,8 +7,6 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
-import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -152,6 +150,7 @@ class GraftTable(store: Store, key: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -272,31 +271,14 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
   }
 
   override def build(): Scan = {
-    val spark = SparkSession.active
     val (start, end) = tsBounds(pushed.toIndexedSeq)
-    // the pruning decision: LIST only the bucket dirs the bounds allow
-    val roots = store.prunedRoots(key, start, end)
-    val caseInsensitiveMap = new CaseInsensitiveStringMap(
-      java.util.Collections.emptyMap[String, String]())
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    // default file-status cache = NoopCache: every scan LISTS fresh.
-    // Items are APPEND-ABLE — a shared FileStatusCache could serve a
-    // pre-append listing and silently drop the newest rows; the
-    // listing here is already bounded by bucket pruning, so freshness
-    // costs one LIST of only the in-range directories.
-    val fileIndex = new InMemoryFileIndex(
-      classic,
-      roots.toIndexedSeq,
-      Map.empty[String, String],
-      Some(store.schema))
-    ParquetScan(
-      classic,
-      classic.sessionState.newHadoopConf(),
-      fileIndex,
-      dataSchema = store.schema,
-      readDataSchema = required,
-      readPartitionSchema = new StructType(),
-      pushedFilters = pushed,
-      options = caseInsensitiveMap)
+    // batch: the pruning decision — LIST only the bucket dirs the
+    // bounds allow, deferred to first batch use so a streaming read
+    // never pays for it. The scan assembly itself (pruned file index +
+    // Spark's vectorized ParquetScan) is Spark-internal API,
+    // quarantined in [[SparkInternals]] — the one file a Spark bump
+    // may break. Streaming: [[GraftScan.toMicroBatchStream]].
+    new GraftScan(store, key, required, pushed,
+      () => store.prunedRoots(key, start, end))
   }
 }

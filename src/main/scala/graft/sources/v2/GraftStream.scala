@@ -1,0 +1,129 @@
+package graft.sources.v2
+
+import graft.sources.Store
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** The Scan served by [[GraftScanBuilder]]: batch reads delegate to
+  * Spark's vectorized ParquetScan assembled over the bucket-PRUNED
+  * roots (via [[SparkInternals]] — unchanged from the batch-only
+  * vintage), and `toMicroBatchStream` makes the same table readable
+  * with `spark.readStream.format("graft")` from any binding — the
+  * DSv2 face of [[Store.readStream]].
+  */
+final class GraftScan(
+    store: Store,
+    key: String,
+    required: StructType,
+    pushed: Array[Filter],
+    batchRoots: () => Seq[HPath]
+) extends Scan {
+
+  /** The batch parquet assembly, built on first batch use (a streaming
+    * read never lists the batch roots). Public so plan-asserting specs
+    * can reach the pruned file index.
+    */
+  lazy val parquet: Scan = SparkInternals.parquetScanOver(
+    SparkSession.active, batchRoots(), store.schema, required, pushed)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = parquet.description()
+
+  override def toBatch: Batch = parquet.toBatch
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(store, key, required)
+}
+
+/** Offset = the sorted set of data files already processed, carried
+  * IN the offset json itself. Self-contained by design: Spark's
+  * restart contract requires `planInputPartitions(start, end)` to
+  * reproduce a committed-but-unreplayed batch exactly, and a listing
+  * taken at replay time could have drifted (an append landed, a
+  * compaction rewrote files) — only the offset's own file list is
+  * immune. The cost is O(files) json per offset; the store's
+  * compaction keeps file counts at the chunk contract, and an item
+  * whose file count outgrows offset-sized metadata should stream
+  * through [[Store.readStream]] (Spark's file source with its
+  * compacted seen-files log) instead — both paths are supported, this
+  * one exists so non-Scala bindings have a streaming front door.
+  */
+final class GraftFilesOffset(val files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object GraftFilesOffset {
+  /** Parse the json() form back; tolerates the empty list. */
+  def parse(json: String): GraftFilesOffset = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) new GraftFilesOffset(Nil)
+    else new GraftFilesOffset(
+      // split on "," boundaries between quoted strings; our paths are
+      // store-layout paths (uuid part files under bucket dirs), so the
+      // only escapes ever emitted are the two json() produces
+      body.split("\",\\s*\"").toIndexedSeq
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+}
+
+/** Micro-batch stream over one item: each trigger lists the item's
+  * data files (one recursive LIST, same cost as a batch scan's
+  * planning), and the new-since-last-offset files become the batch —
+  * read by a per-batch ParquetScan assembled over exactly those files,
+  * so the streaming reader reuses Spark's vectorized parquet path
+  * end-to-end. Appends surface as new chunk files (the store never
+  * edits a data file in place), so delta-only processing is exact.
+  *
+  * Caveat shared with [[Store.readStream]]: COMPACTION rewrites
+  * history into new files, which a live streaming reader would re-see
+  * as fresh input. Stream from items whose maintenance window is
+  * coordinated, or reprocess-tolerant sinks (the store's own
+  * [[Store.ingestStream]] sink is idempotent by appendNewOnly).
+  */
+final class GraftMicroBatchStream(
+    store: Store,
+    key: String,
+    required: StructType
+) extends MicroBatchStream {
+
+  /** Factory is file-list-independent (FilePartitions carry their own
+    * files), so ONE assembly over zero roots serves every batch.
+    */
+  private lazy val factory: PartitionReaderFactory =
+    SparkInternals.parquetScanOver(
+      SparkSession.active, Nil, store.schema, required, Array.empty)
+      .toBatch.createReaderFactory()
+
+  override def initialOffset(): Offset = new GraftFilesOffset(Nil)
+
+  override def latestOffset(): Offset =
+    new GraftFilesOffset(store.dataFiles(key))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftFilesOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
+    val fresh = end.asInstanceOf[GraftFilesOffset].files.filterNot(seen)
+    if (fresh.isEmpty) Array.empty
+    else SparkInternals.parquetScanOver(
+      SparkSession.active, fresh.map(new HPath(_)), store.schema, required,
+      Array.empty).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

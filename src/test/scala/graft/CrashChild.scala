@@ -58,6 +58,19 @@ object CrashChild {
         // reaching here means the crash never fired — loud failure
         System.err.println("CrashChild: compact completed, crash never armed/matched")
         sys.exit(1)
+      case "versioncrash" =>
+        // versioned layout: die at the COMMIT point — the new version
+        // dir is fully materialized, and the process halts the instant
+        // the `_current` pointer create begins. The parent must keep
+        // reading the OLD version exactly and sweep the orphan.
+        val Array(_, dir, key) = args
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+        val s = Store.open(spark, dir) // existing versioned store
+        ObjStoreFs.haltOnCreatePath = Some(s"items/$key/_current")
+        s.compact(key) // versioned compact = versionSwap
+        System.err.println("CrashChild: compact completed, pointer halt never fired")
+        sys.exit(1)
       case "appendloop" =>
         // live two-writer contention: append `n` disjoint batches under
         // the writer lease while the parent does the same — every batch

@@ -44,6 +44,7 @@ class GraftTableSpec extends AnyFunSuite {
     }
     strip(root).collect { case b: BatchScanExec => b.scan }.collect {
       case ps: ParquetScan => ps
+      case g: graft.sources.v2.GraftScan => g.parquet.asInstanceOf[ParquetScan]
     }
   }
 
@@ -300,12 +301,20 @@ class GraftTableSpec extends AnyFunSuite {
     val df = spark.read.format("graft").option("item", "NOPE").load(dir)
     intercept[Exception] { df.collect() }
 
-    // bucketed reads under a drifted session timezone must refuse —
-    // bucket labels were rendered under the store tz
+    // bucketed reads under a drifted session timezone stay CORRECT —
+    // the provider renders bucket bounds under the PERSISTED store tz
+    // (bucketLabel) and pushes instant predicates, so pruning is
+    // timezone-independent. NOTE the predicate uses a TIMESTAMP
+    // literal: a bare string bound would itself re-parse under the
+    // drifted session tz (standard SQL semantics, a different
+    // instant), which is the USER asking a different question — the
+    // store answers both correctly.
+    val bound = Timestamp.valueOf("2015-01-05 00:00:00")
     val ok = spark.read.format("graft").option("item", "MSFT").load(dir)
-      .where($"DATE" >= "2015-01-05")
+      .where($"DATE" >= bound)
+    assert(ok.count() == 6)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    try intercept[Exception] { ok.collect() }
+    try assert(ok.count() == 6, "drifted session must read the same instants")
     finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert(ok.count() == 6, "aligned session reads again")
   }

@@ -81,6 +81,33 @@ class ObjStoreFs extends RawLocalFileSystem {
       }
     }
 
+  // versioned-layout crash point: REAL process death at the instant a
+  // matching object is about to be created — armed by the two-process
+  // versioncrash child to die between a fully-materialized new version
+  // dir and its `_current` pointer commit (the commit IS a create)
+  private def maybeHaltOnCreate(f: HPath): Unit =
+    ObjStoreFs.haltOnCreatePath.foreach { sub =>
+      if (f.toUri.getPath.contains(sub)) Runtime.getRuntime.halt(43)
+    }
+
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    maybeHaltOnCreate(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: HPath,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    maybeHaltOnCreate(f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
   override def rename(src: HPath, dst: HPath): Boolean = {
     ObjStoreFs.renames.add((src.toUri.getPath, dst.toUri.getPath))
     if (!exists(src)) return false
@@ -132,5 +159,11 @@ object ObjStoreFs {
       srcExcludes: String = "_temporary", halt: Boolean = false)
   final class InjectedCrash(msg: String) extends java.io.IOException(msg)
 
-  def reset(): Unit = { renames.clear(); crash = None }
+  /** When set: `Runtime.halt(43)` the instant a create targets a path
+    * containing this substring — real process death at an exact
+    * control-plane commit point (see maybeHaltOnCreate).
+    */
+  @volatile var haltOnCreatePath: Option[String] = None
+
+  def reset(): Unit = { renames.clear(); crash = None; haltOnCreatePath = None }
 }

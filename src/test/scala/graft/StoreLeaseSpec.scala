@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Store
+import graft.sources.{SchemaError, Store}
 import org.apache.hadoop.fs.{FileStatus, FileSystem, FSDataOutputStream, Path => HPath, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
@@ -227,6 +227,13 @@ object BlockingCreateFs {
 class StoreLeaseSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
+
+  // the injected test filesystems' exclusive create IS atomic
+  // (AtomicFs = O_EXCL via java.nio) — attest their schemes exactly
+  // like an operator would attest a conditional-PUT object-store
+  // connector; the unattested-refusal test below proves the other side
+  System.setProperty("graft.store.lease.exactCreateSchemes",
+    "atomicfs,flakyfs,writefailfs,blockfs")
 
   def bars(n: Int, seed: Long = 31): DataFrame = {
     val rnd = new scala.util.Random(seed)
@@ -604,6 +611,35 @@ class StoreLeaseSpec extends AnyFunSuite {
       s"thief\n${System.currentTimeMillis() - 10L}")
     s.appendNewOnly("MSFT", bars(150))
     assert(s("MSFT").count() == 150)
+  }
+
+  test("an unattested non-atomic-create FS refuses writerLease loudly at open — never silent best-effort") {
+    // ObjStoreFs delegates create to RawLocalFileSystem: check-then-act,
+    // the raw-object-store shape, and its scheme is NOT attested — so a
+    // leased open must refuse with both remedies named, instead of
+    // running a lease that is only usually exclusive
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-lease-refuse")
+    val dir = "objstore://" + local.toString
+    val s0 = Store.open(spark, dir) // leaseless use of the store is fine
+    s0.write("MSFT", bars(10))
+    val e = intercept[SchemaError](Store.open(spark, dir, writerLease = true))
+    assert(e.getMessage.contains("exactCreateSchemes"),
+      s"refusal must name the attestation remedy: ${e.getMessage}")
+    val e2 = intercept[SchemaError](Store.attach(spark, dir, writerLease = true))
+    assert(e2.getMessage.contains("exactCreateSchemes"))
+    // with the operator attestation (the conditional-PUT deployment
+    // story), the same open succeeds and the lease protocol runs
+    val key = "graft.store.lease.exactCreateSchemes"
+    val prev = System.getProperty(key)
+    System.setProperty(key, prev + ",objstore")
+    try {
+      val s = Store.open(spark, dir, writerLease = true)
+      s.appendNewOnly("MSFT", bars(20))
+      assert(s("MSFT").count() == 20)
+      assert(released(hfs(dir)._1, leaseDir(hfs(dir)._2, "MSFT")))
+    } finally System.setProperty(key, prev)
   }
 
   implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {

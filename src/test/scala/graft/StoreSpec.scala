@@ -171,7 +171,7 @@ class StoreSpec extends AnyFunSuite {
     assert(s.query("MSFT", Some(t0), Some(t1)).count() == 29)
   }
 
-  test("bucketed store is timezone-safe: non-UTC session correct, cross-tz reopen fails fast") {
+  test("bucketed store is timezone-safe: non-UTC session correct, drifted reads correct, drifted writes fail fast") {
     val tzKey = "spark.sql.session.timeZone"
     val orig = spark.conf.get(tzKey)
     try {
@@ -190,14 +190,24 @@ class StoreSpec extends AnyFunSuite {
       flat.write("MSFT", bars(100))
       assert(got == flat.query("MSFT", Some(t0), Some(t1)).count())
       assert(got == 32, "Jan 10 .. Feb 10 inclusive = 32 daily bars")
-      // reopening the NY-bucketed store under UTC fails fast instead of
-      // silently pruning the wrong directories
+      // READS under a drifted session are CORRECT, not refused: every
+      // bucket bound renders under the PERSISTED store tz and residual
+      // predicates compare instants — a read-only consumer in another
+      // timezone (reopen or an already-open handle after a mid-session
+      // tz change) sees the same rows
       spark.conf.set(tzKey, "UTC")
-      intercept[SchemaError] { Store.open(spark, dir) }
-      // ... and so does an already-open handle after a mid-session tz
-      // change (session timeZone is runtime-mutable)
-      intercept[SchemaError] { s.query("MSFT", Some(t0), Some(t1)) }
-      intercept[SchemaError] { s.appendNewOnly("MSFT", bars(100)) }
+      assert(s.query("MSFT", Some(t0), Some(t1)).count() == 32)
+      val reopened = Store.open(spark, dir)
+      assert(reopened.query("MSFT", Some(t0), Some(t1)).count() == 32)
+      // WRITES are where bucket labels get rendered (date_format is
+      // session-tz codegen): a drifted bucketed write refuses with the
+      // remedy named, instead of silently labeling rows into wrong
+      // bucket directories
+      val e = intercept[SchemaError] { s.appendNewOnly("MSFT", bars(100)) }
+      assert(e.getMessage.contains("timeZone"), s"unhelpful: ${e.getMessage}")
+      // maintenance that only COMPARES labels stays available under
+      // drift (labels render under the store tz)
+      assert(s.compactBuckets("MSFT", maxFilesPerBucket = 1000L) == 0L)
     } finally spark.conf.set(tzKey, orig)
   }
 

@@ -151,6 +151,45 @@ class TwoProcessSpec extends AnyFunSuite {
     } finally proc.destroyForcibly()
   }
 
+  test("a versioned commit halted AT the pointer create in another process: parent reads the OLD version exactly and sweeps the orphan") {
+    // the versioned layout's whole claim is that the commit is ONE
+    // single-object pointer write — so the worst crash a foreign
+    // process can inflict is dying with a fully-materialized new
+    // version dir and the pointer untouched. Child halt(43)s the
+    // instant the `_current` create begins.
+    val dir = "objstore://" +
+      java.nio.file.Files.createTempDirectory("graft-2proc-vers").toString
+    val s = Store.open(spark, dir, chunkRows = 50, versioned = true)
+    s.write("MSFT", bars(120))
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    assert(before.size == 120)
+
+    val (proc, log) = forkChild(Seq("versioncrash", dir, "MSFT"), Seq.empty)
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"child did not finish; log:\n${tail(log)}")
+    assert(proc.exitValue() == 43,
+      s"child must die AT the pointer-create halt (exit 43), got ${proc.exitValue()}; log:\n${tail(log)}")
+
+    // the pointer still names the OLD version: reads here are exact,
+    // with zero recovery required — that is the commit's atomicity
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before,
+      "reads must see the pre-crash version exactly")
+    val (fs, base) = hfs(dir)
+    val itemDir = new HPath(new HPath(base, "items"), "MSFT")
+    def versionDirs(): Seq[String] =
+      fs.listStatus(itemDir).map(_.getPath.getName).filter(_.startsWith("v-")).toSeq
+    assert(versionDirs().size == 2,
+      s"expected live + orphaned version dirs, got ${versionDirs()}")
+    // vacuum(0) (safe: the only other writer is provably dead) sweeps
+    // the dead child's uncommitted version
+    s.vacuum(0L)
+    assert(versionDirs().size == 1, s"orphan must be swept, got ${versionDirs()}")
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before)
+    // and the next commit is a clean pointer swap
+    s.appendNewOnly("MSFT", bars(130))
+    assert(s("MSFT").count() == 130)
+  }
+
   test("a swap killed MID-RENAME in another process (halt, objstore semantics) is vacuumed exactly here") {
     val dir = "objstore://" +
       java.nio.file.Files.createTempDirectory("graft-2proc-swap").toString
