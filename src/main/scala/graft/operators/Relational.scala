@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scan / filter / join / aggregate / window / sort / set-op surface —
   * the reference's storage semantics (oakstore/store.py R4/R6/R7)
@@ -1016,11 +1017,20 @@ object Relational {
     // JSON field extraction from the events.props string column.
     Q(
       "fn_json",
+      // single-field extraction via from_json with the narrowest
+      // schema, not get_json_object: both parse per row, but the
+      // schema'd Jackson path is measurably cheaper through this
+      // query's sort (JsonBench receipt, sf0.1 medians of 5:
+      // from_json+sort 0.82 s vs get_json_object+sort 1.02 s —
+      // closing the round-10 1.32x ratio to ~1.0x of baseline).
+      // Semantics identical here: props is always {"k": <int>}
+      // (missing/null keys would yield NULL on both paths).
       (s, d) =>
         events(s, d)
           .select(
             col("event_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("k_val")
+            from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+              .getField("k").as("k_val")
           )
           .orderBy("event_id"),
       Some(
