@@ -122,6 +122,35 @@ object StoreDemo {
         s"INSERT INTO twice: $before -> $mid -> $after rows " +
         s"(first +${mid - before}, second +${after - mid}: a dedup no-op)")
 
+    // catalog plugin: one conf pair makes the store a SQL catalog —
+    // items are discoverable (SHOW TABLES) and queryable by name with
+    // zero per-item DDL, through the same pruned GraftTable
+    spark.conf.set("spark.sql.catalog.demostore", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.demostore.path", baseDir)
+    val catTables = spark.sql("SHOW TABLES IN demostore")
+      .collect().map(_.getString(1)).sorted.mkString(",")
+    val catRows = spark.sql(
+      "SELECT count(*) AS n FROM demostore.EVENTS " +
+        "WHERE TS BETWEEN '2024-01-10' AND '2024-01-20'"
+    ).collect()(0).getLong(0)
+    println(
+      s"[demo] catalog: SHOW TABLES IN demostore -> [$catTables]; " +
+        s"demostore.EVENTS range SELECT -> $catRows rows (same pruned scan)")
+
+    // DSv2 streaming read: the item as a micro-batch stream from any
+    // binding; AvailableNow drains it once into a memory sink here
+    val streamed = {
+      val q = spark.readStream.format("graft").option("item", "EVENTS")
+        .load(baseDir)
+        .writeStream.format("memory").queryName("demo_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("demo_stream").count()
+    }
+    println(s"[demo] readStream.format(graft): drained $streamed rows " +
+      "via micro-batch file offsets (delta-only on resume; GraftStreamSpec)")
+
     // cross-JVM writer lease (opt-in): every mutation takes and
     // releases a per-item lease file; multi-driver deployments enable
     // this on every writer
