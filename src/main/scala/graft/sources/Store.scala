@@ -1007,13 +1007,23 @@ class Store private[sources] (
     * like every read.
     */
   private[sources] def dataFiles(key: String): Seq[String] = {
-    val it = fs.listFiles(dataPath(key, mustExist = true), true)
+    val root = dataPath(key, mustExist = true)
+    val rootPrefix = root.toUri.getPath
+    val it = fs.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        buf += st.getPath.toString
+      // hidden-ness applies to EVERY path segment below the item root,
+      // not just the file name: a concurrent write's in-flight task
+      // files live under a `_temporary/` DIRECTORY with ordinary file
+      // names — a name-only filter would stream uncommitted data
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
+      // Spark's hidden-path rule: `.`-prefixed, or `_`-prefixed UNLESS
+      // it is a partition segment (contains '='), which is how the
+      // `__bucket=...` dirs stay visible while `_temporary` does not
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith(".") || (seg.startsWith("_") && !seg.contains("=")))
+      if (st.isFile && !hidden) buf += st.getPath.toString
     }
     buf.sorted.toSeq
   }

@@ -279,6 +279,8 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     // quarantined in [[SparkInternals]] — the one file a Spark bump
     // may break. Streaming: [[GraftScan.toMicroBatchStream]].
     new GraftScan(store, key, required, pushed,
-      () => store.prunedRoots(key, start, end))
+      () => store.prunedRoots(key, start, end),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
   }
 }

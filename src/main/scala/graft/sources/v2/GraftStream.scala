@@ -5,7 +5,7 @@ import graft.sources.Store
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -21,7 +21,8 @@ final class GraftScan(
     key: String,
     required: StructType,
     pushed: Array[Filter],
-    batchRoots: () => Seq[HPath]
+    batchRoots: () => Seq[HPath],
+    maxFilesPerTrigger: Option[Int] = None
 ) extends Scan {
 
   /** The batch parquet assembly, built on first batch use (a streaming
@@ -38,7 +39,7 @@ final class GraftScan(
   override def toBatch: Batch = parquet.toBatch
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(store, key, required)
+    new GraftMicroBatchStream(store, key, required, maxFilesPerTrigger)
 }
 
 /** Offset = the sorted set of data files already processed, carried
@@ -93,8 +94,9 @@ object GraftFilesOffset {
 final class GraftMicroBatchStream(
     store: Store,
     key: String,
-    required: StructType
-) extends MicroBatchStream {
+    required: StructType,
+    maxFilesPerTrigger: Option[Int]
+) extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Factory is file-list-independent (FilePartitions carry their own
     * files), so ONE assembly over zero roots serves every batch.
@@ -104,10 +106,46 @@ final class GraftMicroBatchStream(
       SparkSession.active, Nil, store.schema, required, Array.empty)
       .toBatch.createReaderFactory()
 
+  /** Under Trigger.AvailableNow, the run's END is pinned at start —
+    * the drive processes exactly the files that existed then (in
+    * `maxFilesPerTrigger`-sized batches if set) and terminates, even
+    * while appends keep landing.
+    */
+  @volatile private var availableNowTarget: Seq[String] = _
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = store.dataFiles(key)
+
+  private def listing(): Seq[String] =
+    if (availableNowTarget != null) availableNowTarget
+    else store.dataFiles(key)
+
   override def initialOffset(): Offset = new GraftFilesOffset(Nil)
 
   override def latestOffset(): Offset =
-    new GraftFilesOffset(store.dataFiles(key))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  /** `maxFilesPerTrigger` is the 24/7 scale knob: without it, the
+    * FIRST micro-batch of a stream started against a large item would
+    * be the entire item. The option caps each batch's admission; the
+    * stream still converges on all files (the next batch starts where
+    * this one ended).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
+    val fresh = listing().filterNot(seen)
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    new GraftFilesOffset((seen ++ admitted).toSeq.sorted)
+  }
+
+  override def reportLatestOffset(): Offset = new GraftFilesOffset(listing())
 
   override def deserializeOffset(json: String): Offset =
     GraftFilesOffset.parse(json)

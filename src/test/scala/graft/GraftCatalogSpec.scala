@@ -122,6 +122,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS gcat.FRESH")
   }
 
+  test("a VERSIONED store works through the catalog: list, create-empty, insert, drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-vers").toString
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(15))
+    spark.conf.set("spark.sql.catalog.gcatv", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatv.path", dir)
+    assert(spark.sql("SHOW TABLES IN gcatv").select("tableName")
+      .as[String].collect().toSet == Set("MSFT"))
+    assert(spark.sql("SELECT count(*) FROM gcatv.MSFT").as[Long].head() == 15)
+    spark.sql("CREATE TABLE gcatv.FRESH") // empty item = one pointer commit
+    assert(s.exists("FRESH") && s("FRESH").count() == 0)
+    spark.sql("INSERT INTO gcatv.FRESH VALUES " +
+      "(TIMESTAMP'2015-05-01 00:00:00', 1.0, 2.0, 0.5, 1.5, 100)")
+    spark.sql("INSERT INTO gcatv.FRESH VALUES " +
+      "(TIMESTAMP'2015-05-01 00:00:00', 1.0, 2.0, 0.5, 1.5, 100)")
+    assert(s("FRESH").count() == 1, "idempotent insert on the versioned layout")
+    spark.sql("DROP TABLE gcatv.FRESH")
+    assert(!s.exists("FRESH"))
+    // a half-created orphan dir (no pointer) is NOT a table
+    assert(s.vacuum(0L) >= 0L)
+    assert(spark.sql("SHOW TABLES IN gcatv").count() == 1)
+  }
+
   test("failure modes: missing table, nested namespace, ALTER/RENAME/PARTITIONED refusals") {
     storeDir
     val missing = intercept[Exception](spark.sql("SELECT * FROM gcat.NOPE").collect())

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** `spark.readStream.format("graft")` — the DSv2 micro-batch face of
   * [[Store.readStream]], so a Python/SQL streaming consumer never has
@@ -89,6 +90,59 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("DATE", "CLOSE"))
     val expect = s.query("AAPL", None, None, columns = Some(Seq("DATE", "CLOSE")))
     assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
+  test("in-flight committer files under _temporary are invisible to stream offsets") {
+    // a concurrent write materializes task files under a `_temporary/`
+    // DIRECTORY with ordinary file names before commit — the listing
+    // must treat hidden-ness per path SEGMENT, or the stream would
+    // read uncommitted (and soon-renamed-away) data
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(10))
+    val itemDir = java.nio.file.Paths.get(dir, "items", "MSFT")
+    val tmpTask = itemDir.resolve("_temporary").resolve("0").resolve("task-0")
+    java.nio.file.Files.createDirectories(tmpTask)
+    // an ordinary-named parquet file inside the hidden dir
+    java.nio.file.Files.copy(
+      java.nio.file.Files.walk(itemDir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next(),
+      tmpTask.resolve("part-00000-inflight.snappy.parquet"))
+    val out = tmpDir() + "/out"
+    val q = spark.readStream.format("graft").option("item", "MSFT").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir() + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 10,
+      "uncommitted _temporary task files leaked into the stream")
+  }
+
+  test("maxFilesPerTrigger paces admission: AvailableNow drains completely in bounded batches") {
+    // the 24/7 scale knob — without it the first batch of a stream
+    // started against a large item is the whole item
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(40)) // Jan+Feb 2015 → ≥ 2 bucket files
+    val nFiles = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "items", "MSFT")).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(nFiles >= 2)
+    val out = tmpDir() + "/out"
+    val q = spark.readStream.format("graft").option("item", "MSFT")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir() + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 40, "the drive must still drain everything")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= nFiles,
+      s"expected ≥ $nFiles one-file batches, saw $dataBatches")
   }
 
   test("offsets round-trip their file lists exactly") {
