@@ -145,6 +145,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN gcatv").count() == 1)
   }
 
+  test("catalog-qualified STREAMING read: spark.readStream.table(gcat.MSFT) drains the item") {
+    storeDir
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-stream").toString
+    val q = spark.readStream.table("gcat.MSFT")
+      .writeStream.format("parquet")
+      .option("path", out + "/out")
+      .option("checkpointLocation", out + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out + "/out")
+    val batch = Store.attach(spark, storeDir)("MSFT")
+    assert(got.count() == 100)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "catalog-qualified stream must equal the batch item")
+  }
+
   test("failure modes: missing table, nested namespace, ALTER/RENAME/PARTITIONED refusals") {
     storeDir
     val missing = intercept[Exception](spark.sql("SELECT * FROM gcat.NOPE").collect())
