@@ -413,8 +413,12 @@ object Store {
     val attested = sys.props.get("graft.store.lease.exactCreateSchemes")
       .iterator.flatMap(_.split(",")).map(_.trim.toLowerCase)
       .filter(_.nonEmpty).toSet
-    if (attested.contains(sch)) CreateExact
-    else if (sch == "file" || sch == "local") NioExact
+    // local wins over attestation: O_EXCL via java.nio is strictly
+    // stronger than Hadoop's check-then-act local create, so attesting
+    // 'file' (cargo-cult "attest everything I use") must not DOWNGRADE
+    // local claims to the racy path
+    if (sch == "file" || sch == "local") NioExact
+    else if (attested.contains(sch)) CreateExact
     else if (Set("hdfs", "viewfs", "webhdfs", "swebhdfs").contains(sch)) CreateExact
     else NotExact(sch)
   }
@@ -572,8 +576,13 @@ class Store private[sources] (
     * sequence is monotone (nothing ever deletes the max), so a
     * recycled-number claim always shows a higher slot in the
     * confirmation listing, the claim is retired, and the claimant
-    * re-enters the wait loop. An unreadable confirmation counts as
-    * not-confirmed, never as held.
+    * re-enters the wait loop. An UNREADABLE confirmation is never
+    * treated as held; what else it means depends on the caller:
+    * acquire conservatively retires and retries under its deadline,
+    * while the renewer leaves its (possibly true-max) slot standing
+    * and re-reads next tick, and release lets its sentinel stand —
+    * deleting a possibly-true max on absence of evidence would
+    * regress the log.
     *
     * Exactness contract: mutual exclusion against a live holder is
     * EXACT everywhere the lease runs AT ALL — there is no best-effort
@@ -736,24 +745,31 @@ class Store private[sources] (
     // is affected) and the caller re-enters its wait loop. An
     // unreadable confirmation listing counts as NOT confirmed — never
     // as held.
-    def confirmedMax(seq: Long, who: String): Boolean = {
+    // Three-valued on purpose: POSITIVE supersession (a higher slot
+    // seen — lost for good, monotonicity) is very different evidence
+    // from an UNCONFIRMABLE claim (listings failing or lagging), and
+    // the callers must treat them differently — the acquire path may
+    // conservatively treat unconfirmable as lost (deadline-guarded),
+    // but the RENEWER must not delete what may be the true max nor
+    // stop renewing on absence of evidence.
+    sealed trait Confirm
+    case object Confirmed extends Confirm
+    case object Superseded extends Confirm
+    case object Unconfirmable extends Confirm
+    def confirmClaim(seq: Long, who: String): Confirm = {
       var tries = 0
       while (tries < 5) {
         tries += 1
         state() match {
-          case Cur(s, uuid, _) if s == seq && uuid == who => return true
-          case Cur(s, _, _) if s > seq => return false // superseded: lost
-          case Cur(s, _, _) if s == seq =>
-            Thread.sleep(20L * tries) // torn read of our own entry: retry
+          case Cur(s, uuid, _) if s == seq && uuid == who => return Confirmed
+          case Cur(s, _, _) if s > seq => return Superseded
           case _ =>
-            // listing missed our own just-created file (s < seq,
-            // NoLease) or failed outright (Unknown): retry bounded,
-            // then fail the confirmation — conservative, never seats
-            // a holder on an unverifiable claim
+            // torn read of our own entry, a listing that missed our
+            // just-created file, or an outright failure: retry bounded
             Thread.sleep(20L * tries)
         }
       }
-      false
+      Unconfirmable
     }
     def retire(seq: Long): Unit =
       try fs.delete(new HPath(dir, entryName(seq)), false)
@@ -789,9 +805,17 @@ class Store private[sources] (
           // failure with an EMPTY log is not a lost race — e.g. a
           // pre-log-vintage lease FILE occupying the dir's path — so
           // the deadline applies here too, with the same loud failure.
-          if (claim(1L, stamp())) {
-            if (confirmedMax(1L, id)) heldSeq = 1L
-            else retire(1L) // superseded while claiming: loop re-reads
+          if (claim(1L, stamp())) confirmClaim(1L, id) match {
+            case Confirmed => heldSeq = 1L
+            case Superseded => retire(1L) // loop re-reads the foreign max
+            case Unconfirmable =>
+              // retire is safe (exclusively ours; at worst the log
+              // returns to its prior state, as if the claim never
+              // happened) — but the retry must stay deadline-guarded,
+              // or alternating claim-success/confirm-failure could
+              // spin past waitMs without ever failing loudly
+              retire(1L)
+              waitOrFail(now, s"slot claim at $dir succeeded but could not be confirmed (listings failing)")
           } else waitOrFail(now,
             s"cannot create lease log at $dir (no entries, yet the first-slot " +
               "claim keeps failing — a pre-log lease file or a permission problem?)")
@@ -807,9 +831,12 @@ class Store private[sources] (
           // (loop re-reads), but a persistent failure (quota,
           // permissions) must fail loudly at the deadline, not spin
           // hot forever.
-          if (claim(seq + 1, stamp())) {
-            if (confirmedMax(seq + 1, id)) heldSeq = seq + 1
-            else retire(seq + 1) // ABA: foreign lease lives higher — loop
+          if (claim(seq + 1, stamp())) confirmClaim(seq + 1, id) match {
+            case Confirmed => heldSeq = seq + 1
+            case Superseded => retire(seq + 1) // ABA: foreign max — loop
+            case Unconfirmable =>
+              retire(seq + 1)
+              waitOrFail(now, s"steal claim at $dir succeeded but could not be confirmed (listings failing)")
           } else waitOrFail(now,
             s"expired lease at $dir/${entryName(seq)} but the steal claim keeps failing")
         case Cur(seq, _, exp) =>
@@ -837,13 +864,25 @@ class Store private[sources] (
         try Thread.sleep(interval) catch { case _: InterruptedException => () }
         if (renewing.get()) state() match {
           case Cur(seq, uuid, _) if uuid == id =>
-            if (claim(seq + 1, stamp())) {
-              if (confirmedMax(seq + 1, id)) gc(seq + 1)
-              else { retire(seq + 1); renewing.set(false) }
-              // unconfirmed = a thief advanced past us between our
-              // read and our claim (our create landed on a recycled
-              // GC'd number) — the lease is positively foreign now,
-              // same terminal verdict as reading foreign content
+            if (claim(seq + 1, stamp())) confirmClaim(seq + 1, id) match {
+              case Confirmed => gc(seq + 1)
+              case Superseded =>
+                // a thief advanced past us between our read and our
+                // claim (our create landed on a recycled GC'd number):
+                // positively foreign — same terminal verdict as
+                // reading foreign content
+                retire(seq + 1)
+                renewing.set(false)
+              case Unconfirmable =>
+                // transient listing failure/lag: our fresh stamp
+                // either IS the max (renewal landed, just unreadable
+                // right now) or sits superseded under a foreign max as
+                // garbage its holder's gc sweeps. Deleting what may be
+                // the true max would REGRESS the visible expiry to the
+                // previous stamp, and stopping renewal would silently
+                // drop mutual exclusion at the stale TTL — do neither;
+                // the next tick re-reads and resolves.
+                ()
             }
           // claim failed: a thief (after our expiry) or our own release
           // won the slot; the next tick's read resolves which
@@ -883,10 +922,18 @@ class Store private[sources] (
             if (claim(seq + 1, "-\n0")) {
               // confirm before sweeping: if the sentinel landed on a
               // recycled GC'd number under a foreign max (the same
-              // ABA as acquire), retire it — the lease is foreign,
-              // which is released-from-our-side either way
-              if (confirmedMax(seq + 1, "-")) gc(seq + 1)
-              else retire(seq + 1)
+              // ABA as acquire), it is harmless superseded garbage —
+              // retire it for tidiness; the lease is foreign, which is
+              // released-from-our-side either way. UNCONFIRMABLE lets
+              // the sentinel STAND: it is either the true max (a
+              // correct release) or swept later by the foreign
+              // holder's gc — deleting a possibly-true max sentinel
+              // would un-release the lease until its TTL.
+              confirmClaim(seq + 1, "-") match {
+                case Confirmed => gc(seq + 1)
+                case Superseded => retire(seq + 1)
+                case Unconfirmable => ()
+              }
               done = true
             } else if (tries < 20) Thread.sleep(50)
           case Cur(_, uuid, _) if uuid.nonEmpty =>

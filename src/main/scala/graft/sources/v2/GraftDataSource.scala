@@ -129,13 +129,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * `INSERT OVERWRITE` is refused: the destructive rewrite has richer
   * semantics (drop + write) that belong behind the Store API.
   *
-  * Timestamp encoding: each INSERT runs with
-  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` — that is
-  * what gives store files their pruning statistics — but the setting
-  * is SCOPED to the insert call (set, write, restore), so a SQL-only
-  * user's later unrelated parquet writes keep their own timestamp
-  * type. (This is deliberately tighter than [[Store.open]], which pins
-  * the conf session-wide for its Scala writers and documents that.)
+  * Timestamp encoding: the first INSERT that finds the session off
+  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` pins it
+  * there — session-wide, like [[Store.open]] — and logs a WARNING
+  * saying so (that is what gives store files their pruning
+  * statistics). Not a scoped set/restore: a restore racing a
+  * concurrent write can land stat-less INT96 store files after the
+  * per-write guard passed, which is silent data degradation; a
+  * visible, warned, permanent pin is the safe shape.
   *
   * Multi-driver deployments where writers lease
   * (`Store.open(writerLease = true)`): pass the `writerLease` table
@@ -170,27 +171,31 @@ class GraftTable(store: Store, key: String)
                       "a destructive rewrite is drop() + write() through the Store API")
                 // the provider attaches read-only (no session conf
                 // pinned); an INSERT is a WRITE entry point, so the
-                // micros-timestamp invariant must hold for the write —
-                // but SCOPED to it: the insert runs the whole write
-                // job synchronously in this call, so set/restore
-                // brackets it exactly, and a later unrelated parquet
-                // write in the session keeps whatever timestamp type
-                // it had (the earlier shape mutated the session for
-                // good, invisibly to a SQL-only user). A concurrent
-                // write planned inside this bracket on another thread
-                // is caught by the store's per-write guard, which
-                // fails fast naming the conf remedy — never a silent
-                // INT96 store file.
+                // micros-timestamp invariant must hold. Pin it like
+                // Store.open does — session-wide, ONCE, with a
+                // logged warning when it actually changes something —
+                // NOT a scoped set/restore: a restore racing a
+                // concurrent write (another INSERT, a resident
+                // ingestStream) can land stat-less INT96 files after
+                // the guard passed, the exact interleaving
+                // requireMicrosTimestamps' scaladoc declares unsafe.
+                // The warning gives the SQL-only user the visibility
+                // the old silent repoint lacked.
                 val conf = data.sparkSession.conf
-                val prior = conf.getOption(Store.TimestampTypeKey)
-                conf.set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
-                try {
-                  if (store.exists(key)) store.appendNewOnly(key, data)
-                  else store.write(key, data)
-                } finally prior match {
-                  case Some(v) => conf.set(Store.TimestampTypeKey, v)
-                  case None => conf.unset(Store.TimestampTypeKey)
+                if (!conf.getOption(Store.TimestampTypeKey)
+                      .contains("TIMESTAMP_MICROS")) {
+                  org.slf4j.LoggerFactory.getLogger(classOf[GraftTable]).warn(
+                    s"graft INSERT into $key is pinning " +
+                      s"${Store.TimestampTypeKey}=TIMESTAMP_MICROS for this " +
+                      "session: store files need INT64-micros column " +
+                      "statistics, and a scoped set/restore would race " +
+                      "concurrent writes into stat-less INT96 files. Set " +
+                      "the conf back per write if a downstream truly " +
+                      "requires INT96.")
+                  conf.set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
                 }
+                if (store.exists(key)) store.appendNewOnly(key, data)
+                else store.write(key, data)
               }
             }
         }

@@ -34,7 +34,14 @@ final class GraftScan(
 
   override def readSchema(): StructType = required
 
-  override def description(): String = parquet.description()
+  /** Static on purpose: delegating to the ParquetScan's description
+    * would force the lazy batch assembly — a full bucket-dir LIST — on
+    * any plan rendering (explain, progress reports), including for
+    * streaming reads that never execute the batch side.
+    */
+  override def description(): String =
+    s"GraftScan item=$key store=${store.base} " +
+      s"pushed=[${pushed.mkString(", ")}] read=${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = parquet.toBatch
 

@@ -141,7 +141,7 @@ object Streams {
     * [[driveSession]] clone when built through the public ops), so the
     * lookup must go there, not to the caller's session.
     */
-  def runToBatch(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+  def runToBatch(out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = out.writeStream
       .format("memory")
@@ -172,7 +172,7 @@ object Streams {
     */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
     val agg = tumblingAggOn(eventsStream(driveSession(s), dir))
-    runToBatch(s, agg, "complete")
+    runToBatch(agg, "complete")
       .select(
         col("window.start").as("w_start"),
         col("event_type"), col("n"), col("sum_value")
@@ -195,7 +195,7 @@ object Streams {
   /** Session windows (30-minute gap) per user. */
   def session(s: SparkSession, dir: String): DataFrame = {
     val agg = sessionAggOn(eventsStream(driveSession(s), dir))
-    runToBatch(s, agg, "complete")
+    runToBatch(agg, "complete")
       .select(
         col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
@@ -213,7 +213,7 @@ object Streams {
     val e = eventsStream(driveSession(s), dir)
     val doubled = e.unionByName(e).withWatermark("ts", "10 minutes")
     val deduped = doubled.dropDuplicatesWithinWatermark("event_id")
-    runToBatch(s, deduped.select("event_id", "ts", "user_id", "event_type", "value"), "append")
+    runToBatch(deduped.select("event_id", "ts", "user_id", "event_type", "value"), "append")
       .orderBy("event_id")
   }
 
@@ -252,7 +252,7 @@ object Streams {
 
   def customState(s: SparkSession, dir: String): DataFrame = {
     val updated = customStateOn(eventsStream(driveSession(s), dir))
-    runToBatch(s, updated, "append")
+    runToBatch(updated, "append")
       .groupBy("user_id") // keep only the final emission per user
       .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
       .select(col("user_id"), col("fin.n_events"), round(col("fin.sum_value"), 4).as("sum_value"))
@@ -288,7 +288,7 @@ object Streams {
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    runToBatch(s, minhashDedupOn(src), "append").orderBy("doc_id")
+    runToBatch(minhashDedupOn(src), "append").orderBy("doc_id")
   }
 
   /** The near-dup-filter transform on an arbitrary (doc_id, text)
@@ -346,7 +346,7 @@ object Streams {
     * query terminate when the source is exhausted.
     */
   def zscore(s: SparkSession, dir: String): DataFrame =
-    runToBatch(s, zscoreOn(eventsStream(driveSession(s), dir)), "append")
+    runToBatch(zscoreOn(eventsStream(driveSession(s), dir)), "append")
       .orderBy("event_id")
 
   /** Streaming windowed funnel — the continuous form of the batch
@@ -377,7 +377,7 @@ object Streams {
     * length.
     */
   def funnel(s: SparkSession, dir: String): DataFrame =
-    runToBatch(s, funnelOn(eventsStream(driveSession(s), dir)), "append")
+    runToBatch(funnelOn(eventsStream(driveSession(s), dir)), "append")
       .groupBy("user_id")
       // n is cumulative and steps monotone: max(struct) = final emission
       .agg(max(struct(col("n_events"), col("steps"))).as("fin"))
@@ -606,7 +606,7 @@ object Streams {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
     )
-    runToBatch(s, joined.select("p_id", "c_id", "user_id", "p_ts", "c_ts"), "append")
+    runToBatch(joined.select("p_id", "c_id", "user_id", "p_ts", "c_ts"), "append")
       .orderBy("p_id", "c_id")
   }
 
@@ -632,7 +632,7 @@ object Streams {
         round(sum("value"), 4).as("volume"),
         count(lit(1)).as("n")
       )
-    runToBatch(s, agg, "complete")
+    runToBatch(agg, "complete")
       .select(
         col("window.start").as("w_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"),
@@ -671,7 +671,7 @@ object Streams {
     */
   def topk(s: SparkSession, dir: String): DataFrame = {
     val agg = topkOn(s, eventsStream(driveSession(s), dir), 5).toDF("hour_epoch", "top")
-    runToBatch(s, agg, "complete")
+    runToBatch(agg, "complete")
       .select(col("hour_epoch"), posexplode(col("top.items")).as(Seq("pos0", "c")))
       .select(
         timestamp_seconds(col("hour_epoch")).as("w_start"),

@@ -203,11 +203,14 @@ class GraftTableSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_w")
   }
 
-  test("INSERT's micros-timestamp pin is scoped to the insert, never leaked session-wide") {
-    // round-10 review (low): a SQL INSERT used to repoint
-    // spark.sql.parquet.outputTimestampType for the whole session —
-    // every later parquet write silently switched INT96 → INT64,
-    // invisible to a SQL-only user. The pin is now set/write/restore.
+  test("INSERT on an INT96 session pins MICROS once (warned), never a racy set/restore") {
+    // round-10 review (low) asked the silent session repoint to become
+    // visible; a first cut used scoped set/restore, but a restore
+    // racing a concurrent write (another INSERT, a resident
+    // ingestStream) can land stat-less INT96 files AFTER the per-write
+    // guard passed — silent data degradation. The safe shape is the
+    // Store.open shape: pin once, session-wide, with a logged warning
+    // when the conf actually changes.
     val dir = tmpDir()
     val s = Store.open(spark, dir)
     s.write("MSFT", bars(3))
@@ -218,10 +221,15 @@ class GraftTableSpec extends AnyFunSuite {
       spark.sql(
         "INSERT INTO graft_scope VALUES (TIMESTAMP'2015-07-01 00:00:00', 1, 2, 0, 1, 5)")
       assert(s("MSFT").count() == 4, "insert must append through the store")
-      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96",
-        "INSERT leaked its timestamp-type pin into the session")
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS",
+        "INSERT must pin the session to MICROS (a restore would race concurrent writes)")
+      // and the inserted file really carries INT64-micros stats: the
+      // store's range pruning depends on it
+      val inserted = s.query("MSFT",
+        Some(Timestamp.valueOf("2015-07-01 00:00:00")),
+        Some(Timestamp.valueOf("2015-07-01 00:00:00")))
+      assert(inserted.count() == 1)
     } finally {
-      // this suite's other writers want the store invariant back
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       spark.sql("DROP TABLE IF EXISTS graft_scope")
     }
