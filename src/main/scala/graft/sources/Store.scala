@@ -227,7 +227,16 @@ object Store {
     // mid-batch-write landed INT96 files — which carry NO column
     // statistics, silently disabling row-group pruning and describe()
     // footer min/max. A session invariant enforced per-write (like the
-    // timezone guard) has no such window.
+    // timezone guard) has no such window. Overriding an EXPLICITLY
+    // different setting is the surprising case — warn so the change
+    // is visible, not silent (same shape as the SQL INSERT pin).
+    val priorTs = spark.conf.getOption(TimestampTypeKey)
+    if (priorTs.exists(_ != "TIMESTAMP_MICROS"))
+      org.slf4j.LoggerFactory.getLogger(classOf[Store]).warn(
+        s"Store.open($basePath) is repointing $TimestampTypeKey from " +
+          s"'${priorTs.get}' to TIMESTAMP_MICROS for this session — store " +
+          "files need INT64-micros column statistics; set the conf back " +
+          "per write if a downstream truly requires INT96")
     spark.conf.set(TimestampTypeKey, "TIMESTAMP_MICROS")
     val raw = new HPath(basePath)
     // sparkContext.hadoopConfiguration carries the deployment's fs.*
