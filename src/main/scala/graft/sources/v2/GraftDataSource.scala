@@ -50,9 +50,46 @@ import scala.jdk.CollectionConverters._
   * retention, drop — stays behind the Store API, whose staged-swap /
   * lease semantics SQL cannot express.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with GraftSinkProviderBase {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the streaming WRITE face of
+    * the store, from any binding: each micro-batch lands through the
+    * idempotent appendNewOnly ingest (the [[Store.ingestStream]]
+    * contract — replayed epochs append zero rows, so exactly-once
+    * holds across checkpoint restarts with no sink-side epoch
+    * bookkeeping). The store must exist (it carries the schema; create
+    * it once with `Store.open(cols = ...)`); the ITEM is created by
+    * the first batch. Append output mode only — the ingest contract IS
+    * append — and no partitionBy (the store owns its layout). Pass
+    * `writerLease 'true'` in options for leased multi-driver
+    * deployments.
+    */
+  override protected def resolveSink(
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : (Store, String, org.apache.spark.sql.DataFrame => Unit) = {
+    import scala.jdk.CollectionConverters._
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    if (partitionColumns.nonEmpty)
+      throw new SchemaError(
+        "graft sink does not accept partitionBy — the store owns its " +
+          "time-bucketed layout (Store.open(bucket = ...))")
+    if (outputMode != org.apache.spark.sql.streaming.OutputMode.Append())
+      throw new SchemaError(
+        s"graft sink supports Append output mode only (got $outputMode) — " +
+          "the ingest contract is appendNewOnly")
+    val store = attachOnce(opts)
+    val key = store.validateKey(itemKey(opts))
+    (store, key, { df =>
+      GraftDataSource.ensureMicrosPinned(df.sparkSession, s"streaming ingest into $key")
+      if (store.exists(key)) store.appendNewOnly(key, df)
+      else store.write(key, df)
+    })
+  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -111,6 +148,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         s"table schema ${schema.catalogString} does not match the store's " +
           s"persisted schema ${store.schema.catalogString} at ${basePath(options)}")
     new GraftTable(store, key)
+  }
+}
+
+object GraftDataSource {
+  /** Warn-once-per-change session pin of the INT64-micros parquet
+    * timestamp invariant, shared by the SQL INSERT path and the
+    * streaming sink. NOT a scoped set/restore: a restore racing a
+    * concurrent write (another INSERT, a resident ingest) can land
+    * stat-less INT96 store files after the per-write guard passed —
+    * the exact interleaving [[Store]]'s requireMicrosTimestamps
+    * scaladoc declares unsafe. A visible, warned, permanent pin (the
+    * [[Store.open]] shape) is the safe form.
+    */
+  private[v2] def ensureMicrosPinned(
+      spark: SparkSession, what: String): Unit = {
+    val conf = spark.conf
+    if (!conf.getOption(Store.TimestampTypeKey).contains("TIMESTAMP_MICROS")) {
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftDataSource]).warn(
+        s"graft $what is pinning ${Store.TimestampTypeKey}=TIMESTAMP_MICROS " +
+          "for this session: store files need INT64-micros column " +
+          "statistics, and a scoped set/restore would race concurrent " +
+          "writes into stat-less INT96 files. Set the conf back per write " +
+          "if a downstream truly requires INT96.")
+      conf.set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
+    }
   }
 }
 
@@ -181,19 +243,8 @@ class GraftTable(store: Store, key: String)
                 // requireMicrosTimestamps' scaladoc declares unsafe.
                 // The warning gives the SQL-only user the visibility
                 // the old silent repoint lacked.
-                val conf = data.sparkSession.conf
-                if (!conf.getOption(Store.TimestampTypeKey)
-                      .contains("TIMESTAMP_MICROS")) {
-                  org.slf4j.LoggerFactory.getLogger(classOf[GraftTable]).warn(
-                    s"graft INSERT into $key is pinning " +
-                      s"${Store.TimestampTypeKey}=TIMESTAMP_MICROS for this " +
-                      "session: store files need INT64-micros column " +
-                      "statistics, and a scoped set/restore would race " +
-                      "concurrent writes into stat-less INT96 files. Set " +
-                      "the conf back per write if a downstream truly " +
-                      "requires INT96.")
-                  conf.set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
-                }
+                GraftDataSource.ensureMicrosPinned(
+                  data.sparkSession, s"INSERT into $key")
                 if (store.exists(key)) store.appendNewOnly(key, data)
                 else store.write(key, data)
               }

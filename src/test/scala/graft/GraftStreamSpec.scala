@@ -145,6 +145,71 @@ class GraftStreamSpec extends AnyFunSuite {
       s"expected ≥ $nFiles one-file batches, saw $dataBatches")
   }
 
+  test("writeStream.format(graft): store-to-store pipe lands idempotently; fresh-checkpoint replay appends zero") {
+    // the streaming WRITE face: read one store as a stream, land it in
+    // another through the appendNewOnly ingest — the full 24/7 pipe
+    // with no Scala API in sight
+    val srcDir = tmpDir()
+    val src = Store.open(spark, srcDir, bucket = Some("month"))
+    src.write("MSFT", bars(30))
+    val dstDir = tmpDir()
+    Store.open(spark, dstDir) // the sink requires an existing store
+    def pipe(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft").option("item", "MSFT").load(srcDir)
+        .writeStream.format("graft")
+        .option("path", dstDir).option("item", "MSFT")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt = tmpDir() + "/ckpt"
+    pipe(ckpt)
+    val dst = Store.open(spark, dstDir)
+    assert(dst("MSFT").count() == 30)
+    // append at the source; the resumed pipe moves ONLY the delta
+    src.appendNewOnly("MSFT", bars(45))
+    pipe(ckpt)
+    assert(dst("MSFT").count() == 45)
+    // a FRESH checkpoint replays everything — and appendNewOnly's
+    // anti-join lands zero duplicates (the ingestStream contract)
+    pipe(tmpDir() + "/ckpt2")
+    assert(dst("MSFT").count() == 45, "replayed epochs must append zero rows")
+    assert(dst("MSFT").distinct().count() == 45)
+    // equality with the source item, not just counts
+    val (a, b) = (dst("MSFT"), src("MSFT"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("graft sink refuses non-Append modes and partitionBy; a missing store fails fast") {
+    val srcDir = tmpDir()
+    Store.open(spark, srcDir).write("MSFT", bars(5))
+    val stream = spark.readStream.format("graft").option("item", "MSFT").load(srcDir)
+    val agg = stream.groupBy("VOLUME").count()
+    // mode check needs an existing store: Spark resolves the V2 table
+    // (attach) before falling back to the V1 sink, so a missing store
+    // fails earlier with its own error (covered below)
+    val dstDir = tmpDir()
+    Store.open(spark, dstDir,
+      cols = Some(Seq("COUNT" -> org.apache.spark.sql.types.LongType)),
+      index = Some("VOLUME"))
+    val e1 = intercept[Exception] {
+      agg.writeStream.format("graft")
+        .option("path", dstDir).option("item", "X")
+        .option("checkpointLocation", tmpDir() + "/c1")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    assert(e1.getMessage.contains("Append"), s"wrong error: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      stream.writeStream.format("graft")
+        .option("path", tmpDir() + "/nostore").option("item", "MSFT")
+        .option("checkpointLocation", tmpDir() + "/c2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e2.getMessage.contains("no graft store"), s"wrong error: ${e2.getMessage}")
+  }
+
   test("offsets round-trip their file lists exactly") {
     import graft.sources.v2.GraftFilesOffset
     val files = Seq(
