@@ -162,6 +162,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       "catalog-qualified stream must equal the batch item")
   }
 
+  test("SQL tooling paths resolve: DESCRIBE TABLE and spark.table on catalog items") {
+    storeDir
+    val cols = spark.sql("DESCRIBE TABLE gcat.MSFT").select("col_name")
+      .as[String].collect().toSet
+    assert(Set("DATE", "OPEN", "CLOSE", "VOLUME").subsetOf(cols), s"got $cols")
+    assert(spark.table("gcat.MSFT").count() == 100)
+  }
+
   test("failure modes: missing table, nested namespace, ALTER/RENAME/PARTITIONED refusals") {
     storeDir
     val missing = intercept[Exception](spark.sql("SELECT * FROM gcat.NOPE").collect())
