@@ -135,6 +135,32 @@ object Store {
     * [[Store!.requireMicrosTimestamps]]. */
   private[sources] val TimestampTypeKey = "spark.sql.parquet.outputTimestampType"
 
+  /** THE one pin of the INT64-micros parquet-timestamp invariant,
+    * shared by Store.open, the SQL INSERT path, and the streaming sink
+    * (two near-identical copies diverged once; never again). Pins the
+    * session conf when its effective value is anything else, with a
+    * WARN naming who pinned and what the prior value was. The prior
+    * value may be Spark's registered default (INT96) — RuntimeConfig
+    * cannot distinguish a default from an explicit setting, so the
+    * message claims neither. Why a permanent pin and not a scoped
+    * set/restore: a restore racing a concurrent write (a resident
+    * ingest, another INSERT) can land stat-less INT96 store files
+    * after the per-write guard passed — the interleaving
+    * [[Store!.requireMicrosTimestamps]] documents as unsafe.
+    */
+  private[sources] def pinMicros(spark: SparkSession, what: String): Unit = {
+    val prior = spark.conf.getOption(TimestampTypeKey)
+    if (!prior.contains("TIMESTAMP_MICROS")) {
+      org.slf4j.LoggerFactory.getLogger(classOf[Store]).warn(
+        s"$what is pinning $TimestampTypeKey=TIMESTAMP_MICROS for this " +
+          s"session (was '${prior.getOrElse("unset")}'): store files need " +
+          "INT64-micros column statistics for range pruning and footer " +
+          "stats; set the conf back per write if a downstream truly " +
+          "requires INT96")
+      spark.conf.set(TimestampTypeKey, "TIMESTAMP_MICROS")
+    }
+  }
+
   /** Time-bucket granularities for directory partitioning. Formats are
     * zero-padded so lexicographic string comparison equals time order —
     * that is what makes partition pruning expressible as a string range
@@ -221,23 +247,15 @@ object Store {
       require(BucketFormats.contains(b), s"bucket must be one of ${BucketFormats.keys}")
     }
     require(chunkRows > 0, "chunkRows must be positive")
-    // Pin INT64-micros parquet timestamps for the session ONCE, here.
-    // The former per-write conf swap (set + finally-restore) raced
-    // concurrent writers: a resident ingestStream restoring the conf
-    // mid-batch-write landed INT96 files — which carry NO column
-    // statistics, silently disabling row-group pruning and describe()
-    // footer min/max. A session invariant enforced per-write (like the
-    // timezone guard) has no such window. Overriding an EXPLICITLY
-    // different setting is the surprising case — warn so the change
-    // is visible, not silent (same shape as the SQL INSERT pin).
-    val priorTs = spark.conf.getOption(TimestampTypeKey)
-    if (priorTs.exists(_ != "TIMESTAMP_MICROS"))
-      org.slf4j.LoggerFactory.getLogger(classOf[Store]).warn(
-        s"Store.open($basePath) is repointing $TimestampTypeKey from " +
-          s"'${priorTs.get}' to TIMESTAMP_MICROS for this session — store " +
-          "files need INT64-micros column statistics; set the conf back " +
-          "per write if a downstream truly requires INT96")
-    spark.conf.set(TimestampTypeKey, "TIMESTAMP_MICROS")
+    // Pin INT64-micros parquet timestamps for the session ONCE, here
+    // (one WARN per session, see [[pinMicros]]). The former per-write
+    // conf swap (set + finally-restore) raced concurrent writers: a
+    // resident ingestStream restoring the conf mid-batch-write landed
+    // INT96 files — which carry NO column statistics, silently
+    // disabling row-group pruning and describe() footer min/max. A
+    // session invariant enforced per-write (like the timezone guard)
+    // has no such window.
+    pinMicros(spark, s"Store.open($basePath)")
     val raw = new HPath(basePath)
     // sparkContext.hadoopConfiguration carries the deployment's fs.*
     // settings (credentials, endpoints) — the same conf the parquet

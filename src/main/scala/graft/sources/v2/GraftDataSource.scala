@@ -72,7 +72,6 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : (Store, String, org.apache.spark.sql.DataFrame => Unit) = {
-    import scala.jdk.CollectionConverters._
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
     if (partitionColumns.nonEmpty)
       throw new SchemaError(
@@ -84,8 +83,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           "the ingest contract is appendNewOnly")
     val store = attachOnce(opts)
     val key = store.validateKey(itemKey(opts))
+    // pin the PARENT session here, BEFORE StreamExecution clones it
+    // for micro-batches: the per-write guard validates store.spark
+    // (the attach-time parent), while addBatch's frames live on the
+    // clone — pinning only the clone would fail every batch for a
+    // binding that never called Store.open (the exact PySpark/SQL
+    // user this sink exists for). The clone inherits this pin.
+    Store.pinMicros(store.spark, s"graft streaming sink for $key")
     (store, key, { df =>
-      GraftDataSource.ensureMicrosPinned(df.sparkSession, s"streaming ingest into $key")
+      // and re-assert on the batch's own session (the clone), so a
+      // mid-stream unset there cannot land INT96 files either
+      Store.pinMicros(df.sparkSession, s"graft streaming sink for $key")
       if (store.exists(key)) store.appendNewOnly(key, df)
       else store.write(key, df)
     })
@@ -148,31 +156,6 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         s"table schema ${schema.catalogString} does not match the store's " +
           s"persisted schema ${store.schema.catalogString} at ${basePath(options)}")
     new GraftTable(store, key)
-  }
-}
-
-object GraftDataSource {
-  /** Warn-once-per-change session pin of the INT64-micros parquet
-    * timestamp invariant, shared by the SQL INSERT path and the
-    * streaming sink. NOT a scoped set/restore: a restore racing a
-    * concurrent write (another INSERT, a resident ingest) can land
-    * stat-less INT96 store files after the per-write guard passed —
-    * the exact interleaving [[Store]]'s requireMicrosTimestamps
-    * scaladoc declares unsafe. A visible, warned, permanent pin (the
-    * [[Store.open]] shape) is the safe form.
-    */
-  private[v2] def ensureMicrosPinned(
-      spark: SparkSession, what: String): Unit = {
-    val conf = spark.conf
-    if (!conf.getOption(Store.TimestampTypeKey).contains("TIMESTAMP_MICROS")) {
-      org.slf4j.LoggerFactory.getLogger(classOf[GraftDataSource]).warn(
-        s"graft $what is pinning ${Store.TimestampTypeKey}=TIMESTAMP_MICROS " +
-          "for this session: store files need INT64-micros column " +
-          "statistics, and a scoped set/restore would race concurrent " +
-          "writes into stat-less INT96 files. Set the conf back per write " +
-          "if a downstream truly requires INT96.")
-      conf.set(Store.TimestampTypeKey, "TIMESTAMP_MICROS")
-    }
   }
 }
 
@@ -243,8 +226,7 @@ class GraftTable(store: Store, key: String)
                 // requireMicrosTimestamps' scaladoc declares unsafe.
                 // The warning gives the SQL-only user the visibility
                 // the old silent repoint lacked.
-                GraftDataSource.ensureMicrosPinned(
-                  data.sparkSession, s"INSERT into $key")
+                Store.pinMicros(data.sparkSession, s"graft INSERT into $key")
                 if (store.exists(key)) store.appendNewOnly(key, data)
                 else store.write(key, data)
               }

@@ -208,6 +208,38 @@ class GraftStreamSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
     assert(e2.getMessage.contains("no graft store"), s"wrong error: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      stream.writeStream.format("graft").partitionBy("VOLUME")
+        .option("path", dstDir).option("item", "MSFT")
+        .option("checkpointLocation", tmpDir() + "/c3")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e3.getMessage.toLowerCase.contains("partition"), s"wrong error: ${e3.getMessage}")
+  }
+
+  test("sink pins the PARENT session before the stream clones it — a binding that never Store.open'ed still lands") {
+    // the PySpark/SQL-only user cannot call Store.open, so nothing has
+    // pinned the micros invariant when the stream starts; the per-write
+    // guard validates the attach-time parent session, while addBatch's
+    // frames live on StreamExecution's CLONE — the pin must land on the
+    // parent BEFORE the clone is taken or every batch dies
+    val srcDir = tmpDir()
+    val src = Store.open(spark, srcDir)
+    src.write("MSFT", bars(8))
+    val dstDir = tmpDir()
+    Store.open(spark, dstDir)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val q = spark.readStream.format("graft").option("item", "MSFT").load(srcDir)
+        .writeStream.format("graft")
+        .option("path", dstDir).option("item", "MSFT")
+        .option("checkpointLocation", tmpDir() + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(Store.open(spark, dstDir)("MSFT").count() == 8,
+        "the sink must pin the parent session so batches pass the micros guard")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 
   test("offsets round-trip their file lists exactly") {
