@@ -242,6 +242,39 @@ class GraftStreamSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 
+  test("source compaction re-emits rows through the stream; a graft-to-graft pipe still lands ZERO duplicates") {
+    // the documented caveat: compaction rewrites history into new
+    // files, which file-offset streaming re-sees as fresh input. The
+    // receipt: when the SINK is a store (the appendNewOnly ingest),
+    // the re-emission is absorbed exactly — the pipe is self-healing
+    // against maintenance on the source
+    val srcDir = tmpDir()
+    val src = Store.open(spark, srcDir, chunkRows = 10L) // several small files
+    src.write("MSFT", bars(20))
+    src.appendNewOnly("MSFT", bars(35)) // more small files to merge
+    val dstDir = tmpDir()
+    Store.open(spark, dstDir)
+    val ckpt = tmpDir() + "/ckpt"
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").option("item", "MSFT").load(srcDir)
+        .writeStream.format("graft")
+        .option("path", dstDir).option("item", "MSFT")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pipe()
+    val dst = Store.open(spark, dstDir)
+    assert(dst("MSFT").count() == 35)
+    // compact rewrites the source into fewer files — all "new" to the
+    // stream's offsets
+    src.compact("MSFT")
+    pipe()
+    assert(dst("MSFT").count() == 35, "re-emitted compacted rows must dedup to zero")
+    assert(dst("MSFT").distinct().count() == 35)
+  }
+
   test("offsets round-trip their file lists exactly") {
     import graft.sources.v2.GraftFilesOffset
     val files = Seq(
