@@ -1520,13 +1520,21 @@ object LlmOps {
       "sim_cosine_topk",
       (s, d) => {
         val e = embeddings(s, d)
+        // feed the FLOAT arrays straight to the expression: it widens
+        // per element in both eval and codegen (bit-identical to a
+        // transform-to-double first — oracle hash-equal), and skipping
+        // the toDouble higher-order wrapper keeps the projection
+        // inside whole-stage codegen — HOFs are CodegenFallback, and
+        // the interpreted Project plus a per-row converted-array
+        // allocation was the measured cost of this query (BASELINE.md
+        // round-11 note; fusion pinned by the codegen-plan spec)
         val probe = e.filter(col("vec_id") === 0)
-          .select(toDouble(col("embedding")).as("probe"))
+          .select(col("embedding").as("probe"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(probe))
           .select(
             col("vec_id"),
-            round(CosineSimilarity.cosineSim(toDouble(col("embedding")), col("probe")), 6).as("score")
+            round(CosineSimilarity.cosineSim(col("embedding"), col("probe")), 6).as("score")
           )
           .orderBy(col("score").desc, col("vec_id"))
           .limit(10)
@@ -1605,12 +1613,15 @@ object LlmOps {
         import graft.functions.{Scored, TopKAggregator}
         val e = embeddings(s, d)
         val queries = e.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val scored = e.filter(col("vec_id") % 100 =!= 0)
           .crossJoin(broadcast(queries))
           .select(
             col("q_id").as("qId"),
-            CosineSimilarity.cosineSim(toDouble(col("embedding")), col("qv")).as("score"),
+            // float arrays direct: same double math inside the
+            // expression, no codegen-breaking HOF cast (see
+            // sim_cosine_topk)
+            CosineSimilarity.cosineSim(col("embedding"), col("qv")).as("score"),
             col("vec_id").as("vecId")
           )
           .as[Scored]

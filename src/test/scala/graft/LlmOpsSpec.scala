@@ -56,6 +56,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("sim_cosine_topk scores inside whole-stage codegen: no HOF cast in the executed plan") {
+    // the round-11 perf note (BASELINE.md): a transform(_.cast) wrapper
+    // around the float embeddings dropped the scoring Project out of
+    // codegen (HOFs are CodegenFallback) and allocated a converted
+    // array per row; the expression widens float→double internally, so
+    // the wrapper must never come back
+    val df = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("transform("),
+      s"a higher-order cast crept back into the scoring plan:\n${plan.take(1500)}")
+    val projLine = plan.linesIterator
+      .find(l => l.contains("Project") && l.contains("cosinesimilarity"))
+    assert(projLine.exists(_.trim.startsWith("+- *(")) ||
+      projLine.exists(_.trim.startsWith(":- *(")) ||
+      projLine.exists(_.trim.matches(""".*\*\(\d+\) Project.*""")),
+      s"scoring Project is not codegen-fused: ${projLine.getOrElse("<absent>")}")
+  }
+
   test("sim_ann_ivf: recall >= 0.8 vs exact brute-force top-10") {
     import spark.implicits._
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, dir)
