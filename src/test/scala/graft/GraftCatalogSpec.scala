@@ -170,6 +170,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.MSFT").count() == 100)
   }
 
+  test("catalog writerLease option: INSERTs claim and release the cross-JVM lease") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-lease").toString
+    val s = Store.open(spark, dir)
+    s.write("MSFT", bars(5))
+    spark.conf.set("spark.sql.catalog.gcatl", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatl.path", dir)
+    spark.conf.set("spark.sql.catalog.gcatl.writerLease", "true")
+    spark.sql("INSERT INTO gcatl.MSFT VALUES " +
+      "(TIMESTAMP'2015-08-01 00:00:00', 1.0, 2.0, 0.5, 1.5, 100)")
+    assert(s("MSFT").count() == 6)
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(hp, ".lease"), "MSFT")
+    assert(Store.leaseState(fs, leaseDir).exists(_._1 == "-"),
+      "catalog-leased INSERT must have claimed and released a lease slot")
+  }
+
   test("failure modes: missing table, nested namespace, ALTER/RENAME/PARTITIONED refusals") {
     storeDir
     val missing = intercept[Exception](spark.sql("SELECT * FROM gcat.NOPE").collect())
