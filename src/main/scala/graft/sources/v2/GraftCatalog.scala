@@ -53,6 +53,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    session); item listings and existence checks always go to the
   *    filesystem, so items created by OTHER writers appear without
   *    any refresh incantation.
+  *  - STREAMING: catalog-qualified reads work
+  *    (`spark.readStream.table("cat.ITEM")` — the table carries
+  *    MICRO_BATCH_READ); streaming WRITES go through
+  *    `df.writeStream.format("graft").option("path",…).option("item",…)`
+  *    (or [[Store.ingestStream]]) rather than `toTable` — the
+  *    epoch-ingest sink is the V1 driver-side shape the idempotent
+  *    appendNewOnly contract wants, and `toTable` demands the DSv2
+  *    executor-writer API that would re-implement parquet task writing
+  *    appendNewOnly already does right.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
