@@ -61,6 +61,20 @@ object Store {
       bytes: Long
   )
 
+  /** Footer-aggregate answers for the DSv2 aggregate/limit pushdown —
+    * see [[Store!.footerAgg]]. Min/max are epoch-µs (the on-disk INT64
+    * representation); `nonNullCounts` carries only columns whose null
+    * counts are exact across every row group.
+    */
+  private[sources] case class FooterAgg(
+      files: Seq[(String, Long)],
+      rows: Long,
+      idxMinMicros: Option[Long],
+      idxMaxMicros: Option[Long],
+      idxMinMaxExact: Boolean,
+      nonNullCounts: Map[String, Long]
+  )
+
   /** Epoch-µs → Timestamp, floor semantics for negative values. */
   private[sources] def microsToTimestamp(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -1298,6 +1312,133 @@ class Store private[sources] (
       files = paths.size.toLong,
       bytes = bytes
     )
+  }
+
+  /** Footer aggregates for the DSv2 aggregate-pushdown path (the SQL
+    * front door's `SELECT count(*) / min(idx) / max(idx) / count(col)`
+    * with no WHERE and no GROUP BY): the same executor-parallel footer
+    * sweep [[describe]] runs, but returning everything the scan builder
+    * needs to decide EXACTNESS — aggregate pushdown replaces a scan's
+    * answer, so a single row-group whose statistics are absent or
+    * untrustworthy must veto the pushdown, never silently skew it.
+    *
+    *  - `rows` is always exact: parquet footers record per-row-group row
+    *    counts unconditionally.
+    *  - index min/max (epoch-µs, the store writes INT64 micros precisely
+    *    so these stats exist) are exact iff EVERY row-bearing group
+    *    either carries usable INT64 stats or is provably all-null on the
+    *    index; otherwise `idxMinMaxExact` is false and the caller must
+    *    fall back to scanning.
+    *  - `nonNullCounts` holds `count(col)` answers (SQL count ignores
+    *    nulls) for exactly the columns whose null counts every group
+    *    records; columns with any unknown group are omitted.
+    *
+    * Reference lineage: the footer-stat posture of oakstore
+    * store.py:255-264 — metadata answers what metadata can, the scan is
+    * for everything else.
+    */
+  private[sources] def footerAgg(key: String): Store.FooterAgg = {
+    val paths = dataFiles(key)
+    val idx = indexName
+    val cols = schema.fieldNames.toSeq
+    val confEntries = hadoopConfEntries
+    val perFile: Array[(String, Long, Long, Long, Boolean, Map[String, Long], Set[String])] =
+      if (paths.isEmpty) Array.empty
+      else spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+        .mapPartitions { fs =>
+          import org.apache.parquet.hadoop.ParquetFileReader
+          import org.apache.parquet.hadoop.util.HadoopInputFile
+          import scala.jdk.CollectionConverters._
+          val conf = Store.confFrom(confEntries)
+          fs.map { f =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+            try {
+              val blocks = r.getFooter.getBlocks.asScala
+              var rows = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var idxOk = true
+              val nonNull = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
+              val colOk = scala.collection.mutable.Set(cols: _*)
+              blocks.foreach { b =>
+                rows += b.getRowCount
+                val byName = b.getColumns.asScala
+                  .map(c => c.getPath.toDotString.toUpperCase -> c).toMap
+                cols.foreach { col =>
+                  byName.get(col.toUpperCase) match {
+                    case Some(c) =>
+                      val st = c.getStatistics
+                      val nullsKnown = st != null && !st.isEmpty && st.isNumNullsSet
+                      if (nullsKnown) nonNull(col) += b.getRowCount - st.getNumNulls
+                      else if (b.getRowCount > 0) colOk -= col
+                      if (col.equalsIgnoreCase(idx) && b.getRowCount > 0) {
+                        if (st == null || st.isEmpty) idxOk = false
+                        else if (st.hasNonNullValue) {
+                          (st.genericGetMin, st.genericGetMax) match {
+                            case (lo: java.lang.Long, hi: java.lang.Long) =>
+                              if (lo < mn) mn = lo
+                              if (hi > mx) mx = hi
+                            case _ => idxOk = false // unexpected physical type
+                          }
+                        } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
+                          idxOk = false // no values recorded, not provably all-null
+                        }
+                      }
+                    case None => if (b.getRowCount > 0) {
+                      colOk -= col
+                      if (col.equalsIgnoreCase(idx)) idxOk = false
+                    }
+                  }
+                }
+              }
+              (f, rows, mn, mx, idxOk, nonNull.toMap, colOk.toSet)
+            } finally r.close()
+          }
+        }
+        .collect() // O(files) metadata tuples, not data
+    val rows = perFile.map(_._2).sum
+    val mins = perFile.map(_._3).filter(_ != Long.MaxValue)
+    val maxs = perFile.map(_._4).filter(_ != Long.MinValue)
+    val idxExact = perFile.forall(_._5)
+    val exactCols = cols.filter(c => perFile.forall(_._7.contains(c)))
+    Store.FooterAgg(
+      files = perFile.map(t => (t._1, t._2)).sortBy(_._1).toIndexedSeq,
+      rows = rows,
+      idxMinMicros = if (idxExact) mins.minOption else None,
+      idxMaxMicros = if (idxExact) maxs.maxOption else None,
+      idxMinMaxExact = idxExact,
+      nonNullCounts = exactCols.map(c => c -> perFile.map(_._6(c)).sum).toMap)
+  }
+
+  /** File prefix that satisfies a pushed LIMIT: walk the item's files in
+    * listing order accumulating footer row counts until the limit is
+    * covered, so `SELECT * FROM item LIMIT 10` reads one chunk file
+    * instead of 100 TB. Driver-side and bounded: at most 64 sequential
+    * footer reads (each a tail read, milliseconds) — if the limit isn't
+    * covered by then, the remaining files are included UNREAD, which is
+    * merely the no-pushdown plan. Exactness never depends on this
+    * selection (Spark re-applies the limit; `isPartiallyPushed`), so a
+    * file vanishing mid-walk (concurrent compaction) just falls back to
+    * the full listing.
+    */
+  private[sources] def filesForLimit(key: String, limit: Long): Seq[String] = {
+    val all = dataFiles(key)
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sparkContext.hadoopConfiguration
+      var cum = 0L
+      var i = 0
+      while (i < all.size && cum < limit && i < 64) {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(all(i)), conf))
+        try cum += r.getRecordCount finally r.close()
+        i += 1
+      }
+      if (cum >= limit) all.take(i) else all
+    } catch { case _: java.io.IOException => all }
   }
 
   /** Schema normalization (reference `_to_internal_type`,

@@ -3,12 +3,15 @@ package graft.sources.v2
 import graft.sources.{SchemaError, Store}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.sql.Timestamp
@@ -259,10 +262,14 @@ class GraftTable(store: Store, key: String)
 class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = store.schema
+  private var aggScan: Option[GraftAggScan] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -273,6 +280,122 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---- aggregate pushdown: answer count/min/max from parquet footers ----
+
+  /** The footer sweep runs at most once per scan build, shared by
+    * `supportCompletePushDown` and `pushAggregation` (Spark calls both
+    * with the same Aggregation).
+    */
+  private var evalCache: Option[(Aggregation, Option[GraftAggScan])] = None
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Accept `count(*)`, `count(col)` and `min/max(index)` with no GROUP
+    * BY and no filters, and ONLY when the footer statistics prove the
+    * answer exact ([[Store.footerAgg]]): row counts always are; a
+    * `count(col)` needs every row group's null count; `min/max(index)`
+    * need every row-bearing group to carry INT64 stats (or be provably
+    * all-null — SQL min/max ignore nulls). Anything short of proof
+    * returns None and the query plans the ordinary scan — pushdown is an
+    * optimization, exactness never depends on it. At 100 TB this is the
+    * difference between an O(files) metadata sweep and a cluster-wide
+    * scan (reference posture: oakstore store.py:255-264).
+    */
+  private def evalAggregation(agg: Aggregation): Option[GraftAggScan] = {
+    evalCache match {
+      case Some((a, r)) if a == agg => return r
+      case _ => ()
+    }
+    val result = computeAggregation(agg)
+    evalCache = Some((agg, result))
+    result
+  }
+
+  private def computeAggregation(agg: Aggregation): Option[GraftAggScan] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (!store.exists(key)) return None
+    val idx = store.indexName
+    // shape check first — only a supportable aggregation pays the
+    // (cheap, but nonzero) footer sweep
+    sealed trait P
+    case object CntStar extends P
+    case class CntCol(col: String) extends P
+    case object MinIdx extends P
+    case object MaxIdx extends P
+    val plan: Option[Seq[P]] = {
+      val ps = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(CntStar)
+        case c: Count if !c.isDistinct => colOf(c.column).map(CntCol)
+        case m: Min => colOf(m.column).filter(_.equalsIgnoreCase(idx)).map(_ => MinIdx)
+        case m: Max => colOf(m.column).filter(_.equalsIgnoreCase(idx)).map(_ => MaxIdx)
+        case _ => None
+      }
+      if (ps.forall(_.isDefined)) Some(ps.flatten) else None
+    }
+    plan.flatMap { ps =>
+      val stats = store.footerAgg(key)
+      def field(col: String): Option[String] =
+        store.schema.fieldNames.find(_.equalsIgnoreCase(col))
+      val answered = ps.map {
+        case CntStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            java.lang.Long.valueOf(stats.rows): Any))
+        case CntCol(col) =>
+          field(col).flatMap(f => stats.nonNullCounts.get(f)).map(n =>
+            (StructField(s"count($col)", LongType, nullable = false),
+              java.lang.Long.valueOf(n): Any))
+        case MinIdx if stats.idxMinMaxExact =>
+          Some((StructField(s"min($idx)", TimestampType),
+            stats.idxMinMicros.map(java.lang.Long.valueOf).orNull: Any))
+        case MaxIdx if stats.idxMinMaxExact =>
+          Some((StructField(s"max($idx)", TimestampType),
+            stats.idxMaxMicros.map(java.lang.Long.valueOf).orNull: Any))
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty)) None // some stat unprovable → scan
+      else {
+        val fields = answered.flatten
+        Some(new GraftAggScan(
+          StructType(fields.map(_._1)),
+          new GenericInternalRow(fields.map(_._2).toArray),
+          s"item=$key store=${store.base} pushedAggregates=[${agg.aggregateExpressions().mkString(", ")}]"))
+      }
+    }
+  }
+
+  /** True whenever we accept at all: the footer answer IS the final
+    * answer (no partial-aggregation semantics needed).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    evalAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggScan = evalAggregation(agg)
+    aggScan.isDefined
+  }
+
+  // ---- limit pushdown: read only a row-covering file prefix ----
+
+  /** PARTIAL limit pushdown (Spark re-applies the limit above the
+    * scan): accept only the filterless shape, and serve the scan from a
+    * file PREFIX whose footer row counts cover the limit
+    * ([[Store.filesForLimit]]) — `LIMIT 10` against a 100 TB item reads
+    * one chunk file. Filters make the residual-filtered row yield
+    * unpredictable, so any pushed filter refuses (Spark's own planner
+    * already never pushes a limit below a post-scan filter — this is
+    * defense in depth).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty || n <= 0) false
+    else { limit = Some(n); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Inclusive [start, end] bounds on the index column implied by the
     * pushed filters. Conjunctions tighten; anything else (Or, Not,
@@ -308,17 +431,39 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     }
   }
 
-  override def build(): Scan = {
+  override def build(): Scan = aggScan.getOrElse {
     val (start, end) = tsBounds(pushed.toIndexedSeq)
     // batch: the pruning decision — LIST only the bucket dirs the
-    // bounds allow, deferred to first batch use so a streaming read
-    // never pays for it. The scan assembly itself (pruned file index +
+    // bounds allow (or, under a pushed LIMIT, only a row-covering file
+    // prefix), deferred to first batch use so a streaming read never
+    // pays for it. The scan assembly itself (pruned file index +
     // Spark's vectorized ParquetScan) is Spark-internal API,
     // quarantined in [[SparkInternals]] — the one file a Spark bump
     // may break. Streaming: [[GraftScan.toMicroBatchStream]].
-    new GraftScan(store, key, required, pushed,
-      () => store.prunedRoots(key, start, end),
+    val roots: () => Seq[org.apache.hadoop.fs.Path] = limit match {
+      case Some(n) =>
+        () => store.filesForLimit(key, n.toLong)
+          .map(new org.apache.hadoop.fs.Path(_))
+      case None => () => store.prunedRoots(key, start, end)
+    }
+    new GraftScan(store, key, required, pushed, roots,
       maxFilesPerTrigger =
         Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
   }
+}
+
+/** The aggregate-pushdown result: a [[LocalScan]] carrying the ONE row
+  * the footer sweep proved exact. Spark plans it as a
+  * LocalTableScanExec — the query's "scan" is a driver-local row, no
+  * file I/O, no executors; `SELECT count(*) FROM graft.EVENTS` on a
+  * 100 TB item costs O(files) footer metadata instead of a
+  * cluster-wide scan. Built ONLY by [[GraftScanBuilder.pushAggregation]]
+  * after exactness is proved; never load-bearing for correctness — an
+  * unprovable statistic refuses the pushdown instead of degrading it.
+  */
+final class GraftAggScan(
+    out: StructType, row: InternalRow, desc: String) extends LocalScan {
+  override def readSchema(): StructType = out
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = s"GraftAggScan(footer-stats) $desc"
 }

@@ -326,4 +326,138 @@ class GraftTableSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert(ok.count() == 6, "aligned session reads again")
   }
+
+  /** Plan shape of a footer-answered aggregate: the "scan" is a
+    * driver-local row (LocalTableScan), no file scan anywhere.
+    */
+  def assertFooterAnswered(df: DataFrame): Unit = {
+    df.collect()
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val root = strip(df.queryExecution.executedPlan)
+    val fileScans = root.collect { case b: BatchScanExec => b }
+    assert(fileScans.isEmpty,
+      s"aggregate must be footer-answered, found file scan(s):\n$root")
+    val locals = root.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }
+    assert(locals.nonEmpty, s"expected a LocalTableScan leaf, got:\n$root")
+  }
+
+  test("aggregate pushdown: count(*)/min/max of the index answered from parquet footers, no file scan") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 4 month buckets, 4 chunk files
+    val t = spark.read.format("graft").option("item", "MSFT").load(dir)
+    t.createOrReplaceTempView("agg_msft")
+
+    val one = spark.sql(
+      "SELECT count(*) AS c, min(DATE) AS lo, max(DATE) AS hi FROM agg_msft")
+    assertFooterAnswered(one)
+    val row = one.collect()(0)
+    val st = s.describe("MSFT")
+    assert(row.getLong(0) == 100L && st.rows == 100L)
+    assert(row.getTimestamp(1) == st.minIndex.get &&
+      row.getTimestamp(1) == Timestamp.valueOf("2015-01-01 00:00:00"))
+    assert(row.getTimestamp(2) == st.maxIndex.get &&
+      row.getTimestamp(2) == Timestamp.valueOf("2015-04-10 00:00:00"))
+
+    // count(col) ignores nulls — footer null counts make it exact
+    val sparse = bars(20).withColumn("open",
+      org.apache.spark.sql.functions.when($"volume" % 3 === 0, null)
+        .otherwise($"open"))
+    s.write("SPARSE", sparse)
+    val t2 = spark.read.format("graft").option("item", "SPARSE").load(dir)
+    t2.createOrReplaceTempView("agg_sparse")
+    val c2 = spark.sql("SELECT count(OPEN) AS c FROM agg_sparse")
+    assertFooterAnswered(c2)
+    val expected = 20L - sparse.where($"open".isNull).count()
+    assert(c2.collect()(0).getLong(0) == expected, s"count(OPEN) != $expected")
+
+    // an EMPTY item still answers: count 0, min/max NULL
+    s.write("EMPTY", bars(0))
+    val t3 = spark.read.format("graft").option("item", "EMPTY").load(dir)
+    t3.createOrReplaceTempView("agg_empty")
+    val e = spark.sql("SELECT count(*) AS c, min(DATE) AS lo FROM agg_empty")
+    assertFooterAnswered(e)
+    val er = e.collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+  }
+
+  test("aggregate pushdown refuses when it cannot be exact: WHERE, GROUP BY, avg — all plan the ordinary scan") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100))
+    val t = spark.read.format("graft").option("item", "MSFT").load(dir)
+    t.createOrReplaceTempView("noagg_msft")
+
+    // AQE hides physical scans inside query stages for shuffling
+    // aggregates, so refusal is asserted on the OPTIMIZED plan: the
+    // relation must still carry the ordinary file scan, never the
+    // footer-answered GraftAggScan
+    def scanOf(df: DataFrame): org.apache.spark.sql.connector.read.Scan = {
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      assert(scans.size == 1, s"expected one scan relation, got $scans")
+      scans.head
+    }
+    def assertScans(df: DataFrame): Unit = {
+      val sc = scanOf(df)
+      assert(sc.isInstanceOf[graft.sources.v2.GraftScan],
+        s"must refuse the aggregate pushdown, planned: ${sc.description()}")
+    }
+
+    // a WHERE makes footer totals wrong — must scan (and still prune buckets)
+    val filtered = spark.sql(
+      "SELECT count(*) AS c FROM noagg_msft " +
+        "WHERE DATE BETWEEN '2015-02-01' AND '2015-03-01'")
+    assertScans(filtered)
+    assert(filtered.collect()(0).getLong(0) == 29L)
+
+    // GROUP BY is not footer-answerable
+    val grouped = spark.sql(
+      "SELECT VOLUME % 2 AS k, count(*) AS c FROM noagg_msft GROUP BY 1")
+    assertScans(grouped)
+    assert(grouped.collect().map(r => r.getLong(1)).sum == 100L)
+
+    // an unsupported function (avg) refuses the whole aggregation
+    val avg = spark.sql("SELECT avg(OPEN) AS a, count(*) AS c FROM noagg_msft")
+    assertScans(avg)
+    assert(avg.collect()(0).getLong(1) == 100L)
+
+    // min/max of a NON-index column is not in scope — scans
+    val mo = spark.sql("SELECT min(OPEN) AS m FROM noagg_msft")
+    assertScans(mo)
+    mo.collect()
+  }
+
+  test("limit pushdown: LIMIT reads only a row-covering file prefix; results stay exact") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 4 month buckets → 4 chunk files
+    val t = spark.read.format("graft").option("item", "MSFT").load(dir)
+
+    val lim = t.limit(5)
+    assert(lim.count() == 5)
+    val scans = parquetScans(lim)
+    assert(scans.size == 1)
+    val roots = scans.head.fileIndex.rootPaths
+    assert(roots.size == 1 && roots.head.getName.endsWith(".parquet"),
+      s"LIMIT 5 must read a single chunk file, planned: $roots")
+
+    // a limit past the item's row count degrades to the full listing
+    val all = t.limit(1000)
+    assert(all.count() == 100)
+    assert(parquetScans(all).head.fileIndex.allFiles().size == 4)
+
+    // LIMIT under a WHERE must NOT truncate the file set (filters are
+    // residual — Spark never pushes this shape, and the builder refuses
+    // it defensively): all in-range rows surface
+    val fl = t.where($"DATE" >= "2015-03-25").limit(50)
+    assert(fl.count() == 17, "29-day window starting 2015-03-25 through 04-10")
+  }
 }

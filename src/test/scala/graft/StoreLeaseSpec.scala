@@ -204,7 +204,7 @@ class BlockingCreateFs extends AtomicFs {
 
 object BlockingCreateFs {
   val SchemeUri: URI = URI.create("blockfs:///")
-  @volatile var pathContains: String = " never"
+  @volatile var pathContains: String = "\u0000never"
   val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile var arrived = new java.util.concurrent.CountDownLatch(1)
   @volatile var gate = new java.util.concurrent.CountDownLatch(1)
