@@ -556,7 +556,7 @@ class Store private[sources] (
     * FileSystem instances per (scheme, authority, ugi), so this is a
     * lookup, not a connection per Store; never closed (the cache owns it).
     */
-  @transient private val fs: FileSystem =
+  @transient private[sources] val fs: FileSystem =
     base.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Time-index column name (always schema head). */
@@ -1689,7 +1689,7 @@ class Store private[sources] (
     * `spark.hadoop.*` (s3a credentials/endpoints, custom scheme impls)
     * — exactly the settings an object-store deployment relies on.
     */
-  private def hadoopConfEntries: Seq[(String, String)] = {
+  private[sources] def hadoopConfEntries: Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
     spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue))

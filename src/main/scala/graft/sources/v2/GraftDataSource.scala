@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,54 +53,9 @@ import scala.jdk.CollectionConverters._
   * retention, drop — stays behind the Store API, whose staged-swap /
   * lease semantics SQL cannot express.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister
-    with GraftSinkProviderBase {
+class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
-
-  /** `df.writeStream.format("graft")` — the streaming WRITE face of
-    * the store, from any binding: each micro-batch lands through the
-    * idempotent appendNewOnly ingest (the [[Store.ingestStream]]
-    * contract — replayed epochs append zero rows, so exactly-once
-    * holds across checkpoint restarts with no sink-side epoch
-    * bookkeeping). The store must exist (it carries the schema; create
-    * it once with `Store.open(cols = ...)`); the ITEM is created by
-    * the first batch. Append output mode only — the ingest contract IS
-    * append — and no partitionBy (the store owns its layout). Pass
-    * `writerLease 'true'` in options for leased multi-driver
-    * deployments.
-    */
-  override protected def resolveSink(
-      parameters: Map[String, String],
-      partitionColumns: Seq[String],
-      outputMode: org.apache.spark.sql.streaming.OutputMode)
-      : (Store, String, org.apache.spark.sql.DataFrame => Unit) = {
-    val opts = new CaseInsensitiveStringMap(parameters.asJava)
-    if (partitionColumns.nonEmpty)
-      throw new SchemaError(
-        "graft sink does not accept partitionBy — the store owns its " +
-          "time-bucketed layout (Store.open(bucket = ...))")
-    if (outputMode != org.apache.spark.sql.streaming.OutputMode.Append())
-      throw new SchemaError(
-        s"graft sink supports Append output mode only (got $outputMode) — " +
-          "the ingest contract is appendNewOnly")
-    val store = attachOnce(opts)
-    val key = store.validateKey(itemKey(opts))
-    // pin the PARENT session here, BEFORE StreamExecution clones it
-    // for micro-batches: the per-write guard validates store.spark
-    // (the attach-time parent), while addBatch's frames live on the
-    // clone — pinning only the clone would fail every batch for a
-    // binding that never called Store.open (the exact PySpark/SQL
-    // user this sink exists for). The clone inherits this pin.
-    Store.pinMicros(store.spark, s"graft streaming sink for $key")
-    (store, key, { df =>
-      // and re-assert on the batch's own session (the clone), so a
-      // mid-stream unset there cannot land INT96 files either
-      Store.pinMicros(df.sparkSession, s"graft streaming sink for $key")
-      if (store.exists(key)) store.appendNewOnly(key, df)
-      else store.write(key, df)
-    })
-  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -201,13 +156,29 @@ class GraftTable(store: Store, key: String)
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, key, options)
+
+  /** Batch INSERT rides the V1 bridge (the driver-side frame is exactly
+    * what appendNewOnly wants); streaming writes are the public DSv2
+    * [[GraftStreamingWrite]] (executor-staged parquet + driver-side
+    * idempotent ingest). Complete/Update output modes surface here as
+    * truncate(), refused by contract.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder =
+        throw new SchemaError(
+          s"graft sink supports Append output mode only — the ingest " +
+            s"contract is appendNewOnly; Complete/Update would truncate " +
+            s"item $key (a destructive rewrite belongs to the Store API)")
       override def build(): org.apache.spark.sql.connector.write.Write =
         new V1Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new GraftStreamingWrite(store, key, info.schema(), info.queryId())
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(

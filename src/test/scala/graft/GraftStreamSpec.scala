@@ -181,18 +181,17 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
-  test("graft sink refuses non-Append modes and partitionBy; a missing store fails fast") {
+  test("graft sink refuses non-Append modes; a missing store fails fast; partitionBy is inert (store owns layout)") {
     val srcDir = tmpDir()
     Store.open(spark, srcDir).write("MSFT", bars(5))
     val stream = spark.readStream.format("graft").option("item", "MSFT").load(srcDir)
     val agg = stream.groupBy("VOLUME").count()
-    // mode check needs an existing store: Spark resolves the V2 table
-    // (attach) before falling back to the V1 sink, so a missing store
-    // fails earlier with its own error (covered below)
     val dstDir = tmpDir()
     Store.open(spark, dstDir,
       cols = Some(Seq("COUNT" -> org.apache.spark.sql.types.LongType)),
       index = Some("VOLUME"))
+    // Complete mode surfaces as truncate() on the WriteBuilder — refused
+    // loudly at query start, naming the Append contract
     val e1 = intercept[Exception] {
       agg.writeStream.format("graft")
         .option("path", dstDir).option("item", "X")
@@ -208,13 +207,24 @@ class GraftStreamSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
     assert(e2.getMessage.contains("no graft store"), s"wrong error: ${e2.getMessage}")
-    val e3 = intercept[Exception] {
-      stream.writeStream.format("graft").partitionBy("VOLUME")
-        .option("path", dstDir).option("item", "MSFT")
-        .option("checkpointLocation", tmpDir() + "/c3")
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    }
-    assert(e3.getMessage.toLowerCase.contains("partition"), s"wrong error: ${e3.getMessage}")
+    // partitionBy: Spark's DSv2 streaming path DROPS partitioning
+    // before the sink can see it (DataStreamWriter never forwards it to
+    // a TableProvider sink — verified against 4.1.2), so unlike the old
+    // V1 sink there is no hook to refuse. Pin the actual contract: the
+    // rows land correctly in the STORE'S layout, partitionBy inert.
+    val dstDir2 = tmpDir()
+    Store.open(spark, dstDir2)
+    val q = stream.writeStream.format("graft").partitionBy("VOLUME")
+      .option("path", dstDir2).option("item", "MSFT")
+      .option("checkpointLocation", tmpDir() + "/c3")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dst2 = Store.open(spark, dstDir2)
+    assert(dst2("MSFT").count() == 5)
+    assert(!java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dstDir2, "items", "MSFT")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("VOLUME=")),
+      "store layout must be the store's own, not hive-partitioned")
   }
 
   test("sink pins the PARENT session before the stream clones it — a binding that never Store.open'ed still lands") {
@@ -273,6 +283,39 @@ class GraftStreamSpec extends AnyFunSuite {
     pipe()
     assert(dst("MSFT").count() == 35, "re-emitted compacted rows must dedup to zero")
     assert(dst("MSFT").distinct().count() == 35)
+  }
+
+  test("writeStream.toTable through the catalog: the DSv2 sink is catalog-addressable and stays exactly-once") {
+    val srcDir = tmpDir()
+    val src = Store.open(spark, srcDir)
+    src.write("MSFT", bars(12))
+    val dstDir = tmpDir()
+    Store.open(spark, dstDir)
+    spark.conf.set("spark.sql.catalog.gsink", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsink.path", dstDir)
+    val ckpt = tmpDir() + "/ckpt"
+    def pipe(c: String): Unit = {
+      val q = spark.readStream.format("graft").option("item", "MSFT").load(srcDir)
+        .writeStream
+        .option("checkpointLocation", c)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gsink.MSFT")
+      q.awaitTermination()
+    }
+    pipe(ckpt)
+    val dst = Store.open(spark, dstDir)
+    assert(dst("MSFT").count() == 12)
+    // fresh checkpoint replays everything; the ingest dedups to zero
+    pipe(tmpDir() + "/ckpt2")
+    assert(dst("MSFT").count() == 12, "replay must append zero rows")
+    val (a, b) = (dst("MSFT"), src("MSFT"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // staging left nothing behind
+    val staging = java.nio.file.Paths.get(dstDir, ".stream-staging")
+    assert(!java.nio.file.Files.exists(staging) ||
+      java.nio.file.Files.walk(staging).iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet")) == 0,
+      "committed epochs must clean their staging dirs")
   }
 
   test("offsets round-trip their file lists exactly") {
