@@ -188,6 +188,165 @@ class GraftCatalogSpec extends AnyFunSuite {
       "catalog-leased INSERT must have claimed and released a lease slot")
   }
 
+  test("catalog-qualified count(*)/min/max are footer-answered: LocalTableScan, no file scan") {
+    storeDir
+    val df = spark.sql(
+      "SELECT count(*) AS c, min(DATE) AS lo, max(DATE) AS hi FROM gcat.MSFT")
+    df.collect()
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val root = strip(df.queryExecution.executedPlan)
+    assert(root.collect { case b: BatchScanExec => b }.isEmpty,
+      s"catalog count(*) must be footer-answered, got:\n$root")
+    assert(root.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty, s"expected LocalTableScan leaf:\n$root")
+    val row = df.collect()(0)
+    val st = Store.attach(spark, storeDir).describe("MSFT")
+    assert(row.getLong(0) == st.rows && st.rows == 100L)
+    assert(row.getTimestamp(1) == st.minIndex.get)
+    assert(row.getTimestamp(2) == st.maxIndex.get)
+  }
+
+  test("maintenance is SQL-reachable: CALL vacuum/describe/compact_buckets/prune drive the Store ops from pure SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-maint").toString
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 4 month buckets
+    spark.conf.set("spark.sql.catalog.gcatm", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatm.path", dir)
+
+    // describe: the footer-only stats row, from SQL
+    val d = spark.sql("CALL gcatm.describe(item => 'MSFT')").collect()(0)
+    val st = s.describe("MSFT")
+    assert(d.getLong(0) == 100L && d.getLong(0) == st.rows)
+    assert(d.getTimestamp(1) == st.minIndex.get && d.getTimestamp(2) == st.maxIndex.get)
+    assert(d.getLong(3) == st.files && d.getLong(4) == st.bytes)
+
+    // vacuum: fabricate crash debris (orphaned staged-swap dirs, the
+    // kill-between-swap-and-delete shape), then recover it from SQL
+    val staging = java.nio.file.Paths.get(dir, ".staging")
+    java.nio.file.Files.createDirectories(staging)
+    for (n <- Seq("MSFT.tmp-dead-beef", "MSFT.old-cafe-f00d")) {
+      val dd = staging.resolve(n)
+      java.nio.file.Files.createDirectories(dd)
+      java.nio.file.Files.write(dd.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    }
+    assert(spark.sql("CALL gcatm.vacuum()").collect()(0).getLong(0) == 0L,
+      "default vacuum is age-guarded — fresh debris survives")
+    assert(spark.sql("CALL gcatm.vacuum(older_than_ms => 0)").collect()(0).getLong(0) == 2L)
+    assert(s("MSFT").count() == 100, "live item untouched by vacuum")
+
+    // compact_buckets: make the January bucket append-heavy (4 small
+    // files), then compact it from SQL
+    for (i <- 1 to 3) {
+      val extra = bars(100).withColumn("volume",
+        org.apache.spark.sql.functions.col("volume") + (9000L * i)).limit(5)
+      s.appendNewOnly("MSFT", extra)
+    }
+    val before = s.describe("MSFT").files
+    assert(before > 4, s"need an oversized bucket, have $before files")
+    val rewritten = spark.sql(
+      "CALL gcatm.compact_buckets(item => 'MSFT', max_files_per_bucket => 1)")
+      .collect()(0).getLong(0)
+    assert(rewritten >= 1, "at least one bucket must be rewritten")
+    assert(s.describe("MSFT").files < before)
+    assert(s("MSFT").count() == 115, "compaction preserves rows")
+
+    // prune: drop buckets strictly before March, from SQL
+    val removed = spark.sql(
+      "CALL gcatm.prune(item => 'MSFT', before => TIMESTAMP'2015-03-01 00:00:00')")
+      .collect()(0).getLong(0)
+    assert(removed > 0)
+    assert(s("MSFT").where($"DATE" < "2015-03-01").count() == 0)
+
+    // compact_if_needed: footer-counted threshold decision from SQL
+    assert(!spark.sql("CALL gcatm.compact_if_needed(item => 'MSFT', max_files => 64)")
+      .collect()(0).getBoolean(0), "under threshold → no-op")
+
+    // a bad procedure name fails with the standard routine error (our
+    // what-exists listing rides in the cause chain)
+    val err = intercept[Exception](spark.sql("CALL gcatm.nope()"))
+    assert(err.getMessage.contains("nope"), s"got: ${err.getMessage}")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(err).exists(_.contains("vacuum")),
+      s"cause chain should list available procedures: ${chain(err)}")
+    // item validation flows through: bad item fails loudly
+    intercept[Exception](spark.sql("CALL gcatm.describe(item => 'NOPE')").collect())
+  }
+
+  test("CREATE TABLE on a fresh unpinned session pins the micros invariant itself") {
+    // A SQL-only session never calls Store.open, so nothing has pinned
+    // spark.sql.parquet.outputTimestampType — Spark's default (INT96)
+    // would make the catalog's empty-item write fail its micros guard
+    // with a remedy ('pinned by Store.open') a catalog user can't
+    // reach. CREATE TABLE must pin like INSERT does. Reproduce the
+    // fresh-session shape by unsetting the pin the suite's Store.open
+    // installed (tests run sequentially in the forked JVM; the window
+    // closes before any other write below).
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-pin").toString
+    Store.open(spark, dir).write("MSFT", bars(3))
+    spark.conf.set("spark.sql.catalog.gcatp", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatp.path", dir)
+    spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.sql("CREATE TABLE gcatp.FRESH") // would throw SchemaError before the fix
+      assert(Store.attach(spark, dir).exists("FRESH"))
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS",
+        "CREATE TABLE must have pinned the session to micros")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  }
+
+  test("namespaces map to store paths: one catalog serves multiple stores, with per-namespace maintenance") {
+    val defDir = java.nio.file.Files.createTempDirectory("graft-cat-def").toString
+    val ticksDir = java.nio.file.Files.createTempDirectory("graft-cat-ticks").toString
+    val sDef = Store.open(spark, defDir)
+    sDef.write("EVENTS", bars(10))
+    val sTicks = Store.open(spark, ticksDir,
+      cols = Some(Seq("PX" -> org.apache.spark.sql.types.DoubleType)),
+      index = Some("TS"), bucket = Some("month"))
+    sTicks.write("TRADES", (0 until 40).map(i =>
+      (Timestamp.valueOf(f"2015-01-01 00:00:00").toInstant.plusSeconds(i * 86400L), 1.0 + i))
+      .map(t => (Timestamp.from(t._1), t._2)).toDF("ts", "px"))
+    spark.conf.set("spark.sql.catalog.gmulti", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmulti.path", defDir)
+    spark.conf.set("spark.sql.catalog.gmulti.path.ticks", ticksDir)
+
+    // namespaces are discoverable, each listing its own store's items
+    assert(spark.sql("SHOW NAMESPACES IN gmulti").as[String].collect().toSet ==
+      Set("ticks"))
+    assert(spark.sql("SHOW TABLES IN gmulti").select("tableName")
+      .as[String].collect().toSet == Set("EVENTS"))
+    assert(spark.sql("SHOW TABLES IN gmulti.ticks").select("tableName")
+      .as[String].collect().toSet == Set("TRADES"))
+
+    // both stores query through one catalog; the namespaced one keeps
+    // its own schema and pruning
+    assert(spark.sql("SELECT count(*) FROM gmulti.EVENTS").as[Long].head() == 10)
+    assert(spark.sql(
+      "SELECT count(*) FROM gmulti.ticks.TRADES " +
+        "WHERE TS BETWEEN '2015-02-01' AND '2015-02-28'").as[Long].head() == 9,
+      "40 daily rows from Jan 1 reach Feb 9 — nine February rows")
+
+    // writes route by namespace: INSERT into the ticks store
+    spark.sql("INSERT INTO gmulti.ticks.TRADES VALUES (TIMESTAMP'2015-03-01 00:00:00', 99.5)")
+    assert(sTicks("TRADES").count() == 41)
+
+    // per-namespace maintenance: CALL gmulti.ticks.describe routes to
+    // the ticks store
+    val d = spark.sql("CALL gmulti.ticks.describe(item => 'TRADES')").collect()(0)
+    assert(d.getLong(0) == 41L)
+    assert(spark.sql("CALL gmulti.vacuum(older_than_ms => 0)").collect()(0).getLong(0) == 0L)
+
+    // an unknown namespace stays an error
+    intercept[Exception](spark.sql("SELECT * FROM gmulti.nope.X").collect())
+    // namespace DDL points at the conf key instead
+    val e = intercept[Exception](spark.sql("CREATE NAMESPACE gmulti.more"))
+    assert(e.getMessage.contains("path.<namespace>"), s"got: ${e.getMessage}")
+  }
+
   test("failure modes: missing table, nested namespace, ALTER/RENAME/PARTITIONED refusals") {
     storeDir
     val missing = intercept[Exception](spark.sql("SELECT * FROM gcat.NOPE").collect())
