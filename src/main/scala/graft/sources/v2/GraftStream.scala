@@ -98,6 +98,14 @@ object GraftFilesOffset {
   * coordinated, or reprocess-tolerant sinks (the store's own
   * [[Store.ingestStream]] sink is idempotent by appendNewOnly).
   */
+object GraftMicroBatchStream {
+  /** ~20k files ≈ 1.7 MiB of offset json per micro-batch (OffsetScale
+    * receipt: 8.3 MiB at 100k files) — past this the checkpoint write
+    * dominates small batches.
+    */
+  private[v2] val OffsetFileWarnThreshold: Int = 20000
+}
+
 final class GraftMicroBatchStream(
     store: Store,
     key: String,
@@ -142,6 +150,24 @@ final class GraftMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
+  /** One-time warning once the cumulative file list stops being
+    * offset-sized metadata: every micro-batch serializes the FULL list
+    * into the checkpoint offset log (the restart-exactness tradeoff
+    * documented on [[GraftFilesOffset]]), so a long-lived stream over a
+    * growing item degrades steadily and silently without this.
+    */
+  private val warnedOffsetScale = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def warnIfOffsetHeavy(n: Int): Unit =
+    if (n > GraftMicroBatchStream.OffsetFileWarnThreshold &&
+        warnedOffsetScale.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftMicroBatchStream]).warn(
+        s"graft stream over ${store.base}/$key now tracks $n files per " +
+          "checkpoint offset (~" + (n / 12288 + 1) + " MiB of offset json " +
+          "per micro-batch). Compact the item (Store.compactBuckets / " +
+          "CALL <cat>.compact_buckets) to shrink the list, or stream via " +
+          "Store.readStream (Spark's file source with a compacted " +
+          "seen-files log) for indefinitely-growing items.")
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
     val fresh = listing().filterNot(seen)
@@ -149,7 +175,9 @@ final class GraftMicroBatchStream(
       case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
       case _ => fresh
     }
-    new GraftFilesOffset((seen ++ admitted).toSeq.sorted)
+    val next = (seen ++ admitted).toSeq.sorted
+    warnIfOffsetHeavy(next.size)
+    new GraftFilesOffset(next)
   }
 
   override def reportLatestOffset(): Offset = new GraftFilesOffset(listing())
