@@ -75,6 +75,64 @@ object Store {
       nonNullCounts: Map[String, Long]
   )
 
+  /** One file's footer aggregate tuple for [[Store!.footerAgg]]:
+    * (path, rows, idxMin, idxMax, idxStatsOk, nonNullByCol, colStatsOk).
+    * STATIC so executor closures capture only strings — never a Store.
+    * Exactness discipline: a row-bearing group with absent/untyped
+    * stats flips the ok flags, which vetoes the aggregate pushdown.
+    */
+  private[sources] def fileFooterAgg(
+      conf: org.apache.hadoop.conf.Configuration, f: String,
+      idx: String, cols: Seq[String])
+      : (String, Long, Long, Long, Boolean, Map[String, Long], Set[String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      var rows = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var idxOk = true
+      val nonNull = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
+      val colOk = scala.collection.mutable.Set(cols: _*)
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        val byName = b.getColumns.asScala
+          .map(c => c.getPath.toDotString.toUpperCase -> c).toMap
+        cols.foreach { col =>
+          byName.get(col.toUpperCase) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              val nullsKnown = st != null && !st.isEmpty && st.isNumNullsSet
+              if (nullsKnown) nonNull(col) += b.getRowCount - st.getNumNulls
+              else if (b.getRowCount > 0) colOk -= col
+              if (col.equalsIgnoreCase(idx) && b.getRowCount > 0) {
+                if (st == null || st.isEmpty) idxOk = false
+                else if (st.hasNonNullValue) {
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (lo: java.lang.Long, hi: java.lang.Long) =>
+                      if (lo < mn) mn = lo
+                      if (hi > mx) mx = hi
+                    case _ => idxOk = false // unexpected physical type
+                  }
+                } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
+                  idxOk = false // no values recorded, not provably all-null
+                }
+              }
+            case None => if (b.getRowCount > 0) {
+              colOk -= col
+              if (col.equalsIgnoreCase(idx)) idxOk = false
+            }
+          }
+        }
+      }
+      (f, rows, mn, mx, idxOk, nonNull.toMap, colOk.toSet)
+    } finally r.close()
+  }
+
   /** Epoch-µs → Timestamp, floor semantics for negative values. */
   private[sources] def microsToTimestamp(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -1094,13 +1152,41 @@ class Store private[sources] (
     * store this resolves the CURRENT version pointer at call time,
     * like every read.
     */
+  /** Recursive file listing, shaped per scheme:
+    *
+    *  - `file://`: a per-directory `listStatus` walk. Same round-trip
+    *    count as `fs.listFiles(p, true)` but WITHOUT materializing
+    *    `LocatedFileStatus` block locations, which on the local
+    *    filesystem cost a per-file metadata probe (measured ~6 ms each
+    *    — 0.4 s to list a 61-file item, dominating every metadata-only
+    *    op) and carry nothing any caller here uses.
+    *  - everything else: `fs.listFiles(p, true)`, because object
+    *    stores implement it as ONE flat paged LIST over the key prefix
+    *    — a per-directory walk there would pay one round-trip per
+    *    bucket directory (10k buckets = 10k LISTs vs ~10 pages).
+    */
+  private def walkFiles(root: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val buf = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
+    if (base.toUri.getScheme == "file") {
+      def go(d: HPath): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) go(st.getPath) else buf += st
+      }
+      go(root)
+    } else {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) buf += st
+      }
+    }
+    buf.result()
+  }
+
   private[sources] def dataFiles(key: String): Seq[String] = {
     val root = dataPath(key, mustExist = true)
     val rootPrefix = root.toUri.getPath
-    val it = fs.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
+    walkFiles(root).foreach { st =>
       // hidden-ness applies to EVERY path segment below the item root,
       // not just the file name: a concurrent write's in-flight task
       // files live under a `_temporary/` DIRECTORY with ordinary file
@@ -1213,17 +1299,12 @@ class Store private[sources] (
     // committer removes its _temporary dir between the parent listing
     // and the descent — that's a stale snapshot, not an error, so
     // retake it (bounded; a persistent failure is a real one)
-    def listing(): Seq[(String, Long)] = {
-      val it = fs.listFiles(p, true)
-      val buf = Vector.newBuilder[(String, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-            !hidden(st.getPath.toString))
-          buf += ((st.getPath.toString, st.getLen))
+    def listing(): Seq[(String, Long)] =
+      walkFiles(p).collect {
+        case st if st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !hidden(st.getPath.toString) =>
+          (st.getPath.toString, st.getLen)
       }
-      buf.result()
-    }
     // "vanished mid-walk" shows up as FileNotFoundException on most
     // FileSystems, but RawLocalFileSystem surfaces it as a
     // RuntimeException from its shelled-out permission probe (`ls`
@@ -1341,63 +1422,38 @@ class Store private[sources] (
     val paths = dataFiles(key)
     val idx = indexName
     val cols = schema.fieldNames.toSeq
-    val confEntries = hadoopConfEntries
+    // like footerRows: a small file set reads faster on the DRIVER than
+    // the scheduling overhead of a cluster job (this sits on the
+    // sub-second planning path of SQL count(*)) — threaded, because
+    // footer reads are latency-bound (~10-15 ms each even locally, a
+    // HEAD+ranged-GET on object stores) and serializing them would
+    // hand the job path the win back; a large set fans out over
+    // executors so 100k footers never funnel through one machine
     val perFile: Array[(String, Long, Long, Long, Boolean, Map[String, Long], Set[String])] =
       if (paths.isEmpty) Array.empty
-      else spark.sparkContext
-        .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
-        .mapPartitions { fs =>
-          import org.apache.parquet.hadoop.ParquetFileReader
-          import org.apache.parquet.hadoop.util.HadoopInputFile
-          import scala.jdk.CollectionConverters._
-          val conf = Store.confFrom(confEntries)
-          fs.map { f =>
-            val r = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
-            try {
-              val blocks = r.getFooter.getBlocks.asScala
-              var rows = 0L
-              var mn = Long.MaxValue
-              var mx = Long.MinValue
-              var idxOk = true
-              val nonNull = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
-              val colOk = scala.collection.mutable.Set(cols: _*)
-              blocks.foreach { b =>
-                rows += b.getRowCount
-                val byName = b.getColumns.asScala
-                  .map(c => c.getPath.toDotString.toUpperCase -> c).toMap
-                cols.foreach { col =>
-                  byName.get(col.toUpperCase) match {
-                    case Some(c) =>
-                      val st = c.getStatistics
-                      val nullsKnown = st != null && !st.isEmpty && st.isNumNullsSet
-                      if (nullsKnown) nonNull(col) += b.getRowCount - st.getNumNulls
-                      else if (b.getRowCount > 0) colOk -= col
-                      if (col.equalsIgnoreCase(idx) && b.getRowCount > 0) {
-                        if (st == null || st.isEmpty) idxOk = false
-                        else if (st.hasNonNullValue) {
-                          (st.genericGetMin, st.genericGetMax) match {
-                            case (lo: java.lang.Long, hi: java.lang.Long) =>
-                              if (lo < mn) mn = lo
-                              if (hi > mx) mx = hi
-                            case _ => idxOk = false // unexpected physical type
-                          }
-                        } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
-                          idxOk = false // no values recorded, not provably all-null
-                        }
-                      }
-                    case None => if (b.getRowCount > 0) {
-                      colOk -= col
-                      if (col.equalsIgnoreCase(idx)) idxOk = false
-                    }
-                  }
-                }
-              }
-              (f, rows, mn, mx, idxOk, nonNull.toMap, colOk.toSet)
-            } finally r.close()
+      else if (paths.size <= 256) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, paths.size))
+        try {
+          val futures = paths.map { f =>
+            pool.submit(new java.util.concurrent.Callable[
+              (String, Long, Long, Long, Boolean, Map[String, Long], Set[String])] {
+              override def call() = Store.fileFooterAgg(conf, f, idx, cols)
+            })
           }
-        }
-        .collect() // O(files) metadata tuples, not data
+          futures.map(_.get()).toArray
+        } finally pool.shutdown()
+      } else {
+        val confEntries = hadoopConfEntries
+        spark.sparkContext
+          .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+          .mapPartitions { fs =>
+            val conf = Store.confFrom(confEntries)
+            fs.map(f => Store.fileFooterAgg(conf, f, idx, cols))
+          }
+          .collect() // O(files) metadata tuples, not data
+      }
     val rows = perFile.map(_._2).sum
     val mins = perFile.map(_._3).filter(_ != Long.MaxValue)
     val maxs = perFile.map(_._4).filter(_ != Long.MinValue)
@@ -1641,10 +1697,8 @@ class Store private[sources] (
     if (!fs.exists(p)) Set.empty
     else {
       val root = p.toUri.getPath
-      val it = fs.listFiles(p, true)
       val b = Set.newBuilder[(String, Long)]
-      while (it.hasNext) {
-        val f = it.next()
+      walkFiles(p).foreach { f =>
         val rel = f.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
         // DATA files only: Spark-hidden entries (`_`/`.`-prefixed
         // segments; `=`-bearing partition dirs exempt) are excluded —

@@ -256,9 +256,11 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
 
   /** The footer sweep runs at most once per scan build, shared by
     * `supportCompletePushDown` and `pushAggregation` (Spark calls both
-    * with the same Aggregation).
+    * with the same Aggregation). Keyed by toString, NOT the record
+    * itself: Aggregation is a Java record over ARRAYS, so its equals is
+    * reference-based and a fresh-but-identical instance would miss.
     */
-  private var evalCache: Option[(Aggregation, Option[GraftAggScan])] = None
+  private var evalCache: Option[(String, Option[GraftAggScan])] = None
 
   private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
@@ -278,12 +280,13 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     * scan (reference posture: oakstore store.py:255-264).
     */
   private def evalAggregation(agg: Aggregation): Option[GraftAggScan] = {
+    val keyStr = agg.toString
     evalCache match {
-      case Some((a, r)) if a == agg => return r
+      case Some((a, r)) if a == keyStr => return r
       case _ => ()
     }
     val result = computeAggregation(agg)
-    evalCache = Some((agg, result))
+    evalCache = Some((keyStr, result))
     result
   }
 
