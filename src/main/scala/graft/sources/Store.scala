@@ -62,29 +62,39 @@ object Store {
   )
 
   /** Footer-aggregate answers for the DSv2 aggregate/limit pushdown —
-    * see [[Store!.footerAgg]]. Min/max are epoch-µs (the on-disk INT64
-    * representation); `nonNullCounts` carries only columns whose null
-    * counts are exact across every row group.
+    * see [[Store!.footerAgg]]. `nonNullCounts` carries only columns
+    * whose null counts are exact across every row group.
+    * `minMaxExactCols` are the integer-family columns (timestamp/date/
+    * long/int — fixed-width physical types, whose footer stats are
+    * never truncated and cannot be NaN-compromised) whose min/max is
+    * provably exact across every row-bearing group; `colMinMax` holds
+    * their values widened to Long (µs for timestamps, days for dates) —
+    * an exact column ABSENT from the map is provably all-null (SQL
+    * min/max → NULL).
     */
   private[sources] case class FooterAgg(
       files: Seq[(String, Long)],
       rows: Long,
-      idxMinMicros: Option[Long],
-      idxMaxMicros: Option[Long],
-      idxMinMaxExact: Boolean,
-      nonNullCounts: Map[String, Long]
+      nonNullCounts: Map[String, Long],
+      colMinMax: Map[String, (Long, Long)],
+      minMaxExactCols: Set[String]
   )
 
   /** One file's footer aggregate tuple for [[Store!.footerAgg]]:
-    * (path, rows, idxMin, idxMax, idxStatsOk, nonNullByCol, colStatsOk).
-    * STATIC so executor closures capture only strings — never a Store.
-    * Exactness discipline: a row-bearing group with absent/untyped
-    * stats flips the ok flags, which vetoes the aggregate pushdown.
+    * (path, rows, nonNullByCol, nullCountOkCols, minMaxByCol,
+    * minMaxOkCols). STATIC so executor closures capture only strings —
+    * never a Store. Exactness discipline: a row-bearing group with
+    * absent/untyped stats drops the column from the ok sets, which
+    * vetoes the aggregate pushdown for it. Min/max is tracked only for
+    * `mmCols` (the integer-family columns: INT64/INT32 physical, where
+    * footer stats are exact by construction — no truncation, no NaN
+    * ordering hazard, no legacy-UTF-8-comparator ambiguity).
     */
   private[sources] def fileFooterAgg(
       conf: org.apache.hadoop.conf.Configuration, f: String,
-      idx: String, cols: Seq[String])
-      : (String, Long, Long, Long, Boolean, Map[String, Long], Set[String]) = {
+      cols: Seq[String], mmCols: Set[String])
+      : (String, Long, Map[String, Long], Set[String],
+         Map[String, (Long, Long)], Set[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -93,11 +103,10 @@ object Store {
     try {
       val blocks = r.getFooter.getBlocks.asScala
       var rows = 0L
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
-      var idxOk = true
       val nonNull = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
-      val colOk = scala.collection.mutable.Set(cols: _*)
+      val nullOk = scala.collection.mutable.Set(cols: _*)
+      val mm = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val mmOk = scala.collection.mutable.Set(mmCols.toSeq: _*)
       blocks.foreach { b =>
         rows += b.getRowCount
         val byName = b.getColumns.asScala
@@ -108,28 +117,33 @@ object Store {
               val st = c.getStatistics
               val nullsKnown = st != null && !st.isEmpty && st.isNumNullsSet
               if (nullsKnown) nonNull(col) += b.getRowCount - st.getNumNulls
-              else if (b.getRowCount > 0) colOk -= col
-              if (col.equalsIgnoreCase(idx) && b.getRowCount > 0) {
-                if (st == null || st.isEmpty) idxOk = false
+              else if (b.getRowCount > 0) nullOk -= col
+              if (mmCols.contains(col) && b.getRowCount > 0) {
+                if (st == null || st.isEmpty) mmOk -= col
                 else if (st.hasNonNullValue) {
-                  (st.genericGetMin, st.genericGetMax) match {
+                  val loHi = (st.genericGetMin, st.genericGetMax) match {
                     case (lo: java.lang.Long, hi: java.lang.Long) =>
-                      if (lo < mn) mn = lo
-                      if (hi > mx) mx = hi
-                    case _ => idxOk = false // unexpected physical type
+                      Some((lo.longValue, hi.longValue))
+                    case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                      Some((lo.longValue, hi.longValue))
+                    case _ => None // unexpected physical type
+                  }
+                  loHi match {
+                    case Some((lo, hi)) =>
+                      val cur = mm.get(col)
+                      mm(col) = (cur.fold(lo)(c0 => math.min(c0._1, lo)),
+                        cur.fold(hi)(c0 => math.max(c0._2, hi)))
+                    case None => mmOk -= col
                   }
                 } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
-                  idxOk = false // no values recorded, not provably all-null
+                  mmOk -= col // no values recorded, not provably all-null
                 }
               }
-            case None => if (b.getRowCount > 0) {
-              colOk -= col
-              if (col.equalsIgnoreCase(idx)) idxOk = false
-            }
+            case None => if (b.getRowCount > 0) { nullOk -= col; mmOk -= col }
           }
         }
       }
-      (f, rows, mn, mx, idxOk, nonNull.toMap, colOk.toSet)
+      (f, rows, nonNull.toMap, nullOk.toSet, mm.toMap, mmOk.toSet)
     } finally r.close()
   }
 
@@ -1405,11 +1419,16 @@ class Store private[sources] (
     *
     *  - `rows` is always exact: parquet footers record per-row-group row
     *    counts unconditionally.
-    *  - index min/max (epoch-µs, the store writes INT64 micros precisely
-    *    so these stats exist) are exact iff EVERY row-bearing group
-    *    either carries usable INT64 stats or is provably all-null on the
-    *    index; otherwise `idxMinMaxExact` is false and the caller must
-    *    fall back to scanning.
+    *  - min/max of every INTEGER-FAMILY column (timestamp/date/long/int
+    *    — the store's INT64/INT32 physical types, where footer stats
+    *    are exact by construction: fixed width, never truncated, no NaN
+    *    or comparator hazard; the index is just one of them, its µs
+    *    stats guaranteed by the store's own INT64-micros writer) are
+    *    exact iff EVERY row-bearing group either carries usable stats
+    *    or is provably all-null; otherwise the column leaves
+    *    `minMaxExactCols` and the caller must fall back to scanning.
+    *    Float/double (NaN ordering) and string/binary (legacy
+    *    comparators, possible truncation) never qualify.
     *  - `nonNullCounts` holds `count(col)` answers (SQL count ignores
     *    nulls) for exactly the columns whose null counts every group
     *    records; columns with any unknown group are omitted.
@@ -1420,8 +1439,13 @@ class Store private[sources] (
     */
   private[sources] def footerAgg(key: String): Store.FooterAgg = {
     val paths = dataFiles(key)
-    val idx = indexName
     val cols = schema.fieldNames.toSeq
+    val mmCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSet
     // like footerRows: a small file set reads faster on the DRIVER than
     // the scheduling overhead of a cluster job (this sits on the
     // sub-second planning path of SQL count(*)) — threaded, because
@@ -1429,7 +1453,9 @@ class Store private[sources] (
     // HEAD+ranged-GET on object stores) and serializing them would
     // hand the job path the win back; a large set fans out over
     // executors so 100k footers never funnel through one machine
-    val perFile: Array[(String, Long, Long, Long, Boolean, Map[String, Long], Set[String])] =
+    type FileAgg = (String, Long, Map[String, Long], Set[String],
+      Map[String, (Long, Long)], Set[String])
+    val perFile: Array[FileAgg] =
       if (paths.isEmpty) Array.empty
       else if (paths.size <= 256) {
         val conf = spark.sparkContext.hadoopConfiguration
@@ -1437,9 +1463,8 @@ class Store private[sources] (
           math.min(16, paths.size))
         try {
           val futures = paths.map { f =>
-            pool.submit(new java.util.concurrent.Callable[
-              (String, Long, Long, Long, Boolean, Map[String, Long], Set[String])] {
-              override def call() = Store.fileFooterAgg(conf, f, idx, cols)
+            pool.submit(new java.util.concurrent.Callable[FileAgg] {
+              override def call() = Store.fileFooterAgg(conf, f, cols, mmCols)
             })
           }
           futures.map(_.get()).toArray
@@ -1450,22 +1475,24 @@ class Store private[sources] (
           .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
           .mapPartitions { fs =>
             val conf = Store.confFrom(confEntries)
-            fs.map(f => Store.fileFooterAgg(conf, f, idx, cols))
+            fs.map(f => Store.fileFooterAgg(conf, f, cols, mmCols))
           }
           .collect() // O(files) metadata tuples, not data
       }
     val rows = perFile.map(_._2).sum
-    val mins = perFile.map(_._3).filter(_ != Long.MaxValue)
-    val maxs = perFile.map(_._4).filter(_ != Long.MinValue)
-    val idxExact = perFile.forall(_._5)
-    val exactCols = cols.filter(c => perFile.forall(_._7.contains(c)))
+    val exactNullCols = cols.filter(c => perFile.forall(_._4.contains(c)))
+    val exactMM = mmCols.filter(c => perFile.forall(_._6.contains(c)))
+    val colMinMax = exactMM.flatMap { c =>
+      val vs = perFile.flatMap(_._5.get(c))
+      if (vs.isEmpty) None // provably all-null: exact, SQL min/max = NULL
+      else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
+    }.toMap
     Store.FooterAgg(
       files = perFile.map(t => (t._1, t._2)).sortBy(_._1).toIndexedSeq,
       rows = rows,
-      idxMinMicros = if (idxExact) mins.minOption else None,
-      idxMaxMicros = if (idxExact) maxs.maxOption else None,
-      idxMinMaxExact = idxExact,
-      nonNullCounts = exactCols.map(c => c -> perFile.map(_._6(c)).sum).toMap)
+      nonNullCounts = exactNullCols.map(c => c -> perFile.map(_._3(c)).sum).toMap,
+      colMinMax = colMinMax,
+      minMaxExactCols = exactMM)
   }
 
   /** File prefix that satisfies a pushed LIMIT: walk the item's files in

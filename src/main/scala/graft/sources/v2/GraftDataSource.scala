@@ -268,16 +268,21 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
       case _ => None
     }
 
-  /** Accept `count(*)`, `count(col)` and `min/max(index)` with no GROUP
-    * BY and no filters, and ONLY when the footer statistics prove the
-    * answer exact ([[Store.footerAgg]]): row counts always are; a
-    * `count(col)` needs every row group's null count; `min/max(index)`
-    * need every row-bearing group to carry INT64 stats (or be provably
-    * all-null — SQL min/max ignore nulls). Anything short of proof
-    * returns None and the query plans the ordinary scan — pushdown is an
-    * optimization, exactness never depends on it. At 100 TB this is the
-    * difference between an O(files) metadata sweep and a cluster-wide
-    * scan (reference posture: oakstore store.py:255-264).
+  /** Accept `count(*)`, `count(col)` and `min/max(<integer-family
+    * col>)` (timestamp/date/long/int — INT64/INT32 physical, whose
+    * footer stats are exact by construction; the index is just one of
+    * them) with no GROUP BY and no filters, and ONLY when the footer
+    * statistics prove the answer exact ([[Store.footerAgg]]): row
+    * counts always are; a `count(col)` needs every row group's null
+    * count; `min/max(col)` need every row-bearing group to carry
+    * usable stats (or be provably all-null — SQL min/max ignore
+    * nulls). Float/double (parquet stats omit NaN, Spark orders NaN
+    * highest) and string/binary (legacy comparators, truncation) never
+    * qualify. Anything short of proof returns None and the query plans
+    * the ordinary scan — pushdown is an optimization, exactness never
+    * depends on it. At 100 TB this is the difference between an
+    * O(files) metadata sweep and a cluster-wide scan (reference
+    * posture: oakstore store.py:255-264).
     */
   private def evalAggregation(agg: Aggregation): Option[GraftAggScan] = {
     val keyStr = agg.toString
@@ -290,45 +295,66 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     result
   }
 
+  /** Integer-family types: INT64/INT32 physical in the store's files,
+    * where footer min/max is exact by construction. Everything else
+    * (double/float: NaN; string/binary: comparator + truncation
+    * hazards) refuses min/max pushdown.
+    */
+  private def mmSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case TimestampType | org.apache.spark.sql.types.DateType |
+         LongType | org.apache.spark.sql.types.IntegerType => true
+    case _ => false
+  }
+
   private def computeAggregation(agg: Aggregation): Option[GraftAggScan] = {
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     if (!store.exists(key)) return None
-    val idx = store.indexName
+    def field(col: String): Option[StructField] =
+      store.schema.fields.find(_.name.equalsIgnoreCase(col))
     // shape check first — only a supportable aggregation pays the
     // (cheap, but nonzero) footer sweep
     sealed trait P
     case object CntStar extends P
-    case class CntCol(col: String) extends P
-    case object MinIdx extends P
-    case object MaxIdx extends P
+    case class CntCol(raw: String, f: StructField) extends P
+    case class MinCol(raw: String, f: StructField) extends P
+    case class MaxCol(raw: String, f: StructField) extends P
     val plan: Option[Seq[P]] = {
       val ps = agg.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(CntStar)
-        case c: Count if !c.isDistinct => colOf(c.column).map(CntCol)
-        case m: Min => colOf(m.column).filter(_.equalsIgnoreCase(idx)).map(_ => MinIdx)
-        case m: Max => colOf(m.column).filter(_.equalsIgnoreCase(idx)).map(_ => MaxIdx)
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).flatMap(n => field(n).map(f => CntCol(n, f)))
+        case m: Min => colOf(m.column).flatMap(n =>
+          field(n).filter(f => mmSupported(f.dataType)).map(f => MinCol(n, f)))
+        case m: Max => colOf(m.column).flatMap(n =>
+          field(n).filter(f => mmSupported(f.dataType)).map(f => MaxCol(n, f)))
         case _ => None
       }
       if (ps.forall(_.isDefined)) Some(ps.flatten) else None
     }
     plan.flatMap { ps =>
       val stats = store.footerAgg(key)
-      def field(col: String): Option[String] =
-        store.schema.fieldNames.find(_.equalsIgnoreCase(col))
+      // footerAgg normalizes INT32 stats to Long; render back to the
+      // column's InternalRow representation (Int for int/date, Long
+      // for long/timestamp-µs)
+      def render(f: StructField, v: Long): Any = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => java.lang.Integer.valueOf(v.toInt)
+        case _ => java.lang.Long.valueOf(v)
+      }
       val answered = ps.map {
         case CntStar =>
           Some((StructField("count(*)", LongType, nullable = false),
             java.lang.Long.valueOf(stats.rows): Any))
-        case CntCol(col) =>
-          field(col).flatMap(f => stats.nonNullCounts.get(f)).map(n =>
-            (StructField(s"count($col)", LongType, nullable = false),
+        case CntCol(raw, f) =>
+          stats.nonNullCounts.get(f.name).map(n =>
+            (StructField(s"count($raw)", LongType, nullable = false),
               java.lang.Long.valueOf(n): Any))
-        case MinIdx if stats.idxMinMaxExact =>
-          Some((StructField(s"min($idx)", TimestampType),
-            stats.idxMinMicros.map(java.lang.Long.valueOf).orNull: Any))
-        case MaxIdx if stats.idxMinMaxExact =>
-          Some((StructField(s"max($idx)", TimestampType),
-            stats.idxMaxMicros.map(java.lang.Long.valueOf).orNull: Any))
+        case MinCol(raw, f) if stats.minMaxExactCols.contains(f.name) =>
+          Some((StructField(s"min($raw)", f.dataType),
+            stats.colMinMax.get(f.name).map(v => render(f, v._1)).orNull: Any))
+        case MaxCol(raw, f) if stats.minMaxExactCols.contains(f.name) =>
+          Some((StructField(s"max($raw)", f.dataType),
+            stats.colMinMax.get(f.name).map(v => render(f, v._2)).orNull: Any))
         case _ => None
       }
       if (answered.exists(_.isEmpty)) None // some stat unprovable → scan

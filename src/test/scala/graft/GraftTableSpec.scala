@@ -376,6 +376,28 @@ class GraftTableSpec extends AnyFunSuite {
     val expected = 20L - sparse.where($"open".isNull).count()
     assert(c2.collect()(0).getLong(0) == expected, s"count(OPEN) != $expected")
 
+    // min/max of any INTEGER-FAMILY column (not just the index) is
+    // footer-answered: VOLUME is long (INT64 stats, exact by
+    // construction)
+    val mmv = spark.sql(
+      "SELECT min(VOLUME) AS lo, max(VOLUME) AS hi, count(*) AS c FROM agg_msft")
+    assertFooterAnswered(mmv)
+    val vr = mmv.collect()(0)
+    assert(vr.getLong(0) == 1000L && vr.getLong(1) == 1099L && vr.getLong(2) == 100L)
+
+    // ...and a column that is entirely NULL answers NULL exactly (the
+    // all-null proof: every group records numNulls == rowCount)
+    val allNull = bars(10).withColumn("volume",
+      org.apache.spark.sql.functions.lit(null).cast("long"))
+    s.write("NULLVOL", allNull)
+    spark.read.format("graft").option("item", "NULLVOL").load(dir)
+      .createOrReplaceTempView("agg_nullvol")
+    val nv = spark.sql(
+      "SELECT min(VOLUME) AS lo, count(VOLUME) AS c FROM agg_nullvol")
+    assertFooterAnswered(nv)
+    val nvr = nv.collect()(0)
+    assert(nvr.isNullAt(0) && nvr.getLong(1) == 0L)
+
     // an EMPTY item still answers: count 0, min/max NULL
     s.write("EMPTY", bars(0))
     val t3 = spark.read.format("graft").option("item", "EMPTY").load(dir)
@@ -429,7 +451,9 @@ class GraftTableSpec extends AnyFunSuite {
     assertScans(avg)
     assert(avg.collect()(0).getLong(1) == 100L)
 
-    // min/max of a NON-index column is not in scope — scans
+    // min/max of a FLOATING-POINT column must scan: parquet stats omit
+    // NaN while Spark orders NaN above every double, so footer min/max
+    // of a double is not provably Spark's answer
     val mo = spark.sql("SELECT min(OPEN) AS m FROM noagg_msft")
     assertScans(mo)
     mo.collect()
