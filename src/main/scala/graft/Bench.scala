@@ -205,6 +205,18 @@ object Bench {
     val spreads = (allSamples ++ extSamples)
       .map { case (k, ss) => "\"" + k + "\":" + f"${ss.max / ss.min}%.2f" }
       .mkString("{", ",", "}")
+    // spread over the POST-WARMUP samples only (drop sample 1): the
+    // first sample of nearly every query pays one-time janino codegen,
+    // so the all-samples spread sits >1.5 on ~70% of queries even on an
+    // idle box and cannot distinguish a calm window from a contaminated
+    // one. Warm spread is the ambient-noise indicator: two steady-state
+    // runs of the same plan differ only by what the box is doing.
+    val warmSpreads = (allSamples ++ extSamples)
+      .map { case (k, ss) =>
+        val warm = if (ss.size >= 3) ss.drop(1) else ss
+        "\"" + k + "\":" + f"${warm.max / warm.min}%.2f"
+      }
+      .mkString("{", ",", "}")
     val ext = extResults
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -219,7 +231,7 @@ object Bench {
     // own small line that always survives truncation; the detail line
     // with per-query timings follows for humans and deep tooling.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,"sf":"$sfDir"}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"spread_warm":$warmSpreads,"sf":"$sfDir"}"""
     // summary printed both before AND after the detail line: whichever
     // end of the stream the capture keeps, a parseable total survives
     // (both carry the same value, so last-wins / first-wins both work)

@@ -162,6 +162,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       "catalog-qualified stream must equal the batch item")
   }
 
+  test("catalog-qualified STREAMING write: writeStream.toTable(gcat.PIPED) lands via the DSv2 sink, exactly-once") {
+    storeDir
+    val ck = java.nio.file.Files.createTempDirectory("graft-cat-totable").toString
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.table("gcat.MSFT")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gcat.PIPED")
+      q.awaitTermination()
+    }
+    run(ck + "/ckpt")
+    assert(spark.table("gcat.PIPED").count() == 100)
+    // a fresh checkpoint replays every epoch; the appendNewOnly ingest
+    // absorbs the replay — zero duplicate rows (the toTable route must
+    // carry the same exactly-once contract as format("graft"))
+    run(ck + "/ckpt2")
+    val piped = spark.table("gcat.PIPED")
+    assert(piped.count() == 100, "replayed epochs must append zero rows")
+    val src = spark.table("gcat.MSFT")
+    assert(piped.exceptAll(src).count() == 0 && src.exceptAll(piped).count() == 0)
+    spark.sql("DROP TABLE gcat.PIPED")
+  }
+
   test("SQL tooling paths resolve: DESCRIBE TABLE and spark.table on catalog items") {
     storeDir
     val cols = spark.sql("DESCRIBE TABLE gcat.MSFT").select("col_name")
