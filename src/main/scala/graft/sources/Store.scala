@@ -1495,6 +1495,35 @@ class Store private[sources] (
       minMaxExactCols = exactMM)
   }
 
+  /** Total DATA bytes under the given roots (pruned bucket dirs, or
+    * individual files from a LIMIT prefix) — the planner-facing size
+    * estimate behind [[graft.sources.v2.GraftScan]]'s
+    * `SupportsReportStatistics`. One listing per directory root (the
+    * same hidden-segment filter every read path applies, so an
+    * in-flight committer's `_temporary` payload never inflates the
+    * estimate), `getFileStatus` per file root. Vanish-tolerant like
+    * every listing here: a root deleted mid-walk (concurrent
+    * compaction/prune) contributes zero — stats are estimates, the
+    * scan itself will surface any real error.
+    */
+  private[sources] def bytesUnder(roots: Seq[HPath]): Long =
+    roots.map { r =>
+      try {
+        val st = fs.getFileStatus(r)
+        if (st.isFile) st.getLen
+        else {
+          val prefix = r.toString + "/"
+          def hidden(path: String): Boolean =
+            path.stripPrefix(prefix).split('/').exists(seg =>
+              (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+          walkFiles(r).collect {
+            case st if st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                !hidden(st.getPath.toString) => st.getLen
+          }.sum
+        }
+      } catch { case _: java.io.IOException | _: RuntimeException => 0L }
+    }.sum
+
   /** File prefix that satisfies a pushed LIMIT: walk the item's files in
     * listing order accumulating footer row counts until the limit is
     * covered, so `SELECT * FROM item LIMIT 10` reads one chunk file

@@ -397,30 +397,77 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
 
   override def isPartiallyPushed(): Boolean = true
 
+  override def build(): Scan = aggScan.getOrElse {
+    val (start, end) = GraftBounds.tsBounds(pushed.toIndexedSeq, store.indexName)
+    // batch: the pruning decision — LIST only the bucket dirs the
+    // bounds allow (or, under a pushed LIMIT, only a row-covering file
+    // prefix), deferred to first batch use so a streaming read never
+    // pays for it. The scan assembly itself (pruned file index +
+    // Spark's vectorized ParquetScan) is Spark-internal API,
+    // quarantined in [[SparkInternals]] — the one file a Spark bump
+    // may break. Streaming: [[GraftScan.toMicroBatchStream]].
+    val mft = Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+    limit match {
+      case Some(n) =>
+        // a LIMIT-prefixed scan keeps its fixed file list — runtime
+        // filters would only shrink what the re-applied limit already
+        // bounds, not worth re-listing
+        new GraftScan(store, key, required, pushed,
+          () => store.filesForLimit(key, n.toLong)
+            .map(new org.apache.hadoop.fs.Path(_)),
+          maxFilesPerTrigger = mft)
+      case None =>
+        new GraftScan(store, key, required, pushed,
+          () => store.prunedRoots(key, start, end),
+          maxFilesPerTrigger = mft,
+          staticBounds = (start, end),
+          runtimePrune = Some((s2, e2) => store.prunedRoots(key, s2, e2)))
+    }
+  }
+}
+
+/** Index-bound extraction shared by the build-time pushdown and the
+  * runtime (DPP) filter path.
+  */
+private[v2] object GraftBounds {
+
+  def later(a: Option[Timestamp], b: Option[Timestamp]): Option[Timestamp] =
+    (a ++ b).reduceOption((x, y) => if (x.after(y)) x else y)
+  def earlier(a: Option[Timestamp], b: Option[Timestamp]): Option[Timestamp] =
+    (a ++ b).reduceOption((x, y) => if (x.before(y)) x else y)
+
   /** Inclusive [start, end] bounds on the index column implied by the
-    * pushed filters. Conjunctions tighten; anything else (Or, Not,
-    * non-index columns) contributes nothing — pruning stays a superset
-    * of the true result, the residual filters make it exact. Filter
-    * values arrive as [[java.sql.Timestamp]] (default) or
-    * [[java.time.Instant]] (datetimeJava8API); both are handled.
+    * filters. Conjunctions tighten; anything else (Or, Not, non-index
+    * columns) contributes nothing — pruning stays a superset of the
+    * true result, the residual filters make it exact. Filter values
+    * arrive as [[java.sql.Timestamp]] (default) or
+    * [[java.time.Instant]] (datetimeJava8API); both are handled. An
+    * `In` on the index (the shape a dynamic-pruning subquery
+    * translates to) contributes its value envelope [min, max] — only
+    * when EVERY value converts, since a partial envelope could cut
+    * files a non-converted value still needs.
     */
-  private def tsBounds(filters: Seq[Filter]): (Option[Timestamp], Option[Timestamp]) = {
-    val idx = store.indexName
+  def tsBounds(filters: Seq[Filter], idx: String)
+      : (Option[Timestamp], Option[Timestamp]) = {
     def ts(v: Any): Option[Timestamp] = v match {
       case t: java.sql.Timestamp => Some(t)
       case i: java.time.Instant => Some(Timestamp.from(i))
       case _ => None
     }
-    def later(a: Option[Timestamp], b: Option[Timestamp]): Option[Timestamp] =
-      (a ++ b).reduceOption((x, y) => if (x.after(y)) x else y)
-    def earlier(a: Option[Timestamp], b: Option[Timestamp]): Option[Timestamp] =
-      (a ++ b).reduceOption((x, y) => if (x.before(y)) x else y)
     def one(f: Filter): (Option[Timestamp], Option[Timestamp]) = f match {
       case GreaterThan(c, v) if c.equalsIgnoreCase(idx) => (ts(v), None)
       case GreaterThanOrEqual(c, v) if c.equalsIgnoreCase(idx) => (ts(v), None)
       case LessThan(c, v) if c.equalsIgnoreCase(idx) => (None, ts(v))
       case LessThanOrEqual(c, v) if c.equalsIgnoreCase(idx) => (None, ts(v))
       case EqualTo(c, v) if c.equalsIgnoreCase(idx) => (ts(v), ts(v))
+      case In(c, vs) if c.equalsIgnoreCase(idx) && vs.nonEmpty =>
+        val converted = vs.toSeq.map(ts)
+        if (converted.exists(_.isEmpty)) (None, None)
+        else {
+          val all = converted.flatten
+          (Some(all.reduce((a, b) => if (a.before(b)) a else b)),
+            Some(all.reduce((a, b) => if (a.after(b)) a else b)))
+        }
       case And(l, r) =>
         val (ll, lh) = one(l); val (rl, rh) = one(r)
         (later(ll, rl), earlier(lh, rh))
@@ -429,26 +476,6 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     filters.map(one).foldLeft((Option.empty[Timestamp], Option.empty[Timestamp])) {
       case ((lo, hi), (l, h)) => (later(lo, l), earlier(hi, h))
     }
-  }
-
-  override def build(): Scan = aggScan.getOrElse {
-    val (start, end) = tsBounds(pushed.toIndexedSeq)
-    // batch: the pruning decision — LIST only the bucket dirs the
-    // bounds allow (or, under a pushed LIMIT, only a row-covering file
-    // prefix), deferred to first batch use so a streaming read never
-    // pays for it. The scan assembly itself (pruned file index +
-    // Spark's vectorized ParquetScan) is Spark-internal API,
-    // quarantined in [[SparkInternals]] — the one file a Spark bump
-    // may break. Streaming: [[GraftScan.toMicroBatchStream]].
-    val roots: () => Seq[org.apache.hadoop.fs.Path] = limit match {
-      case Some(n) =>
-        () => store.filesForLimit(key, n.toLong)
-          .map(new org.apache.hadoop.fs.Path(_))
-      case None => () => store.prunedRoots(key, start, end)
-    }
-    new GraftScan(store, key, required, pushed, roots,
-      maxFilesPerTrigger =
-        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
   }
 }
 

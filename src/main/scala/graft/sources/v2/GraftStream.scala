@@ -4,7 +4,7 @@ import graft.sources.Store
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics => V2Statistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -22,17 +22,93 @@ final class GraftScan(
     required: StructType,
     pushed: Array[Filter],
     batchRoots: () => Seq[HPath],
-    maxFilesPerTrigger: Option[Int] = None
-) extends Scan {
+    maxFilesPerTrigger: Option[Int] = None,
+    staticBounds: (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) = (None, None),
+    runtimePrune: Option[(Option[java.sql.Timestamp], Option[java.sql.Timestamp]) => Seq[HPath]] = None
+) extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Roots override installed by a runtime (DPP) filter; when set, the
+    * next assembly prunes by the TIGHTENED bounds.
+    */
+  @volatile private var runtimeRoots: Option[() => Seq[HPath]] = None
+  private val parquetRef =
+    new java.util.concurrent.atomic.AtomicReference[Scan](null)
+
+  private def roots(): Seq[HPath] =
+    runtimeRoots.map(_()).getOrElse(batchRoots())
 
   /** The batch parquet assembly, built on first batch use (a streaming
-    * read never lists the batch roots). Public so plan-asserting specs
-    * can reach the pruned file index.
+    * read never lists the batch roots) and REBUILT if a runtime filter
+    * lands after it (Spark calls `filter(...)` then `toBatch` again —
+    * verified against 4.1.2's BatchScanExec.filteredPartitions).
+    * Public so plan-asserting specs can reach the pruned file index.
     */
-  lazy val parquet: Scan = SparkInternals.parquetScanOver(
-    SparkSession.active, batchRoots(), store.schema, required, pushed)
+  def parquet: Scan = {
+    val cached = parquetRef.get()
+    if (cached != null) cached
+    else {
+      val built = SparkInternals.parquetScanOver(
+        SparkSession.active, roots(), store.schema, required, pushed)
+      if (parquetRef.compareAndSet(null, built)) built else parquetRef.get()
+    }
+  }
 
   override def readSchema(): StructType = required
+
+  // ---- runtime filtering (the DSv2 face of dynamic partition pruning)
+  //
+  // A join whose key is the index column gets its build-side values
+  // pushed here at runtime as an In(idx, values) — the value envelope
+  // [min, max] re-prunes the bucket dirs, so `events JOIN dims ON
+  // events.TS = dims.day` scans only the days the dim side actually
+  // holds. Pruning is a superset by construction (envelope, inclusive
+  // bounds); the join itself keeps exactness.
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (runtimePrune.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(store.indexName))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = runtimePrune.foreach { mk =>
+    val (rs, re) = GraftBounds.tsBounds(filters.toIndexedSeq, store.indexName)
+    if (rs.isDefined || re.isDefined) {
+      val s2 = GraftBounds.later(staticBounds._1, rs)
+      val e2 = GraftBounds.earlier(staticBounds._2, re)
+      runtimeRoots = Some(() => mk(s2, e2))
+      parquetRef.set(null) // the re-requested toBatch re-assembles pruned
+    }
+  }
+
+  /** Planner-facing size estimate: bytes under the PRUNED roots (so a
+    * range-sliced join side of a huge item reports its slice, not the
+    * item), times the session's file-compression factor — the same
+    * shape Spark's own FileScan reports. Without this, DSv2 relations
+    * fall back to `spark.sql.defaultSizeInBytes` (Long.MaxValue): a
+    * graft table could NEVER be statically chosen as the broadcast
+    * side of a join, and at cluster scale the fact table pays a full
+    * shuffle AQE can only partially claw back (the map-side write
+    * still happens). Lazy-cached: one listing per scan — for a
+    * streaming query (whose per-batch re-planning also consults it)
+    * that is one listing at stream start, never per trigger.
+    * Exceptions yield the unknown estimate — stats must never fail a
+    * plan the scan itself could execute.
+    */
+  private lazy val stats: V2Statistics = {
+    val size: java.util.OptionalLong =
+      try {
+        val factor = SparkSession.active.conf
+          .getOption("spark.sql.sources.fileCompressionFactor")
+          .map(_.toDouble).getOrElse(1.0)
+        java.util.OptionalLong.of(
+          math.max(1L, (store.bytesUnder(batchRoots()) * factor).toLong))
+      } catch { case _: Exception => java.util.OptionalLong.empty() }
+    new V2Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def estimateStatistics(): V2Statistics = stats
 
   /** Static on purpose: delegating to the ParquetScan's description
     * would force the lazy batch assembly — a full bucket-dir LIST — on

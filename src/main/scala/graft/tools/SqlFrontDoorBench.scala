@@ -104,6 +104,28 @@ object SqlFrontDoorBench {
     timed("Store.describe (same footers)") {
       store.describe("EVENTS").rows
     }
+    // runtime filtering (round-12): a join keyed on the index delivers
+    // the dim side's values to the scan at runtime (DSv2 dynamic
+    // partition pruning) — the graft table scans only the joined days'
+    // buckets, while raw parquet (no hive partitioning, nothing to
+    // prune) scans everything. The dim must be a real source: a local
+    // relation's selective filter constant-folds away and DPP never
+    // fires.
+    val dimDir = baseDir + "/.dpp-dim"
+    store.query("EVENTS", Some(t0), Some(t1))
+      .select(col("TS").as("D")).distinct().limit(3)
+      .withColumn("TAG", org.apache.spark.sql.functions.lit("k"))
+      .write.mode("overwrite").parquet(dimDir)
+    def dim = spark.read.parquet(dimDir).where(col("TAG").isin("k"))
+    timed("DSv2 dim join (runtime DPP)") {
+      spark.table("sqlfd_events").join(dim, col("TS") === col("D"))
+        .agg(sum("VALUE")).collect()(0).getDouble(0).toLong
+    }
+    timed("raw parquet dim join") {
+      spark.read.parquet(baseDir + "/items/EVENTS")
+        .join(dim, col("TS") === col("D"))
+        .agg(sum("VALUE")).collect()(0).getDouble(0).toLong
+    }
     spark.sql("DROP TABLE IF EXISTS sqlfd_events")
     spark.stop()
   }

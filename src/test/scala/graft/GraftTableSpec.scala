@@ -459,6 +459,90 @@ class GraftTableSpec extends AnyFunSuite {
     mo.collect()
   }
 
+  test("scan reports size statistics: a small item is STATICALLY broadcastable, and a pruned slice reports its slice") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("SMALL", bars(50)) // ~2 month buckets, a few KB
+    val small = spark.read.format("graft").option("item", "SMALL").load(dir)
+
+    // the relation must report a real (small) size — without
+    // SupportsReportStatistics, DSv2 falls back to
+    // spark.sql.defaultSizeInBytes = Long.MaxValue and a graft table
+    // can never be the statically-planned broadcast side
+    def sizeOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head.computeStats().sizeInBytes
+    val whole = sizeOf(small)
+    assert(whole > 0 && whole < 10L * 1024 * 1024, s"expected a small real size, got $whole")
+
+    // bucket pruning flows into the estimate: a January slice of the
+    // item reports January's bytes, not the item's
+    val sliced = sizeOf(small.where($"DATE".between("2015-01-01", "2015-01-31")))
+    assert(sliced > 0 && sliced < whole,
+      s"pruned slice must report less than the whole item ($sliced vs $whole)")
+
+    // a join against a large side plans the graft table as the
+    // broadcast side STATICALLY: BroadcastHashJoin with ZERO shuffle
+    // exchanges (an AQE runtime conversion would leave the shuffle
+    // stages in the executed plan — static planning avoids the
+    // map-side shuffle write entirely)
+    val big = spark.range(0, 2000000)
+      .select((($"id" % 50) + 1000).as("VOLUME"), $"id".as("N"))
+    val joined = big.join(small, "VOLUME")
+    joined.collect()
+    // AQE query stages hide their plans from collect(), so assert on
+    // the rendered tree
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
+    assert(!plan.contains("ShuffleQueryStage") &&
+      !plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("AQEShuffleRead"),
+      s"a statically-broadcast join plans NO shuffle:\n$plan")
+  }
+
+  test("runtime filtering: a dim-side join dynamically re-prunes bucket dirs (DSv2 dynamic partition pruning)") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("day"))
+    s.write("EV", bars(30)) // 30 day buckets
+    val ev = spark.read.format("graft").option("item", "EV").load(dir)
+    // a tiny dim holding TWO adjacent days, with a selective predicate
+    // (DPP requires one on the filtering side — and it must survive
+    // optimization, so the dim is a real parquet source, not a local
+    // relation the filter would constant-fold into); the join key is
+    // the store's index column — the scan's declared filterAttribute
+    val dimDir = tmpDir() + "/dim"
+    Seq(
+      (Timestamp.valueOf("2015-01-05 00:00:00"), "a"),
+      (Timestamp.valueOf("2015-01-06 00:00:00"), "b"),
+      (Timestamp.valueOf("2015-07-01 00:00:00"), "z"))
+      .toDF("D", "TAG").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where($"TAG".isin("a", "b"))
+    val joined = ev.join(dim, ev("DATE") === dim("D"))
+    val rows = joined.collect()
+    assert(rows.length == 2)
+    // the broadcast side's values reached the scan as a runtime In()
+    // whose envelope re-pruned the batch assembly: 2 day buckets of 30.
+    // (AQE query stages hide children from collect — walk explicitly.)
+    def deep(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: deep(q.plan)
+      case _ => p +: p.children.flatMap(deep)
+    }
+    val scans = deep(joined.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan }
+      .collect { case g: graft.sources.v2.GraftScan =>
+        g.parquet.asInstanceOf[ParquetScan] }
+    assert(scans.size == 1, s"expected the graft scan, got $scans")
+    val roots = bucketDirNames(scans.head)
+    assert(roots.size == 2, s"expected the 2 joined day buckets of 30, scanned: $roots")
+    // and the plan carries the dynamic-pruning expression (the static
+    // receipt that DPP — not luck — did the pruning)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"expected a DPP runtime filter:\n$plan")
+  }
+
   test("limit pushdown: LIMIT reads only a row-covering file prefix; results stay exact") {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("month"))
