@@ -407,6 +407,9 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     // quarantined in [[SparkInternals]] — the one file a Spark bump
     // may break. Streaming: [[GraftScan.toMicroBatchStream]].
     val mft = Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+    // streaming seen-log snapshot cadence (tests shrink it; 0 disables)
+    val snapEvery = Option(options.get("snapshotEvery")).map(_.trim.toInt)
+      .getOrElse(GraftMicroBatchStream.DefaultSnapshotEvery)
     limit match {
       case Some(n) =>
         // a LIMIT-prefixed scan keeps its fixed file list — runtime
@@ -415,13 +418,15 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
         new GraftScan(store, key, required, pushed,
           () => store.filesForLimit(key, n.toLong)
             .map(new org.apache.hadoop.fs.Path(_)),
-          maxFilesPerTrigger = mft)
+          maxFilesPerTrigger = mft,
+          snapshotEvery = snapEvery)
       case None =>
         new GraftScan(store, key, required, pushed,
           () => store.prunedRoots(key, start, end),
           maxFilesPerTrigger = mft,
           staticBounds = (start, end),
-          runtimePrune = Some((s2, e2) => store.prunedRoots(key, s2, e2)))
+          runtimePrune = Some((s2, e2) => store.prunedRoots(key, s2, e2)),
+          snapshotEvery = snapEvery)
     }
   }
 }

@@ -24,7 +24,8 @@ final class GraftScan(
     batchRoots: () => Seq[HPath],
     maxFilesPerTrigger: Option[Int] = None,
     staticBounds: (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) = (None, None),
-    runtimePrune: Option[(Option[java.sql.Timestamp], Option[java.sql.Timestamp]) => Seq[HPath]] = None
+    runtimePrune: Option[(Option[java.sql.Timestamp], Option[java.sql.Timestamp]) => Seq[HPath]] = None,
+    snapshotEvery: Int = GraftMicroBatchStream.DefaultSnapshotEvery
 ) extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Roots override installed by a runtime (DPP) filter; when set, the
@@ -122,21 +123,17 @@ final class GraftScan(
   override def toBatch: Batch = parquet.toBatch
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(store, key, required, maxFilesPerTrigger)
+    new GraftMicroBatchStream(store, key, required, maxFilesPerTrigger,
+      checkpointLocation, snapshotEvery)
 }
 
-/** Offset = the sorted set of data files already processed, carried
-  * IN the offset json itself. Self-contained by design: Spark's
-  * restart contract requires `planInputPartitions(start, end)` to
-  * reproduce a committed-but-unreplayed batch exactly, and a listing
-  * taken at replay time could have drifted (an append landed, a
-  * compaction rewrote files) — only the offset's own file list is
-  * immune. The cost is O(files) json per offset; the store's
-  * compaction keeps file counts at the chunk contract, and an item
-  * whose file count outgrows offset-sized metadata should stream
-  * through [[Store.readStream]] (Spark's file source with its
-  * compacted seen-files log) instead — both paths are supported, this
-  * one exists so non-Scala bindings have a streaming front door.
+/** LEGACY (pre-round-12) offset: the full cumulative set of processed
+  * files carried in the offset json itself — O(total files) per
+  * micro-batch. Kept so checkpoints written by earlier builds restart
+  * untouched: [[GraftMicroBatchStream]] dispatches on the recovered
+  * offset's type and keeps emitting this shape for the life of such a
+  * checkpoint. Fresh checkpoints get [[GraftSeqOffset]] (sequence +
+  * per-batch delta, O(batch) json) instead.
   */
 final class GraftFilesOffset(val files: Seq[String]) extends Offset {
   override def json(): String =
@@ -160,6 +157,152 @@ object GraftFilesOffset {
   }
 }
 
+/** Current offset shape: a sequence number plus THIS batch's admitted
+  * files. O(files-per-trigger) json per micro-batch regardless of how
+  * many files the stream has ever processed — the fix for the legacy
+  * shape's O(total-files)-per-batch checkpoint growth (Spark retains
+  * ~100 offset-log entries, so the legacy shape held ~100 full copies
+  * of the seen-set on disk at all times).
+  *
+  * Replay exactness is preserved by construction: Spark always calls
+  * `planInputPartitions(start, end)` with CONSECUTIVE offsets from its
+  * own offset log (batch N runs between entry N-1 and entry N), so the
+  * batch's input is exactly `end.delta` — carried in the offset
+  * itself, immune to listing drift, never a read of external state.
+  * The external [[GraftSeenLog]] exists only to rebuild the in-memory
+  * seen-set after a restart.
+  */
+final class GraftSeqOffset(val seq: Long, val delta: Seq[String]) extends Offset {
+  override def json(): String =
+    s"""{"v":2,"seq":$seq,"delta":""" +
+      delta.map(f =>
+        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]") + "}"
+}
+
+object GraftSeqOffset {
+  private val SeqRe = """"seq"\s*:\s*(-?\d+)""".r
+
+  /** Parse the json() form back (and tolerate the informational
+    * `reportLatestOffset` shape, which has no delta).
+    */
+  def parse(json: String): GraftSeqOffset = {
+    val seq = SeqRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(s"not a graft v2 offset: $json"))
+    val tag = json.indexOf("\"delta\"")
+    if (tag < 0) new GraftSeqOffset(seq, Nil)
+    else {
+      val arr = json.substring(json.indexOf('[', tag), json.lastIndexOf(']') + 1)
+      new GraftSeqOffset(seq, GraftFilesOffset.parse(arr).files)
+    }
+  }
+}
+
+/** Checkpoint-local seen-file log: one small `NNN.delta` file per
+  * non-empty micro-batch (the batch's admitted files) and a full
+  * `NNN.snap` snapshot every [[snapshotEvery]] batches — the same
+  * compaction idea as Spark's FileStreamSource metadata log, kept
+  * private to this source so the offset contract stays public-API.
+  *
+  * Durability order makes recovery exact with no coordination:
+  * `writeDelta(N)` completes BEFORE `latestOffset` returns offset N,
+  * so any offset Spark ever committed has its delta on disk; an entry
+  * is only ever (over)written while NO committed offset references it
+  * (a crash between our delta write and Spark's offset write leaves a
+  * stale entry that the retried batch simply overwrites). Snapshots
+  * are a best-effort optimization: each carries a row-count header,
+  * and a torn snapshot is detected and skipped in favor of the
+  * previous one plus the deltas since it (which purging deliberately
+  * retains).
+  */
+private[v2] final class GraftSeenLog(location: String, snapshotEvery: Int) {
+  private val dir = new HPath(location, "graft-seen")
+  private lazy val fs = dir.getFileSystem(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private def deltaPath(seq: Long) = new HPath(dir, f"$seq%020d.delta")
+  private def snapPath(seq: Long) = new HPath(dir, f"$seq%020d.snap")
+
+  private def writeLines(p: HPath, header: String, files: Iterable[String]): Unit = {
+    val out = fs.create(p, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+      w.write(header); w.write('\n')
+      files.foreach { f => w.write(f); w.write('\n') }
+      w.flush()
+    } finally out.close()
+  }
+
+  /** Returns the body lines, or None when the count header disagrees
+    * with the content (a torn best-effort snapshot).
+    */
+  private def readLines(p: HPath, kind: String): Option[Seq[String]] = {
+    val in = fs.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      val header = r.readLine()
+      val expect = Option(header).filter(_.startsWith(s"graft-$kind-v1 "))
+        .map(_.substring(s"graft-$kind-v1 ".length).toLong)
+      expect match {
+        case None => None
+        case Some(n) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var line = r.readLine()
+          while (line != null) { buf += line; line = r.readLine() }
+          if (buf.length == n) Some(buf.toSeq) else None
+      }
+    } finally in.close()
+  }
+
+  def writeDelta(seq: Long, files: Seq[String]): Unit =
+    writeLines(deltaPath(seq), s"graft-delta-v1 ${files.length}", files)
+
+  /** Best-effort snapshot + purge; never fails the batch. Purge keeps
+    * the newest TWO snapshots and every delta after the older kept one,
+    * so recovery still works if the newest snapshot turns out torn.
+    */
+  def maybeSnapshot(seq: Long, seen: Iterable[String], seenSize: Int): Unit =
+    if (snapshotEvery > 0 && seq % snapshotEvery == 0)
+      try {
+        writeLines(snapPath(seq), s"graft-snap-v1 $seenSize", seen)
+        val snaps = listSeqs(".snap").sorted(Ordering[Long].reverse)
+        val keepFloor = snaps.drop(1).headOption.getOrElse(0L)
+        snaps.drop(2).foreach(s => fs.delete(snapPath(s), false))
+        listSeqs(".delta").filter(_ <= keepFloor)
+          .foreach(d => fs.delete(deltaPath(d), false))
+      } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def listSeqs(suffix: String): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix).toLong)
+
+  /** Seen-set as of offset `seq`: newest intact snapshot ≤ seq, plus
+    * the deltas after it. Bounded reads — at most `snapshotEvery`
+    * delta files past the snapshot, regardless of stream age.
+    */
+  def rebuild(seq: Long): scala.collection.mutable.HashSet[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    if (seq <= 0) return seen
+    val snaps = listSeqs(".snap").filter(_ <= seq).sorted(Ordering[Long].reverse)
+    val base = snaps.iterator.flatMap(s =>
+      readLines(snapPath(s), "snap").map(s -> _)).buffered
+    val (from, rows) = if (base.hasNext) base.head else (0L, Nil)
+    seen ++= rows
+    ((from + 1) to seq).foreach { d =>
+      seen ++= readLines(deltaPath(d), "delta").getOrElse(
+        throw new IllegalStateException(
+          s"graft stream checkpoint at $location is missing seen-log delta " +
+            s"$d (have snapshot $from); the checkpoint cannot be resumed " +
+            "exactly — restart from a fresh checkpoint, or stream via " +
+            "Store.readStream"))
+    }
+    seen
+  }
+}
+
 /** Micro-batch stream over one item: each trigger lists the item's
   * data files (one recursive LIST, same cost as a batch scan's
   * planning), and the new-since-last-offset files become the batch —
@@ -175,18 +318,29 @@ object GraftFilesOffset {
   * [[Store.ingestStream]] sink is idempotent by appendNewOnly).
   */
 object GraftMicroBatchStream {
-  /** ~20k files ≈ 1.7 MiB of offset json per micro-batch (OffsetScale
-    * receipt: 8.3 MiB at 100k files) — past this the checkpoint write
-    * dominates small batches.
+  /** ~20k files ≈ 1.7 MiB of offset json per micro-batch under the
+    * LEGACY cumulative offsets (OffsetScale receipt: 8.3 MiB at 100k
+    * files) — past this the checkpoint write dominates small batches.
+    * Current-format streams use the same threshold for the softer
+    * concern that remains: seen-set memory + snapshot size.
     */
   private[v2] val OffsetFileWarnThreshold: Int = 20000
+
+  /** Snapshot cadence: restart replays at most this many delta files
+    * past a snapshot, and a snapshot (O(total files)) is amortized over
+    * this many batches. Same order as Spark's file-source compact
+    * interval (10).
+    */
+  private[v2] val DefaultSnapshotEvery: Int = 10
 }
 
 final class GraftMicroBatchStream(
     store: Store,
     key: String,
     required: StructType,
-    maxFilesPerTrigger: Option[Int]
+    maxFilesPerTrigger: Option[Int],
+    checkpointLocation: String,
+    snapshotEvery: Int = GraftMicroBatchStream.DefaultSnapshotEvery
 ) extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Factory is file-list-independent (FilePartitions carry their own
@@ -211,7 +365,27 @@ final class GraftMicroBatchStream(
     if (availableNowTarget != null) availableNowTarget
     else store.dataFiles(key)
 
-  override def initialOffset(): Offset = new GraftFilesOffset(Nil)
+  /** Fresh checkpoints start in the current (seq + delta) offset
+    * format; a checkpoint recovered with legacy cumulative offsets
+    * keeps that format for its whole life (dispatch is on the start
+    * offset's type — the two shapes never mix within one checkpoint).
+    */
+  override def initialOffset(): Offset = new GraftSeqOffset(0L, Nil)
+
+  // in-memory seen-set for the current format; rebuilt from the
+  // checkpoint-local seen log when `lastSeq` disagrees with the start
+  // offset Spark hands us (i.e. after a restart)
+  private lazy val seenLog = new GraftSeenLog(checkpointLocation, snapshotEvery)
+  private var seenSet: scala.collection.mutable.HashSet[String] = _
+  private var lastSeq: Long = -1L
+
+  private def seenAsOf(seq: Long): scala.collection.mutable.HashSet[String] = {
+    if (seenSet == null || lastSeq != seq) {
+      seenSet = seenLog.rebuild(seq)
+      lastSeq = seq
+    }
+    seenSet
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -226,44 +400,90 @@ final class GraftMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  /** One-time warning once the cumulative file list stops being
-    * offset-sized metadata: every micro-batch serializes the FULL list
-    * into the checkpoint offset log (the restart-exactness tradeoff
-    * documented on [[GraftFilesOffset]]), so a long-lived stream over a
-    * growing item degrades steadily and silently without this.
+  /** One-time warning once the tracked file set stops being
+    * metadata-sized. Legacy checkpoints serialize the FULL list into
+    * every offset-log entry (the original hazard); current-format
+    * streams only pay seen-set memory plus an O(total) snapshot every
+    * [[snapshotEvery]] batches — softer, but still worth a pointer at
+    * the compaction remedies.
     */
   private val warnedOffsetScale = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def warnIfOffsetHeavy(n: Int): Unit =
+  private def warnIfSeenHeavy(n: Int, legacy: Boolean): Unit =
     if (n > GraftMicroBatchStream.OffsetFileWarnThreshold &&
         warnedOffsetScale.compareAndSet(false, true))
       org.slf4j.LoggerFactory.getLogger(classOf[GraftMicroBatchStream]).warn(
-        s"graft stream over ${store.base}/$key now tracks $n files per " +
-          "checkpoint offset (~" + (n / 12288 + 1) + " MiB of offset json " +
-          "per micro-batch). Compact the item (Store.compactBuckets / " +
-          "CALL <cat>.compact_buckets) to shrink the list, or stream via " +
-          "Store.readStream (Spark's file source with a compacted " +
-          "seen-files log) for indefinitely-growing items.")
+        s"graft stream over ${store.base}/$key now tracks $n files" +
+          (if (legacy)
+            " per checkpoint offset (~" + (n / 12288 + 1) + " MiB of offset " +
+              "json per micro-batch under this checkpoint's legacy offset " +
+              "format; a FRESH checkpoint uses delta-sized offsets)."
+          else
+            s" (delta-sized offsets; the cost is seen-set memory and an " +
+              s"O(files) seen-log snapshot every $snapshotEvery batches).") +
+          " Compact the item (Store.compactBuckets / CALL " +
+          "<cat>.compact_buckets) to shrink the list, or stream via " +
+          "Store.readStream for indefinitely-growing items.")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
-    val fresh = listing().filterNot(seen)
-    val admitted = limit match {
-      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
-      case _ => fresh
-    }
-    val next = (seen ++ admitted).toSeq.sorted
-    warnIfOffsetHeavy(next.size)
-    new GraftFilesOffset(next)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = start match {
+    case legacy: GraftFilesOffset =>
+      // pre-round-12 checkpoint: keep its cumulative format verbatim
+      val seen = legacy.files.toSet
+      val fresh = listing().filterNot(seen)
+      val admitted = limit match {
+        case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+        case _ => fresh
+      }
+      val next = (seen ++ admitted).toSeq.sorted
+      warnIfSeenHeavy(next.size, legacy = true)
+      new GraftFilesOffset(next)
+    case v2: GraftSeqOffset =>
+      val seen = seenAsOf(v2.seq)
+      val fresh = listing().filterNot(seen)
+      val admitted = limit match {
+        case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+        case _ => fresh
+      }
+      if (admitted.isEmpty) v2 // identical json ⇒ Spark plans no batch
+      else {
+        val nextSeq = v2.seq + 1
+        // durably record the delta BEFORE the offset can be committed —
+        // the recovery contract documented on GraftSeenLog
+        seenLog.writeDelta(nextSeq, admitted)
+        seen ++= admitted
+        lastSeq = nextSeq
+        seenLog.maybeSnapshot(nextSeq, seen, seen.size)
+        warnIfSeenHeavy(seen.size, legacy = false)
+        new GraftSeqOffset(nextSeq, admitted)
+      }
   }
 
-  override def reportLatestOffset(): Offset = new GraftFilesOffset(listing())
+  /** Informational only (progress reporting): current position plus
+    * the backlog size — never committed, never deserialized by Spark.
+    */
+  override def reportLatestOffset(): Offset =
+    if (seenSet == null) null
+    else {
+      val pending = listing().count(!seenSet.contains(_))
+      val at = lastSeq
+      new Offset {
+        override def json(): String = s"""{"v":2,"seq":$at,"pending":$pending}"""
+      }
+    }
 
-  override def deserializeOffset(json: String): Offset =
-    GraftFilesOffset.parse(json)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("[")) GraftFilesOffset.parse(t) else GraftSeqOffset.parse(t)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
-    val fresh = end.asInstanceOf[GraftFilesOffset].files.filterNot(seen)
+    val fresh = end match {
+      // the batch's input rides in the end offset itself (see
+      // GraftSeqOffset) — replay never consults a listing or the log
+      case v2: GraftSeqOffset => v2.delta
+      case legacy: GraftFilesOffset =>
+        val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
+        legacy.files.filterNot(seen)
+    }
     if (fresh.isEmpty) Array.empty
     else SparkInternals.parquetScanOver(
       SparkSession.active, fresh.map(new HPath(_)), store.schema, required,

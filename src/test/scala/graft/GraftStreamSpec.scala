@@ -319,12 +319,124 @@ class GraftStreamSpec extends AnyFunSuite {
   }
 
   test("offsets round-trip their file lists exactly") {
-    import graft.sources.v2.GraftFilesOffset
+    import graft.sources.v2.{GraftFilesOffset, GraftSeqOffset}
     val files = Seq(
       "file:/store/items/EVENTS/__bucket=2024-01/part-0001.snappy.parquet",
       "file:/store/items/EVENTS/__bucket=2024-02/part-0002.snappy.parquet")
     val o = new GraftFilesOffset(files)
     assert(GraftFilesOffset.parse(o.json()).files == files)
     assert(GraftFilesOffset.parse(new GraftFilesOffset(Nil).json()).files.isEmpty)
+    val s = new GraftSeqOffset(17L, files)
+    val back = GraftSeqOffset.parse(s.json())
+    assert(back.seq == 17L && back.delta == files)
+    val empty = GraftSeqOffset.parse(new GraftSeqOffset(0L, Nil).json())
+    assert(empty.seq == 0L && empty.delta.isEmpty)
+  }
+
+  test("checkpoint offsets are delta-sized: a later batch's offset does not re-list earlier batches' files") {
+    // the 24/7 degradation fix: the legacy cumulative offsets wrote the
+    // FULL seen-set into every offset-log entry (O(total files) per
+    // micro-batch, ~100 retained copies); current offsets carry only
+    // the batch's own delta — checkpoint write cost is bounded by
+    // maxFilesPerTrigger forever
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(170)) // ~6 monthly bucket files
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    val q = spark.readStream.format("graft").option("item", "MSFT")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 170)
+    val offsetsDir = java.nio.file.Paths.get(ckpt, "offsets")
+    val entries = java.nio.file.Files.list(offsetsDir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .toSeq.sortBy(_.getFileName.toString.toInt)
+    assert(entries.size >= 6, s"expected ≥6 one-file batches, got ${entries.size}")
+    def read(p: java.nio.file.Path) = new String(
+      java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    val first = read(entries.head)
+    val last = read(entries.last)
+    assert(last.contains("\"v\":2"), "offsets must be the v2 seq+delta shape")
+    // the first batch's admitted file appears in ITS offset entry only
+    val firstFile = "\"delta\":\\[\"([^\"]+)\"".r
+      .findFirstMatchIn(first).map(_.group(1))
+      .getOrElse(fail(s"no delta in first offset entry: $first"))
+    assert(!last.contains(firstFile),
+      "a later offset re-listed an earlier batch's file — offsets are cumulative again")
+    // and the offset entries do not grow with stream age
+    assert(last.length <= first.length + 64,
+      s"offset entries grew with stream age: first=${first.length}B last=${last.length}B")
+    // the seen log recorded one delta per non-empty batch under the
+    // source's checkpoint dir
+    val seenDir = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-seen")
+    assert(java.nio.file.Files.list(seenDir).iterator().asScala
+      .count(_.toString.endsWith(".delta")) >= 1)
+  }
+
+  test("restart across a seen-log snapshot boundary resumes delta-only; purge keeps recovery bounded") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(170)) // ~6 monthly files → snapshots at 2,4,6
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    def drive(): Unit = {
+      val q = spark.readStream.format("graft").option("item", "MSFT")
+        .option("maxFilesPerTrigger", "1")
+        .option("snapshotEvery", "2").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drive()
+    assert(spark.read.parquet(out).count() == 170)
+    val seenDir = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-seen")
+    val names = java.nio.file.Files.list(seenDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.endsWith(".snap")) <= 2,
+      s"purge must keep at most two snapshots, saw: $names")
+    // the RESTARTED stream (fresh JVM state is simulated by a fresh
+    // query — the in-memory seen-set must be rebuilt from snapshot +
+    // deltas) processes only the appended months
+    s.appendNewOnly("MSFT", bars(230))
+    drive()
+    assert(spark.read.parquet(out).count() == 230,
+      "resume across a snapshot boundary must process only the delta")
+    val batch = s("MSFT")
+    val got = spark.read.parquet(out)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
+  test("legacy cumulative-offset checkpoints keep their format and semantics") {
+    import graft.sources.v2.{GraftFilesOffset, GraftMicroBatchStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(40)) // ≥ 2 files
+    val ckpt = tmpDir() + "/srcckpt"
+    val st = new GraftMicroBatchStream(s, "MSFT", s.schema, None, ckpt)
+    // a pre-round-12 checkpoint recovers as the json-array shape
+    val start = st.deserializeOffset("[]")
+    assert(start.isInstanceOf[GraftFilesOffset])
+    val end = st.latestOffset(start, ReadLimit.allAvailable())
+    // the emitted offset stays legacy-cumulative for this checkpoint
+    val endFiles = end.asInstanceOf[GraftFilesOffset].files
+    assert(endFiles.size >= 2)
+    val parts = st.planInputPartitions(start, end)
+    assert(parts.nonEmpty)
+    // steady state: no new files → identical json → Spark plans no batch
+    val again = st.latestOffset(end, ReadLimit.allAvailable())
+    assert(again.json() == end.json())
+    // legacy mode never creates the v2 seen log
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "graft-seen")))
   }
 }
