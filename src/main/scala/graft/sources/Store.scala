@@ -1553,6 +1553,93 @@ class Store private[sources] (
     } catch { case _: java.io.IOException => all }
   }
 
+  /** Groups an item's data files by their `__bucket=` directory and
+    * returns them in CHRONOLOGICAL order — or None when the layout is
+    * not order-prunable: unbucketed/flat items, fewer than two buckets
+    * (no pruning win), any file outside a bucket dir, or any bucket
+    * value that isn't the store's zero-padded date shape (this is also
+    * what rejects a `__HIVE_DEFAULT_PARTITION__` null-index bucket —
+    * rows with a NULL index must veto order pruning, since SQL sorts
+    * place them at an end the bucket order knows nothing about).
+    * Zero-padded same-length digit/dash labels make lexicographic
+    * order chronological regardless of the store timezone (the mapping
+    * instant→label is monotone under any fixed tz).
+    */
+  private def topNBuckets(files: Seq[String])
+      : Option[Seq[(String, Seq[String])]] = {
+    if (files.isEmpty) return None
+    val shaped = files.map { f =>
+      val segs = f.split('/')
+      if (segs.length < 2) None
+      else {
+        val parent = segs(segs.length - 2)
+        if (!parent.startsWith(BucketCol + "=")) None
+        else {
+          val v = parent.substring(BucketCol.length + 1)
+          if (v.nonEmpty && v.head.isDigit && v.forall(c => c.isDigit || c == '-'))
+            Some((v, f))
+          else None
+        }
+      }
+    }
+    if (shaped.exists(_.isEmpty)) return None
+    val byBucket = shaped.flatten.groupBy(_._1)
+    if (byBucket.size < 2) return None
+    if (byBucket.keys.map(_.length).toSet.size != 1) return None // mixed shapes
+    Some(byBucket.toSeq.sortBy(_._1).map { case (b, fs) => (b, fs.map(_._2)) })
+  }
+
+  /** Whether a pushed TopN on the index can prune this item at all —
+    * the cheap feasibility probe the DSv2 scan builder runs at plan
+    * time (one listing, no footer reads).
+    */
+  private[sources] def orderPrunable(key: String): Boolean =
+    topNBuckets(dataFiles(key)).isDefined
+
+  /** Bucket prefix (ASC) / suffix (DESC) whose footer row counts cover
+    * a pushed `ORDER BY <index> [DESC] LIMIT k`: bucket dirs partition
+    * time, so every excluded file's index values lie strictly beyond
+    * every included bucket's range — once the included rows number ≥ k,
+    * the true top-k live inside the selection. `SELECT * FROM item
+    * ORDER BY ts DESC LIMIT 100` on a 100 TB item reads the newest
+    * bucket(s) instead of the corpus. Exactness never depends on the
+    * selection (Spark re-sorts and re-limits above the scan —
+    * `isPartiallyPushed`), so anything unprovable — non-prunable
+    * layout, > 64 footer reads, vanished files, uncovered k — returns
+    * the full listing, which is merely the unpruned plan.
+    */
+  private[sources] def filesForTopN(key: String, k: Long, desc: Boolean): Seq[String] = {
+    val all = dataFiles(key)
+    topNBuckets(all) match {
+      case None => all
+      case Some(asc) =>
+        val ordered = if (desc) asc.reverse else asc
+        try {
+          import org.apache.parquet.hadoop.ParquetFileReader
+          import org.apache.parquet.hadoop.util.HadoopInputFile
+          val conf = spark.sparkContext.hadoopConfiguration
+          var cum = 0L
+          var reads = 0
+          var i = 0
+          var overBudget = false
+          while (i < ordered.size && cum < k && !overBudget) {
+            val bucketFiles = ordered(i)._2
+            if (reads + bucketFiles.size > 64) overBudget = true
+            else {
+              bucketFiles.foreach { f =>
+                val r = ParquetFileReader.open(
+                  HadoopInputFile.fromPath(new HPath(f), conf))
+                try cum += r.getRecordCount finally r.close()
+                reads += 1
+              }
+              i += 1
+            }
+          }
+          if (!overBudget && cum >= k) ordered.take(i).flatMap(_._2) else all
+        } catch { case _: java.io.IOException => all }
+    }
+  }
+
   /** Schema normalization (reference `_to_internal_type`,
     * store.py:141-174): case-insensitive match of every schema column
     * (missing → [[SchemaError]]), extra columns silently dropped,

@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
@@ -235,12 +235,14 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = store.schema
   private var aggScan: Option[GraftAggScan] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(Int, Boolean)] = None // (k, descending)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -395,6 +397,40 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     else { limit = Some(n); true }
   }
 
+  // ---- TopN pushdown: ORDER BY <index> [DESC] LIMIT k reads only a
+  // bucket prefix/suffix ----
+
+  /** PARTIAL TopN pushdown (Spark re-sorts and re-limits above the
+    * scan): accept `ORDER BY <index> [ASC|DESC] LIMIT k` with no
+    * filters, and only when the item's bucket layout is order-prunable
+    * ([[Store.orderPrunable]] — the probe that also vetoes NULL-index
+    * buckets, whose sort position the bucket order cannot know). The
+    * flagship time-series shape — "the newest k rows of a 100 TB item"
+    * — becomes a read of the newest bucket(s): bucket dirs partition
+    * time, so once the selected buckets' footer row counts cover k,
+    * every excluded row's index lies strictly beyond the selection and
+    * the true top-k are inside it. Filters refuse for the same reason
+    * as pushLimit: the residual-filtered yield of a file prefix is
+    * unpredictable (Spark keeps the Filter node above the scan for our
+    * all-residual pushFilters, so this path is defense in depth).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    if (pushed.nonEmpty || limit.isDefined || n <= 0 || orders.length != 1) false
+    else {
+      val o = orders(0)
+      val onIndex = o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+          nr.fieldNames()(0).equalsIgnoreCase(store.indexName) => true
+        case _ => false
+      }
+      if (!onIndex || !store.orderPrunable(key)) false
+      else {
+        topN = Some((n, o.direction() == SortDirection.DESCENDING))
+        true
+      }
+    }
+  }
+
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = aggScan.getOrElse {
@@ -410,8 +446,17 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     // streaming seen-log snapshot cadence (tests shrink it; 0 disables)
     val snapEvery = Option(options.get("snapshotEvery")).map(_.trim.toInt)
       .getOrElse(GraftMicroBatchStream.DefaultSnapshotEvery)
-    limit match {
-      case Some(n) =>
+    (topN, limit) match {
+      case (Some((k, desc)), _) =>
+        // selection re-runs lazily at first batch use (vanish-tolerant:
+        // an uncoverable k degrades to the full listing, never an
+        // error); like LIMIT, the fixed file set ignores runtime filters
+        new GraftScan(store, key, required, pushed,
+          () => store.filesForTopN(key, k.toLong, desc)
+            .map(new org.apache.hadoop.fs.Path(_)),
+          maxFilesPerTrigger = mft,
+          snapshotEvery = snapEvery)
+      case (None, Some(n)) =>
         // a LIMIT-prefixed scan keeps its fixed file list — runtime
         // filters would only shrink what the re-applied limit already
         // bounds, not worth re-listing
@@ -420,7 +465,7 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
             .map(new org.apache.hadoop.fs.Path(_)),
           maxFilesPerTrigger = mft,
           snapshotEvery = snapEvery)
-      case None =>
+      case (None, None) =>
         new GraftScan(store, key, required, pushed,
           () => store.prunedRoots(key, start, end),
           maxFilesPerTrigger = mft,

@@ -126,6 +126,18 @@ object SqlFrontDoorBench {
         .join(dim, col("TS") === col("D"))
         .agg(sum("VALUE")).collect()(0).getDouble(0).toLong
     }
+    // topN pushdown (round-12): "the newest k rows" — the flagship
+    // time-series probe. The pushed plan reads only the bucket suffix
+    // whose footer row counts cover k; raw parquet TakeOrdereds the
+    // whole item.
+    timed("DSv2 ORDER BY TS DESC LIMIT 100") {
+      spark.sql("SELECT * FROM sqlfd_events ORDER BY TS DESC LIMIT 100")
+        .collect().length.toLong
+    }
+    timed("raw parquet newest-100") {
+      spark.read.parquet(baseDir + "/items/EVENTS")
+        .orderBy(col("TS").desc).limit(100).collect().length.toLong
+    }
     spark.sql("DROP TABLE IF EXISTS sqlfd_events")
     spark.stop()
   }

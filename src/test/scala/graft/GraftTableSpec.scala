@@ -568,4 +568,67 @@ class GraftTableSpec extends AnyFunSuite {
     val fl = t.where($"DATE" >= "2015-03-25").limit(50)
     assert(fl.count() == 17, "29-day window starting 2015-03-25 through 04-10")
   }
+
+  test("topN pushdown: ORDER BY index LIMIT k reads only the covering bucket prefix/suffix; order stays exact") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 2015-01..04: buckets of 31/28/31/10 rows
+    val t = spark.read.format("graft").option("item", "MSFT").load(dir)
+    def scannedBuckets(df: DataFrame): Set[String] =
+      parquetScans(df).head.fileIndex.rootPaths
+        .map(_.getParent.getName).toSet
+
+    // "the newest k rows of a 100 TB item": one bucket, not the corpus
+    val newest = t.orderBy($"DATE".desc).limit(5)
+    val api = s("MSFT").orderBy($"DATE".desc).limit(5)
+      .collect().map(_.getTimestamp(0)).toSeq
+    assert(newest.collect().map(_.getTimestamp(0)).toSeq == api,
+      "pushed topN must return the exact newest rows, in order")
+    assert(scannedBuckets(newest) == Set("__bucket=2015-04"),
+      s"DESC LIMIT 5 must read only the newest bucket")
+
+    // k spanning bucket boundaries widens the suffix exactly as far as
+    // footer row counts require (April holds 10 rows → 15 needs March)
+    val wider = t.orderBy($"DATE".desc).limit(15)
+    assert(wider.collect().map(_.getTimestamp(0)).toSeq ==
+      s("MSFT").orderBy($"DATE".desc).limit(15)
+        .collect().map(_.getTimestamp(0)).toSeq)
+    assert(scannedBuckets(wider) == Set("__bucket=2015-03", "__bucket=2015-04"))
+
+    // ASC reads the oldest bucket instead
+    val oldest = t.orderBy($"DATE".asc).limit(5)
+    assert(oldest.collect().map(_.getTimestamp(0)).toSeq ==
+      s("MSFT").orderBy($"DATE".asc).limit(5)
+        .collect().map(_.getTimestamp(0)).toSeq)
+    assert(scannedBuckets(oldest) == Set("__bucket=2015-01"))
+
+    // k past the row count degrades to the full listing, still exact
+    val all = t.orderBy($"DATE".desc).limit(1000)
+    assert(all.count() == 100)
+    assert(parquetScans(all).head.fileIndex.allFiles().size == 4)
+
+    // ORDER BY a non-index column refuses (footer order proves nothing
+    // about VOLUME): full listing, exact result
+    val byVol = t.orderBy($"VOLUME".desc).limit(5)
+    assert(byVol.collect().map(_.getLong(5)).toSeq ==
+      Seq(1099L, 1098L, 1097L, 1096L, 1095L))
+    assert(parquetScans(byVol).head.fileIndex.allFiles().size == 4)
+
+    // under a WHERE the Filter node stays above the scan — topN must
+    // not truncate the file set; the filtered ordering stays exact
+    val fw = t.where($"DATE" <= "2015-02-15").orderBy($"DATE".desc).limit(3)
+    assert(fw.collect().map(_.getTimestamp(0)).toSeq ==
+      s("MSFT").where($"DATE" <= "2015-02-15").orderBy($"DATE".desc).limit(3)
+        .collect().map(_.getTimestamp(0)).toSeq)
+
+    // flat (unbucketed) layouts are not order-prunable: refuse, stay exact
+    val dir2 = tmpDir()
+    val s2 = Store.open(spark, dir2)
+    s2.write("AAPL", bars(40, seed = 3))
+    val t2 = spark.read.format("graft").option("item", "AAPL").load(dir2)
+    val flatTop = t2.orderBy($"DATE".desc).limit(5)
+    assert(flatTop.collect().map(_.getTimestamp(0)).toSeq ==
+      s2("AAPL").orderBy($"DATE".desc).limit(5)
+        .collect().map(_.getTimestamp(0)).toSeq)
+  }
 }
