@@ -455,7 +455,8 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
           () => store.filesForTopN(key, k.toLong, desc)
             .map(new org.apache.hadoop.fs.Path(_)),
           maxFilesPerTrigger = mft,
-          snapshotEvery = snapEvery)
+          snapshotEvery = snapEvery,
+          tag = s"pushedTopN=[${store.indexName} ${if (desc) "DESC" else "ASC"} LIMIT $k]")
       case (None, Some(n)) =>
         // a LIMIT-prefixed scan keeps its fixed file list — runtime
         // filters would only shrink what the re-applied limit already
@@ -464,7 +465,8 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
           () => store.filesForLimit(key, n.toLong)
             .map(new org.apache.hadoop.fs.Path(_)),
           maxFilesPerTrigger = mft,
-          snapshotEvery = snapEvery)
+          snapshotEvery = snapEvery,
+          tag = s"pushedLimit=$n")
       case (None, None) =>
         new GraftScan(store, key, required, pushed,
           () => store.prunedRoots(key, start, end),

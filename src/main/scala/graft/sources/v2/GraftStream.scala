@@ -25,7 +25,8 @@ final class GraftScan(
     maxFilesPerTrigger: Option[Int] = None,
     staticBounds: (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) = (None, None),
     runtimePrune: Option[(Option[java.sql.Timestamp], Option[java.sql.Timestamp]) => Seq[HPath]] = None,
-    snapshotEvery: Int = GraftMicroBatchStream.DefaultSnapshotEvery
+    snapshotEvery: Int = GraftMicroBatchStream.DefaultSnapshotEvery,
+    tag: String = ""
 ) extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Roots override installed by a runtime (DPP) filter; when set, the
@@ -118,7 +119,8 @@ final class GraftScan(
     */
   override def description(): String =
     s"GraftScan item=$key store=${store.base} " +
-      s"pushed=[${pushed.mkString(", ")}] read=${required.fieldNames.mkString(",")}"
+      s"pushed=[${pushed.mkString(", ")}] read=${required.fieldNames.mkString(",")}" +
+      (if (tag.nonEmpty) s" $tag" else "")
 
   override def toBatch: Batch = parquet.toBatch
 

@@ -586,6 +586,12 @@ class GraftTableSpec extends AnyFunSuite {
       "pushed topN must return the exact newest rows, in order")
     assert(scannedBuckets(newest) == Set("__bucket=2015-04"),
       s"DESC LIMIT 5 must read only the newest bucket")
+    // the pushed shape is auditable in the scan description (explain)
+    val desc = newest.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case g: graft.sources.v2.GraftScan => g.description() }
+    assert(desc.exists(_.contains("pushedTopN=[DATE DESC LIMIT 5]")),
+      s"scan description must advertise the pushed topN: $desc")
 
     // k spanning bucket boundaries widens the suffix exactly as far as
     // footer row counts require (April holds 10 rows → 15 needs March)
