@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** The `graft` DataSource V2 table provider: Store items readable as
   * tables from SQL/any binding, with index-range predicates translated
@@ -636,5 +637,35 @@ class GraftTableSpec extends AnyFunSuite {
     assert(flatTop.collect().map(_.getTimestamp(0)).toSeq ==
       s2("AAPL").orderBy($"DATE".desc).limit(5)
         .collect().map(_.getTimestamp(0)).toSeq)
+  }
+
+  test("topN pushdown vetoes non-date bucket labels (the NULL-index guard): refuses, reads everything, stays exact") {
+    // a bucket dir whose label is not the store's zero-padded date
+    // shape — the on-disk shape a NULL-index default partition takes —
+    // must disable order pruning entirely: the sort position of its
+    // rows is unknowable from bucket order, so the only exact plan is
+    // the full listing
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(62)) // 2015-01, 2015-02, 2015-03(2 days)
+    val itemDir = java.nio.file.Paths.get(dir, "items", "MSFT")
+    val someFile = java.nio.file.Files.walk(itemDir).iterator()
+      .asScala.filter(_.toString.endsWith(".parquet")).next()
+    val rogue = itemDir.resolve("__bucket=__HIVE_DEFAULT_PARTITION__")
+    java.nio.file.Files.createDirectories(rogue)
+    java.nio.file.Files.copy(someFile, rogue.resolve("part-rogue.snappy.parquet"))
+
+    val t = spark.read.format("graft").option("item", "MSFT").load(dir)
+    val top = t.orderBy($"DATE".desc).limit(5)
+    // exact against an independent ordering of the SAME (now larger)
+    // file set — raw parquet over the item dir sees the rogue file too
+    val expect = spark.read.parquet(itemDir.toString)
+      .orderBy($"DATE".desc).limit(5).collect().map(_.getTimestamp(0)).toSeq
+    assert(top.collect().map(_.getTimestamp(0)).toSeq == expect)
+    // and the plan did NOT prune: every file (including the rogue one)
+    // is in the scan
+    val files = parquetScans(top).head.fileIndex.allFiles()
+    assert(files.exists(_.getPath.toString.contains("__HIVE_DEFAULT_PARTITION__")),
+      "the veto must fall back to the FULL listing, rogue bucket included")
   }
 }
