@@ -1,0 +1,201 @@
+package graft.plans
+
+import graft.sources.Store
+import graft.sources.v2.GraftTable
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+
+/** Footer-exact RANGED aggregates — the daily-report shape:
+  *
+  * {{{ SELECT count(*) FROM graft.EVENTS WHERE TS >= a AND TS < b }}}
+  *
+  * The DSv2 aggregate pushdown ([[graft.sources.v2.GraftScanBuilder]])
+  * answers the FILTERLESS shapes from parquet footers, but Spark only
+  * offers an aggregation to a scan builder when no post-scan filter
+  * remains — and the graft scan declares every filter residual (bucket
+  * pruning is a superset; exactness must never ride on pushdown), so a
+  * WHERE always leaves a Filter node and the DSv2 path can never fire.
+  * This rule closes that gap one level up, where the whole shape is
+  * visible: a global (no GROUP BY) count/min/max aggregate over an
+  * index-range filter over a graft relation is answered from
+  * [[Store.footerAggInRange]] — each pruned file classifies by its
+  * footer min/max of the index as fully-inside / fully-outside /
+  * straddling; exact iff NO file straddles a bound (bucket-aligned
+  * ranges, the common report shape). Strict vs inclusive bounds are
+  * honored; rows with a NULL index never satisfy a range predicate and
+  * are excluded via footer null counts; min/max/count of NON-index
+  * columns additionally require zero null-index rows in the slice
+  * (their values could otherwise belong to excluded rows). Anything
+  * unprovable leaves the plan untouched — the ordinary (bucket-pruned)
+  * scan answers, so exactness never depends on this rule.
+  *
+  * Injected as a PRE-CBO rule (runs ONCE, after the operator batches
+  * and the V2 pushdown): the filter tree is constant-folded by then
+  * (timestamp literals are epoch-µs longs), and a once-batch keeps the
+  * footer sweep from re-running on every fixed-point iteration. At
+  * 100 TB this turns a month-aligned `count(*)` report into O(pruned
+  * files) metadata reads instead of a cluster-wide scan — the same
+  * footer-stat posture as the reference (oakstore store.py:255-264).
+  */
+object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(groupless, aggExprs, child, _) if groupless.isEmpty =>
+      try answer(aggExprs, child).getOrElse(agg)
+      catch { case scala.util.control.NonFatal(_) => agg } // never fail a plan
+  }
+
+  /** The graft relation + filter condition under an optional
+    * column-pruning Project (plain attributes only — an expression
+    * Project could re-bind the names the matchers below rely on).
+    */
+  private def unwrap(child: LogicalPlan): Option[(Expression, GraftTable)] = {
+    val filter = child match {
+      case Project(pl, f: Filter) if pl.forall(_.isInstanceOf[AttributeReference]) => f
+      case f: Filter => f
+      case _ => return None
+    }
+    val table = filter.child match {
+      case r: DataSourceV2ScanRelation => r.relation.table
+      case r: DataSourceV2Relation => r.table
+      case _ => return None
+    }
+    table match {
+      case g: GraftTable => Some((filter.condition, g))
+      case _ => None
+    }
+  }
+
+  private def isIndex(e: Expression, idx: String): Boolean = e match {
+    case a: AttributeReference =>
+      a.name.equalsIgnoreCase(idx) && a.dataType == TimestampType
+    case _ => false
+  }
+
+  /** Timestamp literal → epoch-µs (catalyst's internal representation
+    * IS micros, so this is a cast-free read).
+    */
+  private def micros(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, TimestampType) => Some(v)
+    case _ => None
+  }
+
+  /** Absorb every conjunct into exact (µs, inclusive?) index bounds;
+    * None if ANY conjunct is something else. `IsNotNull(idx)` is a
+    * no-op (range predicates exclude null-index rows by construction,
+    * and so does the ranged footer sweep).
+    */
+  private def exactBounds(cond: Expression, idx: String)
+      : Option[(Option[(Long, Boolean)], Option[(Long, Boolean)])] = {
+    var lo: Option[(Long, Boolean)] = None
+    var hi: Option[(Long, Boolean)] = None
+    def tightenLo(b: (Long, Boolean)): Unit = lo = lo match {
+      case Some(cur) if b._1 < cur._1 => Some(cur)
+      case Some(cur) if b._1 > cur._1 => Some(b)
+      case Some(cur) => Some((b._1, b._2 && cur._2)) // tie: exclusive wins
+      case None => Some(b)
+    }
+    def tightenHi(b: (Long, Boolean)): Unit = hi = hi match {
+      case Some(cur) if b._1 > cur._1 => Some(cur)
+      case Some(cur) if b._1 < cur._1 => Some(b)
+      case Some(cur) => Some((b._1, b._2 && cur._2))
+      case None => Some(b)
+    }
+    val ok = splitConjunctivePredicates(cond).forall {
+      case IsNotNull(a) if isIndex(a, idx) => true
+      case GreaterThan(a, l) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenLo((m, false)); true }
+      case GreaterThan(l, a) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenHi((m, false)); true }
+      case GreaterThanOrEqual(a, l) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenLo((m, true)); true }
+      case GreaterThanOrEqual(l, a) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenHi((m, true)); true }
+      case LessThan(a, l) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenHi((m, false)); true }
+      case LessThan(l, a) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenLo((m, false)); true }
+      case LessThanOrEqual(a, l) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenHi((m, true)); true }
+      case LessThanOrEqual(l, a) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenLo((m, true)); true }
+      case EqualTo(a, l) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenLo((m, true)); tightenHi((m, true)); true }
+      case EqualTo(l, a) if isIndex(a, idx) =>
+        micros(l).exists { m => tightenLo((m, true)); tightenHi((m, true)); true }
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  private sealed trait P
+  private case object CntStar extends P
+  private case class CntCol(a: AttributeReference) extends P
+  private case class MinCol(a: AttributeReference) extends P
+  private case class MaxCol(a: AttributeReference) extends P
+
+  private def mmSupported(a: AttributeReference): Boolean = a.dataType match {
+    case TimestampType | DateType | LongType | IntegerType => true
+    case _ => false
+  }
+
+  /** The answerable aggregate shapes: count(*) / count(col) /
+    * min/max(<integer-family col>), Complete, non-distinct, unfiltered
+    * (no `FILTER (WHERE ...)` clause). Anything else refuses the whole
+    * aggregation.
+    */
+  private def shapes(aggExprs: Seq[NamedExpression]): Option[Seq[P]] = {
+    val ps = aggExprs.map {
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(CntStar)
+        case Count(Seq(a: AttributeReference)) => Some(CntCol(a))
+        case Min(a: AttributeReference) if mmSupported(a) => Some(MinCol(a))
+        case Max(a: AttributeReference) if mmSupported(a) => Some(MaxCol(a))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
+  }
+
+  private def answer(
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LocalRelation] =
+    for {
+      (cond, table) <- unwrap(child)
+      ps <- shapes(aggExprs)
+      (lo, hi) <- exactBounds(cond, table.store.indexName)
+      stats <- table.store.footerAggInRange(table.key, lo, hi)
+      values <- render(ps, stats)
+    } yield LocalRelation(
+      aggExprs.map(_.toAttribute), Seq(new GenericInternalRow(values)),
+      isStreaming = false)
+
+  /** InternalRow values in aggregate order; None when any statistic is
+    * not footer-provable for the slice.
+    */
+  private def render(ps: Seq[P], stats: Store.FooterAgg): Option[Array[Any]] = {
+    def mm(a: AttributeReference, pick: ((Long, Long)) => Long): Option[Any] =
+      if (!stats.minMaxExactCols.contains(a.name.toUpperCase)) None
+      else Some(stats.colMinMax.get(a.name.toUpperCase).map { v =>
+        a.dataType match {
+          case IntegerType | DateType => java.lang.Integer.valueOf(pick(v).toInt)
+          case _ => java.lang.Long.valueOf(pick(v))
+        }
+      }.orNull) // exact-but-absent: all-null in slice → SQL NULL
+    val vals = ps.map {
+      case CntStar => Some(java.lang.Long.valueOf(stats.rows): Any)
+      case CntCol(a) =>
+        stats.nonNullCounts.get(a.name.toUpperCase)
+          .map(n => java.lang.Long.valueOf(n): Any)
+      case MinCol(a) => mm(a, _._1).map(_.asInstanceOf[Any])
+      case MaxCol(a) => mm(a, _._2).map(_.asInstanceOf[Any])
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get).toArray) else None
+  }
+}

@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "minhash_band", classOf[TextExprs.MinhashBand], 2,
       c => TextExprs.MinhashBand(c(0), c(1)))
     e.injectOptimizerRule(_ => NanosRangePushdown)
+    // once-batch, post-V2-pushdown: ranged footer aggregates (a WHERE
+    // always leaves a Filter above the graft relation — see the rule's
+    // scaladoc for why the DSv2 aggregate pushdown can never see it)
+    e.injectPreCBORule(_ => FooterRangeAggregates)
   }
 }

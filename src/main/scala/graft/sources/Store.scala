@@ -72,7 +72,7 @@ object Store {
     * an exact column ABSENT from the map is provably all-null (SQL
     * min/max → NULL).
     */
-  private[sources] case class FooterAgg(
+  private[graft] case class FooterAgg(
       files: Seq[(String, Long)],
       rows: Long,
       nonNullCounts: Map[String, Long],
@@ -1446,39 +1446,7 @@ class Store private[sources] (
         f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSet
-    // like footerRows: a small file set reads faster on the DRIVER than
-    // the scheduling overhead of a cluster job (this sits on the
-    // sub-second planning path of SQL count(*)) — threaded, because
-    // footer reads are latency-bound (~10-15 ms each even locally, a
-    // HEAD+ranged-GET on object stores) and serializing them would
-    // hand the job path the win back; a large set fans out over
-    // executors so 100k footers never funnel through one machine
-    type FileAgg = (String, Long, Map[String, Long], Set[String],
-      Map[String, (Long, Long)], Set[String])
-    val perFile: Array[FileAgg] =
-      if (paths.isEmpty) Array.empty
-      else if (paths.size <= 256) {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, paths.size))
-        try {
-          val futures = paths.map { f =>
-            pool.submit(new java.util.concurrent.Callable[FileAgg] {
-              override def call() = Store.fileFooterAgg(conf, f, cols, mmCols)
-            })
-          }
-          futures.map(_.get()).toArray
-        } finally pool.shutdown()
-      } else {
-        val confEntries = hadoopConfEntries
-        spark.sparkContext
-          .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
-          .mapPartitions { fs =>
-            val conf = Store.confFrom(confEntries)
-            fs.map(f => Store.fileFooterAgg(conf, f, cols, mmCols))
-          }
-          .collect() // O(files) metadata tuples, not data
-      }
+    val perFile = sweepFooters(paths, cols, mmCols)
     val rows = perFile.map(_._2).sum
     val exactNullCols = cols.filter(c => perFile.forall(_._4.contains(c)))
     val exactMM = mmCols.filter(c => perFile.forall(_._6.contains(c)))
@@ -1493,6 +1461,162 @@ class Store private[sources] (
       nonNullCounts = exactNullCols.map(c => c -> perFile.map(_._3(c)).sum).toMap,
       colMinMax = colMinMax,
       minMaxExactCols = exactMM)
+  }
+
+  /** The footer sweep shared by [[footerAgg]] and [[footerAggInRange]].
+    * Like footerRows: a small file set reads faster on the DRIVER than
+    * the scheduling overhead of a cluster job (this sits on the
+    * sub-second planning path of SQL count(*)) — threaded, because
+    * footer reads are latency-bound (~10-15 ms each even locally, a
+    * HEAD+ranged-GET on object stores) and serializing them would hand
+    * the job path the win back; a large set fans out over executors so
+    * 100k footers never funnel through one machine.
+    */
+  private def sweepFooters(
+      paths: Seq[String], cols: Seq[String], mmCols: Set[String])
+      : Array[(String, Long, Map[String, Long], Set[String],
+               Map[String, (Long, Long)], Set[String])] = {
+    type FileAgg = (String, Long, Map[String, Long], Set[String],
+      Map[String, (Long, Long)], Set[String])
+    if (paths.isEmpty) Array.empty
+    else if (paths.size <= 256) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.size))
+      try {
+        val futures = paths.map { f =>
+          pool.submit(new java.util.concurrent.Callable[FileAgg] {
+            override def call() = Store.fileFooterAgg(conf, f, cols, mmCols)
+          })
+        }
+        futures.map(_.get()).toArray
+      } finally pool.shutdown()
+    } else {
+      val confEntries = hadoopConfEntries
+      spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+        .mapPartitions { fs =>
+          val conf = Store.confFrom(confEntries)
+          fs.map(f => Store.fileFooterAgg(conf, f, cols, mmCols))
+        }
+        .collect() // O(files) metadata tuples, not data
+    }
+  }
+
+  /** Footer-exact aggregate over an INDEX-RANGE slice — the daily-report
+    * shape: `SELECT count(*) FROM item WHERE ts >= a AND ts < b`.
+    * Bounds are (epoch-µs, inclusive?) pairs so strict and non-strict
+    * comparisons both stay exact. The sweep runs over the bucket-PRUNED
+    * file set only; each file classifies by its footer min/max of the
+    * index:
+    *
+    *  - fully OUTSIDE the range → contributes nothing;
+    *  - fully INSIDE → its non-null-index row count (rows with a NULL
+    *    index never satisfy a range predicate, so they are excluded by
+    *    construction — which requires the file's index null count to be
+    *    footer-known);
+    *  - STRADDLING a bound → the answer depends on row-level data the
+    *    footer cannot see: the whole aggregation refuses (None) and the
+    *    query plans the ordinary scan.
+    *
+    * min/max/count of NON-index columns are exact only when every
+    * included file additionally has ZERO null-index rows (otherwise a
+    * value/null could belong to an excluded row); the returned
+    * FooterAgg encodes that by dropping non-index columns from its
+    * exact sets. An empty included set is exact: zero rows match, so
+    * counts are 0 and min/max are NULL. At 100 TB a bucket-aligned
+    * range report is O(pruned files) metadata reads instead of a
+    * cluster-wide scan — the same footer-stat posture as the unfiltered
+    * path (reference lineage: oakstore store.py:255-264).
+    */
+  private[graft] def footerAggInRange(
+      key: String,
+      lo: Option[(Long, Boolean)],
+      hi: Option[(Long, Boolean)]): Option[Store.FooterAgg] = {
+    val cols = schema.fieldNames.toSeq
+    val mmCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSet
+    // scope the sweep to the bucket-pruned superset (inclusive
+    // timestamps are a superset of any strictness)
+    val roots = prunedRoots(key,
+      lo.map(b => Store.microsToTimestamp(b._1)),
+      hi.map(b => Store.microsToTimestamp(b._1)))
+    val paths = dataFilesUnder(key, roots)
+    val perFile = sweepFooters(paths, cols, mmCols)
+
+    // a value v is in range iff aboveLo(v) && belowHi(v)
+    def aboveLo(v: Long): Boolean = lo.forall {
+      case (b, incl) => if (incl) v >= b else v > b }
+    def belowHi(v: Long): Boolean = hi.forall {
+      case (b, incl) => if (incl) v <= b else v < b }
+
+    val idx = indexName
+    val included = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Long], Set[String],
+              Map[String, (Long, Long)], Set[String])]
+    var unprovable = false
+    var i = 0
+    while (i < perFile.length && !unprovable) {
+      val t = perFile(i)
+      if (t._2 > 0L) {
+        // the index's stats must be footer-exact to classify at all
+        if (!t._4.contains(idx) || !t._6.contains(idx)) unprovable = true
+        else if (t._3(idx) > 0L) {
+          val (fmin, fmax) = t._5(idx)
+          val fullyIn = aboveLo(fmin) && belowHi(fmax)
+          val fullyOut = !belowHi(fmin) || !aboveLo(fmax)
+          if (fullyIn) included += t
+          else if (!fullyOut) unprovable = true // straddles a bound
+        }
+        // non-null count 0: provably all-null index — no row matches
+      }
+      i += 1
+    }
+    if (unprovable) return None
+    val inc = included.toArray
+    // count(*) over the slice = non-null-index rows of included files
+    val rows = inc.map(_._3(idx)).sum
+    // NON-index columns stay exact only when no included file carries
+    // null-index rows (their values/nulls could belong to excluded rows)
+    val idxClean = inc.forall(t => t._3(idx) == t._2)
+    def keep(c: String): Boolean = c.equalsIgnoreCase(idx) || idxClean
+    val exactNullCols =
+      cols.filter(c => keep(c) && inc.forall(_._4.contains(c)))
+    val exactMM =
+      mmCols.filter(c => keep(c) && inc.forall(_._6.contains(c)))
+    val colMinMax = exactMM.flatMap { c =>
+      val vs = inc.flatMap(_._5.get(c))
+      if (vs.isEmpty) None // no values in slice: exact, min/max = NULL
+      else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
+    }.toMap
+    Some(Store.FooterAgg(
+      files = inc.map(t => (t._1, t._3(idx))).sortBy(_._1).toIndexedSeq,
+      rows = rows,
+      nonNullCounts = exactNullCols.map(c => c -> inc.map(_._3(c)).sum).toMap,
+      colMinMax = colMinMax,
+      minMaxExactCols = exactMM))
+  }
+
+  /** The item's data files under the given pruned roots — the same
+    * per-segment hidden filter as [[dataFiles]], scoped so metadata
+    * sweeps over a range slice pay for the slice, not the item.
+    */
+  private def dataFilesUnder(key: String, roots: Seq[HPath]): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    roots.foreach { root =>
+      val rootPrefix = root.toUri.getPath
+      walkFiles(root).foreach { st =>
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
+        val hidden = rel.split('/').exists(seg =>
+          seg.startsWith(".") || (seg.startsWith("_") && !seg.contains("=")))
+        if (st.isFile && !hidden) buf += st.getPath.toString
+      }
+    }
+    buf.sorted.toSeq
   }
 
   /** Total DATA bytes under the given roots (pruned bucket dirs, or

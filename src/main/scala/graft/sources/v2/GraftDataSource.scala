@@ -147,7 +147,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * the same cross-JVM lease — without it an INSERT mutates under only
   * the in-JVM item lock.
   */
-class GraftTable(store: Store, key: String)
+class GraftTable(private[graft] val store: Store, private[graft] val key: String)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`${store.base}`.$key"
   override def schema(): StructType = store.schema
@@ -273,18 +273,23 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
   /** Accept `count(*)`, `count(col)` and `min/max(<integer-family
     * col>)` (timestamp/date/long/int — INT64/INT32 physical, whose
     * footer stats are exact by construction; the index is just one of
-    * them) with no GROUP BY and no filters, and ONLY when the footer
-    * statistics prove the answer exact ([[Store.footerAgg]]): row
-    * counts always are; a `count(col)` needs every row group's null
-    * count; `min/max(col)` need every row-bearing group to carry
-    * usable stats (or be provably all-null — SQL min/max ignore
-    * nulls). Float/double (parquet stats omit NaN, Spark orders NaN
-    * highest) and string/binary (legacy comparators, truncation) never
-    * qualify. Anything short of proof returns None and the query plans
-    * the ordinary scan — pushdown is an optimization, exactness never
-    * depends on it. At 100 TB this is the difference between an
-    * O(files) metadata sweep and a cluster-wide scan (reference
-    * posture: oakstore store.py:255-264).
+    * them) with no GROUP BY, and ONLY when the footer statistics prove
+    * the answer exact: row counts always are; a `count(col)` needs
+    * every row group's null count; `min/max(col)` need every
+    * row-bearing group to carry usable stats (or be provably all-null
+    * — SQL min/max ignore nulls). This builder answers the FILTERLESS
+    * shapes ([[Store.footerAgg]]); the INDEX-RANGE shapes — the
+    * daily-report `count(*) WHERE ts >= a AND ts < b` — are answered
+    * by the [[graft.plans.FooterRangeAggregates]] optimizer rule via
+    * [[Store.footerAggInRange]], because Spark never offers an
+    * aggregation to a scan whose filters stayed residual (ours always
+    * do). Float/double (parquet stats
+    * omit NaN, Spark orders NaN highest) and string/binary (legacy
+    * comparators, truncation) never qualify. Anything short of proof
+    * returns None and the query plans the ordinary scan — pushdown is
+    * an optimization, exactness never depends on it. At 100 TB this is
+    * the difference between an O(pruned-files) metadata sweep and a
+    * cluster-wide scan (reference posture: oakstore store.py:255-264).
     */
   private def evalAggregation(agg: Aggregation): Option[GraftAggScan] = {
     val keyStr = agg.toString
@@ -309,6 +314,13 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
   }
 
   private def computeAggregation(agg: Aggregation): Option[GraftAggScan] = {
+    // pushed.nonEmpty cannot actually reach here — Spark only offers an
+    // aggregation when no post-scan filter remains, and this builder
+    // declares every filter residual. The FILTERED shapes (index-range
+    // reports like `count(*) WHERE ts >= a AND ts < b`) are answered one
+    // level up by graft.plans.FooterRangeAggregates, which sees the
+    // whole Aggregate-Filter-relation tree; refusing here is defense in
+    // depth against a future Spark offering the combination.
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     if (!store.exists(key)) return None
     def field(col: String): Option[StructField] =
@@ -365,7 +377,8 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
         Some(new GraftAggScan(
           StructType(fields.map(_._1)),
           new GenericInternalRow(fields.map(_._2).toArray),
-          s"item=$key store=${store.base} pushedAggregates=[${agg.aggregateExpressions().mkString(", ")}]"))
+          s"item=$key store=${store.base} " +
+            s"pushedAggregates=[${agg.aggregateExpressions().mkString(", ")}]"))
       }
     }
   }

@@ -25,6 +25,7 @@ object SqlFrontDoorBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -125,6 +126,21 @@ object SqlFrontDoorBench {
       spark.read.parquet(baseDir + "/items/EVENTS")
         .join(dim, col("TS") === col("D"))
         .agg(sum("VALUE")).collect()(0).getDouble(0).toLong
+    }
+    // ranged footer aggregates (round-12, FooterRangeAggregates rule):
+    // the daily-report shape — a bucket-aligned half-open range where
+    // every file classifies fully in/out, answered from footers with
+    // NO scan; raw parquet must scan the range
+    timed("DSv2 ranged count (rule, footers)") {
+      spark.sql(
+        "SELECT count(*), min(TS), max(TS) FROM sqlfd_events " +
+          "WHERE TS >= '2024-01-10' AND TS < '2024-01-15'"
+      ).collect()(0).getLong(0)
+    }
+    timed("raw parquet ranged count") {
+      spark.read.parquet(baseDir + "/items/EVENTS")
+        .where(col("TS") >= "2024-01-10" && col("TS") < "2024-01-15")
+        .agg(count(lit(1)), min("TS"), max("TS")).collect()(0).getLong(0)
     }
     // topN pushdown (round-12): "the newest k rows" — the flagship
     // time-series probe. The pushed plan reads only the bucket suffix

@@ -409,6 +409,86 @@ class GraftTableSpec extends AnyFunSuite {
     assert(er.getLong(0) == 0L && er.isNullAt(1))
   }
 
+  test("ranged footer aggregates: count/min/max over a bucket-aligned index range plan NO scan") {
+    // graft.plans.FooterRangeAggregates — the daily-report shape. The
+    // DSv2 builder can never see a filtered aggregation (this scan
+    // declares every filter residual, and Spark only offers aggregates
+    // to fully-filter-pushed scans), so the optimizer rule answers it
+    // one level up from the same footer machinery.
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 2015-01(31) 02(28) 03(31) 04(10)
+    spark.read.format("graft").option("item", "MSFT").load(dir)
+      .createOrReplaceTempView("ragg_msft")
+
+    // half-open month range: every file fully in or out → exact, no scan
+    val feb = spark.sql(
+      "SELECT count(*) AS c, min(DATE) AS lo, max(DATE) AS hi, " +
+        "min(VOLUME) AS vmin, max(VOLUME) AS vmax, count(OPEN) AS co " +
+        "FROM ragg_msft WHERE DATE >= '2015-02-01' AND DATE < '2015-03-01'")
+    assertFooterAnswered(feb)
+    val r = feb.collect()(0)
+    assert(r.getLong(0) == 28L)
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2015-02-01 00:00:00"))
+    assert(r.getTimestamp(2) == Timestamp.valueOf("2015-02-28 00:00:00"))
+    assert(r.getLong(3) == 1031L && r.getLong(4) == 1058L && r.getLong(5) == 28L)
+
+    // AQE hides physical scans inside query stages — assert refusal on
+    // the OPTIMIZED plan (same caveat as the refusal suite below)
+    def scans(df: DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.nonEmpty
+    }
+
+    // inclusive hi lands ON the next bucket's first instant → that file
+    // straddles → the whole aggregation refuses and scans, still exact
+    val between = spark.sql(
+      "SELECT count(*) AS c FROM ragg_msft " +
+        "WHERE DATE BETWEEN '2015-02-01' AND '2015-03-01'")
+    assert(scans(between), "a straddling bound must refuse to a scan")
+    assert(between.collect()(0).getLong(0) == 29L)
+
+    // strict lower bound equal to a file's min → straddle → scan, exact
+    val strict = spark.sql(
+      "SELECT count(*) AS c FROM ragg_msft " +
+        "WHERE DATE > '2015-02-01' AND DATE < '2015-03-01'")
+    assert(scans(strict))
+    assert(strict.collect()(0).getLong(0) == 27L)
+
+    // a non-index conjunct is not footer-provable → scan, exact
+    val nonIdx = spark.sql(
+      "SELECT count(*) AS c FROM ragg_msft " +
+        "WHERE DATE >= '2015-02-01' AND DATE < '2015-03-01' AND VOLUME > 1040")
+    assert(scans(nonIdx))
+    assert(nonIdx.collect()(0).getLong(0) == 18L)
+
+    // an empty slice is exact: count 0, min NULL — still no scan
+    val empty = spark.sql(
+      "SELECT count(*) AS c, min(DATE) AS lo FROM ragg_msft " +
+        "WHERE DATE >= '2030-01-01'")
+    assertFooterAnswered(empty)
+    val er = empty.collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+
+    // count(col) honors footer null counts within the slice
+    val sparse = bars(62).withColumn("open",
+      org.apache.spark.sql.functions.when($"volume" % 3 === 0, null)
+        .otherwise($"open"))
+    s.write("RSPARSE", sparse)
+    spark.read.format("graft").option("item", "RSPARSE").load(dir)
+      .createOrReplaceTempView("ragg_sparse")
+    val co = spark.sql(
+      "SELECT count(OPEN) AS c FROM ragg_sparse " +
+        "WHERE DATE >= '2015-02-01' AND DATE < '2015-03-01'")
+    assertFooterAnswered(co)
+    val expect = sparse.where(
+      $"date" >= "2015-02-01" && $"date" < "2015-03-01" && $"open".isNotNull)
+      .count()
+    assert(co.collect()(0).getLong(0) == expect)
+  }
+
   test("aggregate pushdown refuses when it cannot be exact: WHERE, GROUP BY, avg — all plan the ordinary scan") {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("month"))
@@ -434,7 +514,9 @@ class GraftTableSpec extends AnyFunSuite {
         s"must refuse the aggregate pushdown, planned: ${sc.description()}")
     }
 
-    // a WHERE makes footer totals wrong — must scan (and still prune buckets)
+    // a WHERE whose inclusive hi lands inside the March bucket straddles
+    // a file — neither the DSv2 builder (never offered filters) nor the
+    // FooterRangeAggregates rule (straddle refusal) may answer: scan
     val filtered = spark.sql(
       "SELECT count(*) AS c FROM noagg_msft " +
         "WHERE DATE BETWEEN '2015-02-01' AND '2015-03-01'")
