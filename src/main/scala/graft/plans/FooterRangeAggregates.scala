@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.Store
 import graft.sources.v2.GraftTable
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
@@ -49,6 +49,9 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
     case agg @ Aggregate(groupless, aggExprs, child, _) if groupless.isEmpty =>
       try answer(aggExprs, child).getOrElse(agg)
       catch { case scala.util.control.NonFatal(_) => agg } // never fail a plan
+    case agg @ Aggregate(Seq(gref: AttributeReference), aggExprs, child, _) =>
+      try answerGrouped(gref, aggExprs, child).getOrElse(agg)
+      catch { case scala.util.control.NonFatal(_) => agg }
   }
 
   /** The graft relation + filter condition under an optional
@@ -175,6 +178,145 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
     } yield LocalRelation(
       aggExprs.map(_.toAttribute), Seq(new GenericInternalRow(values)),
       isStreaming = false)
+
+  // ---- GROUP BY date_trunc(<level>, idx): the time-series profile ----
+  //
+  // "rows per day over the month" on a day-bucketed 100 TB item is a
+  // footer sweep: every file lives entirely inside one truncation
+  // interval (date_trunc is monotone non-decreasing in ts, so
+  // trunc(fmin) == trunc(fmax) proves the whole file shares one group
+  // key — under the EXPRESSION'S OWN timezone, because the group key is
+  // computed by evaluating the plan's actual TruncTimestamp against the
+  // footer min/max, never by re-deriving bucket labels). Any file
+  // straddling a truncation boundary, any null-index row (it would form
+  // its own NULL group whose per-column stats footers cannot split
+  // out), or any unprovable stat refuses the whole aggregation.
+
+  /** The grouping shape: an optional Filter below a Project that binds
+    * `gref` to `date_trunc(<literal level>, idx)`; all other project
+    * entries must be plain attributes (pass-throughs for the agg
+    * columns).
+    */
+  private def unwrapGrouped(gref: AttributeReference, child: LogicalPlan)
+      : Option[(TruncTimestamp, Option[Expression], GraftTable)] = {
+    val (projList, below) = child match {
+      case Project(pl, f: Filter) => (pl, f.child)
+      case Project(pl, other) => (pl, other)
+      case _ => return None
+    }
+    val cond = child match {
+      case Project(_, f: Filter) => Some(f.condition)
+      case _ => None
+    }
+    val table = below match {
+      case r: DataSourceV2ScanRelation => r.relation.table
+      case r: DataSourceV2Relation => r.table
+      case _ => return None
+    }
+    val graft = table match {
+      case g: GraftTable => g
+      case _ => return None
+    }
+    val idx = graft.store.indexName
+    var trunc: Option[TruncTimestamp] = None
+    val clean = projList.forall {
+      case _: AttributeReference => true // pass-through for agg columns
+      case al @ Alias(t @ TruncTimestamp(_: Literal, a, _), _)
+          if al.exprId == gref.exprId && isIndex(a, idx) =>
+        trunc = Some(t); true
+      case _ => false // any other computed projection → refuse
+    }
+    if (!clean) None else trunc.map(t => (t, cond, graft))
+  }
+
+  /** Group key of a timestamp value under the plan's own truncation
+    * expression (evaluated with the value substituted for the index
+    * attribute — timezone semantics are the expression's, not ours).
+    */
+  private def truncOf(t: TruncTimestamp, idx: String, micros: Long): Option[Long] =
+    t.transform {
+      case a: AttributeReference if isIndex(a, idx) =>
+        Literal(micros, TimestampType)
+    }.eval(null) match {
+      case l: java.lang.Long => Some(l.longValue)
+      case _ => None
+    }
+
+  private def answerGrouped(
+      gref: AttributeReference,
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LocalRelation] = {
+    val (trunc, cond, table) = unwrapGrouped(gref, child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val idx = table.store.indexName
+    // each output is either the group key or an answerable aggregate
+    sealed trait G
+    case object Key extends G
+    case class Agg(p: P) extends G
+    val outs: Seq[G] = aggExprs.map {
+      case a: AttributeReference if a.exprId == gref.exprId => Key
+      case Alias(a: AttributeReference, _) if a.exprId == gref.exprId => Key
+      case other => shapes(Seq(other)) match {
+        case Some(Seq(p)) => Agg(p)
+        case _ => return None
+      }
+    }
+    val (lo, hi) = cond match {
+      case Some(c) => exactBounds(c, idx) match {
+        case Some(b) => b
+        case None => return None
+      }
+      case None => (None, None)
+    }
+    val files = table.store.footerFilesInRange(table.key, lo, hi) match {
+      case Some(fs) => fs
+      case None => return None
+    }
+    // group files by the truncated index; veto null-index rows (they
+    // would form a NULL group footers cannot characterize) and any file
+    // straddling a truncation boundary
+    val groups = scala.collection.mutable.LinkedHashMap.empty[
+      Long, scala.collection.mutable.ArrayBuffer[
+        (String, Long, Map[String, Long], Set[String],
+         Map[String, (Long, Long)], Set[String])]]
+    files.foreach { t =>
+      if (t._3(idx) != t._2) return None // null-index rows present
+      val (fmin, fmax) = t._5(idx)
+      (truncOf(trunc, idx, fmin), truncOf(trunc, idx, fmax)) match {
+        case (Some(k1), Some(k2)) if k1 == k2 =>
+          groups.getOrElseUpdate(k1,
+            scala.collection.mutable.ArrayBuffer.empty) += t
+        case _ => return None // straddles a boundary (or eval failed)
+      }
+    }
+    val rows = groups.toSeq.map { case (key, fs) =>
+      val stats = Store.FooterAgg(
+        files = fs.map(f => (f._1, f._2)).toSeq,
+        rows = fs.map(_._2).sum,
+        nonNullCounts = table.store.schema.fieldNames.toSeq
+          .filter(c => fs.forall(_._4.contains(c)))
+          .map(c => c -> fs.map(_._3(c)).sum).toMap,
+        colMinMax = {
+          val exact = fs.flatMap(_._6).toSet.filter(c => fs.forall(_._6.contains(c)))
+          exact.flatMap { c =>
+            val vs = fs.flatMap(_._5.get(c))
+            if (vs.isEmpty) None
+            else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
+          }.toMap
+        },
+        minMaxExactCols =
+          fs.flatMap(_._6).toSet.filter(c => fs.forall(_._6.contains(c))))
+      val vals = outs.map {
+        case Key => Some(java.lang.Long.valueOf(key): Any)
+        case Agg(p) => render(Seq(p), stats).map(_.head)
+      }
+      if (vals.exists(_.isEmpty)) return None
+      new GenericInternalRow(vals.map(_.get).toArray): org.apache.spark.sql.catalyst.InternalRow
+    }
+    Some(LocalRelation(aggExprs.map(_.toAttribute), rows, isStreaming = false))
+  }
 
   /** InternalRow values in aggregate order; None when any statistic is
     * not footer-provable for the slice.

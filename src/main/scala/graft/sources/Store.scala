@@ -1529,10 +1529,23 @@ class Store private[sources] (
     * cluster-wide scan — the same footer-stat posture as the unfiltered
     * path (reference lineage: oakstore store.py:255-264).
     */
-  private[graft] def footerAggInRange(
+  /** The fully-inside files of an index-range slice, with their footer
+    * stats — or None when any file is unclassifiable (missing index
+    * stats) or STRADDLES a bound. Shared by [[footerAggInRange]] and
+    * the GROUP-BY face of [[graft.plans.FooterRangeAggregates]]. Files
+    * whose index is provably all-null are excluded (a NULL index
+    * satisfies no range predicate) — pass `lo = hi = None` for an
+    * unfiltered sweep, where the caller must handle null-index rows
+    * itself (the per-file tuple carries rows vs non-null counts).
+    * Tuple: (path, rows, nonNullByCol, nullCountOkCols, minMaxByCol,
+    * minMaxOkCols).
+    */
+  private[graft] def footerFilesInRange(
       key: String,
       lo: Option[(Long, Boolean)],
-      hi: Option[(Long, Boolean)]): Option[Store.FooterAgg] = {
+      hi: Option[(Long, Boolean)])
+      : Option[Array[(String, Long, Map[String, Long], Set[String],
+                      Map[String, (Long, Long)], Set[String])]] = {
     val cols = schema.fieldNames.toSeq
     val mmCols: Set[String] = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
@@ -1576,8 +1589,25 @@ class Store private[sources] (
       }
       i += 1
     }
-    if (unprovable) return None
-    val inc = included.toArray
+    if (unprovable) None else Some(included.toArray)
+  }
+
+  private[graft] def footerAggInRange(
+      key: String,
+      lo: Option[(Long, Boolean)],
+      hi: Option[(Long, Boolean)]): Option[Store.FooterAgg] = {
+    val cols = schema.fieldNames.toSeq
+    val mmCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSet
+    val idx = indexName
+    val inc = footerFilesInRange(key, lo, hi) match {
+      case None => return None
+      case Some(files) => files
+    }
     // count(*) over the slice = non-null-index rows of included files
     val rows = inc.map(_._3(idx)).sum
     // NON-index columns stay exact only when no included file carries

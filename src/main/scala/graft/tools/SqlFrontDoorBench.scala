@@ -142,6 +142,20 @@ object SqlFrontDoorBench {
         .where(col("TS") >= "2024-01-10" && col("TS") < "2024-01-15")
         .agg(count(lit(1)), min("TS"), max("TS")).collect()(0).getLong(0)
     }
+    // grouped footer aggregates: the daily row profile of the whole
+    // item — every day-bucketed file lives inside one date_trunc('DAY')
+    // group, so the profile is a footer sweep; raw parquet shuffles the
+    // corpus
+    timed("DSv2 daily profile (rule, footers)") {
+      spark.sql(
+        "SELECT date_trunc('DAY', TS) AS d, count(*) AS c " +
+          "FROM sqlfd_events GROUP BY 1").collect().length.toLong
+    }
+    timed("raw parquet daily profile") {
+      spark.read.parquet(baseDir + "/items/EVENTS")
+        .groupBy(org.apache.spark.sql.functions.date_trunc("DAY", col("TS")))
+        .count().collect().length.toLong
+    }
     // topN pushdown (round-12): "the newest k rows" — the flagship
     // time-series probe. The pushed plan reads only the bucket suffix
     // whose footer row counts cover k; raw parquet TakeOrdereds the

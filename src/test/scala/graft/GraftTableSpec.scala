@@ -333,18 +333,21 @@ class GraftTableSpec extends AnyFunSuite {
     */
   def assertFooterAnswered(df: DataFrame): Unit = {
     df.collect()
-    def strip(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
+    // AQE hides children inside query stages — walk them explicitly
+    def deep(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: deep(q.plan)
+      case _ => p +: p.children.flatMap(deep)
     }
-    val root = strip(df.queryExecution.executedPlan)
-    val fileScans = root.collect { case b: BatchScanExec => b }
+    val nodes = deep(df.queryExecution.executedPlan)
+    val fileScans = nodes.collect { case b: BatchScanExec => b }
     assert(fileScans.isEmpty,
-      s"aggregate must be footer-answered, found file scan(s):\n$root")
-    val locals = root.collect {
+      s"aggregate must be footer-answered, found file scan(s):\n${nodes.head}")
+    val locals = nodes.collect {
       case l: org.apache.spark.sql.execution.LocalTableScanExec => l
     }
-    assert(locals.nonEmpty, s"expected a LocalTableScan leaf, got:\n$root")
+    assert(locals.nonEmpty, s"expected a LocalTableScan leaf, got:\n${nodes.head}")
   }
 
   test("aggregate pushdown: count(*)/min/max of the index answered from parquet footers, no file scan") {
@@ -487,6 +490,62 @@ class GraftTableSpec extends AnyFunSuite {
       $"date" >= "2015-02-01" && $"date" < "2015-03-01" && $"open".isNotNull)
       .count()
     assert(co.collect()(0).getLong(0) == expect)
+  }
+
+  test("grouped footer aggregates: GROUP BY date_trunc answers the time-series profile from footers") {
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(100)) // 2015-01(31) 02(28) 03(31) 04(10)
+    spark.read.format("graft").option("item", "MSFT").load(dir)
+      .createOrReplaceTempView("gagg_msft")
+
+    // month-trunc over month buckets: every file inside one group
+    val prof = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c, " +
+        "min(DATE) AS lo, max(VOLUME) AS vmax " +
+        "FROM gagg_msft GROUP BY 1 ORDER BY mo")
+    assertFooterAnswered(prof)
+    val rows = prof.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(31L, 28L, 31L, 10L))
+    assert(rows(1).getTimestamp(2) == Timestamp.valueOf("2015-02-01 00:00:00"))
+    assert(rows(3).getLong(3) == 1099L)
+
+    // filter + group compose: bounds absorb, then files group
+    val windowed = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c FROM gagg_msft " +
+        "WHERE DATE >= '2015-02-01' AND DATE < '2015-04-01' GROUP BY 1 ORDER BY mo")
+    assertFooterAnswered(windowed)
+    assert(windowed.collect().map(_.getLong(1)).toSeq == Seq(28L, 31L))
+
+    def scans(df: DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.nonEmpty
+    }
+    // day-trunc over MONTH buckets: files straddle day boundaries →
+    // refuse → scan, exact (100 daily groups of 1)
+    val daily = spark.sql(
+      "SELECT date_trunc('DAY', DATE) AS d, count(*) AS c FROM gagg_msft GROUP BY 1")
+    assert(scans(daily), "a group boundary inside a file must refuse to a scan")
+    assert(daily.collect().length == 100)
+
+    // ...but over DAY buckets the same profile is footer-answered, and
+    // a coarser trunc (MONTH over day files) is too
+    val dir2 = tmpDir()
+    val s2 = Store.open(spark, dir2, bucket = Some("day"))
+    s2.write("AAPL", bars(40, seed = 5))
+    spark.read.format("graft").option("item", "AAPL").load(dir2)
+      .createOrReplaceTempView("gagg_aapl")
+    val perDay = spark.sql(
+      "SELECT date_trunc('DAY', DATE) AS d, count(*) AS c FROM gagg_aapl GROUP BY 1")
+    assertFooterAnswered(perDay)
+    assert(perDay.collect().length == 40)
+    val perMonth = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c " +
+        "FROM gagg_aapl GROUP BY 1 ORDER BY mo")
+    assertFooterAnswered(perMonth)
+    assert(perMonth.collect().map(_.getLong(1)).toSeq == Seq(31L, 9L))
   }
 
   test("aggregate pushdown refuses when it cannot be exact: WHERE, GROUP BY, avg — all plan the ordinary scan") {
