@@ -415,6 +415,63 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("seen-log crash window: a delta written but never offset-committed is overwritten by the retried batch") {
+    // the durability contract on GraftSeenLog: latestOffset writes the
+    // delta BEFORE returning, so Spark-committed offsets always have
+    // their delta on disk; conversely a crash AFTER our delta write but
+    // BEFORE Spark's offset-log write leaves a stale entry that no
+    // offset references — the restarted trigger (same start offset)
+    // must overwrite it and produce a consistent batch
+    import graft.sources.v2.{GraftMicroBatchStream, GraftSeqOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("MSFT", bars(40)) // ≥ 2 files
+    val ckpt = tmpDir() + "/srcckpt"
+    val start = new GraftSeqOffset(0L, Nil)
+
+    // attempt 1: admits one file, writes delta 1 — then "crashes"
+    // (Spark never records the offset); simulate by discarding the
+    // stream instance
+    val st1 = new GraftMicroBatchStream(s, "MSFT", s.schema, Some(1), ckpt)
+    val o1 = st1.latestOffset(start, ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftSeqOffset]
+    assert(o1.seq == 1L && o1.delta.size == 1)
+
+    // append lands between the crash and the retry — the retried batch
+    // may legitimately admit a DIFFERENT file set
+    s.appendNewOnly("MSFT", bars(70))
+
+    // attempt 2 (restart): same start offset, fresh instance — must
+    // overwrite the stale delta 1 and stay self-consistent
+    val st2 = new GraftMicroBatchStream(s, "MSFT", s.schema, Some(1), ckpt)
+    val o2 = st2.latestOffset(start, ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftSeqOffset]
+    assert(o2.seq == 1L && o2.delta.size == 1)
+    // replay of the committed batch reads o2's own delta
+    assert(st2.planInputPartitions(start, o2).nonEmpty)
+    // and the NEXT trigger resumes from the retried batch's seen-set:
+    // it never re-admits o2's file
+    val o3 = st2.latestOffset(o2, ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftSeqOffset]
+    assert(o3.seq == 2L && o3.delta.size == 1 && o3.delta != o2.delta)
+    // a THIRD instance restarting at o3 rebuilds the seen-set from the
+    // log (delta 1 now the retried content + delta 2) without error and
+    // admits only genuinely fresh files
+    val st3 = new GraftMicroBatchStream(s, "MSFT", s.schema, None, ckpt)
+    val o4 = st3.latestOffset(o3, ReadLimit.allAvailable())
+      .asInstanceOf[GraftSeqOffset]
+    val all = (o2.delta ++ o3.delta ++ o4.delta).toSet
+    assert(o4.delta.toSet.intersect((o2.delta ++ o3.delta).toSet).isEmpty,
+      "a rebuilt seen-set must not re-admit committed files")
+    // drained: everything the listing holds is accounted for exactly once
+    val nFiles = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "items", "MSFT")).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(all.size == nFiles,
+      s"expected all $nFiles files exactly once across batches, got ${all.size}")
+  }
+
   test("legacy cumulative-offset checkpoints keep their format and semantics") {
     import graft.sources.v2.{GraftFilesOffset, GraftMicroBatchStream}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit

@@ -546,6 +546,36 @@ class GraftTableSpec extends AnyFunSuite {
         "FROM gagg_aapl GROUP BY 1 ORDER BY mo")
     assertFooterAnswered(perMonth)
     assert(perMonth.collect().map(_.getLong(1)).toSeq == Seq(31L, 9L))
+
+    // timezone drift: date_trunc groups under the SESSION tz while the
+    // files bucket under the store tz. The rule evaluates the plan's
+    // own TruncTimestamp against footer min/max, so tz semantics are
+    // exact by construction on BOTH sides of the decision:
+    // the decision is value-driven, not timezone-allergic: keys come
+    // from evaluating the plan's OWN TruncTimestamp against footer
+    // min/max, so the same files answer under one session tz and
+    // refuse under another, exactly as the data demands
+    def tzCase(tz: String, answered: Boolean): Unit = {
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try {
+        val q = spark.sql(
+          "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c " +
+            "FROM gagg_msft GROUP BY 1")
+        if (answered) assertFooterAnswered(q)
+        else assert(scans(q), s"$tz months cut through the files — must scan")
+        val api = s("MSFT")
+          .groupBy(org.apache.spark.sql.functions.date_trunc("MONTH", $"DATE"))
+          .count().collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+        val got = q.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+        assert(got == api, s"$tz grouped answer must match the Scala API")
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    // Sydney (+11): UTC midnights Jan 1..31 are all Sydney January —
+    // files stay group-constant → footer-answered with SYDNEY keys
+    tzCase("Australia/Sydney", answered = true)
+    // Los Angeles (-8): UTC Jan 1 00:00 is LA Dec 31 — every monthly
+    // file straddles an LA month boundary → refuse → scan, exact
+    tzCase("America/Los_Angeles", answered = false)
   }
 
   test("aggregate pushdown refuses when it cannot be exact: WHERE, GROUP BY, avg — all plan the ordinary scan") {
