@@ -83,7 +83,7 @@ object TimeSeries {
     }
     bounded
       .filter(col("__side") === 1)
-      .select(lCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }: _*)
+      .select((lCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }).toIndexedSeq: _*)
   }
 
   /** Session gap: a new session starts after 30 idle minutes. */

@@ -102,20 +102,20 @@ object StressRel {
 
     val orders = src("orders").crossJoin(clones)
     writeT(orders.select(
-      offset("o_orderkey", ORD) +: offset("o_custkey", CUST) +:
-        src("orders").columns.filterNot(Set("o_orderkey", "o_custkey")).map(col): _*
+      (offset("o_orderkey", ORD) +: offset("o_custkey", CUST) +:
+        src("orders").columns.filterNot(Set("o_orderkey", "o_custkey")).map(col)).toIndexedSeq: _*
     ), outDir, "orders")
 
     val lineitem = src("lineitem").crossJoin(clones)
     writeT(lineitem.select(
-      offset("l_orderkey", ORD) +: src("lineitem").columns.filter(_ != "l_orderkey")
-        .map(col): _*
+      (offset("l_orderkey", ORD) +: src("lineitem").columns.filter(_ != "l_orderkey")
+        .map(col)).toIndexedSeq: _*
     ), outDir, "lineitem")
 
     val customer = src("customer").crossJoin(clones)
     writeT(customer.select(
-      offset("c_custkey", CUST) +: src("customer").columns.filter(_ != "c_custkey")
-        .map(col): _*
+      (offset("c_custkey", CUST) +: src("customer").columns.filter(_ != "c_custkey")
+        .map(col)).toIndexedSeq: _*
     ), outDir, "customer")
 
     // events: ts jittered +1 s per clone, in whichever domain the corpus

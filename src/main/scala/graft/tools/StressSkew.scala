@@ -91,8 +91,8 @@ object StressSkew {
     val clones = spark.range(factor).select(col("id").cast("int").as("clone"))
     val cloned = docs.crossJoin(clones)
       .select(
-        (col("doc_id") + col("clone").cast("long") * DOC).as("doc_id") +:
-          docs.columns.filterNot(_ == "doc_id").map(col): _*)
+        ((col("doc_id") + col("clone").cast("long") * DOC).as("doc_id") +:
+          docs.columns.filterNot(_ == "doc_id").map(col)).toIndexedSeq: _*)
 
     def writeDocs(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name/documents.parquet")
