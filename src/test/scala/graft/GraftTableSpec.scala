@@ -578,6 +578,34 @@ class GraftTableSpec extends AnyFunSuite {
     tzCase("America/Los_Angeles", answered = false)
   }
 
+  test("footer aggregates fan out over executors past the driver-thread threshold (>256 files)") {
+    // footerAgg's sweep switches from a driver thread pool to an RDD
+    // job above 256 files (100k footers must never funnel through one
+    // machine) — pin the fan-out path end to end
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, chunkRows = 2L) // flat, 2-row chunks
+    s.write("MANY", bars(600)) // ≥ 300 files
+    assert(s.describe("MANY").files > 256,
+      "fixture must cross the executor fan-out threshold")
+    spark.read.format("graft").option("item", "MANY").load(dir)
+      .createOrReplaceTempView("agg_many")
+    val q = spark.sql(
+      "SELECT count(*) AS c, min(DATE) AS lo, max(VOLUME) AS hi FROM agg_many")
+    assertFooterAnswered(q)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 600L)
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2015-01-01 00:00:00"))
+    assert(r.getLong(2) == 1599L)
+    // a ranged aggregate over the same many-file item stays EXACT
+    // whichever way the straddle classification lands (file boundaries
+    // fall wherever range-partitioning put them)
+    val ranged = spark.sql(
+      "SELECT count(*) AS c FROM agg_many " +
+        "WHERE DATE >= '2015-06-01' AND DATE < '2016-01-01'")
+    assert(ranged.collect()(0).getLong(0) ==
+      s("MANY").where($"DATE" >= "2015-06-01" && $"DATE" < "2016-01-01").count())
+  }
+
   test("aggregate pushdown refuses when it cannot be exact: WHERE, GROUP BY, avg — all plan the ordinary scan") {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("month"))
