@@ -53,6 +53,17 @@ object Store {
   val MinStart: Timestamp = Timestamp.valueOf("1678-01-01 00:00:00")
 
   /** Metadata-only item statistics (see [[Store.describe]]). */
+  /** One retained version of a versioned item (see
+    * [[Store!.versionsOf]]).
+    */
+  case class ItemVersion(
+      id: String,
+      current: Boolean,
+      files: Long,
+      bytes: Long,
+      modifiedMs: Long
+  )
+
   case class ItemStats(
       rows: Long,
       minIndex: Option[Timestamp],
@@ -1295,6 +1306,39 @@ class Store private[sources] (
     * Returns (rows, minIndex, maxIndex, nFiles, bytes); min/max are
     * None for an empty item (or if a writer produced no stats).
     */
+  /** The PRESENT versions of a versioned item — the current one, plus
+    * any orphans a crashed swap left behind (a completed swap deletes
+    * its predecessor right after the pointer commit, so extras exist
+    * only between a crash and the next [[vacuum]]). Maintenance
+    * visibility: an operator can see exactly what `vacuum(0)` would
+    * reclaim, and a post-incident read can open a listed orphan as raw
+    * parquet (`spark.read.parquet(<item>/<version>)`) before sweeping
+    * it. Metadata-only (one listing per version dir). Refuses on the
+    * flat layout — there are no versions to report.
+    */
+  def versionsOf(key: String): Seq[Store.ItemVersion] = {
+    if (!versioned)
+      throw new SchemaError(
+        s"store at $base uses the flat layout — version history exists " +
+          "only on versioned stores (Store.open(versioned = true))")
+    val k = validateKey(key)
+    val cur = currentVersion(k) // throws ItemKeyError when absent
+    val itemDir = new HPath(itemsRoot, k)
+    fs.listStatus(itemDir).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .map { st =>
+        val files = walkFiles(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        Store.ItemVersion(
+          id = st.getPath.getName,
+          current = st.getPath.getName == cur,
+          files = files.size.toLong,
+          bytes = files.map(_.getLen).sum,
+          modifiedMs = st.getModificationTime)
+      }
+      .sortBy(v => (!v.current, -v.modifiedMs))
+  }
+
   def describe(key: String): Store.ItemStats = {
     val p = dataPath(key, mustExist = true)
     // (path, length) pairs from the single listing — no per-file driver

@@ -231,19 +231,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   /** One bound+unbound procedure: graft procedures are not overloaded,
     * so bind() ignores the input shape and returns the fixed signature
-    * (Spark coerces and fills declared defaults).
+    * (Spark coerces and fills declared defaults). `proc` is the
+    * one-row-result shape (counts, flags); `procMulti` returns a row
+    * per entry (e.g. `versions`).
     */
   private def proc(
       pname: String, doc: String,
       params: Seq[ProcedureParameter],
       out: StructType)(run: (Store, InternalRow) => Seq[Any]): ProcSpec =
+    ProcSpec(pname, doc, params, out, (s, in) => Seq(run(s, in)))
+
+  private def procMulti(
+      pname: String, doc: String,
+      params: Seq[ProcedureParameter],
+      out: StructType)(run: (Store, InternalRow) => Seq[Seq[Any]]): ProcSpec =
     ProcSpec(pname, doc, params, out, run)
 
   private case class ProcSpec(
       pname: String, doc: String,
       params: Seq[ProcedureParameter],
       out: StructType,
-      run: (Store, InternalRow) => Seq[Any]) {
+      run: (Store, InternalRow) => Seq[Seq[Any]]) {
     /** Bind to a concrete store (the CALL's namespace). */
     def forStore(s: Store): UnboundProcedure = new UnboundProcedure {
       override def name(): String = pname
@@ -254,10 +262,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           override def description(): String = doc
           override def parameters(): Array[ProcedureParameter] = params.toArray
           override def isDeterministic: Boolean = false // mutates the store
-          override def call(input: InternalRow): java.util.Iterator[Scan] =
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val out0 = out
+            // named distinctly from the LocalScan member: an override
+            // `def rows() = rows` self-shadows into an infinite loop
+            val resultRows: Array[InternalRow] = run(s, input)
+              .map(vs => new GenericInternalRow(vs.toArray): InternalRow)
+              .toArray
             java.util.Collections.singletonList[Scan](
-              new GraftAggScan(out, new GenericInternalRow(run(s, input).toArray),
-                s"CALL $catalogName.$pname")).iterator()
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out0
+                override def rows(): Array[InternalRow] = resultRows
+                override def description(): String = s"CALL $catalogName.$pname"
+              }).iterator()
+          }
         }
     }
   }
@@ -322,6 +340,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       oneLong("buckets_rewritten")) { (s, in) =>
       Seq(java.lang.Long.valueOf(
         s.compactBuckets(itemArg(s, in, 0), in.getLong(1))))
+    },
+    procMulti("versions",
+      "present versions of a versioned item: the current one plus any " +
+        "crash-orphaned predecessors awaiting vacuum (Store.versionsOf)",
+      Seq(param("item", StringType)),
+      StructType(Seq(
+        StructField("version", StringType, nullable = false),
+        StructField("is_current", BooleanType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("modified", TimestampType, nullable = false)))) { (s, in) =>
+      s.versionsOf(itemArg(s, in, 0)).map(v => Seq[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.id),
+        java.lang.Boolean.valueOf(v.current),
+        java.lang.Long.valueOf(v.files),
+        java.lang.Long.valueOf(v.bytes),
+        java.lang.Long.valueOf(v.modifiedMs * 1000L)))
     }
   ).map(p => p.pname -> p).toMap
 

@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** The `GraftCatalog` TableCatalog plugin: one conf line turns a store
   * into a SQL catalog — `SHOW TABLES IN <cat>` lists its items with no
@@ -143,6 +144,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     // a half-created orphan dir (no pointer) is NOT a table
     assert(s.vacuum(0L) >= 0L)
     assert(spark.sql("SHOW TABLES IN gcatv").count() == 1)
+  }
+
+  test("CALL versions lists a versioned item's current version and crash orphans; flat stores refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-hist").toString
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(15))
+    // simulate the debris a swap crashed between pointer-commit and
+    // predecessor-delete leaves: a complete but unreferenced v-dir
+    val itemDir = java.nio.file.Paths.get(dir, "items", "MSFT")
+    val curDir = java.nio.file.Files.list(itemDir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("v-")).next()
+    val orphan = itemDir.resolve("v-" + java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.walk(curDir).iterator().asScala.foreach { p =>
+      val dst = orphan.resolve(curDir.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    }
+    spark.conf.set("spark.sql.catalog.gcath", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcath.path", dir)
+    val vs = spark.sql("CALL gcath.versions(item => 'MSFT')").collect()
+    assert(vs.length == 2, s"expected current + crash orphan, got ${vs.length}")
+    assert(vs.count(_.getBoolean(1)) == 1, "exactly one current version")
+    val cur = vs.find(_.getBoolean(1)).get
+    assert(cur.getLong(2) > 0L && cur.getLong(3) > 0L)
+    assert(vs.forall(_.getString(0).startsWith("v-")))
+    // vacuum(0) reclaims the predecessor; versions then reports just one
+    assert(spark.sql("CALL gcath.vacuum(older_than_ms => 0)").collect()(0).getLong(0) >= 1L)
+    val after = spark.sql("CALL gcath.versions(item => 'MSFT')").collect()
+    assert(after.length == 1 && after(0).getBoolean(1))
+    // the non-versioned-layout catalog refuses with an actionable message
+    storeDir // force the suite catalog (flat layout) into existence
+    val err = intercept[Exception](
+      spark.sql(s"CALL gcat.versions(item => 'MSFT')").collect())
+    assert(err.getMessage.contains("versioned"), s"wrong error: ${err.getMessage}")
   }
 
   test("catalog-qualified STREAMING read: spark.readStream.table(gcat.MSFT) drains the item") {
