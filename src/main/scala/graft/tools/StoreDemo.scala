@@ -21,6 +21,8 @@ object StoreDemo {
       // events.parquet ts vintage handling (nanos or micros) — graft.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // native SQL functions + the footer-aggregate optimizer rule
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -136,6 +138,28 @@ object StoreDemo {
     println(
       s"[demo] catalog: SHOW TABLES IN demostore -> [$catTables]; " +
         s"demostore.EVENTS range SELECT -> $catRows rows (same pruned scan)")
+
+    // footer-answered SQL: the unfiltered AND the bucket-aligned ranged
+    // report shapes plan NO file scan (DSv2 aggregate pushdown + the
+    // FooterRangeAggregates rule); "newest k" reads a bucket suffix
+    val fa = spark.sql(
+      "SELECT count(*), min(TS), max(TS) FROM demostore.EVENTS").collect()(0)
+    val faRanged = spark.sql(
+      "SELECT count(*) FROM demostore.EVENTS " +
+        "WHERE TS >= '2024-01-10' AND TS < '2024-01-20'").collect()(0).getLong(0)
+    val faPlanLocal = !spark.sql(
+      "SELECT count(*) FROM demostore.EVENTS " +
+        "WHERE TS >= '2024-01-10' AND TS < '2024-01-20'")
+      .queryExecution.optimizedPlan.toString.contains("RelationV2")
+    val newest = spark.sql(
+      "SELECT TS FROM demostore.EVENTS ORDER BY TS DESC LIMIT 3")
+      .collect().map(_.getTimestamp(0)).mkString(", ")
+    println(
+      s"[demo] footer-answered sql: count/min/max = ${fa.getLong(0)} / " +
+        s"${fa.getTimestamp(1)} / ${fa.getTimestamp(2)} (no scan); " +
+        s"day-aligned ranged count = $faRanged " +
+        s"(plan is ${if (faPlanLocal) "a LocalRelation, footers only" else "a scan"}); " +
+        s"newest-3 via pushed topN = [$newest]")
 
     // DSv2 streaming read: the item as a micro-batch stream from any
     // binding; AvailableNow drains it once into a memory sink here
