@@ -270,19 +270,21 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
       }
       case None => (None, None)
     }
-    val files = table.store.footerFilesInRange(table.key, lo, hi) match {
-      case Some(fs) => fs
-      case None => return None
-    }
-    // group files by the truncated index; veto null-index rows (they
-    // would form a NULL group footers cannot characterize) and any file
+    val (files, nullFiles) =
+      table.store.footerFilesInRange(table.key, lo, hi) match {
+        case Some(fs) => fs
+        case None => return None
+      }
+    // group files by the truncated index; veto any file MIXING null-
+    // and non-null-index rows (footers cannot split its per-column
+    // stats between its own group and the NULL group) and any file
     // straddling a truncation boundary
     val groups = scala.collection.mutable.LinkedHashMap.empty[
       Long, scala.collection.mutable.ArrayBuffer[
         (String, Long, Map[String, Long], Set[String],
          Map[String, (Long, Long)], Set[String])]]
     files.foreach { t =>
-      if (t._3(idx) != t._2) return None // null-index rows present
+      if (t._3(idx) != t._2) return None // mixed null/non-null index
       val (fmin, fmax) = t._5(idx)
       (truncOf(trunc, idx, fmin), truncOf(trunc, idx, fmax)) match {
         case (Some(k1), Some(k2)) if k1 == k2 =>
@@ -291,9 +293,13 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
         case _ => return None // straddles a boundary (or eval failed)
       }
     }
-    val rows = groups.toSeq.map { case (key, fs) =>
+    def rowOf(
+        key: Option[Long],
+        fs: Seq[(String, Long, Map[String, Long], Set[String],
+                 Map[String, (Long, Long)], Set[String])])
+        : Option[org.apache.spark.sql.catalyst.InternalRow] = {
       val stats = Store.FooterAgg(
-        files = fs.map(f => (f._1, f._2)).toSeq,
+        files = fs.map(f => (f._1, f._2)),
         rows = fs.map(_._2).sum,
         nonNullCounts = table.store.schema.fieldNames.toSeq
           .filter(c => fs.forall(_._4.contains(c)))
@@ -309,12 +315,26 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
         minMaxExactCols =
           fs.flatMap(_._6).toSet.filter(c => fs.forall(_._6.contains(c))))
       val vals = outs.map {
-        case Key => Some(java.lang.Long.valueOf(key): Any)
+        case Key => Some(key.map(java.lang.Long.valueOf).orNull: Any)
         case Agg(p) => render(Seq(p), stats).map(_.head)
       }
-      if (vals.exists(_.isEmpty)) return None
-      new GenericInternalRow(vals.map(_.get).toArray): org.apache.spark.sql.catalyst.InternalRow
+      if (vals.exists(_.isEmpty)) None
+      else Some(new GenericInternalRow(vals.map(_.get).toArray))
     }
+    val grouped = groups.toSeq.map { case (key, fs) =>
+      rowOf(Some(key), fs.toSeq).getOrElse(return None)
+    }
+    // null-index rows satisfy no absorbed conjunct (ranges and
+    // IsNotNull alike), so under ANY WHERE they are correctly absent.
+    // UNFILTERED, they are real table rows whose date_trunc key is
+    // NULL — SQL's NULL group. The sweep returns them only as files
+    // that are provably ALL-null-index (mixed files refused above), so
+    // the group is footer-exact: emit it rather than silently dropping
+    // it (round-13 ADVICE high).
+    val rows =
+      if (cond.isEmpty && nullFiles.nonEmpty)
+        grouped :+ rowOf(None, nullFiles.toSeq).getOrElse(return None)
+      else grouped
     Some(LocalRelation(aggExprs.map(_.toAttribute), rows, isStreaming = false))
   }
 

@@ -1576,20 +1576,24 @@ class Store private[sources] (
   /** The fully-inside files of an index-range slice, with their footer
     * stats — or None when any file is unclassifiable (missing index
     * stats) or STRADDLES a bound. Shared by [[footerAggInRange]] and
-    * the GROUP-BY face of [[graft.plans.FooterRangeAggregates]]. Files
-    * whose index is provably all-null are excluded (a NULL index
-    * satisfies no range predicate) — pass `lo = hi = None` for an
-    * unfiltered sweep, where the caller must handle null-index rows
-    * itself (the per-file tuple carries rows vs non-null counts).
-    * Tuple: (path, rows, nonNullByCol, nullCountOkCols, minMaxByCol,
+    * the GROUP-BY face of [[graft.plans.FooterRangeAggregates]]. The
+    * SECOND array returns the row-bearing files whose index is provably
+    * ALL-NULL (a NULL index satisfies no range predicate, so they never
+    * join the included set — but with `lo = hi = None` their rows are
+    * real table rows forming SQL's NULL group, and a caller answering
+    * an UNFILTERED aggregation must account for them or refuse; see the
+    * round-13 ADVICE on the silently-dropped NULL group). Tuple:
+    * (path, rows, nonNullByCol, nullCountOkCols, minMaxByCol,
     * minMaxOkCols).
     */
   private[graft] def footerFilesInRange(
       key: String,
       lo: Option[(Long, Boolean)],
       hi: Option[(Long, Boolean)])
-      : Option[Array[(String, Long, Map[String, Long], Set[String],
-                      Map[String, (Long, Long)], Set[String])]] = {
+      : Option[(Array[(String, Long, Map[String, Long], Set[String],
+                       Map[String, (Long, Long)], Set[String])],
+                Array[(String, Long, Map[String, Long], Set[String],
+                       Map[String, (Long, Long)], Set[String])])] = {
     val cols = schema.fieldNames.toSeq
     val mmCols: Set[String] = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
@@ -1615,6 +1619,9 @@ class Store private[sources] (
     val included = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Map[String, Long], Set[String],
               Map[String, (Long, Long)], Set[String])]
+    val allNull = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Long], Set[String],
+              Map[String, (Long, Long)], Set[String])]
     var unprovable = false
     var i = 0
     while (i < perFile.length && !unprovable) {
@@ -1630,10 +1637,12 @@ class Store private[sources] (
           else if (!fullyOut) unprovable = true // straddles a bound
         }
         // non-null count 0: provably all-null index — no row matches
+        // any range predicate, but the rows exist (SQL's NULL group)
+        else allNull += t
       }
       i += 1
     }
-    if (unprovable) None else Some(included.toArray)
+    if (unprovable) None else Some((included.toArray, allNull.toArray))
   }
 
   private[graft] def footerAggInRange(
@@ -1648,9 +1657,14 @@ class Store private[sources] (
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSet
     val idx = indexName
+    // the all-null-index files are correctly invisible here: this path
+    // only ever answers an aggregation under a WHERE whose conjuncts
+    // are index range / IsNotNull predicates (FooterRangeAggregates
+    // .answer unwraps a Filter unconditionally), and a NULL index
+    // satisfies none of those — the filter itself excludes those rows
     val inc = footerFilesInRange(key, lo, hi) match {
       case None => return None
-      case Some(files) => files
+      case Some((files, _)) => files
     }
     // count(*) over the slice = non-null-index rows of included files
     val rows = inc.map(_._3(idx)).sum

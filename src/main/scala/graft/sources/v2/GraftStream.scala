@@ -225,15 +225,30 @@ private[v2] final class GraftSeenLog(location: String, snapshotEvery: Int) {
   private def deltaPath(seq: Long) = new HPath(dir, f"$seq%020d.delta")
   private def snapPath(seq: Long) = new HPath(dir, f"$seq%020d.snap")
 
+  /** Temp-write + rename, with an hflush before close — the same
+    * posture as Spark's HDFSMetadataLog. writeDelta's durability claim
+    * (the delta is on disk before the offset referencing it can be
+    * committed) would otherwise be weaker than documented: a bare
+    * create+close can lose or tear the file in an OS/node crash after
+    * Spark commits the offset, leaving rebuild() to fail the restart.
+    * The contract already guarantees no committed offset references the
+    * destination while we (over)write it, so delete-then-rename is
+    * race-free here.
+    */
   private def writeLines(p: HPath, header: String, files: Iterable[String]): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
       w.write(header); w.write('\n')
       files.foreach { f => w.write(f); w.write('\n') }
       w.flush()
+      out.hflush()
     } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to rename $tmp to $p")
   }
 
   /** Returns the body lines, or None when the count header disagrees
@@ -437,6 +452,7 @@ final class GraftMicroBatchStream(
       }
       val next = (seen ++ admitted).toSeq.sorted
       warnIfSeenHeavy(next.size, legacy = true)
+      legacySeen = next.toSet
       new GraftFilesOffset(next)
     case v2: GraftSeqOffset =>
       val seen = seenAsOf(v2.seq)
@@ -459,18 +475,26 @@ final class GraftMicroBatchStream(
       }
   }
 
+  /** Legacy-format seen set, tracked so progress reporting stays
+    * informative for pre-round-12 checkpoints (whose latestOffset path
+    * never touches `seenSet` — without this, reportLatestOffset would
+    * return null for the life of an upgraded long-lived stream).
+    */
+  @volatile private var legacySeen: Set[String] = _
+
   /** Informational only (progress reporting): current position plus
     * the backlog size — never committed, never deserialized by Spark.
     */
-  override def reportLatestOffset(): Offset =
-    if (seenSet == null) null
-    else {
-      val pending = listing().count(!seenSet.contains(_))
-      val at = lastSeq
-      new Offset {
-        override def json(): String = s"""{"v":2,"seq":$at,"pending":$pending}"""
-      }
+  override def reportLatestOffset(): Offset = {
+    val (known, at) =
+      if (seenSet != null) (seenSet.contains(_: String), lastSeq)
+      else if (legacySeen != null) (legacySeen.contains(_: String), legacySeen.size.toLong)
+      else return null
+    val pending = listing().count(f => !known(f))
+    new Offset {
+      override def json(): String = s"""{"v":2,"seq":$at,"pending":$pending}"""
     }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim

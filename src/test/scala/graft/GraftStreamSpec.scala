@@ -495,5 +495,15 @@ class GraftStreamSpec extends AnyFunSuite {
     // legacy mode never creates the v2 seen log
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(ckpt, "graft-seen")))
+    // progress reporting stays informative on the legacy path (round-13
+    // ADVICE low: it used to return null permanently for upgraded
+    // checkpoints) — fully drained here, so pending must be 0
+    val rep = st.reportLatestOffset()
+    assert(rep != null, "legacy checkpoints must still report progress")
+    assert(rep.json().contains("\"pending\":0"), rep.json())
+    // ...and counts a genuine backlog once new files land
+    s.append("MSFT", bars(70).where($"date" >= "2015-02-10"))
+    val rep2 = st.reportLatestOffset()
+    assert(rep2 != null && !rep2.json().contains("\"pending\":0"), rep2.json())
   }
 }

@@ -578,6 +578,59 @@ class GraftTableSpec extends AnyFunSuite {
     tzCase("America/Los_Angeles", answered = false)
   }
 
+  test("grouped footer aggregates: NULL-index rows form the NULL group unfiltered and vanish under WHERE") {
+    import org.apache.spark.sql.functions.{count, date_trunc, lit, min}
+    // null-index rows land in __bucket=__HIVE_DEFAULT_PARTITION__ files
+    // that are provably ALL-null-index — an unfiltered GROUP BY
+    // date_trunc must emit them as SQL's NULL group (round-13 ADVICE:
+    // the footer answer used to silently drop it)
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    val nullRows = bars(7, seed = 11)
+      .withColumn("date", lit(null).cast("timestamp"))
+      .withColumn("volume", $"volume" + 9000L) // distinguishable stats
+    s.write("NG", bars(60).unionByName(nullRows))
+    spark.read.format("graft").option("item", "NG").load(dir)
+      .createOrReplaceTempView("gagg_ng")
+
+    val q = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c, " +
+        "count(DATE) AS cd, min(VOLUME) AS v FROM gagg_ng GROUP BY 1")
+    assertFooterAnswered(q)
+    val got = q.collect()
+      .map(r => (Option(r.getTimestamp(0)), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(None) == ((7L, 0L, 10000L))) // count(DATE)=0, own min(VOLUME)
+    assert(got(Some(Timestamp.valueOf("2015-01-01 00:00:00")))._1 == 31L)
+    assert(got(Some(Timestamp.valueOf("2015-02-01 00:00:00")))._1 == 28L)
+    assert(got(Some(Timestamp.valueOf("2015-03-01 00:00:00")))._1 == 1L)
+    // bit-equal to the ordinary scan's answer for the same aggregation
+    val api = s("NG").groupBy(date_trunc("MONTH", $"DATE").as("mo"))
+      .agg(count(lit(1)).as("c"), count($"DATE").as("cd"), min($"VOLUME").as("v"))
+      .collect()
+      .map(r => (Option(r.getTimestamp(0)), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == api, "footer-answered NULL group must match the scan")
+
+    // under a range WHERE the NULL group is correctly absent (a NULL
+    // index satisfies no range predicate) and still footer-answered
+    val ranged = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c FROM gagg_ng " +
+        "WHERE DATE >= '2015-02-01' GROUP BY 1")
+    assertFooterAnswered(ranged)
+    val rgot = ranged.collect().map(r => (Option(r.getTimestamp(0)), r.getLong(1))).toMap
+    assert(!rgot.contains(None) && rgot.values.sum == 29L)
+
+    // ...and IS NOT NULL alone (boundless, but a cond that excludes
+    // null-index rows) also omits it, footer-answered
+    val nn = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, count(*) AS c FROM gagg_ng " +
+        "WHERE DATE IS NOT NULL GROUP BY 1")
+    assertFooterAnswered(nn)
+    val ngot = nn.collect().map(r => (Option(r.getTimestamp(0)), r.getLong(1))).toMap
+    assert(!ngot.contains(None) && ngot.values.sum == 60L)
+  }
+
   test("footer aggregates fan out over executors past the driver-thread threshold (>256 files)") {
     // footerAgg's sweep switches from a driver thread pool to an RDD
     // job above 256 files (100k footers must never funnel through one
