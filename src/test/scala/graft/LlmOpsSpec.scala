@@ -367,9 +367,14 @@ class LlmOpsSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, tmp)
       .as[(Long, Long)].collect().toMap
-    info(f"54-round propagation took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val rounds = graft.operators.LlmOps.lastClusterRounds.get
+    info(f"diameter-54 closure took $rounds rounds, ${(System.nanoTime() - t0) / 1e9}%.1f s")
     assert(clusters == (0 until nDocs).map(i => i.toLong -> 0L).toMap,
       "every doc on the chain must join cluster 0")
+    // hook+shortcut is O(log diameter): the 54-hop path must close in
+    // ≤ 8 rounds (plain min-propagation needed 54 — the r12 weak mark)
+    assert(rounds > 0 && rounds <= 8,
+      s"expected O(log diameter) convergence (≤ 8 rounds for diameter 54), took $rounds")
   }
 
   test("dedup_clusters: transitive closure of the pair graph, cluster id = min member") {
