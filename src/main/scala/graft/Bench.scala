@@ -144,7 +144,9 @@ object Bench {
     // sample — writes are create-once): a single-shot timing taken
     // after the full query gauntlet inherits its GC/page-cache state
     // and has measured 2x swings on an otherwise idle box.
-    val storeResults = if (only.isDefined) Seq.empty[(String, Double)] else {
+    val (storeResults, scanPathResults) = if (only.isDefined)
+      (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+    else {
       import graft.sources.Store
       val events = graft.Tables.events(spark, sfDir)
       val samples = (1 to math.max(2, nSamples)).map { _ =>
@@ -176,7 +178,34 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] store_slice sample failed: ${e.getMessage}"); false })
           val tq = (System.nanoTime() - t1) / 1e9
-          (if (wOk) Some(tw) else None, if (qOk) Some(tq) else None)
+          // round-12 scan paths, promoted into the per-round gate
+          // (r12 verdict #6): a day-aligned ranged count must plan as a
+          // footer-answered LocalRelation (FooterRangeAggregates) and a
+          // newest-k as a bucket-suffix TopN read — both timings are
+          // dominated by the planning-path metadata work they exist to
+          // measure, so a regression in either path shows in BENCH_rN
+          val table = spark.read.format("graft")
+            .option("item", "events").load(tmpDir.toString)
+          val t2 = System.nanoTime()
+          val fOk = wOk && (try {
+            table.createOrReplaceTempView("bench_events")
+            spark.sql(
+              "SELECT count(*) AS c, min(TS) AS lo, max(TS) AS hi FROM bench_events " +
+                "WHERE TS >= '2024-01-10' AND TS < '2024-01-20'").collect()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] footer_count_range sample failed: ${e.getMessage}"); false })
+          val tf = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nOk = wOk && (try {
+            table.orderBy(org.apache.spark.sql.functions.col("TS").desc)
+              .limit(100).write.mode("overwrite").format("noop").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] topn_index sample failed: ${e.getMessage}"); false })
+          val tn = (System.nanoTime() - t3) / 1e9
+          (if (wOk) Some(tw) else None, if (qOk) Some(tq) else None,
+            if (fOk) Some(tf) else None, if (nOk) Some(tn) else None)
         } finally {
           // each sample ingests a full copy of events — leaking
           // max(2,N) stores per run fills /tmp across bench iterations
@@ -190,13 +219,25 @@ object Bench {
       }
       val ingests = samples.flatMap(_._1)
       val slices = samples.flatMap(_._2)
+      val footers = samples.flatMap(_._3)
+      val topns = samples.flatMap(_._4)
       System.err.println(
         f"[bench] store_ingest min=${ingests.minOption.getOrElse(FailedQuery)}%.3fs " +
           f"samples=${ingests.map(s => f"$s%.3f").mkString("[", ",", "]")}; " +
           f"store_slice min=${slices.minOption.getOrElse(FailedQuery)}%.3fs " +
-          f"samples=${slices.map(s => f"$s%.3f").mkString("[", ",", "]")}")
-      Seq("store_ingest" -> ingests.minOption.getOrElse(FailedQuery),
-        "store_slice" -> slices.minOption.getOrElse(FailedQuery))
+          f"samples=${slices.map(s => f"$s%.3f").mkString("[", ",", "]")}; " +
+          f"footer_count_range min=${footers.minOption.getOrElse(FailedQuery)}%.3fs " +
+          f"samples=${footers.map(s => f"$s%.3f").mkString("[", ",", "]")}; " +
+          f"topn_index min=${topns.minOption.getOrElse(FailedQuery)}%.3fs " +
+          f"samples=${topns.map(s => f"$s%.3f").mkString("[", ",", "]")}")
+      // store_ingest/store_slice fold into the BASELINE-comparable
+      // total (BASELINE.md records them); the round-12 scan paths are
+      // post-baseline and land in the EXTENDED section below so the
+      // baseline ratio stays undiluted (same rule as `extended`)
+      (Seq("store_ingest" -> ingests.minOption.getOrElse(FailedQuery),
+        "store_slice" -> slices.minOption.getOrElse(FailedQuery)),
+        Seq("footer_count_range" -> footers.minOption.getOrElse(FailedQuery),
+          "topn_index" -> topns.minOption.getOrElse(FailedQuery)))
     }
 
     val qs = (results ++ storeResults)
@@ -217,14 +258,14 @@ object Bench {
         "\"" + k + "\":" + f"${warm.max / warm.min}%.2f"
       }
       .mkString("{", ",", "}")
-    val ext = extResults
+    val ext = (extResults ++ scanPathResults)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // "value"/"queries" stay the BASELINE.md-comparable headline+store
     // set; the extended ops report separately so the baseline ratio is
     // never diluted by ops the baseline predates
     val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
-    val extTotal = f"${extResults.map(_._2).sum}%.3f"
+    val extTotal = f"${(extResults ++ scanPathResults).map(_._2).sum}%.3f"
     // Short summary line FIRST: the full detail line can run to several
     // KB and has overflowed the driver's tail capture (BENCH_r07/r08
     // recorded "parsed": null), so the headline total goes out on its

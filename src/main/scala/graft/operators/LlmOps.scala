@@ -30,6 +30,13 @@ object LlmOps {
     */
   private[graft] val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Recount jobs the last text_bpe_encode training loop ran —
+    * observability for the batched-merge contract (the replay spec
+    * asserts the 8 merge levels train in fewer than 8 recounts while
+    * landing the sequential trainer's exact merge list).
+    */
+  private[graft] val lastBpeRecounts = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   // 5-word shingles: the synthetic corpus has a ~50-word vocabulary, so
   // 3-shingles collide across unrelated docs; K=5 keeps the shingle
   // space sparse enough that rare-shingle blocking actually blocks.
@@ -2120,6 +2127,33 @@ object LlmOps {
         val merges = scala.collection.mutable.Map.empty[String, Int]
         var level = 0
         var exhausted = false
+        var recounts = 0
+        // Each driver round recounts ONCE and admits a BATCH of merges
+        // that is provably identical to what the sequential trainer
+        // (recount → merge argmax → repeat) would pick — the r12 "K
+        // sequential jobs" note, closed without changing a single
+        // learned merge. The admission test rests on the exact effect
+        // of merging p=(a,b) on any other pair q=(c,d): an "a b"
+        // bigram occurrence overlaps a "c d" occurrence only when
+        // d = a or c = b, so q's count DECREASES in those cases and is
+        // bit-exactly UNCHANGED otherwise (unless a side of q IS the
+        // concat string ab, which new ab-tokens can boost); the pairs
+        // merging CREATES — (x,ab), (ab,y), (ab,ab), and cross-batch
+        // (a₁b₁,a₂b₂) — count at most the old count of some pair of
+        // form (·,a) or (b,·). Scanning candidates in the trainer's
+        // own (count desc, key asc) order, a CONSECUTIVE PREFIX is
+        // admitted while each candidate is provably unchanged by every
+        // earlier admission (no side equals an earlier a as d, an
+        // earlier b as c, or an earlier concat) AND its count strictly
+        // exceeds Cmax = the largest count any created pair can reach
+        // (max over collected pairs of form (·,aⱼ)/(bⱼ,·), and the
+        // 64th count as the horizon for pairs below the collection).
+        // Then every non-admitted pair still ranks after it at its
+        // turn — unchanged pairs keep exact counts and tie-break
+        // order, decreased pairs only fall, created pairs sit under
+        // Cmax — so the sequential argmax sequence IS the prefix. The
+        // first unprovable candidate stops the batch; worst case
+        // degenerates to the sequential one-per-round.
         while (level < mergeLevels && !exhausted) {
           val bcRanks = s.sparkContext.broadcast(merges.toMap)
           val top = vds
@@ -2132,13 +2166,42 @@ object LlmOps {
             .groupBy("pair")
             .agg(sum(col("f")).as("n"))
             .orderBy(col("n").desc, col("pair"))
-            .limit(1)
-            .select("pair")
-            .as[String]
+            .limit(64)
+            .as[(String, Long)]
             .collect()
+          recounts += 1
           if (top.isEmpty) exhausted = true
-          else { merges(top.head) = level; level += 1 }
+          else {
+            val split = top.map { case (pk, n) =>
+              val Array(a, b) = pk.split(' '); (pk, a, b, n)
+            }
+            val horizon = top.last._2
+            val lefts = scala.collection.mutable.HashSet.empty[String]
+            val rights = scala.collection.mutable.HashSet.empty[String]
+            val concats = scala.collection.mutable.HashSet.empty[String]
+            val admitted = scala.collection.mutable.HashSet.empty[String]
+            // created-pair ceiling under the admissions so far
+            def cmax: Long = split.iterator
+              .filter { case (pk, c, d, _) =>
+                !admitted.contains(pk) && (lefts.contains(d) || rights.contains(c)) }
+              .map(_._4).foldLeft(horizon)(math.max)
+            var stopped = false
+            var took = 0
+            split.foreach { case (pk, a, b, n) =>
+              if (!stopped && level < mergeLevels) {
+                val unchanged = admitted.isEmpty ||
+                  (!lefts.contains(b) && !rights.contains(a) &&
+                    !concats.contains(a) && !concats.contains(b) && n > cmax)
+                if (unchanged) {
+                  merges(pk) = level; level += 1; took += 1
+                  admitted += pk; lefts += a; rights += b; concats += (a + b)
+                } else stopped = true
+              }
+            }
+            if (took == 0) exhausted = true // defensive: cannot occur (head always admits)
+          }
         }
+        LlmOps.lastBpeRecounts.set(recounts)
         vds.unpersist()
         val bc = s.sparkContext.broadcast(merges.toMap)
         val enc = vocab

@@ -652,11 +652,17 @@ object Relational {
     // plan) — instead it is SELECTED from a BIGINT histogram, the
     // ts_outlier_mad technique: prices live on the exact integer-cents
     // grid, so one two-phase groupBy(flag, cents).count() collapses the
-    // corpus map-side to the grid-bounded distinct-value table (metadata-
-    // sized at any corpus scale), cumulative ranks over that table locate
-    // the two middle elements, and quantile_cont's 0.5 interpolation is
-    // replayed exactly on the half-integer grid. Every corpus-sized agg
-    // is two-phase with map-side partials; nothing buffers a group.
+    // corpus map-side to the grid-bounded distinct-value table (the price
+    // grid is finite, so the histogram is CORPUS-INDEPENDENT at scale —
+    // ~rows-sized at bench SF where prices are nearly unique, capped at
+    // the ~10M-value grid at 100 TB), cumulative ranks over that table
+    // locate the two middle elements, and quantile_cont's 0.5
+    // interpolation is replayed exactly on the half-integer grid.
+    // stddev/corr stream through Spark's own one-pass moment aggregates
+    // on a second (column-pruned) scan — measured FASTER than deriving
+    // them from a (flag, cents, qty) histogram, whose 3-column key
+    // defeats map-side collapse below the grid bound. Every corpus-sized
+    // agg is two-phase with map-side partials; nothing buffers a group.
     Q(
       "agg_stats",
       (s, d) => {

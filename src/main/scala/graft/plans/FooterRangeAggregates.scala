@@ -50,8 +50,19 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
       try answer(aggExprs, child).getOrElse(agg)
       catch { case scala.util.control.NonFatal(_) => agg } // never fail a plan
     case agg @ Aggregate(Seq(gref: AttributeReference), aggExprs, child, _) =>
-      try answerGrouped(gref, aggExprs, child).getOrElse(agg)
+      try answerGrouped(gref, None, aggExprs, child).getOrElse(agg)
       catch { case scala.util.control.NonFatal(_) => agg }
+    // GROUP BY (<column>, date_trunc(idx)) — answerable when every
+    // swept file is additionally HOMOGENEOUS in the extra column
+    // (footer min == max proves one group value per file); either
+    // grouping position may carry the trunc
+    case agg @ Aggregate(
+        Seq(g1: AttributeReference, g2: AttributeReference), aggExprs, child, _) =>
+      try {
+        answerGrouped(g1, Some(g2), aggExprs, child)
+          .orElse(answerGrouped(g2, Some(g1), aggExprs, child))
+          .getOrElse(agg)
+      } catch { case scala.util.control.NonFatal(_) => agg }
   }
 
   /** The graft relation + filter condition under an optional
@@ -244,6 +255,7 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
 
   private def answerGrouped(
       gref: AttributeReference,
+      extra: Option[AttributeReference],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LocalRelation] = {
     val (trunc, cond, table) = unwrapGrouped(gref, child) match {
@@ -251,13 +263,23 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
       case None => return None
     }
     val idx = table.store.indexName
-    // each output is either the group key or an answerable aggregate
+    // the extra grouping column must be integer-family (the only
+    // footer stats this engine ever trusts for values — float NaN and
+    // string truncation/comparator hazards refuse, same as render)
+    extra.foreach { e => if (!mmSupported(e)) return None }
+    val extraCol = extra.map(_.name.toUpperCase)
+    // each output is either a group key or an answerable aggregate
     sealed trait G
     case object Key extends G
+    case object Key2 extends G
     case class Agg(p: P) extends G
+    def keyOf(a: AttributeReference): Option[G] =
+      if (a.exprId == gref.exprId) Some(Key)
+      else if (extra.exists(_.exprId == a.exprId)) Some(Key2)
+      else None
     val outs: Seq[G] = aggExprs.map {
-      case a: AttributeReference if a.exprId == gref.exprId => Key
-      case Alias(a: AttributeReference, _) if a.exprId == gref.exprId => Key
+      case a: AttributeReference if keyOf(a).isDefined => keyOf(a).get
+      case Alias(a: AttributeReference, _) if keyOf(a).isDefined => keyOf(a).get
       case other => shapes(Seq(other)) match {
         case Some(Seq(p)) => Agg(p)
         case _ => return None
@@ -275,26 +297,71 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
         case Some(fs) => fs
         case None => return None
       }
-    // group files by the truncated index; veto any file MIXING null-
-    // and non-null-index rows (footers cannot split its per-column
-    // stats between its own group and the NULL group) and any file
-    // straddling a truncation boundary
+    // a file's single extra-key group value: footer-exact stats with
+    // min == max prove key-homogeneity (Some(value)); a provably
+    // all-null key is the NULL key group (None); anything mixed or
+    // unprovable refuses the whole aggregation
+    def extraKeyOf(
+        t: (String, Long, Map[String, Long], Set[String],
+            Map[String, (Long, Long)], Set[String])): Option[Option[Long]] = {
+      val c = extraCol.get
+      if (!t._4.contains(c) || !t._6.contains(c)) return None // unprovable
+      val nonNull = t._3(c)
+      if (nonNull == 0L) Some(None) // whole file in the NULL key group
+      else if (nonNull != t._2) None // mixed null/value → refuse
+      else t._5.get(c) match {
+        case Some((lo, hi)) if lo == hi => Some(Some(lo))
+        case _ => None // heterogeneous (or stats absent) → refuse
+      }
+    }
+    // group files by (truncated index, extra key); veto any file MIXING
+    // null- and non-null-index rows (footers cannot split its
+    // per-column stats between its own group and the NULL group) and
+    // any file straddling a truncation boundary. A truncKey of None is
+    // the NULL-index group; an extra key of None is the NULL-valued
+    // extra-key group (both legal SQL groups, both footer-exact here
+    // because only WHOLE-file-null columns reach them).
     val groups = scala.collection.mutable.LinkedHashMap.empty[
-      Long, scala.collection.mutable.ArrayBuffer[
+      (Option[Long], Option[Long]), scala.collection.mutable.ArrayBuffer[
         (String, Long, Map[String, Long], Set[String],
          Map[String, (Long, Long)], Set[String])]]
+    def add(
+        t: (String, Long, Map[String, Long], Set[String],
+            Map[String, (Long, Long)], Set[String]),
+        truncKey: Option[Long]): Option[Unit] = {
+      val k2: Option[Long] = extra match {
+        case None => None
+        case Some(_) => extraKeyOf(t) match {
+          case None => return None // not key-homogeneous → refuse all
+          case Some(v) => v
+        }
+      }
+      groups.getOrElseUpdate((truncKey, k2),
+        scala.collection.mutable.ArrayBuffer.empty) += t
+      Some(())
+    }
     files.foreach { t =>
       if (t._3(idx) != t._2) return None // mixed null/non-null index
       val (fmin, fmax) = t._5(idx)
       (truncOf(trunc, idx, fmin), truncOf(trunc, idx, fmax)) match {
-        case (Some(k1), Some(k2)) if k1 == k2 =>
-          groups.getOrElseUpdate(k1,
-            scala.collection.mutable.ArrayBuffer.empty) += t
+        case (Some(g1), Some(g2)) if g1 == g2 =>
+          if (add(t, Some(g1)).isEmpty) return None
         case _ => return None // straddles a boundary (or eval failed)
       }
     }
+    // null-index rows satisfy no absorbed conjunct (ranges and
+    // IsNotNull alike), so under ANY WHERE they are correctly absent.
+    // UNFILTERED, they are real table rows whose date_trunc key is
+    // NULL — SQL's NULL group. The sweep returns them only as files
+    // that are provably ALL-null-index (mixed files refused above), so
+    // the group is footer-exact: emit it rather than silently dropping
+    // it (round-13 ADVICE high). With an extra key, those files still
+    // split by the same homogeneity rule.
+    if (cond.isEmpty && nullFiles.nonEmpty)
+      nullFiles.foreach { t => if (add(t, None).isEmpty) return None }
     def rowOf(
         key: Option[Long],
+        key2: Option[Long],
         fs: Seq[(String, Long, Map[String, Long], Set[String],
                  Map[String, (Long, Long)], Set[String])])
         : Option[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -316,25 +383,20 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
           fs.flatMap(_._6).toSet.filter(c => fs.forall(_._6.contains(c))))
       val vals = outs.map {
         case Key => Some(key.map(java.lang.Long.valueOf).orNull: Any)
+        case Key2 => Some(key2.map { v =>
+          extra.get.dataType match {
+            case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt): Any
+            case _ => java.lang.Long.valueOf(v): Any
+          }
+        }.orNull: Any)
         case Agg(p) => render(Seq(p), stats).map(_.head)
       }
       if (vals.exists(_.isEmpty)) None
       else Some(new GenericInternalRow(vals.map(_.get).toArray))
     }
-    val grouped = groups.toSeq.map { case (key, fs) =>
-      rowOf(Some(key), fs.toSeq).getOrElse(return None)
+    val rows = groups.toSeq.map { case ((k, k2), fs) =>
+      rowOf(k, k2, fs.toSeq).getOrElse(return None)
     }
-    // null-index rows satisfy no absorbed conjunct (ranges and
-    // IsNotNull alike), so under ANY WHERE they are correctly absent.
-    // UNFILTERED, they are real table rows whose date_trunc key is
-    // NULL — SQL's NULL group. The sweep returns them only as files
-    // that are provably ALL-null-index (mixed files refused above), so
-    // the group is footer-exact: emit it rather than silently dropping
-    // it (round-13 ADVICE high).
-    val rows =
-      if (cond.isEmpty && nullFiles.nonEmpty)
-        grouped :+ rowOf(None, nullFiles.toSeq).getOrElse(return None)
-      else grouped
     Some(LocalRelation(aggExprs.map(_.toAttribute), rows, isStreaming = false))
   }
 

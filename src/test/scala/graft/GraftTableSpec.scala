@@ -578,6 +578,74 @@ class GraftTableSpec extends AnyFunSuite {
     tzCase("America/Los_Angeles", answered = false)
   }
 
+  test("grouped footer aggregates: GROUP BY (key, date_trunc) answers when files are key-homogeneous, refuses when mixed") {
+    import org.apache.spark.sql.functions.expr
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    // the key varies at the TIME-BUCKET grain (an ingest-version /
+    // source-id shape): every file is then key-homogeneous — the
+    // store's append compacts per bucket, so sub-bucket key variety
+    // cannot survive in separate files (verified: appends rewrite the
+    // bucket into one mixed file, which correctly refuses below)
+    s.write("KH", bars(100).withColumn("volume",
+      expr("CASE month(date) WHEN 1 THEN 7L WHEN 2 THEN 8L WHEN 3 THEN 9L END")))
+    spark.read.format("graft").option("item", "KH").load(dir)
+      .createOrReplaceTempView("kh_t")
+
+    val q = spark.sql(
+      "SELECT VOLUME AS v, date_trunc('MONTH', DATE) AS mo, count(*) AS c, " +
+        "min(DATE) AS lo FROM kh_t GROUP BY 1, 2")
+    assertFooterAnswered(q)
+    val got = q.collect()
+      .map(r => ((if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getTimestamp(1)), r.getLong(2))).toMap
+    val jan = Timestamp.valueOf("2015-01-01 00:00:00")
+    val feb = Timestamp.valueOf("2015-02-01 00:00:00")
+    val apr = Timestamp.valueOf("2015-04-01 00:00:00")
+    assert(got((Some(7L), jan)) == 31L && got((Some(8L), feb)) == 28L)
+    assert(got((None, apr)) == 10L, "NULL extra-key group must be emitted")
+    assert(got.size == 4, s"one (volume, month) group per month, got ${got.size}")
+    // bit-equal to the ordinary scan's answer
+    val api = s("KH")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("MONTH", $"DATE").as("mo"), $"VOLUME")
+      .count().collect()
+      .map(r => ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getTimestamp(0)), r.getLong(2))).toMap
+    assert(got == api)
+
+    // trunc in the FIRST position works too, and composes with a range
+    val flipped = spark.sql(
+      "SELECT date_trunc('MONTH', DATE) AS mo, VOLUME AS v, count(*) AS c " +
+        "FROM kh_t WHERE DATE >= '2015-02-01' GROUP BY 1, 2")
+    assertFooterAnswered(flipped)
+    assert(flipped.collect().map(_.getLong(2)).sum ==
+      s("KH").where($"DATE" >= "2015-02-01").count())
+
+    // a store whose files MIX key values must refuse to the scan (and
+    // stay exact)
+    val dir2 = tmpDir()
+    val s2 = Store.open(spark, dir2, bucket = Some("month"))
+    s2.write("MX", bars(60)) // volume = 1000+i: heterogeneous per file
+    spark.read.format("graft").option("item", "MX").load(dir2)
+      .createOrReplaceTempView("mx_t")
+    val mixed = spark.sql(
+      "SELECT VOLUME % 2 AS v, date_trunc('MONTH', DATE) AS mo, count(*) AS c " +
+        "FROM mx_t GROUP BY 1, 2")
+    // (an expression key never matches the pass-through shape at all)
+    val plainMixed = spark.sql(
+      "SELECT VOLUME AS v, date_trunc('MONTH', DATE) AS mo, count(*) AS c " +
+        "FROM mx_t GROUP BY 1, 2")
+    def scans(df: DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.nonEmpty
+    }
+    assert(scans(mixed) && scans(plainMixed),
+      "key-heterogeneous files must refuse the footer answer")
+    assert(plainMixed.collect().length == 60) // every volume distinct
+  }
+
   test("grouped footer aggregates: NULL-index rows form the NULL group unfiltered and vanish under WHERE") {
     import org.apache.spark.sql.functions.{count, date_trunc, lit, min}
     // null-index rows land in __bucket=__HIVE_DEFAULT_PARTITION__ files

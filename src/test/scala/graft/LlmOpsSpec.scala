@@ -848,6 +848,12 @@ class LlmOpsSpec extends AnyFunSuite {
     got.foreach { case (id, nw, nb) =>
       assert((nw, nb) == expect(id), s"doc $id: ($nw,$nb) vs ${expect(id)}")
     }
+    // the batched trainer must land the sequential merge list in FEWER
+    // recount jobs than merge levels (round-13: K jobs → ~K/4)
+    val recounts = graft.operators.LlmOps.lastBpeRecounts.get
+    info(s"trained $K merge levels in $recounts recount jobs")
+    assert(recounts > 0 && recounts < K,
+      s"expected batched merge admission (< $K recounts), took $recounts")
     // BPE compresses: strictly fewer tokens than characters overall
     val totalChars = allWords.map(_.length.toLong).sum
     assert(got.map(_._3).sum < totalChars)
