@@ -671,8 +671,14 @@ object Relational {
             col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
             round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
         // exact interpolated median of the integral cents column via
-        // histogram selection (ranks (n-1) div 2 and n div 2 averaged)
-        val hist = base.groupBy(col("l_returnflag"), col("cents"))
+        // histogram selection (ranks (n-1) div 2 and n div 2 averaged).
+        // NULL prices are excluded HERE, not in base: percentile-family
+        // aggregates ignore NULLs while count(*) keeps the rows, and a
+        // NULL bucket in the histogram would otherwise shift every rank
+        // (latent on this corpus — lineitem prices are non-null — but
+        // the replayed semantics must not depend on that)
+        val hist = base.filter(col("cents").isNotNull)
+          .groupBy(col("l_returnflag"), col("cents"))
           .agg(count(lit(1)).as("cnt"))
         val n = hist.groupBy("l_returnflag").agg(sum(col("cnt")).as("nv"))
         val wCum = Window.partitionBy("l_returnflag").orderBy("cents")

@@ -662,10 +662,13 @@ object TimeSeries {
         val alpha = 0.2
         val beta = 0.8
         val blockUs = 3600000000L // 1-hour cells; tune to the corpus
-        // NULL keys/values are excluded on both sides (EWMA is defined
-        // over observed values)
+        // NULL keys/values/timestamps are excluded on both sides (EWMA
+        // is defined over observed, time-ordered values; a NULL ts row
+        // would otherwise be silently dropped by the block equi-join
+        // while the oracle kept it NULLS-LAST — divergent, not a choice)
         val base = events(s, d)
-          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .filter(col("event_type").isNotNull && col("value").isNotNull &&
+            col("ts").isNotNull)
           .select(col("event_type"), unix_micros(col("ts")).as("tus"),
             col("event_id"), col("value"))
           .withColumn("blk", graft.functions.MathFunctions.intDiv(col("tus"), lit(blockUs)))
@@ -699,7 +702,7 @@ object TimeSeries {
           |  round(list_reduce(list(value ORDER BY ts, event_id),
           |                    (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
           |FROM events
-          |WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
           |GROUP BY event_type ORDER BY event_type""".stripMargin
       )
     ),

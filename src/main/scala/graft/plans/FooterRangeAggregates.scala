@@ -301,15 +301,14 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
     // min == max prove key-homogeneity (Some(value)); a provably
     // all-null key is the NULL key group (None); anything mixed or
     // unprovable refuses the whole aggregation
-    def extraKeyOf(
-        t: (String, Long, Map[String, Long], Set[String],
-            Map[String, (Long, Long)], Set[String])): Option[Option[Long]] = {
+    def extraKeyOf(t: Store.FileFooterStats): Option[Option[Long]] = {
       val c = extraCol.get
-      if (!t._4.contains(c) || !t._6.contains(c)) return None // unprovable
-      val nonNull = t._3(c)
+      if (!t.nullCountOkCols.contains(c) || !t.minMaxOkCols.contains(c))
+        return None // unprovable
+      val nonNull = t.nonNullByCol(c)
       if (nonNull == 0L) Some(None) // whole file in the NULL key group
-      else if (nonNull != t._2) None // mixed null/value → refuse
-      else t._5.get(c) match {
+      else if (nonNull != t.rows) None // mixed null/value → refuse
+      else t.minMaxByCol.get(c) match {
         case Some((lo, hi)) if lo == hi => Some(Some(lo))
         case _ => None // heterogeneous (or stats absent) → refuse
       }
@@ -322,13 +321,9 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
     // extra-key group (both legal SQL groups, both footer-exact here
     // because only WHOLE-file-null columns reach them).
     val groups = scala.collection.mutable.LinkedHashMap.empty[
-      (Option[Long], Option[Long]), scala.collection.mutable.ArrayBuffer[
-        (String, Long, Map[String, Long], Set[String],
-         Map[String, (Long, Long)], Set[String])]]
-    def add(
-        t: (String, Long, Map[String, Long], Set[String],
-            Map[String, (Long, Long)], Set[String]),
-        truncKey: Option[Long]): Option[Unit] = {
+      (Option[Long], Option[Long]),
+      scala.collection.mutable.ArrayBuffer[Store.FileFooterStats]]
+    def add(t: Store.FileFooterStats, truncKey: Option[Long]): Option[Unit] = {
       val k2: Option[Long] = extra match {
         case None => None
         case Some(_) => extraKeyOf(t) match {
@@ -341,8 +336,8 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
       Some(())
     }
     files.foreach { t =>
-      if (t._3(idx) != t._2) return None // mixed null/non-null index
-      val (fmin, fmax) = t._5(idx)
+      if (t.nonNullByCol(idx) != t.rows) return None // mixed null/non-null index
+      val (fmin, fmax) = t.minMaxByCol(idx)
       (truncOf(trunc, idx, fmin), truncOf(trunc, idx, fmax)) match {
         case (Some(g1), Some(g2)) if g1 == g2 =>
           if (add(t, Some(g1)).isEmpty) return None
@@ -362,25 +357,25 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
     def rowOf(
         key: Option[Long],
         key2: Option[Long],
-        fs: Seq[(String, Long, Map[String, Long], Set[String],
-                 Map[String, (Long, Long)], Set[String])])
+        fs: Seq[Store.FileFooterStats])
         : Option[org.apache.spark.sql.catalyst.InternalRow] = {
       val stats = Store.FooterAgg(
-        files = fs.map(f => (f._1, f._2)),
-        rows = fs.map(_._2).sum,
+        files = fs.map(f => (f.path, f.rows)),
+        rows = fs.map(_.rows).sum,
         nonNullCounts = table.store.schema.fieldNames.toSeq
-          .filter(c => fs.forall(_._4.contains(c)))
-          .map(c => c -> fs.map(_._3(c)).sum).toMap,
+          .filter(c => fs.forall(_.nullCountOkCols.contains(c)))
+          .map(c => c -> fs.map(_.nonNullByCol(c)).sum).toMap,
         colMinMax = {
-          val exact = fs.flatMap(_._6).toSet.filter(c => fs.forall(_._6.contains(c)))
+          val exact = fs.flatMap(_.minMaxOkCols).toSet
+            .filter(c => fs.forall(_.minMaxOkCols.contains(c)))
           exact.flatMap { c =>
-            val vs = fs.flatMap(_._5.get(c))
+            val vs = fs.flatMap(_.minMaxByCol.get(c))
             if (vs.isEmpty) None
             else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
           }.toMap
         },
-        minMaxExactCols =
-          fs.flatMap(_._6).toSet.filter(c => fs.forall(_._6.contains(c))))
+        minMaxExactCols = fs.flatMap(_.minMaxOkCols).toSet
+          .filter(c => fs.forall(_.minMaxOkCols.contains(c))))
       val vals = outs.map {
         case Key => Some(key.map(java.lang.Long.valueOf).orNull: Any)
         case Key2 => Some(key2.map { v =>

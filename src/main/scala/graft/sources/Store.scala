@@ -91,21 +91,32 @@ object Store {
       minMaxExactCols: Set[String]
   )
 
-  /** One file's footer aggregate tuple for [[Store!.footerAgg]]:
-    * (path, rows, nonNullByCol, nullCountOkCols, minMaxByCol,
-    * minMaxOkCols). STATIC so executor closures capture only strings —
-    * never a Store. Exactness discipline: a row-bearing group with
-    * absent/untyped stats drops the column from the ok sets, which
-    * vetoes the aggregate pushdown for it. Min/max is tracked only for
-    * `mmCols` (the integer-family columns: INT64/INT32 physical, where
-    * footer stats are exact by construction — no truncation, no NaN
-    * ordering hazard, no legacy-UTF-8-comparator ambiguity).
+  /** One file's footer statistics, named (round-13 review: this rode
+    * through two source files as a positional 6-tuple). A column in
+    * `nullCountOkCols` has an exact `nonNullByCol` entry; a column in
+    * `minMaxOkCols` has exact `minMaxByCol` bounds OR is provably
+    * all-null (then absent from the map).
+    */
+  private[graft] final case class FileFooterStats(
+      path: String,
+      rows: Long,
+      nonNullByCol: Map[String, Long],
+      nullCountOkCols: Set[String],
+      minMaxByCol: Map[String, (Long, Long)],
+      minMaxOkCols: Set[String])
+
+  /** One file's footer aggregate for [[Store!.footerAgg]]. STATIC so
+    * executor closures capture only strings — never a Store. Exactness
+    * discipline: a row-bearing group with absent/untyped stats drops
+    * the column from the ok sets, which vetoes the aggregate pushdown
+    * for it. Min/max is tracked only for `mmCols` (the integer-family
+    * columns: INT64/INT32 physical, where footer stats are exact by
+    * construction — no truncation, no NaN ordering hazard, no
+    * legacy-UTF-8-comparator ambiguity).
     */
   private[sources] def fileFooterAgg(
       conf: org.apache.hadoop.conf.Configuration, f: String,
-      cols: Seq[String], mmCols: Set[String])
-      : (String, Long, Map[String, Long], Set[String],
-         Map[String, (Long, Long)], Set[String]) = {
+      cols: Seq[String], mmCols: Set[String]): FileFooterStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -154,7 +165,7 @@ object Store {
           }
         }
       }
-      (f, rows, nonNull.toMap, nullOk.toSet, mm.toMap, mmOk.toSet)
+      FileFooterStats(f, rows, nonNull.toMap, nullOk.toSet, mm.toMap, mmOk.toSet)
     } finally r.close()
   }
 
@@ -1491,18 +1502,18 @@ class Store private[sources] (
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSet
     val perFile = sweepFooters(paths, cols, mmCols)
-    val rows = perFile.map(_._2).sum
-    val exactNullCols = cols.filter(c => perFile.forall(_._4.contains(c)))
-    val exactMM = mmCols.filter(c => perFile.forall(_._6.contains(c)))
+    val rows = perFile.map(_.rows).sum
+    val exactNullCols = cols.filter(c => perFile.forall(_.nullCountOkCols.contains(c)))
+    val exactMM = mmCols.filter(c => perFile.forall(_.minMaxOkCols.contains(c)))
     val colMinMax = exactMM.flatMap { c =>
-      val vs = perFile.flatMap(_._5.get(c))
+      val vs = perFile.flatMap(_.minMaxByCol.get(c))
       if (vs.isEmpty) None // provably all-null: exact, SQL min/max = NULL
       else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
     }.toMap
     Store.FooterAgg(
-      files = perFile.map(t => (t._1, t._2)).sortBy(_._1).toIndexedSeq,
+      files = perFile.map(t => (t.path, t.rows)).sortBy(_._1).toIndexedSeq,
       rows = rows,
-      nonNullCounts = exactNullCols.map(c => c -> perFile.map(_._3(c)).sum).toMap,
+      nonNullCounts = exactNullCols.map(c => c -> perFile.map(_.nonNullByCol(c)).sum).toMap,
       colMinMax = colMinMax,
       minMaxExactCols = exactMM)
   }
@@ -1518,10 +1529,7 @@ class Store private[sources] (
     */
   private def sweepFooters(
       paths: Seq[String], cols: Seq[String], mmCols: Set[String])
-      : Array[(String, Long, Map[String, Long], Set[String],
-               Map[String, (Long, Long)], Set[String])] = {
-    type FileAgg = (String, Long, Map[String, Long], Set[String],
-      Map[String, (Long, Long)], Set[String])
+      : Array[Store.FileFooterStats] = {
     if (paths.isEmpty) Array.empty
     else if (paths.size <= 256) {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -1529,7 +1537,7 @@ class Store private[sources] (
         math.min(16, paths.size))
       try {
         val futures = paths.map { f =>
-          pool.submit(new java.util.concurrent.Callable[FileAgg] {
+          pool.submit(new java.util.concurrent.Callable[Store.FileFooterStats] {
             override def call() = Store.fileFooterAgg(conf, f, cols, mmCols)
           })
         }
@@ -1582,18 +1590,13 @@ class Store private[sources] (
     * join the included set — but with `lo = hi = None` their rows are
     * real table rows forming SQL's NULL group, and a caller answering
     * an UNFILTERED aggregation must account for them or refuse; see the
-    * round-13 ADVICE on the silently-dropped NULL group). Tuple:
-    * (path, rows, nonNullByCol, nullCountOkCols, minMaxByCol,
-    * minMaxOkCols).
+    * round-13 ADVICE on the silently-dropped NULL group).
     */
   private[graft] def footerFilesInRange(
       key: String,
       lo: Option[(Long, Boolean)],
       hi: Option[(Long, Boolean)])
-      : Option[(Array[(String, Long, Map[String, Long], Set[String],
-                       Map[String, (Long, Long)], Set[String])],
-                Array[(String, Long, Map[String, Long], Set[String],
-                       Map[String, (Long, Long)], Set[String])])] = {
+      : Option[(Array[Store.FileFooterStats], Array[Store.FileFooterStats])] = {
     val cols = schema.fieldNames.toSeq
     val mmCols: Set[String] = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
@@ -1616,21 +1619,18 @@ class Store private[sources] (
       case (b, incl) => if (incl) v <= b else v < b }
 
     val idx = indexName
-    val included = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Map[String, Long], Set[String],
-              Map[String, (Long, Long)], Set[String])]
-    val allNull = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Map[String, Long], Set[String],
-              Map[String, (Long, Long)], Set[String])]
+    val included = scala.collection.mutable.ArrayBuffer.empty[Store.FileFooterStats]
+    val allNull = scala.collection.mutable.ArrayBuffer.empty[Store.FileFooterStats]
     var unprovable = false
     var i = 0
     while (i < perFile.length && !unprovable) {
       val t = perFile(i)
-      if (t._2 > 0L) {
+      if (t.rows > 0L) {
         // the index's stats must be footer-exact to classify at all
-        if (!t._4.contains(idx) || !t._6.contains(idx)) unprovable = true
-        else if (t._3(idx) > 0L) {
-          val (fmin, fmax) = t._5(idx)
+        if (!t.nullCountOkCols.contains(idx) || !t.minMaxOkCols.contains(idx))
+          unprovable = true
+        else if (t.nonNullByCol(idx) > 0L) {
+          val (fmin, fmax) = t.minMaxByCol(idx)
           val fullyIn = aboveLo(fmin) && belowHi(fmax)
           val fullyOut = !belowHi(fmin) || !aboveLo(fmax)
           if (fullyIn) included += t
@@ -1667,24 +1667,24 @@ class Store private[sources] (
       case Some((files, _)) => files
     }
     // count(*) over the slice = non-null-index rows of included files
-    val rows = inc.map(_._3(idx)).sum
+    val rows = inc.map(_.nonNullByCol(idx)).sum
     // NON-index columns stay exact only when no included file carries
     // null-index rows (their values/nulls could belong to excluded rows)
-    val idxClean = inc.forall(t => t._3(idx) == t._2)
+    val idxClean = inc.forall(t => t.nonNullByCol(idx) == t.rows)
     def keep(c: String): Boolean = c.equalsIgnoreCase(idx) || idxClean
     val exactNullCols =
-      cols.filter(c => keep(c) && inc.forall(_._4.contains(c)))
+      cols.filter(c => keep(c) && inc.forall(_.nullCountOkCols.contains(c)))
     val exactMM =
-      mmCols.filter(c => keep(c) && inc.forall(_._6.contains(c)))
+      mmCols.filter(c => keep(c) && inc.forall(_.minMaxOkCols.contains(c)))
     val colMinMax = exactMM.flatMap { c =>
-      val vs = inc.flatMap(_._5.get(c))
+      val vs = inc.flatMap(_.minMaxByCol.get(c))
       if (vs.isEmpty) None // no values in slice: exact, min/max = NULL
       else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
     }.toMap
     Some(Store.FooterAgg(
-      files = inc.map(t => (t._1, t._3(idx))).sortBy(_._1).toIndexedSeq,
+      files = inc.map(t => (t.path, t.nonNullByCol(idx))).sortBy(_._1).toIndexedSeq,
       rows = rows,
-      nonNullCounts = exactNullCols.map(c => c -> inc.map(_._3(c)).sum).toMap,
+      nonNullCounts = exactNullCols.map(c => c -> inc.map(_.nonNullByCol(c)).sum).toMap,
       colMinMax = colMinMax,
       minMaxExactCols = exactMM))
   }

@@ -237,18 +237,26 @@ private[v2] final class GraftSeenLog(location: String, snapshotEvery: Int) {
     */
   private def writeLines(p: HPath, header: String, files: Iterable[String]): Unit = {
     val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
     try {
-      val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
-      w.write(header); w.write('\n')
-      files.foreach { f => w.write(f); w.write('\n') }
-      w.flush()
-      out.hflush()
-    } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"failed to rename $tmp to $p")
+      val out = fs.create(tmp, true)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+        w.write(header); w.write('\n')
+        files.foreach { f => w.write(f); w.write('\n') }
+        w.flush()
+        out.hflush()
+      } finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"failed to rename $tmp to $p")
+    } catch {
+      case e: Throwable =>
+        // the failure correctly fails the batch, but the partial tmp
+        // must not outlive it — purge only sweeps .delta/.snap names
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Returns the body lines, or None when the count header disagrees
