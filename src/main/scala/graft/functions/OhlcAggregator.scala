@@ -4,20 +4,39 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** One tick: full-precision event time (epoch nanos), a unique
-  * tiebreaker id, and the value.
+  * tiebreaker id, and the (nullable — SQL semantics) value. A NULL
+  * event time maps to [[Tick.NullTs]] BEFORE the typed boundary: the
+  * NULL-time rows all share one resample group (date_trunc(NULL) is
+  * NULL), so within that group ordering falls to the id tiebreaker —
+  * exactly the comparison SQL's `ORDER BY ts, event_id` makes when ts
+  * is constant-NULL across the partition.
   */
-case class Tick(tsNanos: Long, eventId: Long, value: Double)
+case class Tick(tsNanos: Long, eventId: Long, value: Option[Double])
+
+object Tick {
+  /** Sentinel for a NULL event time (see class doc). Strictly above the
+    * aggregator's zero-buffer close key and below every real nano
+    * timestamp, so buffer comparisons stay total.
+    */
+  val NullTs: Long = Long.MinValue + 1
+}
 
 /** Mutable-free OHLC buffer: open/close are tracked with their ordering
   * keys (tsNanos, eventId) so merge order can't change the result.
+  * Value fields are Options — SQL aggregates over a nullable column:
+  * open/close are the (possibly NULL) values AT the ordering extremes;
+  * high/low/volume ignore NULL values and are NULL when no value was
+  * observed (round-13 NULL-robustness campaign).
   */
 case class OhlcBuf(
-    openTs: Long, openId: Long, open: Double,
-    closeTs: Long, closeId: Long, close: Double,
-    high: Double, low: Double, volume: Double, n: Long
+    openTs: Long, openId: Long, open: Option[Double],
+    closeTs: Long, closeId: Long, close: Option[Double],
+    high: Option[Double], low: Option[Double], volume: Option[Double], n: Long
 )
 
-case class Ohlc(open: Double, high: Double, low: Double, close: Double, volume: Double, n: Long)
+case class Ohlc(
+    open: Option[Double], high: Option[Double], low: Option[Double],
+    close: Option[Double], volume: Option[Double], n: Long)
 
 /** Single-pass typed OHLC aggregation — the `Aggregator[IN, BUF, OUT]`
   * form of the resample operator (SURVEY.md §2 UDF surface): open =
@@ -29,13 +48,29 @@ case class Ohlc(open: Double, high: Double, low: Double, close: Double, volume: 
 object OhlcAggregator extends Aggregator[Tick, OhlcBuf, Ohlc] {
 
   override def zero: OhlcBuf = OhlcBuf(
-    Long.MaxValue, Long.MaxValue, 0.0,
-    Long.MinValue, Long.MinValue, 0.0,
-    Double.NegativeInfinity, Double.PositiveInfinity, 0.0, 0L
+    Long.MaxValue, Long.MaxValue, None,
+    Long.MinValue, Long.MinValue, None,
+    None, None, None, 0L
   )
 
   private def earlier(ts1: Long, id1: Long, ts2: Long, id2: Long): Boolean =
     ts1 < ts2 || (ts1 == ts2 && id1 < id2)
+
+  private def mergeMax(a: Option[Double], b: Option[Double]): Option[Double] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(math.max(x, y))
+      case _ => a.orElse(b)
+    }
+  private def mergeMin(a: Option[Double], b: Option[Double]): Option[Double] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(math.min(x, y))
+      case _ => a.orElse(b)
+    }
+  private def mergeSum(a: Option[Double], b: Option[Double]): Option[Double] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x + y)
+      case _ => a.orElse(b)
+    }
 
   override def reduce(b: OhlcBuf, t: Tick): OhlcBuf = {
     val (oTs, oId, o) =
@@ -45,8 +80,8 @@ object OhlcAggregator extends Aggregator[Tick, OhlcBuf, Ohlc] {
       if (earlier(b.closeTs, b.closeId, t.tsNanos, t.eventId)) (t.tsNanos, t.eventId, t.value)
       else (b.closeTs, b.closeId, b.close)
     OhlcBuf(oTs, oId, o, cTs, cId, c,
-      math.max(b.high, t.value), math.min(b.low, t.value),
-      b.volume + t.value, b.n + 1)
+      mergeMax(b.high, t.value), mergeMin(b.low, t.value),
+      mergeSum(b.volume, t.value), b.n + 1)
   }
 
   override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf = {
@@ -60,8 +95,8 @@ object OhlcAggregator extends Aggregator[Tick, OhlcBuf, Ohlc] {
         if (earlier(a.closeTs, a.closeId, b.closeTs, b.closeId)) (b.closeTs, b.closeId, b.close)
         else (a.closeTs, a.closeId, a.close)
       OhlcBuf(oTs, oId, o, cTs, cId, c,
-        math.max(a.high, b.high), math.min(a.low, b.low),
-        a.volume + b.volume, a.n + b.n)
+        mergeMax(a.high, b.high), mergeMin(a.low, b.low),
+        mergeSum(a.volume, b.volume), a.n + b.n)
     }
   }
 

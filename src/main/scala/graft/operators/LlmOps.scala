@@ -573,6 +573,7 @@ object LlmOps {
     val sp = s
     import sp.implicits._
     val coded = e0
+      .filter(col("embedding").isNotNull) // unindexable: no code, no rank
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, lshCode(v, bits)) }
@@ -622,6 +623,7 @@ object LlmOps {
     val sp = s
     import sp.implicits._
     docs
+      .filter(col("text").isNotNull) // null text: no shingles (both engines)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -649,6 +651,11 @@ object LlmOps {
     val sp = s
     import sp.implicits._
     docs
+      // null text shingles to nothing — the same row the oracle side
+      // drops (len(string_split(NULL, ' ')) >= K is NULL → filtered);
+      // a pushed scan filter, not a per-row kernel branch
+      // (NULL-robustness campaign, round 13)
+      .filter(col("text").isNotNull)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -738,6 +745,7 @@ object LlmOps {
     val sp = s
     import sp.implicits._
     documents(s, d)
+      .filter(col("text").isNotNull) // null text: no shingles (both engines)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -766,6 +774,7 @@ object LlmOps {
     import sp.implicits._
     // persist: consumed twice by the chunk self-join
     documents(s, d)
+      .filter(col("text").isNotNull) // null text: no tokens (both engines)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -1083,13 +1092,18 @@ object LlmOps {
       "text_langid",
       (s, d) =>
         documents(s, d)
-          .select(col("doc_id"), langId(col("text")).as("lang_pred"), col("lang"))
+          // no text, no prediction: SQL NULL on both sides (the oracle's
+          // CASE chain would otherwise fall through its NULL comparisons
+          // to the ELSE arm and "predict" the last language)
+          .select(col("doc_id"),
+            when(col("text").isNotNull, langId(col("text"))).as("lang_pred"),
+            col("lang"))
           .orderBy("doc_id"),
       Some(
-        """WITH t AS (SELECT doc_id, lang,
+        """WITH t AS (SELECT doc_id, lang, text,
           |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '') AS toks
           |  FROM documents),
-          |s AS (SELECT doc_id, lang,
+          |s AS (SELECT doc_id, lang, text,
           |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','that'))) AS s_en,
           |  len(list_filter(toks, w -> w IN ('der','die','das','und','ist','von','mit','ein'))) AS s_de,
           |  len(list_filter(toks, w -> w IN ('le','la','les','et','un','une','est','que'))) AS s_fr,
@@ -1097,7 +1111,8 @@ object LlmOps {
           |  len(list_filter(toks, w -> w IN ('的','是','了','在','我','有','和','不'))) AS s_zh
           |  FROM t)
           |SELECT doc_id,
-          |  CASE WHEN s_zh >= greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+          |  CASE WHEN text IS NULL THEN NULL
+          |       WHEN s_zh >= greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
           |       WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
           |       WHEN s_es >= greatest(s_en, s_de) THEN 'es'
           |       WHEN s_en >= s_de THEN 'en'
@@ -1473,8 +1488,11 @@ object LlmOps {
         val sp = s
         import sp.implicits._
         val B = EmbedBlocks
-        // persist: scanned once per side of the pair join
+        // persist: scanned once per side of the pair join. NULL vectors
+        // are incomparable — excluded here exactly as the oracle's
+        // NULL-propagating `list_cosine_similarity >= thr` excludes them
         val tagged = embeddings(s, d)
+          .filter(col("embedding").isNotNull)
           .select(
             pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"),
             col("vec_id"), col("embedding"))
@@ -1544,7 +1562,7 @@ object LlmOps {
     // soundness + exact decision-rule equality spec'd in LlmOpsSpec.
     Q(
       "dedup_semantic",
-      (s, d) => semDedup(s, embeddings(s, d), IvfCentroids, CosineDupThreshold),
+      (s, d) => semDedup(s, embeddings(s, d).filter(col("embedding").isNotNull), IvfCentroids, CosineDupThreshold),
       None
     ),
     // ---- similarity search --------------------------------------------
@@ -1591,7 +1609,7 @@ object LlmOps {
     // rows-only check; recall vs the exact sim_cosine_topk is spec'd.
     Q(
       "sim_ann_ivf",
-      (s, d) => annIvf(s, embeddings(s, d), IvfCentroids, IvfProbes),
+      (s, d) => annIvf(s, embeddings(s, d).filter(col("embedding").isNotNull), IvfCentroids, IvfProbes),
       None
     ),
     // LSH-bucketed approximate nearest neighbors — the second ANN
@@ -1606,7 +1624,7 @@ object LlmOps {
     // rows-only check; recall vs sim_cosine_topk is spec'd.
     Q(
       "sim_ann_lsh",
-      (s, d) => annLsh(s, embeddings(s, d), LshBits, LshProbe),
+      (s, d) => annLsh(s, embeddings(s, d).filter(col("embedding").isNotNull), LshBits, LshProbe),
       None
     ),
     // Batched IVF ANN: approximate top-5 for EVERY query vector —
@@ -1616,7 +1634,7 @@ object LlmOps {
     // exact sim_knn_batch is spec'd (LlmOpsSpec).
     Q(
       "sim_ann_batch",
-      (s, d) => annIvfBatch(s, embeddings(s, d), IvfCentroids, IvfProbes, 5),
+      (s, d) => annIvfBatch(s, embeddings(s, d).filter(col("embedding").isNotNull), IvfCentroids, IvfProbes, 5),
       None
     ),
     // IVF-PQ ANN: probed IVF clusters ranked by product-quantized
@@ -1628,7 +1646,7 @@ object LlmOps {
     Q(
       "sim_ann_ivfpq",
       (s, d) =>
-        annIvfPq(s, embeddings(s, d), IvfCentroids, IvfProbes, PqM, PqSub, PqK, PqRerank),
+        annIvfPq(s, embeddings(s, d).filter(col("embedding").isNotNull), IvfCentroids, IvfProbes, PqM, PqSub, PqK, PqRerank),
       None
     ),
     // Batch exact kNN: top-5 neighbors for EVERY query vector (the
@@ -1645,7 +1663,10 @@ object LlmOps {
         val sp = s
         import sp.implicits._
         import graft.functions.{Scored, TopKAggregator}
-        val e = embeddings(s, d)
+        // NULL vectors can neither query nor be retrieved — the filter
+        // is mirrored in the oracle SQL (both sides would otherwise
+        // rank NULL scores, and a typed Scored.score cannot hold one)
+        val e = embeddings(s, d).filter(col("embedding").isNotNull)
         val queries = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val scored = e.filter(col("vec_id") % 100 =!= 0)
@@ -1674,10 +1695,11 @@ object LlmOps {
       },
       Some(
         """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-          |           FROM embeddings WHERE vec_id % 100 = 0),
+          |           FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL),
           |c AS (SELECT q.q_id, e.vec_id,
           |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
-          |      FROM embeddings e, q WHERE e.vec_id % 100 <> 0),
+          |      FROM embeddings e, q
+          |      WHERE e.vec_id % 100 <> 0 AND e.embedding IS NOT NULL),
           |r AS (SELECT q_id, vec_id, s,
           |        row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
           |      FROM c)
@@ -1992,6 +2014,7 @@ object LlmOps {
         import sp.implicits._
         multimodalFeaturesOn(
           documents(s, d)
+            .filter(col("text").isNotNull) // no blob → nothing to decode
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
             .as[(Long, Array[Byte])])
       },
@@ -2022,7 +2045,12 @@ object LlmOps {
         import org.apache.spark.sql.expressions.Window
         val blockSize = 4096L
         val base = documents(s, d)
-          .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
+          // NULL text → NULL token count (size() would report -1):
+          // the row keeps its (doc_id, lang) identity with NULL
+          // off/shard and contributes nothing to any prefix sum —
+          // exactly the oracle's len(string_split(NULL)) arithmetic
+          .withColumn("n_tok",
+            when(col("text").isNotNull, size(wsTokens(col("text")))).cast("long"))
           .withColumn("blk", intDiv(col("doc_id"), lit(blockSize)))
         val wPrev = Window.partitionBy("lang").orderBy("blk")
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -2034,7 +2062,14 @@ object LlmOps {
         val wIn = Window.partitionBy("lang", "blk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         base
-          .join(broadcast(blockBase), Seq("lang", "blk"))
+          // null-safe on lang: a NULL language is a real partition in
+          // the oracle's PARTITION BY lang — a plain equi-join would
+          // silently drop those documents
+          .join(broadcast(blockBase
+              .withColumnRenamed("lang", "__lang")
+              .withColumnRenamed("blk", "__blk")),
+            col("lang") <=> col("__lang") && col("blk") === col("__blk"))
+          .drop("__lang", "__blk")
           .withColumn("off", col("blk_off") + sum(col("n_tok")).over(wIn) - col("n_tok"))
           .select(
             col("doc_id"), col("lang"), col("n_tok"), col("off"),
@@ -2367,15 +2402,22 @@ object LlmOps {
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .map { case (id, text) =>
-            val (n, nd, topb) = TextKernels.repetitionStats(text)
-            (id, n, nd, topb)
+            // a NULL text keeps its doc row with NULL stats (the oracle's
+            // per-doc select does); -1 is the typed-tuple sentinel the
+            // projection below masks back to SQL NULL
+            if (text == null) (id, -1L, -1L, -1L)
+            else {
+              val (n, nd, topb) = TextKernels.repetitionStats(text)
+              (id, n, nd, topb)
+            }
           }
           .toDF("doc_id", "n", "nd", "topb")
           .select(
             col("doc_id"),
-            col("n").as("n_tok"),
-            (intDiv((col("n") - col("nd")) * lit(2000000L) + col("n"), col("n") * lit(2L))
-              .cast("double") / 1000000.0).as("dup_word_frac"),
+            when(col("n") >= 0, col("n")).as("n_tok"),
+            when(col("n") >= 0,
+              intDiv((col("n") - col("nd")) * lit(2000000L) + col("n"), col("n") * lit(2L))
+                .cast("double") / 1000000.0).as("dup_word_frac"),
             when(
               col("n") >= 2,
               intDiv(col("topb") * lit(2000000L) + (col("n") - lit(1L)), (col("n") - lit(1L)) * lit(2L))
@@ -2719,7 +2761,10 @@ object LlmOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val k = 8; val iters = 3; val S = 1000000L
-        val vecs = embeddings(s, d).select(
+        // clustering/encoding is over OBSERVED vectors — a NULL
+        // embedding has no cell/code and would poison the hash-ranked
+        // seed draw; excluded on both sides (round-13 NULL campaign)
+        val vecs = embeddings(s, d).filter(col("embedding").isNotNull).select(
           col("vec_id"),
           transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
             .as("q")
@@ -2765,7 +2810,7 @@ object LlmOps {
         """WITH v AS (SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-          |  FROM embeddings),
+          |  FROM embeddings WHERE embedding IS NOT NULL),
           |init AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell, q AS c
           |         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
           |p1 AS (SELECT v.vec_id, v.q, i.cell,
@@ -2823,7 +2868,10 @@ object LlmOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val m = 4L; val sd = 16; val k = 4; val S = 1000000L
-        val vecs = embeddings(s, d).select(
+        // clustering/encoding is over OBSERVED vectors — a NULL
+        // embedding has no cell/code and would poison the hash-ranked
+        // seed draw; excluded on both sides (round-13 NULL campaign)
+        val vecs = embeddings(s, d).filter(col("embedding").isNotNull).select(
           col("vec_id"),
           transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
             .as("q")
@@ -2879,7 +2927,7 @@ object LlmOps {
         """WITH v AS (SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-          |  FROM embeddings),
+          |  FROM embeddings WHERE embedding IS NOT NULL),
           |g AS (SELECT unnest(range(0, 4)) AS sub),
           |sv AS (SELECT vec_id, sub,
           |    list_transform(range(1, 17), j -> q[sub*16 + j]) AS sq FROM v, g),
@@ -3084,7 +3132,10 @@ object LlmOps {
         val GS = 1000000L // Gram rescale divisor
         val VG = 1000L // iteration-vector grid
         val KOFF = 2000L // iteration division offset (> VG)
-        val vecs = embeddings(s, d).select(
+        // clustering/encoding is over OBSERVED vectors — a NULL
+        // embedding has no cell/code and would poison the hash-ranked
+        // seed draw; excluded on both sides (round-13 NULL campaign)
+        val vecs = embeddings(s, d).filter(col("embedding").isNotNull).select(
           col("vec_id"),
           transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
             .as("q")
@@ -3169,7 +3220,7 @@ object LlmOps {
         """WITH v AS (SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-          |  FROM embeddings),
+          |  FROM embeddings WHERE embedding IS NOT NULL),
           |mm AS (SELECT dim,
           |    (CAST(sum(val) AS BIGINT) + count(*) * 1000000) // count(*) - 1000000 AS mq
           |  FROM (SELECT unnest(range(1, 65)) AS dim, unnest(q) AS val FROM v)

@@ -333,8 +333,8 @@ object Relational {
       },
       Some(
         """SELECT event_id, user_id,
-          |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value,
-          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id), 6) AS prev_value,
+          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg7
           |FROM events ORDER BY event_id""".stripMargin
       )
@@ -355,9 +355,9 @@ object Relational {
       },
       Some(
         """SELECT event_id, user_id,
-          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
-          |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
           |FROM events ORDER BY event_id""".stripMargin
       )
@@ -641,7 +641,7 @@ object Relational {
           |  round(cume_dist() OVER w, 6) AS cd,
           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
           |FROM orders
-          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey)
           |ORDER BY o_orderkey""".stripMargin
       )
     ),
@@ -1094,7 +1094,10 @@ object Relational {
     Q(
       "fn_map",
       (s, d) => {
+        // a NULL event_type is not a profile key (SQL maps reject NULL
+        // keys outright) — excluded on both sides
         val m = events(s, d)
+          .filter(col("event_type").isNotNull)
           .groupBy("user_id", "event_type")
           .agg(count(lit(1)).as("n"))
           .groupBy("user_id")
@@ -1117,7 +1120,7 @@ object Relational {
       },
       Some(
         """WITH c AS (SELECT user_id, event_type, count(*) AS n
-          |           FROM events GROUP BY 1, 2)
+          |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
           |       string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS profile
           |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin

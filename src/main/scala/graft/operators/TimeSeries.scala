@@ -44,7 +44,10 @@ object TimeSeries {
       forward: Boolean = false
   ): DataFrame = {
     val l = left.withColumn("__side", lit(1))
-    val r0 = right.select(
+    // a right row without a time can never satisfy rightTs <= / >=
+    // leftTs (ASOF comparisons over NULL are false) — and unfiltered it
+    // would ride the running last() into every later left row
+    val r0 = right.filter(col(rightTs).isNotNull).select(
       (col(key) +: col(rightTs).as("__ts") +:
         rightPayload.map { case (c, out) => col(c).as(s"__p_$out") }): _*
     )
@@ -83,7 +86,11 @@ object TimeSeries {
     }
     bounded
       .filter(col("__side") === 1)
-      .select((lCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }).toIndexedSeq: _*)
+      // a LEFT row without a time keeps its row (left join) but matches
+      // nothing — under the forward ordering (desc, Spark nulls last)
+      // it would otherwise see every right row as "after" it
+      .select((lCols.map(col) ++ rightPayload.map { case (_, out) =>
+        when(col(leftTs).isNotNull, col(out)).as(out) }).toIndexedSeq: _*)
   }
 
   /** Session gap: a new session starts after 30 idle minutes. */
@@ -122,10 +129,10 @@ object TimeSeries {
       Some(
         """WITH t AS (SELECT event_id, user_id, ts,
           |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id))
           |SELECT event_id, user_id, ts,
           |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           |FROM t ORDER BY event_id""".stripMargin
       )
@@ -151,10 +158,19 @@ object TimeSeries {
         events(s, d)
           .filter(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), unix_micros(col("ts")).as("tss"), col("event_type").as("et"))
-          .withColumn("has_v", max(when(col("et") === "view", 1)).over(w))
-          .withColumn("lvl2", when(col("et") === "click" && col("has_v") === 1, 1))
+          // NULL-time events count toward n_events and satisfy step 1
+          // (the oracle's l1 has no time predicate) but can neither
+          // qualify nor enable a WITHIN-W step: in the oracle every
+          // interval comparison over a NULL ts is false, while a Spark
+          // RANGE frame over a NULL ordering key sees its null PEERS —
+          // the tss guards keep the two formulations identical
+          .withColumn("has_v",
+            max(when(col("et") === "view" && col("tss").isNotNull, 1)).over(w))
+          .withColumn("lvl2",
+            when(col("et") === "click" && col("tss").isNotNull && col("has_v") === 1, 1))
           .withColumn("has_c2", max(col("lvl2")).over(w))
-          .withColumn("lvl3", when(col("et") === "purchase" && col("has_c2") === 1, 1))
+          .withColumn("lvl3",
+            when(col("et") === "purchase" && col("tss").isNotNull && col("has_c2") === 1, 1))
           .groupBy("user_id")
           .agg(
             count(lit(1)).as("n_events"),
@@ -218,7 +234,10 @@ object TimeSeries {
         // and pHigh=n div 2 are located in the cumulative count, then
         // averaged — distributed for any group size
         def histMedian(df: DataFrame, v: String, out: String): DataFrame = {
-          val hist = df.groupBy(col("event_type"), col(v))
+          // NULL values leave the histogram (quantile_cont ignores
+          // them); the caller's row counts still see the rows
+          val hist = df.filter(col(v).isNotNull)
+            .groupBy(col("event_type"), col(v))
             .agg(count(lit(1)).as("cnt"))
           val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
           val wCum = Window.partitionBy("event_type").orderBy(v)
@@ -347,10 +366,10 @@ object TimeSeries {
       Some(
         """WITH t AS (SELECT event_id, user_id, ts,
           |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)),
           |se AS (SELECT user_id, ts,
           |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sidx
           |  FROM t),
           |sess AS (SELECT user_id, sidx, min(ts) AS s, max(ts) AS e
@@ -386,6 +405,10 @@ object TimeSeries {
             min(unix_micros(col("ts"))).as("su"),
             max(unix_micros(col("ts"))).as("eu")
           )
+          // a session with no timestamped event (each NULL-ts event
+          // sessionizes alone: its gap is NULL ⇒ new session) has no
+          // concurrency interval — excluded on both sides
+          .filter(col("su").isNotNull)
         val deltas = sess
           .select(
             explode(
@@ -419,15 +442,16 @@ object TimeSeries {
       Some(
         """WITH t AS (SELECT event_id, user_id, ts,
           |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)),
           |se AS (SELECT user_id, ts,
           |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sidx
           |  FROM t),
           |sess AS (SELECT user_id, sidx,
           |         min(epoch_us(ts)) AS su, max(epoch_us(ts)) AS eu
-          |         FROM se GROUP BY user_id, sidx),
+          |         FROM se GROUP BY user_id, sidx
+          |         HAVING min(epoch_us(ts)) IS NOT NULL),
           |ev AS (SELECT su AS tsu, 1 AS d FROM sess
           |       UNION ALL SELECT eu + 1 AS tsu, -1 AS d FROM sess),
           |g AS (SELECT tsu, CAST(sum(d) AS BIGINT) AS delta FROM ev GROUP BY tsu)
@@ -699,7 +723,7 @@ object TimeSeries {
       },
       Some(
         """SELECT event_type, count(*) AS n,
-          |  round(list_reduce(list(value ORDER BY ts, event_id),
+          |  round(list_reduce(list(value ORDER BY ts NULLS FIRST, event_id),
           |                    (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
           |FROM events
           |WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
@@ -724,10 +748,18 @@ object TimeSeries {
       Some(
         """SELECT p.event_id, p.ts, p.user_id,
           |       c.event_id AS click_id, c.ts AS click_ts
-          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+          |ASOF LEFT JOIN (SELECT * FROM events
+          |                WHERE event_type = 'click' AND ts IS NOT NULL) c
           |  ON p.user_id = c.user_id AND p.ts >= c.ts
-          |ORDER BY p.event_id""".stripMargin
+          |UNION ALL
+          |SELECT event_id, ts, user_id, NULL, NULL FROM events
+          |WHERE event_type = 'purchase' AND ts IS NULL
+          |ORDER BY event_id""".stripMargin
+        // the explicit NULL-time split pins the engine's contract — a
+        // time-less row joins NOTHING (pandas merge_asof refuses NaT
+        // keys outright) — where DuckDB's ASOF sort quietly matches
+        // NULL to NULL, a comparison no SQL predicate would pass
       )
     ),
     // Forward as-of join — each purchase matched to the user's NEXT
@@ -751,10 +783,14 @@ object TimeSeries {
       Some(
         """SELECT p.event_id, p.ts, p.user_id,
           |       c.event_id AS click_id, c.ts AS click_ts
-          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+          |ASOF LEFT JOIN (SELECT * FROM events
+          |                WHERE event_type = 'click' AND ts IS NOT NULL) c
           |  ON p.user_id = c.user_id AND p.ts <= c.ts
-          |ORDER BY p.event_id""".stripMargin
+          |UNION ALL
+          |SELECT event_id, ts, user_id, NULL, NULL FROM events
+          |WHERE event_type = 'purchase' AND ts IS NULL
+          |ORDER BY event_id""".stripMargin
       )
     ),
     // As-of join, direction='nearest' — completes the pandas merge_asof
@@ -791,8 +827,10 @@ object TimeSeries {
           .orderBy("event_id")
       },
       Some(
-        """WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
-          |c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        """WITH p AS (SELECT event_id, ts, user_id FROM events
+          |           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+          |c AS (SELECT event_id, ts, user_id FROM events
+          |      WHERE event_type = 'click' AND ts IS NOT NULL),
           |b AS (SELECT p.event_id, c.event_id AS b_id, c.ts AS b_ts
           |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
           |f AS (SELECT p.event_id, c.event_id AS f_id, c.ts AS f_ts
@@ -805,7 +843,10 @@ object TimeSeries {
           |            OR epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts))
           |       THEN b.b_ts ELSE f.f_ts END AS click_ts
           |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
-          |ORDER BY p.event_id""".stripMargin
+          |UNION ALL
+          |SELECT event_id, ts, user_id, NULL, NULL FROM events
+          |WHERE event_type = 'purchase' AND ts IS NULL
+          |ORDER BY event_id""".stripMargin
       )
     ),
     // Interval/theta join: click→purchase attribution within 30 minutes.
@@ -861,13 +902,22 @@ object TimeSeries {
           .orderBy("day", "event_type")
       },
       Some(
-        """WITH b AS (
-          |  SELECT date_trunc('day', ts) AS day, event_type, value,
-          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
-          |                       ORDER BY ts, event_id) AS rn_a,
-          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        // the day key rides through an explicit CASE: DuckDB 1.0.0
+        // misfolds `date_trunc(ts) IS NULL` over parquet scans (null
+        // count lost in statistics propagation), which silently
+        // corrupts the windowed open/close of the NULL-day group —
+        // `ts IS NULL` on the raw column evaluates correctly
+        """WITH e2 AS (
+          |  SELECT CASE WHEN ts IS NULL THEN NULL
+          |              ELSE date_trunc('day', ts) END AS day,
+          |         event_type, value, ts, event_id FROM events),
+          |b AS (
+          |  SELECT day, event_type, value,
+          |    row_number() OVER (PARTITION BY day, event_type
+          |                       ORDER BY ts NULLS FIRST, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY day, event_type
           |                       ORDER BY ts DESC, event_id DESC) AS rn_d
-          |  FROM events)
+          |  FROM e2)
           |SELECT day, event_type,
           |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
           |       round(max(value), 6) AS high,
@@ -893,11 +943,14 @@ object TimeSeries {
           .select(
             date_trunc("day", col("ts")).as("day"),
             col("event_type"),
-            expr("unix_micros(ts) * 1000L").as("tsNanos"),
+            // NULL event times all land in the NULL-day group, where
+            // the sentinel makes ordering fall to event_id — the same
+            // comparison SQL makes over a constant-NULL ts partition
+            coalesce(expr("unix_micros(ts) * 1000L"), lit(Tick.NullTs)).as("tsNanos"),
             col("event_id"),
             col("value")
           )
-          .as[(java.sql.Timestamp, String, Long, Long, Double)]
+          .as[(java.sql.Timestamp, String, Long, Long, Option[Double])]
         ds.groupByKey(t => (t._1, t._2))
           .mapValues(t => Tick(t._3, t._4, t._5))
           .agg(OhlcAggregator.toColumn.name("ohlc"))
@@ -914,13 +967,22 @@ object TimeSeries {
           .orderBy("day", "event_type")
       },
       Some(
-        """WITH b AS (
-          |  SELECT date_trunc('day', ts) AS day, event_type, value,
-          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
-          |                       ORDER BY ts, event_id) AS rn_a,
-          |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        // the day key rides through an explicit CASE: DuckDB 1.0.0
+        // misfolds `date_trunc(ts) IS NULL` over parquet scans (null
+        // count lost in statistics propagation), which silently
+        // corrupts the windowed open/close of the NULL-day group —
+        // `ts IS NULL` on the raw column evaluates correctly
+        """WITH e2 AS (
+          |  SELECT CASE WHEN ts IS NULL THEN NULL
+          |              ELSE date_trunc('day', ts) END AS day,
+          |         event_type, value, ts, event_id FROM events),
+          |b AS (
+          |  SELECT day, event_type, value,
+          |    row_number() OVER (PARTITION BY day, event_type
+          |                       ORDER BY ts NULLS FIRST, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY day, event_type
           |                       ORDER BY ts DESC, event_id DESC) AS rn_d
-          |  FROM events)
+          |  FROM e2)
           |SELECT day, event_type,
           |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
           |       round(max(value), 6) AS high,
@@ -963,7 +1025,7 @@ object TimeSeries {
         """WITH t AS (SELECT event_id, user_id, ts, value,
           |  CAST(round(value*100) AS BIGINT) AS c,
           |  lag(CAST(round(value*100) AS BIGINT)) OVER
-          |    (PARTITION BY user_id ORDER BY ts, event_id) AS p
+          |    (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS p
           |  FROM events)
           |SELECT event_id, user_id, ts, value,
           |  (c - p) / 100.0 AS diff,
@@ -1059,13 +1121,18 @@ object TimeSeries {
         """WITH j AS (
           |  SELECT p.event_id, p.ts, p.user_id,
           |         c.event_id AS cid, c.ts AS cts
-          |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-          |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+          |  ASOF LEFT JOIN (SELECT * FROM events
+          |                  WHERE event_type = 'click' AND ts IS NOT NULL) c
           |    ON p.user_id = c.user_id AND p.ts >= c.ts)
           |SELECT event_id, ts, user_id,
           |  CASE WHEN cts >= ts - INTERVAL 30 MINUTE THEN cid END AS click_id,
           |  CASE WHEN cts >= ts - INTERVAL 30 MINUTE THEN cts END AS click_ts
-          |FROM j ORDER BY event_id""".stripMargin
+          |FROM j
+          |UNION ALL
+          |SELECT event_id, ts, user_id, NULL, NULL FROM events
+          |WHERE event_type = 'purchase' AND ts IS NULL
+          |ORDER BY event_id""".stripMargin
       )
     )
   )

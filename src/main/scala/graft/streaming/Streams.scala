@@ -26,13 +26,17 @@ case class ZEvent(
   * (epoch-µs, cents), oldest first. */
 case class ZBuf(tss: Array[Long], cents: Array[Long])
 
-/** Typed event row for the custom-state operator. */
+/** Typed event row for the custom-state operator. `value` is an Option
+  * — SQL semantics for a nullable column (a primitive field would
+  * NOT_NULL_ASSERT the whole batch on the first NULL; round-13
+  * NULL-robustness campaign).
+  */
 case class EventRow(
     event_id: Long,
     ts: java.sql.Timestamp,
     user_id: Long,
     event_type: String,
-    value: Double
+    value: Option[Double]
 )
 
 /** Per-user running aggregate carried in the state store. */
@@ -241,7 +245,9 @@ object Streams {
         (uid: Long, it: Iterator[EventRow], state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
           var n = 0L
           var sum = 0.0
-          it.foreach { e => n += 1; sum += e.value }
+          // SQL running-sum semantics: count every row, sum the
+          // observed values (a NULL contributes nothing)
+          it.foreach { e => n += 1; sum += e.value.getOrElse(0.0) }
           val prev = state.getOption.getOrElse(UserState(0L, 0.0))
           val next = UserState(prev.n + n, prev.sum + sum)
           state.update(next)
@@ -303,6 +309,7 @@ object Streams {
     import graft.operators.LlmOps
     val (k, rpb) = (LlmOps.ShingleK, LlmOps.RowsPerBand)
     val sigs = docs
+      .filter(col("text").isNotNull) // null text: no shingles, no bands
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -395,6 +402,9 @@ object Streams {
     val Slack = 3600000000L // tolerated cross-batch event-time disorder
     val typed = events
       .filter(col("event_type").isin("view", "click", "purchase"))
+      // an event-time state machine cannot place a NULL-time event in
+      // any window — dropped at ingestion (round-13 NULL robustness)
+      .filter(col("ts").isNotNull)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventRow]
     typed
@@ -488,6 +498,9 @@ object Streams {
     import sp.implicits._
     val windowUs = 3600000000L
     val typed = events
+      // the z-score machine needs an event time AND a value; rows
+      // lacking either carry no information it can use (round-13)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(
         col("event_id"), col("user_id"), col("ts"),
         expr("unix_micros(ts)").as("tss"),
@@ -657,6 +670,9 @@ object Streams {
     import sp.implicits._
     import graft.functions.{Scored, TopKAggregator}
     events
+      // top-k of observed (hour, value) pairs: a row without a time
+      // has no hour, one without a value has no rank (round-13)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(
         unix_timestamp(date_trunc("hour", col("ts"))).as("qId"),
         col("value").as("score"),

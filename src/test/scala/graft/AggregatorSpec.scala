@@ -16,10 +16,10 @@ class AggregatorSpec extends AnyFunSuite {
     val ds = e.select(
       date_trunc("day", col("ts")).as("day"),
       col("event_type"),
-      expr("unix_micros(ts) * 1000L").as("tsNanos"),
+      coalesce(expr("unix_micros(ts) * 1000L"), lit(Tick.NullTs)).as("tsNanos"),
       col("event_id"),
       col("value")
-    ).as[(java.sql.Timestamp, String, Long, Long, Double)]
+    ).as[(java.sql.Timestamp, String, Long, Long, Option[Double])]
     val agg = ds
       .groupByKey(t => (t._1, t._2))
       .mapValues(t => Tick(t._3, t._4, t._5))
