@@ -3164,6 +3164,12 @@ object LlmOps {
         val grow = {
           val sp = s
           import sp.implicits._
+          // a GLOBAL typed aggregation emits its zero buffer even over
+          // EMPTY input — a 64x64 all-zero Gram that would fabricate 64
+          // loadings from no data (the oracle's FROM-joins propagate
+          // emptiness instead). The one-row marker keeps the pipelines
+          // agreeing: no vectors, no Gram rows.
+          val nz = vecs.limit(1).select(lit(1).as("__nz"))
           centered
             .select(col("cq"))
             .as[Array[Long]]
@@ -3182,6 +3188,8 @@ object LlmOps {
                 _.getField("g")
               ).as("garr")
             )
+            .crossJoin(broadcast(nz))
+            .drop("__nz")
         }
         def step(vRow: DataFrame): DataFrame = {
           val w = grow

@@ -243,6 +243,10 @@ object Relational {
           .orderBy("event_type"),
       None
     ),
+    // rollup/cube/grouping-sets oracles carry HAVING count(*) > 0 — a
+    // no-op on every observed group, pinning Spark's empty-input
+    // semantics (no grand-total row over zero rows) where DuckDB/
+    // Postgres emit a count-0 () row. Groups exist only for data.
     Q(
       "agg_rollup",
       (s, d) =>
@@ -254,6 +258,7 @@ object Relational {
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
           |       count(*) AS n
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |HAVING count(*) > 0
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
       )
     ),
@@ -268,6 +273,7 @@ object Relational {
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
           |       count(*) AS n
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |HAVING count(*) > 0
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
       )
     ),
@@ -290,6 +296,7 @@ object Relational {
           |       count(*) AS n
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |HAVING count(*) > 0
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
       )
     ),

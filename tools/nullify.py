@@ -44,6 +44,18 @@ def gate(table, col, i, bp):
     return int.from_bytes(h[:4], "big") % 10000 < bp
 
 
+def main_empty(src, dst):
+    """--empty: zero-row copies with identical schemas — the degenerate
+    corpus every query must survive (and agree with DuckDB on)."""
+    import os
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), f"{dst}/{t}.parquet")
+        print(f"[nullify] {t}: empty")
+    print(f"[nullify] wrote {dst} (empty)")
+
+
 def main(src, dst):
     import os
     os.makedirs(dst, exist_ok=True)
@@ -78,4 +90,7 @@ def main(src, dst):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if sys.argv[1] == "--empty":
+        main_empty(sys.argv[2], sys.argv[3])
+    else:
+        main(sys.argv[1], sys.argv[2])
