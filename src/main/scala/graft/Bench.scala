@@ -48,7 +48,49 @@ object Bench {
     "corpus_mix_temperature"
   )
 
+  /** 1/5/15-minute load averages, (-1,-1,-1) if unreadable. Stamped
+    * into the artifact so a load-contaminated run is machine-visible
+    * (r12 and r13 both shipped official BENCH artifacts skewed by
+    * ambient load that only prose in BASELINE.md corrected).
+    */
+  def loadavg(): (Double, Double, Double) =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+
+  /** Warm spread of a sample list: max/min over the post-warm-up
+    * samples (drop sample 1 — it pays one-time janino codegen), and
+    * when re-sampling has extended the list, over the most recent
+    * window only (the retries exist to measure PAST the ambient
+    * spike; folding the contaminated early samples back in would make
+    * the retry pointless). Window = last max(2, n-1) of the warm tail.
+    */
+  def warmSpread(ss: Seq[Double], baseSamples: Int): Double = {
+    if (ss.size < 2) return 1.0
+    val warm = if (ss.size >= 3) ss.drop(1) else ss
+    val win = warm.takeRight(math.max(2, baseSamples - 1))
+    win.max / win.min
+  }
+
   def main(args: Array[String]): Unit = {
+    // settle loop: ambient load from an immediately-preceding job (the
+    // driver runs verify right before bench; sbt's own JIT counts too)
+    // decays with the 1-minute loadavg constant — waiting it out
+    // PREVENTS contamination instead of only flagging it. Genuinely
+    // external load does not decay: the loop gives up after 90 s and
+    // the calm bit reports the truth.
+    val loadRaw = loadavg()
+    var loadStart = loadRaw
+    var settleMs = 0L
+    val settleBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "90000").toLong
+    while (loadStart._1 >= 1.0 && settleMs < settleBudget) {
+      Thread.sleep(5000); settleMs += 5000; loadStart = loadavg()
+    }
+    if (settleMs > 0)
+      System.err.println(
+        f"[bench] settled ${settleMs / 1000}%d s: load ${loadRaw._1}%.2f -> ${loadStart._1}%.2f")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -100,27 +142,44 @@ object Bench {
     // the 999 s penalty sentinel (loud in any baseline ratio) instead
     // of a silent fake.
     val FailedQuery = 999.0
+    // spread-triggered re-sampling: when a query's warm spread exceeds
+    // 2x (ambient load hit one of its samples), take up to maxResamples
+    // extra samples after a LONGER settle so the spike can pass, and
+    // judge calmness on the most recent window (see warmSpread). The
+    // min over ALL successful samples stays the reported time — load
+    // only ever inflates a sample, never deflates it.
+    val maxResamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLES", "2").toInt
+    val resampled = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def oneSample(name: String, settleMs: Long): Option[Double] = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(settleMs) // settle: let GC/compilation/background IO drain
+      val t0 = System.nanoTime()
+      val ok =
+        try { materialize(name); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
     def timeSet(names: Seq[String]): Seq[(String, Seq[Double])] = names.map { name =>
-      val samples: Seq[Double] = (1 to nSamples).flatMap { _ =>
-        spark.catalog.clearCache()
-        System.gc()
-        Thread.sleep(200) // settle: let GC/compilation/background IO drain
-        val t0 = System.nanoTime()
-        val ok =
-          try { materialize(name); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      var samples: Seq[Double] = (1 to nSamples).flatMap(_ => oneSample(name, 200))
+      var retries = 0
+      while (samples.nonEmpty && warmSpread(samples, nSamples) > 2.0 && retries < maxResamples) {
+        retries += 1
+        System.err.println(
+          f"[bench] $name%-22s warm spread ${warmSpread(samples, nSamples)}%.2fx > 2 — re-sampling ($retries/$maxResamples)")
+        samples = samples ++ oneSample(name, 1000)
       }
+      if (retries > 0) resampled(name) = retries
       if (samples.isEmpty) {
         System.err.println(f"[bench] $name%-22s ALL SAMPLES FAILED — recording $FailedQuery%.0f")
         name -> Seq(FailedQuery)
       } else {
         System.err.println(
           f"[bench] $name%-22s min=${samples.min}%.3fs max=${samples.max}%.3fs " +
-            f"spread=${samples.max / samples.min}%.2fx samples=" +
+            f"spread=${samples.max / samples.min}%.2fx warm=${warmSpread(samples, nSamples)}%.2fx samples=" +
             samples.map(v => f"$v%.3f").mkString("[", ",", "]"))
         name -> samples
       }
@@ -183,12 +242,19 @@ object Bench {
           // footer-answered LocalRelation (FooterRangeAggregates) and a
           // newest-k as a bucket-suffix TopN read — both timings are
           // dominated by the planning-path metadata work they exist to
-          // measure, so a regression in either path shows in BENCH_rN
-          val table = spark.read.format("graft")
-            .option("item", "events").load(tmpDir.toString)
+          // measure, so a regression in either path shows in BENCH_rN.
+          // load() itself sits inside the guard: a broken store dir
+          // (wOk=false) throwing here must degrade these two ops to
+          // FailedQuery, not abort the whole bench run
+          val table: Option[org.apache.spark.sql.DataFrame] =
+            if (!wOk) None
+            else try Some(spark.read.format("graft")
+              .option("item", "events").load(tmpDir.toString))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] graft table load failed: ${e.getMessage}"); None }
           val t2 = System.nanoTime()
-          val fOk = wOk && (try {
-            table.createOrReplaceTempView("bench_events")
+          val fOk = table.isDefined && (try {
+            table.get.createOrReplaceTempView("bench_events")
             spark.sql(
               "SELECT count(*) AS c, min(TS) AS lo, max(TS) AS hi FROM bench_events " +
                 "WHERE TS >= '2024-01-10' AND TS < '2024-01-20'").collect()
@@ -197,8 +263,8 @@ object Bench {
             System.err.println(s"[bench] footer_count_range sample failed: ${e.getMessage}"); false })
           val tf = (System.nanoTime() - t2) / 1e9
           val t3 = System.nanoTime()
-          val nOk = wOk && (try {
-            table.orderBy(org.apache.spark.sql.functions.col("TS").desc)
+          val nOk = table.isDefined && (try {
+            table.get.orderBy(org.apache.spark.sql.functions.col("TS").desc)
               .limit(100).write.mode("overwrite").format("noop").save()
             true
           } catch { case e: Throwable =>
@@ -252,11 +318,11 @@ object Bench {
     // idle box and cannot distinguish a calm window from a contaminated
     // one. Warm spread is the ambient-noise indicator: two steady-state
     // runs of the same plan differ only by what the box is doing.
+    // After spread-triggered re-sampling it is the RECENT window (see
+    // warmSpread) — the post-spike reading, which is the one that
+    // adjudicates calmness.
     val warmSpreads = (allSamples ++ extSamples)
-      .map { case (k, ss) =>
-        val warm = if (ss.size >= 3) ss.drop(1) else ss
-        "\"" + k + "\":" + f"${warm.max / warm.min}%.2f"
-      }
+      .map { case (k, ss) => "\"" + k + "\":" + f"${warmSpread(ss, nSamples)}%.2f" }
       .mkString("{", ",", "}")
     val ext = (extResults ++ scanPathResults)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -266,13 +332,45 @@ object Bench {
     // never diluted by ops the baseline predates
     val total = f"${(results ++ storeResults).map(_._2).sum}%.3f"
     val extTotal = f"${(extResults ++ scanPathResults).map(_._2).sum}%.3f"
+    // self-adjudication (r13 verdict task #1): the artifact itself says
+    // whether its numbers were taken in a calm window. Criteria:
+    //   (a) post-settle ambient load under 1.5 on the 1-minute average
+    //       (the settle loop already waited out decaying self-load; what
+    //       remains is genuinely external), and
+    //   (b) after spread-triggered re-sampling, at most 5% of queries
+    //       still show a warm spread > 2x (an idle box leaves a couple
+    //       of sub-second constant-dominated queries jittery; a loaded
+    //       box leaves dozens).
+    // calm=false means: trust the mins with caution and prefer a rerun.
+    val loadEnd = loadavg()
+    val flagged = (allSamples ++ extSamples)
+      .filter { case (_, ss) => warmSpread(ss, nSamples) > 2.0 }
+      .map(_._1)
+    val nTimed = (allSamples ++ extSamples).size
+    val calm = loadStart._1 >= 0 && loadStart._1 < 1.5 &&
+      (nTimed == 0 || flagged.size.toDouble / nTimed <= 0.05)
+    if (flagged.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: warm spread still > 2x after re-sampling on: ${flagged.mkString(", ")}")
+    System.err.println(
+      f"[bench] calm=$calm load_start=${loadStart._1}%.2f/${loadStart._2}%.2f/${loadStart._3}%.2f " +
+        f"load_end=${loadEnd._1}%.2f/${loadEnd._2}%.2f/${loadEnd._3}%.2f " +
+        s"flagged=${flagged.size}/$nTimed resampled=${resampled.size}")
+    def loadJson(l: (Double, Double, Double)) = f"[${l._1}%.2f,${l._2}%.2f,${l._3}%.2f]"
+    val resampledJson = resampled
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the small always-survives summary line carries only the verdict
+    // bits; the full flagged/resampled detail rides the big line
+    val calmJsonShort = s""""calm":$calm,"loadavg_raw":${loadJson(loadRaw)},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"settle_sec":${settleMs / 1000},"spread_flagged_n":${flagged.size}"""
+    val calmJson = s"""$calmJsonShort,"resampled":$resampledJson,"spread_flagged":$flaggedJson"""
     // Short summary line FIRST: the full detail line can run to several
     // KB and has overflowed the driver's tail capture (BENCH_r07/r08
     // recorded "parsed": null), so the headline total goes out on its
     // own small line that always survives truncation; the detail line
     // with per-query timings follows for humans and deep tooling.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,"sf":"$sfDir"}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"spread_warm":$warmSpreads,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,$calmJsonShort,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"spread_warm":$warmSpreads,$calmJson,"sf":"$sfDir"}"""
     // summary printed both before AND after the detail line: whichever
     // end of the stream the capture keeps, a parseable total survives
     // (both carry the same value, so last-wins / first-wins both work)

@@ -764,6 +764,56 @@ object LlmOps {
       .toDF("doc_id", "shs", "sig", "bkeys")
   }
 
+  /** Shared pipeline of dedup_minhash and dedup_minhash_pairs: banded
+    * LSH candidates, exact-Jaccard verify, both the sketch estimate
+    * (est_raw) and the exact jacc_raw kept so each query id projects
+    * what it needs.
+    */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    // persist: the signature table feeds the band-key explode plus
+    // both sides of the verify payload join
+    val sigs = minhashSigs(s, d).persist()
+    // distinct() after the band join is deliberate: a first-match-only
+    // variant (carry the full bkeys array on both sides, keep a pair
+    // only at its first matching band) was measured SLOWER at sf0.1
+    // (0.84 vs 0.60 s) AND at the 10x clone stress (8.0 vs 4.7 s) —
+    // the join still produces every duplicate match before the filter,
+    // so it saves only the distinct exchange while paying Bands× wider
+    // shuffle inputs + a 28-comparison predicate per joined row.
+    // (PLANS.md "first-match-only candidate emission" for the
+    // experiment; the simhash variant lost even harder at 100x.)
+    val bandsDf = sigs.select(col("doc_id"), explode(col("bkeys")).as("bkey"))
+    val cand = bandsDf
+      .as("x")
+      .join(
+        bandsDf.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id")
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verify as a per-pair merge kernel over the two
+    // sorted shingle-hash sets (collision-free at 64 bits for any
+    // real corpus) — replaces two relational intersection joins
+    val thr = JaccardThreshold
+    val perms = MinhashPerms
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .flatMap { case (a, b, sa, sb, ga, gb) =>
+        val inter = TextKernels.intersectCount(sa, sb)
+        val uni = sa.length + sb.length - inter
+        val jacc = if (uni == 0) 0.0 else inter.toDouble / uni
+        if (jacc >= thr)
+          Iterator.single((a, b, TextKernels.sigAgreement(ga, gb).toDouble / perms, jacc))
+        else Iterator.empty
+      }
+      .toDF("doc_a", "doc_b", "est_raw", "jacc_raw")
+  }
+
   /** (doc_id, sig): 64-bit SimHash per doc — bit j set iff more than
     * half the xxhash64'd regex tokens have bit j set. One narrow kernel
     * stage ([[TextKernels.simhashSig]]); bit-identical to the former
@@ -1144,57 +1194,47 @@ object LlmOps {
     // cross-checked by dedup_ngram.
     Q(
       "dedup_minhash",
-      (s, d) => {
-        val sp = s
-        import sp.implicits._
-        // persist: the signature table feeds the band-key explode plus
-        // both sides of the verify payload join
-        val sigs = minhashSigs(s, d).persist()
-        // distinct() after the band join is deliberate: a first-match-only
-        // variant (carry the full bkeys array on both sides, keep a pair
-        // only at its first matching band) was measured SLOWER at sf0.1
-        // (0.84 vs 0.60 s) AND at the 10x clone stress (8.0 vs 4.7 s) —
-        // the join still produces every duplicate match before the filter,
-        // so it saves only the distinct exchange while paying Bands× wider
-        // shuffle inputs + a 28-comparison predicate per joined row.
-        // (PLANS.md "first-match-only candidate emission" for the
-        // experiment; the simhash variant lost even harder at 100x.)
-        val bandsDf = sigs.select(col("doc_id"), explode(col("bkeys")).as("bkey"))
-        val cand = bandsDf
-          .as("x")
-          .join(
-            bandsDf.as("y"),
-            col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id")
-          )
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // exact-Jaccard verify as a per-pair merge kernel over the two
-        // sorted shingle-hash sets (collision-free at 64 bits for any
-        // real corpus) — replaces two relational intersection joins
-        val thr = JaccardThreshold
-        val perms = MinhashPerms
-        cand
-          .join(sigs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"), col("sig").as("sig_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"), col("sig_a"), col("sig_b"))
-          .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
-          .flatMap { case (a, b, sa, sb, ga, gb) =>
-            val inter = TextKernels.intersectCount(sa, sb)
-            val uni = sa.length + sb.length - inter
-            val jacc = if (uni == 0) 0.0 else inter.toDouble / uni
-            if (jacc >= thr)
-              Iterator.single((a, b, TextKernels.sigAgreement(ga, gb).toDouble / perms, jacc))
-            else Iterator.empty
-          }
-          .toDF("doc_a", "doc_b", "est_raw", "jacc_raw")
+      (s, d) =>
+        minhashVerifiedPairs(s, d)
           .select(
             col("doc_a"), col("doc_b"),
             round(col("est_raw"), 6).as("est_jaccard"),
             round(col("jacc_raw"), 6).as("jacc")
           )
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       None
+    ),
+    // The ORACLE-ELIGIBLE projection of dedup_minhash (r13 verdict
+    // task #3): the sketch-dependent est_jaccard column is what blocked
+    // a DuckDB oracle — the {doc_a, doc_b, jacc} half is exact (the
+    // verify kernel computes true shingle Jaccard), so it gets the
+    // dedup_ngram SQL shape as its oracle. This also asserts empirical
+    // FULL RECALL of the 8x8 banding on the test corpora (verified on
+    // sf0.01 + NULL + empty before registration: pair sets and jacc
+    // values byte-identical to dedup_ngram's oracle-green output);
+    // recall is deterministic per corpus (fixed hashes), so this is a
+    // stable regression gate, while the probabilistic >= 0.8 recall
+    // SPEC on adversarial corpora stays with dedup_minhash itself.
+    Q(
+      "dedup_minhash_pairs",
+      (s, d) =>
+        minhashVerifiedPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 6).as("jacc"))
+          .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |        list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
+           |          i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS sh
+           |      FROM t WHERE len(toks) >= $ShingleK)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+           |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jacc
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+           |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
+      )
     ),
     // SimHash near-dup pairs: 64-bit signature, 4×16-bit band keys
     // (pigeonhole: Hamming ≤ 3 ⇒ some band equal), verify bit_count(xor).
@@ -2180,15 +2220,29 @@ object LlmOps {
         // admitted while each candidate is provably unchanged by every
         // earlier admission (no side equals an earlier a as d, an
         // earlier b as c, or an earlier concat) AND its count strictly
-        // exceeds Cmax = the largest count any created pair can reach
-        // (max over collected pairs of form (·,aⱼ)/(bⱼ,·), and the
-        // 64th count as the horizon for pairs below the collection).
-        // Then every non-admitted pair still ranks after it at its
-        // turn — unchanged pairs keep exact counts and tie-break
-        // order, decreased pairs only fall, created pairs sit under
-        // Cmax — so the sequential argmax sequence IS the prefix. The
-        // first unprovable candidate stops the batch; worst case
-        // degenerates to the sequential one-per-round.
+        // exceeds the post-merge ceiling of every other pair. Two
+        // classes bound that ceiling: (1) PURELY-CREATED pairs —
+        // (x,ab), (ab,y), (ab,ab), cross-batch (a₁b₁,a₂b₂) — each
+        // created occurrence maps injectively to an occurrence of some
+        // old pair of form (·,aⱼ)/(bⱼ,·), so created ≤ Cmax = max over
+        // collected pairs of those forms (64th count as the horizon
+        // for pairs below the collection); (2) COLLIDED pairs — a
+        // pre-existing pair whose side string already EQUALS an
+        // admitted concat (the token "ab" existed before merging
+        // (a,b), e.g. from an earlier level) keeps its old count AND
+        // gains created occurrences, so its ceiling is old + Cmax with
+        // old ≤ CollisionOld = max(its collected count, horizon if
+        // uncollected). The admission bar is therefore
+        // n > CollisionOld + Cmax — without the collision term a
+        // collided pair's old+created could outrank a later-admitted
+        // candidate and the learned merge list would silently diverge
+        // from the sequential trainer's. Then every non-admitted pair
+        // still ranks after the prefix at its turn — unchanged pairs
+        // keep exact counts and tie-break order, decreased pairs only
+        // fall, created/collided pairs sit under the ceiling — so the
+        // sequential argmax sequence IS the prefix. The first
+        // unprovable candidate stops the batch; worst case degenerates
+        // to the sequential one-per-round.
         while (level < mergeLevels && !exhausted) {
           val bcRanks = s.sparkContext.broadcast(merges.toMap)
           val top = vds
@@ -2220,13 +2274,24 @@ object LlmOps {
               .filter { case (pk, c, d, _) =>
                 !admitted.contains(pk) && (lefts.contains(d) || rights.contains(c)) }
               .map(_._4).foldLeft(horizon)(math.max)
+            // old-count ceiling of pairs whose side equals an admitted
+            // concat (may be boosted by created occurrences on top of
+            // a PRE-EXISTING count): their collected count if in the
+            // table, the horizon if below it — existence of an
+            // uncollected collided pair can't be ruled out driver-side,
+            // so the horizon floor is unconditional
+            def collisionOld: Long = split.iterator
+              .filter { case (pk, c, d, _) =>
+                !admitted.contains(pk) && (concats.contains(c) || concats.contains(d)) }
+              .map(_._4).foldLeft(horizon)(math.max)
             var stopped = false
             var took = 0
             split.foreach { case (pk, a, b, n) =>
               if (!stopped && level < mergeLevels) {
                 val unchanged = admitted.isEmpty ||
                   (!lefts.contains(b) && !rights.contains(a) &&
-                    !concats.contains(a) && !concats.contains(b) && n > cmax)
+                    !concats.contains(a) && !concats.contains(b) &&
+                    n > collisionOld + cmax)
                 if (unchanged) {
                   merges(pk) = level; level += 1; took += 1
                   admitted += pk; lefts += a; rights += b; concats += (a + b)

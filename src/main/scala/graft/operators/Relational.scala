@@ -692,8 +692,14 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, 0)
         val inRank = (r: org.apache.spark.sql.Column) =>
           r.between(col("cum") - col("cnt"), col("cum") - 1)
+        // joins on the group key are NULL-SAFE (<=>): the oracle is a
+        // bare GROUP BY, which keeps a NULL l_returnflag group and
+        // computes its real median — a plain equi-join would strand
+        // that group's histogram rows and report med=NULL instead
         val med = hist
-          .join(broadcast(n), "l_returnflag")
+          .join(broadcast(n.withColumnRenamed("l_returnflag", "rf")),
+            col("l_returnflag") <=> col("rf"))
+          .drop("rf")
           .withColumn("cum", sum(col("cnt")).over(wCum))
           .groupBy("l_returnflag")
           .agg(
@@ -706,9 +712,26 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(
             round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
-            round(expr("corr(l_quantity, l_extendedprice)"), 6).as("co"),
+            // corr via try_divide(covar_samp, sd*sd) — mathematically
+            // identical to corr() (the (n-1) factors cancel) but a
+            // ZERO-VARIANCE group yields NULL instead of ANSI corr()'s
+            // DIVIDE_BY_ZERO, which would crash the whole query on one
+            // constant-valued group (DuckDB's corr returns NULL there).
+            // The stddev moments are restricted to PAIRWISE-complete
+            // rows (both sides non-NULL) — corr()'s own semantics —
+            // else a row NULL in only one column skews the denominator
+            round(expr(
+              "try_divide(covar_samp(l_quantity, l_extendedprice), " +
+                "stddev_samp(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END) * " +
+                "stddev_samp(CASE WHEN l_quantity IS NOT NULL THEN l_extendedprice END))"), 6).as("co"),
             count(lit(1)).as("n"))
-          .join(broadcast(med), "l_returnflag")
+          // LEFT + null-safe join: a group whose prices are all NULL has
+          // no histogram rows (med absent), but the oracle keeps the
+          // group with med=NULL and n=count(*) — an inner join would
+          // drop it; and a NULL flag group must still find its median
+          .join(broadcast(med.withColumnRenamed("l_returnflag", "rf")),
+            col("l_returnflag") <=> col("rf"), "left")
+          .drop("rf")
           .select(col("l_returnflag"), col("sd"), col("co"), col("med"), col("n"))
           .orderBy("l_returnflag")
       },

@@ -254,17 +254,30 @@ object TimeSeries {
             )
             .select(col("event_type"), ((col("vlo") + col("vhi")) / 2.0).as(out))
         }
+        // NULL event_type rows are dropped UP FRONT: the oracle's
+        // `b JOIN m USING (event_type)` never matches a NULL key
+        // (NULL != NULL in join predicates on both engines), so the
+        // NULL-type group is absent from its output — an explicit
+        // filter states that semantics instead of relying on it
+        // falling out of an inner join's NULL-key behavior
         val base = events(s, d)
+          .filter(col("event_type").isNotNull)
           .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
         val med = histMedian(base, "c", "med")
         // deviations on the half-cent grid: med is integer or exact .5,
-        // so 2·|c − med| is integral and the MAD histogram stays BIGINT
+        // so 2·|c − med| is integral and the MAD histogram stays BIGINT.
+        // LEFT joins throughout: a group whose values are all NULL has no
+        // histogram rows (med/m2 absent), but the oracle keeps the group
+        // with NULL med/mad and n_outliers=0 — inner joins would drop it.
+        // d2 needs no explicit NULL-med guard: c and med are both NULL
+        // for such a group, so d2 propagates NULL and the outlier CASE
+        // (NULL > …) is false on both engines.
         val dev = base
-          .join(broadcast(med), "event_type")
+          .join(broadcast(med), Seq("event_type"), "left")
           .withColumn("d2", abs(col("c") * 2 - (col("med") * 2).cast("long")))
         val mad2 = histMedian(dev.select(col("event_type"), col("d2")), "d2", "m2")
         dev
-          .join(broadcast(mad2), "event_type")
+          .join(broadcast(mad2), Seq("event_type"), "left")
           .groupBy("event_type")
           .agg(
             (max(col("med")) / 100.0).as("med_val"),

@@ -857,6 +857,58 @@ class LlmOpsSpec extends AnyFunSuite {
     // BPE compresses: strictly fewer tokens than characters overall
     val totalChars = allWords.map(_.length.toLong).sum
     assert(got.map(_._3).sum < totalChars)
+
+    // adversarial collision corpus (round-14 ADVICE): run-of-same-letter
+    // and alternating words make early merges' CONCAT strings ("aa",
+    // "abab", …) reappear as real tokens and pair sides in later
+    // recounts — the exact case where batched admission must charge a
+    // collided pair its OLD count + created bound, or the learned list
+    // silently diverges from the sequential trainer's
+    val advWords = Seq(
+      "aaaa" -> 40, "aaaaaaaa" -> 25, "aa" -> 30, "aaa" -> 20,
+      "abab" -> 35, "ababab" -> 22, "ab" -> 18,
+      "bcbcbc" -> 15, "bcbc" -> 12, "aabb" -> 10, "baba" -> 8, "caab" -> 5
+    )
+    val advDocs = advWords.zipWithIndex.map { case ((w, rep), i) =>
+      (i.toLong, Seq.fill(rep)(w).mkString(" "))
+    }
+    val advDir = java.nio.file.Files.createTempDirectory("graft-bpe-adv").toString
+    import org.apache.spark.sql.functions.{col, length, lit}
+    advDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("syn").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$advDir/documents.parquet")
+    val advFreq = advWords.map { case (w, rep) => (w, rep.toLong) }.toMap
+    var advRanks = Map.empty[String, Int]
+    var advLevel = 0
+    var advDone = false
+    while (advLevel < K && !advDone) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      advFreq.foreach { case (w, f) =>
+        val segs = encode(w, advRanks)
+        segs.zip(segs.drop(1)).foreach { case (a, b) =>
+          val key = bpePairKey(a, b)
+          counts(key) = counts.getOrElse(key, 0L) + f
+        }
+      }
+      if (counts.isEmpty) advDone = true
+      else {
+        val (best, _) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+        advRanks = advRanks + (best -> advLevel)
+        advLevel += 1
+      }
+    }
+    val advExpect = advDocs.map { case (id, text) =>
+      val ws = text.split(" ")
+      id -> ((ws.length.toLong, ws.map(w => encode(w, advRanks).length.toLong).sum))
+    }.toMap
+    val advGot = SparkEntry.queries("text_bpe_encode")(spark, advDir)
+      .as[(Long, Long, Long)].collect()
+    assert(advGot.length == advDocs.length)
+    advGot.foreach { case (id, nw, nb) =>
+      assert((nw, nb) == advExpect(id),
+        s"collision corpus doc $id: ($nw,$nb) vs ${advExpect(id)} — batched trainer diverged from sequential")
+    }
   }
 
   test("embed_kmeans: exact Lloyd replay on the integer-micro grid; inertia non-increasing") {

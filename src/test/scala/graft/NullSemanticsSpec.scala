@@ -77,21 +77,64 @@ class NullSemanticsSpec extends AnyFunSuite {
     assert(fin.high.isEmpty && fin.low.isEmpty && fin.volume.isEmpty && fin.n == 2L)
   }
 
-  test("agg_stats: NULL prices are invisible to the histogram median, visible to count(*)") {
+  test("agg_stats: NULL prices are invisible to the histogram median, visible to count(*); all-NULL group survives") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nullsem").toString
     // flag A: prices [1.00, 2.00, 3.00, NULL] -> median 2.00, n = 4
+    // flag B: ALL prices NULL -> the group must still appear (med NULL,
+    // n = 2) — its histogram is empty, so an inner med-join would drop
+    // it (round-14 ADVICE item; the oracle keeps the group)
+    // NULL flag: the oracle is a bare GROUP BY, so the NULL-key group
+    // gets a REAL median (7.00) — requires the med joins be null-safe
     Seq(
-      ("A", 5.0, Some(1.00)), ("A", 6.0, Some(2.00)),
-      ("A", 7.0, Some(3.00)), ("A", 8.0, None)
+      (Some("A"), 5.0, Some(1.00)), (Some("A"), 6.0, Some(2.00)),
+      (Some("A"), 7.0, Some(3.00)), (Some("A"), 8.0, None),
+      (Some("B"), 1.0, None), (Some("B"), 2.0, None),
+      (None, 1.0, Some(7.00)), (None, 2.0, Some(7.00))
     ).toDF("l_returnflag", "l_quantity", "p")
       .select(col("l_returnflag"), col("l_quantity"), col("p").as("l_extendedprice"),
         lit(1L).as("l_orderkey"), lit(1L).as("l_partkey"), lit(1L).as("l_suppkey"),
         lit(1L).as("l_linenumber"), lit(0.0).as("l_discount"), lit(0.0).as("l_tax"),
         lit("O").as("l_linestatus"), lit(ts("2024-01-01 00:00:00")).as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val row = SparkEntry.queries("agg_stats")(spark, tmp).collect()(0)
-    assert(row.getAs[Double]("med") == 2.00, "median must ignore the NULL price")
-    assert(row.getAs[Long]("n") == 4L, "count(*) must include the NULL-price row")
+    val rows = SparkEntry.queries("agg_stats")(spark, tmp).collect()
+    assert(rows.length == 3, "all-NULL-price and NULL-flag groups must not vanish")
+    val a = rows.find(r => !r.isNullAt(0) && r.getString(0) == "A").get
+    assert(a.getAs[Double]("med") == 2.00, "median must ignore the NULL price")
+    assert(a.getAs[Long]("n") == 4L, "count(*) must include the NULL-price row")
+    val b = rows.find(r => !r.isNullAt(0) && r.getString(0) == "B").get
+    assert(b.isNullAt(b.fieldIndex("med")), "all-NULL group has NULL median")
+    assert(b.getAs[Long]("n") == 2L)
+    val nul = rows.find(_.isNullAt(0)).get
+    assert(nul.getAs[Double]("med") == 7.00, "NULL-flag group gets its real median")
+    assert(nul.getAs[Long]("n") == 2L)
+  }
+
+  test("ts_outlier_mad: an all-NULL-value group survives with NULL med/mad and 0 outliers") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullsem-mad").toString
+    Seq(
+      // type x: values [1.00, 2.00, 3.00] -> med 2.00, mad 1.00, 0 outliers
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("x"), Some(1.00), "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, Some("x"), Some(2.00), "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, Some("x"), Some(3.00), "{}"),
+      // type y: ALL values NULL -> group row kept, NULL med/mad, n=2,
+      // n_outliers=0 (oracle's b JOIN m keeps the group; round-14 ADVICE)
+      (4L, ts("2024-01-01 10:03:00"), 2L, Some("y"), None, "{}"),
+      (5L, ts("2024-01-01 10:04:00"), 2L, Some("y"), None, "{}"),
+      // NULL event_type: the oracle's JOIN USING(event_type) never
+      // matches a NULL key, so this group is ABSENT from the output
+      (6L, ts("2024-01-01 10:05:00"), 3L, None, Some(9.0), "{}")
+    ).toDF("event_id", "ts", "user_id", "et", "v", "props")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("et").as("event_type"), col("v").as("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = SparkEntry.queries("ts_outlier_mad")(spark, tmp).collect()
+    assert(rows.length == 2, "the all-NULL-value group must not vanish")
+    val x = rows.find(_.getString(0) == "x").get
+    assert(x.getAs[Double]("med_val") == 2.00 && x.getAs[Double]("mad_val") == 1.00)
+    assert(x.getAs[Long]("n") == 3L && x.getAs[Long]("n_outliers") == 0L)
+    val y = rows.find(_.getString(0) == "y").get
+    assert(y.isNullAt(y.fieldIndex("med_val")) && y.isNullAt(y.fieldIndex("mad_val")))
+    assert(y.getAs[Long]("n") == 2L && y.getAs[Long]("n_outliers") == 0L)
   }
 
   test("funnel_steps: a NULL-time event counts and satisfies step 1, but cannot qualify or enable a window step") {
