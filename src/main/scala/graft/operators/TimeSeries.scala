@@ -22,6 +22,22 @@ object TimeSeries {
     */
   private[graft] val FunnelWindowUs = 14400000000L // 4 hours
 
+  /** Perf-only memo for [[asOfJoin]]'s hot-key verdicts, keyed by
+    * (canonicalized input plan hash, threshold). Bounded: cleared
+    * wholesale past 256 entries (decisions are one boolean each; a
+    * clear only re-runs a cheap detection job on next use).
+    */
+  private val hotMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean] {
+      override def computeIfAbsent(
+          k: (Int, Long),
+          f: java.util.function.Function[_ >: (Int, Long), _ <: java.lang.Boolean]
+      ): java.lang.Boolean = {
+        if (size() > 256) clear()
+        super.computeIfAbsent(k, f)
+      }
+    }
+
   /** Generic left as-of join: for every left row, the latest right row
     * with `rightTs <= leftTs` sharing the key (or, with
     * `forward = true`, the EARLIEST right row with `rightTs >= leftTs`
@@ -30,8 +46,29 @@ object TimeSeries {
     * `last(..., ignoreNulls)` over a window ordered by (ts, side) —
     * right rows sort before left rows at equal ts, so the bound is
     * inclusive; the forward direction just inverts the timestamp
-    * ordering. One hash shuffle on the key; scales to any partition
-    * count with no correlated subquery or row explosion.
+    * ordering. No correlated subquery or row explosion.
+    *
+    * HOT KEYS take a TWO-LEVEL carry (the ts_ewma / pack_shards block
+    * pattern, r13 verdict #4): a single (key)-partitioned running
+    * window serializes a hot key — one multi-TB user — into ONE task.
+    * A bounded pre-pass (two-phase count per key; at most
+    * corpus/threshold survivors reach the driver check) detects keys
+    * above `hotKeyThreshold` rows. With none — the common,
+    * high-cardinality-key case — the plan is exactly the classic
+    * one-exchange window. With hot keys, rows of those keys block by a
+    * time cell (`blockUs`, cold keys keep one degenerate block); each
+    * (key, block)'s FINAL payload values (per column, the extreme-ts
+    * non-null right value) reduce map-side into a bounded table; a
+    * window over that table yields each block's carry-in (nearest
+    * non-null final among EARLIER blocks — later blocks under
+    * forward); the per-row window then partitions by (key, block),
+    * bounded by a block's population, never a whole key. A hot key
+    * spans as many tasks as it spans time cells. The pre-pass is a
+    * deliberate bounded driver decision (one isEmpty job), the same
+    * class as the footer-metadata and BPE model-state sites — the
+    * alternative (block machinery unconditionally) measured 2.5× the
+    * per-query baseline at bench scale because high-cardinality keys
+    * degenerate the carry table to corpus size.
     */
   def asOfJoin(
       left: DataFrame,
@@ -41,7 +78,16 @@ object TimeSeries {
       rightTs: String,
       rightPayload: Seq[(String, String)], // (rightCol -> outName)
       tolerance: Option[String] = None, // e.g. "30 minutes": bound match staleness
-      forward: Boolean = false
+      forward: Boolean = false,
+      blockUs: Long = 3600000000L, // 1-hour carry cells; tune to the corpus
+      // rows per key before it blocks by time cell. 4M is the
+      // conservative switch point: below it a single task sorts the
+      // key comfortably on any executor (measured: 10M rows on one key
+      // sort in ~6 s even on one local thread), above it one task's
+      // n·log n + spill grows without bound while every other core
+      // idles — the block path stays flat-parallel (exponents
+      // 0.37–0.59 at 100x, tools/StressAsof receipts in PLANS.md).
+      hotKeyThreshold: Long = 4194304L
   ): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     // a right row without a time can never satisfy rightTs <= / >=
@@ -55,7 +101,16 @@ object TimeSeries {
     val l1 = l.withColumn("__ts", col(leftTs))
     val r1 = r0.withColumn("__side", lit(0))
     // align schemas for unionByName(allowMissingColumns)
-    val unioned = l1.unionByName(r1, allowMissingColumns = true)
+    val unioned0 = l1.unionByName(r1, allowMissingColumns = true)
+    // tolerance needs the matched right row's timestamp; it rides the
+    // same block-carry machinery as any payload column
+    val unioned =
+      if (tolerance.isDefined)
+        unioned0.withColumn("__p___match_ts", when(col("__side") === 0, col("__ts")))
+      else unioned0
+    val vals: Seq[String] =
+      rightPayload.map { case (_, out) => s"__p_$out" } ++
+        (if (tolerance.isDefined) Seq("__p___match_ts") else Nil)
     // backward: ascending ts — the last right row seen is the latest
     //   with rightTs <= leftTs.
     // forward: descending ts — rows already processed have HIGHER ts,
@@ -63,20 +118,113 @@ object TimeSeries {
     //   rightTs >= leftTs. Side stays ascending either way (right
     //   before left at equal ts ⇒ inclusive bound).
     val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
-    val w = Window
-      .partitionBy(key)
-      .orderBy(tsOrd, col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
+    // hot-key pre-pass: two-phase count per key; only keys above the
+    // threshold survive the filter, so the isEmpty check reads a
+    // bounded (corpus/threshold) table. Deterministic per corpus —
+    // the branch cannot flap between runs. The verdict is MEMOIZED per
+    // canonicalized input plan (cheap driver-side hash, no job): the
+    // decision is perf-only — both branches are value-identical — so a
+    // stale hit after data changed under the same paths can never
+    // corrupt a result, only pick the less optimal plan until the JVM
+    // (or the memo) is recycled. Repeated executions of a query shape
+    // (dashboards, bench samples, retries) pay the detection job once.
+    val hotKeys = unioned
+      .groupBy(col(key).as("__hk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotKeyThreshold)
+      .select("__hk")
+    val memoKey = (unioned.queryExecution.analyzed.canonicalized.semanticHash(), hotKeyThreshold)
+    val hasHot = TimeSeries.hotMemo.computeIfAbsent(memoKey, _ => !hotKeys.isEmpty)
+    // prepared rows + the per-row window + a carry-column lookup:
+    //   no hot keys — the classic single window keyed by (key); no
+    //     carry columns exist (lookup returns None);
+    //   hot keys — rows of hot keys block by time cell (cold keys keep
+    //     the degenerate block 0 = their whole-key window), the block
+    //     carry tables are built, and the lookup surfaces __c_* columns
+    //     for the coalesce fallback.
+    val (prepared, w, carryOf): (DataFrame, org.apache.spark.sql.expressions.WindowSpec, String => Option[org.apache.spark.sql.Column]) =
+      if (!hasHot) {
+        val w0 = Window
+          .partitionBy(key)
+          .orderBy(tsOrd, col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (unioned, w0, (_: String) => None)
+      } else {
+        val u = unioned
+          .join(broadcast(hotKeys), col(key) <=> col("__hk"), "left")
+          .withColumn(
+            "__blk",
+            when(col("__hk").isNotNull, intDiv(unix_micros(col("__ts")), lit(blockUs)))
+              .otherwise(lit(0L)))
+          .drop("__hk")
+        // level 1 — block finals from right rows only: per payload
+        // column, the value at the extreme ts among its non-null
+        // occurrences (ties on ts between distinct right rows were
+        // equally unordered under the single window; the test corpora
+        // have none). Two-phase hash agg, map-side partials; output is
+        // |cold keys| + (hot keys × active cells).
+        val finalAggs = vals.map { v =>
+          val ord = when(col(v).isNotNull, col("__ts"))
+          (if (forward) min_by(col(v), ord) else max_by(col(v), ord)).as(s"__f_$v")
+        }
+        val finals = u
+          .filter(col("__side") === 0)
+          .groupBy(col(key).as("__k"), col("__blk").as("__b"))
+          .agg(finalAggs.head, finalAggs.tail: _*)
+        // level 2 — carry-in per (key, block) over the block SPINE
+        // (blocks seen on either side: a left-only block still needs
+        // the carry from older right rows). NULL keys stay one carry
+        // group (<=> join + window partition semantics agree), matching
+        // the single window's NULL-key grouping.
+        val spine = u
+          .filter(col("__blk").isNotNull)
+          .select(col(key).as("__k"), col("__blk").as("__b"))
+          .distinct()
+        val wCarry = Window
+          .partitionBy("__k")
+          .orderBy(if (forward) col("__b").desc else col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = spine
+          .as("sp")
+          .join(
+            finals.as("fi"),
+            col("sp.__k") <=> col("fi.__k") && col("sp.__b") === col("fi.__b"),
+            "left")
+          .select(
+            (col("sp.__k").as("__k") +: col("sp.__b").as("__b") +:
+              vals.map(v => col(s"fi.__f_$v").as(s"__f_$v"))): _*)
+          .select(
+            (col("__k") +: col("__b") +:
+              vals.map(v =>
+                last(col(s"__f_$v"), ignoreNulls = true).over(wCarry).as(s"__c_$v"))): _*)
+        val withCarry = u
+          .as("u")
+          .join(
+            carries.as("ca"),
+            col(s"u.$key") <=> col("ca.__k") && col("u.__blk") === col("ca.__b"),
+            "left")
+          .drop(col("ca.__k"))
+          .drop(col("ca.__b"))
+        val wB = Window
+          .partitionBy(col(key), col("__blk"))
+          .orderBy(tsOrd, col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (withCarry, wB, (v: String) => Some(col(s"__c_$v")))
+      }
+    val filled = rightPayload.foldLeft(prepared) { case (df, (_, out)) =>
+      val localLast = last(col(s"__p_$out"), ignoreNulls = true).over(w)
+      df.withColumn(
+        out,
+        carryOf(s"__p_$out").fold(localLast)(c => coalesce(localLast, c)))
     }
     // tolerance: drop matches further than `tolerance` from leftTs (the
     // matched right timestamp rides along in the same window pass)
     val bounded = tolerance.fold(filled) { tol =>
+      val localMatch =
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
       val withMatchTs = filled.withColumn(
         "__match_ts",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
-      )
+        carryOf("__p___match_ts").fold(localMatch)(c => coalesce(localMatch, c)))
       val inRange =
         if (forward) col("__match_ts") <= col(leftTs) + expr(s"INTERVAL $tol")
         else col("__match_ts") >= col(leftTs) - expr(s"INTERVAL $tol")

@@ -241,4 +241,45 @@ class QueriesSpec extends AnyFunSuite {
       .toSeq
     assert(fwdTol == Seq((1L, None), (2L, Some(103L)), (3L, Some(201L))))
   }
+
+  test("asOfJoin: hot-key block path is value-identical to the single-window path") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(ts0 + minutes * 60000L)
+    // deterministic pseudo-random fixture spanning ~3 days of hour
+    // blocks, 3 keys + a NULL key, right rows thinning out so many
+    // blocks have NO right row (exercises the spine carry), plus
+    // NULL-ts left rows (match nothing on either path)
+    def keyOf(i: Long): java.lang.Long =
+      if (i % 7 == 3) null else java.lang.Long.valueOf(i % 3)
+    val left = (0L until 400L).map { i =>
+      val t: java.sql.Timestamp = if (i % 19 == 7) null else ts(i * 11 % 4321)
+      (i, t, keyOf(i))
+    }.toDF("event_id", "ts", "user_id")
+    val right = (0L until 150L).map { i =>
+      (1000L + i, ts((i * i) % 4000), keyOf(i * 5))
+    }.toDF("click_eid", "cts", "user_id")
+    for {
+      fwd <- Seq(false, true)
+      tol <- Seq(None, Some("90 minutes"))
+    } {
+      def run(threshold: Long) = graft.operators.TimeSeries
+        .asOfJoin(left, right, "user_id", "ts", "cts",
+          Seq("click_eid" -> "click_id", "cts" -> "click_ts"),
+          tolerance = tol, forward = fwd, hotKeyThreshold = threshold)
+        .orderBy("event_id")
+        .select("event_id", "click_id", "click_ts")
+        .collect()
+        .map(_.toSeq)
+        .toSeq
+      // threshold 0: EVERY key (incl. NULL) is hot → pure block path;
+      // MaxValue: classic single window. Same values or the block
+      // carry is wrong.
+      val hot = run(0L)
+      val cold = run(Long.MaxValue)
+      assert(hot == cold, s"block path diverged (forward=$fwd tolerance=$tol)")
+      assert(hot.count(_(1) != null) > 50, "fixture must produce real matches")
+      assert(hot.count(_(1) == null) > 10, "fixture must produce real misses")
+    }
+  }
 }
