@@ -1917,6 +1917,53 @@ class Store private[sources] (
     }
   }
 
+  /** CTAS staging, step 1 of 2 (versioned layout only): write a
+    * COMPLETE version directory for a not-yet-existing item WITHOUT its
+    * pointer. The item stays invisible — the pointer IS existence — so
+    * a crash at any later point before [[commitStagedVersion]] leaves
+    * only an orphan v-dir for vacuum's sweep, never a visible partial
+    * item. The returned id stays registered against same-JVM vacuum(0)
+    * until the commit/abort that balances this call.
+    */
+  def writeStagedVersion(key: String, df: DataFrame): String = withItemLock(key) {
+    val k = validateKey(key)
+    require(versioned,
+      s"writeStagedVersion requires the versioned layout; store at $base is flat")
+    if (exists(k))
+      throw new ItemExistsError(s"item $k already exists; use append")
+    val id = "v-" + java.util.UUID.randomUUID().toString
+    Store.activeStagingIds.add(id.stripPrefix("v-"))
+    try {
+      writer(normalize(df)).mode("errorifexists")
+        .parquet(new HPath(new HPath(itemsRoot, k), id).toString)
+      id
+    } catch {
+      case t: Throwable =>
+        Store.activeStagingIds.remove(id.stripPrefix("v-"))
+        throw t
+    }
+  }
+
+  /** CTAS staging, step 2: make the staged version THE item — one
+    * pointer PUT, atomic on every real backend; overwrite=false makes
+    * the loser of a cross-JVM create race fail exactly like an
+    * errorifexists write (first pointer wins).
+    */
+  def commitStagedVersion(key: String, id: String): Unit = withItemLock(key) {
+    val k = validateKey(key)
+    try Store.writeUTF8(fs, ptrPath(k), id, overwrite = false)
+    finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
+  }
+
+  /** CTAS staging abort: delete the orphan version dir. Best-effort —
+    * anything left behind is invisible and vacuum-swept.
+    */
+  def abortStagedVersion(key: String, id: String): Unit = withItemLock(key) {
+    val k = validateKey(key)
+    try fs.delete(new HPath(new HPath(itemsRoot, k), id), true)
+    finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
+  }
+
   /** Staging entries (markers + staged dirs) belonging to `key`,
     * matched EXACTLY: the entry name must be `<KEY><token><id>` for one
     * of the marker tokens — a bare `startsWith(key + ".")` would let

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.Scan
@@ -80,7 +80,8 @@ import scala.jdk.CollectionConverters._
   *    both work; `df.writeStream.format("graft")` remains for
   *    path-addressed deployments.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var path: String = _
@@ -182,6 +183,95 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       java.util.Collections.emptyList[Row](), s.schema))
     new GraftTable(s, k)
   }
+
+  /** CTAS arrives HERE (Spark prefers the staging protocol when the
+    * catalog offers one), not at createTable — which would create an
+    * EMPTY VISIBLE item before the SELECT ran and leave it (or a
+    * partial) behind on failure. Nothing is created eagerly:
+    *
+    *  - versioned store: the insert writes a POINTER-LESS version dir
+    *    ([[Store.writeStagedVersion]]); `commitStagedChanges()` lands
+    *    the `_current` pointer in ONE atomic PUT. A crash at any
+    *    earlier point leaves no visible item — only an orphan v-dir
+    *    for vacuum — the reference's errorifexists discipline
+    *    (store.py:203-204) held even across CTAS.
+    *  - flat store (no pointer primitive): the insert writes the live
+    *    dir directly — the same exposure class as the Store API's own
+    *    write() — and `abortStagedChanges()` drops whatever a FAILED
+    *    (non-crash) CTAS left visible.
+    *
+    * The staged table advertises the STORE schema, so Spark's output
+    * resolver aligns the SELECT's columns to it up front; write-time
+    * normalize (case-fold, drop extras, cast — store.py:141-174)
+    * enforces the rest.
+    */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val (s, k) = resolve(ident)
+    if (s.exists(k)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty)
+      throw new SchemaError(
+        s"graft item $k cannot declare PARTITIONED BY — the store owns its " +
+          "time-bucketed layout (Store.open(bucket = ...))")
+    Store.pinMicros(s.spark, s"catalog CTAS $k")
+    Store.pinMicros(SparkSession.active, s"catalog CTAS $k")
+    new GraftTable(s, k) with StagedTable {
+      private val stagedId =
+        new java.util.concurrent.atomic.AtomicReference[String]()
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new org.apache.spark.sql.connector.write.WriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.V1Write {
+              override def toInsertableRelation
+                  : org.apache.spark.sql.sources.InsertableRelation =
+                new org.apache.spark.sql.sources.InsertableRelation {
+                  override def insert(
+                      data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+                    Store.pinMicros(data.sparkSession, s"catalog CTAS $k")
+                    if (s.versioned) stagedId.set(s.writeStagedVersion(k, data))
+                    else s.write(k, data)
+                  }
+                }
+            }
+        }
+      override def commitStagedChanges(): Unit =
+        if (s.versioned) stagedId.get match {
+          case null =>
+            // CTAS always inserts, but a commit without one must still
+            // honor CREATE semantics — an empty committed item
+            s.write(k, SparkSession.active.createDataFrame(
+              java.util.Collections.emptyList[Row](), s.schema))
+          case id => s.commitStagedVersion(k, id)
+        }
+      override def abortStagedChanges(): Unit =
+        if (s.versioned) Option(stagedId.get).foreach(id => s.abortStagedVersion(k, id))
+        else if (s.exists(k)) s.drop(k)
+    }
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    throw new SchemaError(
+      s"REPLACE TABLE is not supported on graft items — a destructive " +
+        "rewrite is drop() + CTAS through the Store contract")
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    throw new SchemaError(
+      s"CREATE OR REPLACE is not supported on graft items — a destructive " +
+        "rewrite is drop() + CTAS through the Store contract")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new SchemaError(

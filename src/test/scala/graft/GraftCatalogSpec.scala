@@ -426,4 +426,78 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("CREATE TABLE gcat.BAD (d TIMESTAMP, x DOUBLE)"))
     assert(!Store.attach(spark, storeDir).exists("BAD"))
   }
+
+  test("CTAS end-to-end on the flat store: rows land, errorifexists holds, a failed CTAS leaves no visible item") {
+    storeDir
+    // happy path: the first DDL a SQL user writes after SELECT
+    spark.sql(
+      "CREATE TABLE gcat.CTAS1 AS SELECT * FROM gcat.MSFT WHERE VOLUME >= 1050")
+    val got = spark.sql("SELECT count(*) AS c FROM gcat.CTAS1").as[Long].head()
+    val want = spark.sql(
+      "SELECT count(*) AS c FROM gcat.MSFT WHERE VOLUME >= 1050").as[Long].head()
+    assert(got == want && got > 0, s"CTAS rows $got != source-filtered $want")
+    // errorifexists discipline (store.py:203-204): CTAS to an existing
+    // item refuses and does NOT touch the existing data
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.CTAS1 AS SELECT * FROM gcat.AAPL"))
+    assert(spark.sql("SELECT count(*) FROM gcat.CTAS1").as[Long].head() == want)
+    // empty SELECT still creates (CREATE semantics): 0-row item exists
+    spark.sql("CREATE TABLE gcat.CTAS0 AS SELECT * FROM gcat.MSFT LIMIT 0")
+    assert(Store.attach(spark, storeDir).exists("CTAS0"))
+    assert(spark.sql("SELECT count(*) FROM gcat.CTAS0").as[Long].head() == 0L)
+    // failure MID-CTAS: the SELECT throws at runtime (ANSI divide by
+    // zero on a data-dependent expression) after analysis passed — the
+    // staged create must leave NO visible item behind
+    val boom = intercept[Exception](spark.sql(
+      """CREATE TABLE gcat.CTAS_FAIL AS
+        |SELECT DATE, OPEN, HIGH, LOW, CLOSE,
+        |       CAST(VOLUME / (VOLUME - VOLUME) AS BIGINT) AS VOLUME
+        |FROM gcat.MSFT""".stripMargin))
+    assert(boom.getMessage != null)
+    assert(!Store.attach(spark, storeDir).exists("CTAS_FAIL"),
+      "failed CTAS left a visible item on the flat store")
+    val names = spark.sql("SHOW TABLES IN gcat").select("tableName")
+      .as[String].collect().toSet
+    assert(!names.contains("CTAS_FAIL"))
+  }
+
+  test("CTAS on a VERSIONED store is pointer-commit atomic: failure leaves no pointer, only a vacuum-sweepable orphan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-v").toString
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("SRC", bars(40, seed = 21))
+    spark.conf.set("spark.sql.catalog.gvcat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvcat.path", dir)
+    // happy path: data staged as a pointer-less v-dir, the _current
+    // pointer PUT at commitStagedChanges makes it visible atomically
+    spark.sql("CREATE TABLE gvcat.CTAS_V AS SELECT * FROM gvcat.SRC WHERE VOLUME >= 1010")
+    assert(s.exists("CTAS_V"))
+    val n = spark.sql("SELECT count(*) FROM gvcat.CTAS_V").as[Long].head()
+    assert(n == 30L, s"got $n")
+    // failure mid-CTAS: no pointer ever lands -> the item never exists;
+    // whatever the write staged is an orphan v-dir the abort deletes
+    // (and vacuum would sweep after a crash that skipped the abort)
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gvcat.CTAS_VFAIL AS
+        |SELECT DATE, OPEN, HIGH, LOW, CLOSE,
+        |       CAST(VOLUME / (VOLUME - VOLUME) AS BIGINT) AS VOLUME
+        |FROM gvcat.SRC""".stripMargin))
+    assert(!s.exists("CTAS_VFAIL"),
+      "failed CTAS left a visible item on the versioned store")
+    val itemDir = new org.apache.hadoop.fs.Path(s"$dir/items/CTAS_VFAIL")
+    val fs = itemDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(itemDir)) {
+      // no _current pointer may exist under a failed CTAS key
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(itemDir, "_current")),
+        "failed CTAS landed a version pointer")
+    }
+    // errorifexists on the versioned layout: the pointer create race
+    // loser (or a plain re-CTAS) refuses without touching the item
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gvcat.CTAS_V AS SELECT * FROM gvcat.SRC"))
+    assert(spark.sql("SELECT count(*) FROM gvcat.CTAS_V").as[Long].head() == 30L)
+    // REPLACE refusals route to the Store contract
+    intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE gvcat.CTAS_V AS SELECT * FROM gvcat.SRC"))
+    assert(spark.sql("SELECT count(*) FROM gvcat.CTAS_V").as[Long].head() == 30L)
+  }
 }
