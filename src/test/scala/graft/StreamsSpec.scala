@@ -382,6 +382,136 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.filter(col("z").isNotNull).count() > 0)
   }
 
+  test("stream_funnel: killed mid-stream, checkpoint restart resumes chain state (equals batch)") {
+    val work = JFiles.createTempDirectory("graft-funnelrec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // time-quartile split (funnel's in-order delivery contract): users'
+    // chains span the whole range, so run 2's grading of late steps
+    // depends on run 1's checkpointed per-user chain state
+    val qs = ev.selectExpr(
+      "percentile(unix_micros(ts), 0.25)",
+      "percentile(unix_micros(ts), 0.5)",
+      "percentile(unix_micros(ts), 0.75)").head()
+    val cuts = Seq(qs.getDouble(0).toLong, qs.getDouble(1).toLong, qs.getDouble(2).toLong)
+    val parts = Seq(
+      ev.filter(expr(s"unix_micros(ts) < ${cuts(0)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(0)} AND unix_micros(ts) < ${cuts(1)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(1)} AND unix_micros(ts) < ${cuts(2)}")),
+      ev.filter(expr(s"unix_micros(ts) >= ${cuts(2)}")))
+    // two-phase staging keeps the restore claim falsifiable (see the
+    // zscore harness note): run 1 can only ever see the first half
+    parts.zipWithIndex.take(2).foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    runStaged(stage, out, chk, schema, Streams.funnelOn, killEarly = true)
+    val afterKill = spark.read.parquet(out).count()
+    parts.zipWithIndex.drop(2).foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    runStaged(stage, out, chk, schema, Streams.funnelOn, killEarly = false)
+    val fin = spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("steps"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events"), col("fin.steps"))
+    assert(fin.count() > 0)
+    assert(spark.read.parquet(out).count() > afterKill,
+      "run 2 must process the late-staged input through restored chain state")
+    val batch = SparkEntry.queries("funnel_steps")(spark, dir)
+    assert(fin.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(fin).count() == 0)
+  }
+
+  test("stream_topk: killed mid-stream, checkpoint restart keeps per-hour heaps (equals batch)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val work = JFiles.createTempDirectory("graft-topkrec").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "value")
+    // stripe by event_id so EVERY hour spans both stages: run 2 must
+    // merge run 1's RESTORED heaps with its own rows for the same
+    // hours — a time-sliced split would leave run 2's hours disjoint
+    // from run 1's and a broken state restore could still pass
+    val parts = (0 until 4).map(i => ev.filter(col("event_id") % 4 === i))
+    parts.zipWithIndex.take(2).foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    // update-mode emissions land per batch via foreachBatch with the
+    // batch id; the FINAL heap per hour is its latest emission
+    def run(killEarly: Boolean): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val agg = Streams.topkOn(spark, src, 5).toDF("hour_epoch", "top")
+      val w = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          df.withColumn("bid", lit(bid)).write.mode("append").parquet(out): Unit
+        }
+      if (killEarly) {
+        val q = w.trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (Option(q.lastProgress).forall(_.numInputRows == 0) &&
+               System.nanoTime() < deadline && q.isActive)
+          Thread.sleep(20)
+        q.stop()
+        q.awaitTermination()
+      } else {
+        val q = w.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    run(killEarly = true)
+    val afterKill = spark.read.parquet(out).count()
+    parts.zipWithIndex.drop(2).foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", 1000000L + i * 100)
+    }
+    run(killEarly = false)
+    val em = spark.read.parquet(out)
+    assert(em.count() > afterKill,
+      "run 2 must emit updated heaps for the late-staged stripes")
+    val fin = em
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("hour_epoch").orderBy(col("bid").desc)))
+      .filter(col("rn") === 1)
+      .select(col("hour_epoch"), posexplode(col("top.items")).as(Seq("pos0", "c")))
+      .select(
+        timestamp_seconds(col("hour_epoch")).as("w_start"),
+        (col("pos0") + 1).cast("long").as("rank"),
+        col("c.vecId").as("event_id"),
+        round(col("c.score"), 6).as("value"))
+    val batch = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("w_start"), col("event_id"), col("value"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("w_start").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rank") <= 5)
+      .select(
+        col("w_start"), col("rank").cast("long").as("rank"),
+        col("event_id"), round(col("value"), 6).as("value"))
+    assert(fin.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.count() > 0)
+  }
+
   test("stream_tumbling: parquet sink (append mode) emits every window once the watermark passes") {
     // The registered query verifies through a memory sink in complete
     // mode, which materializes on the driver — fine as a harness, but
