@@ -154,7 +154,23 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
   private case class MinCol(a: AttributeReference) extends P
   private case class MaxCol(a: AttributeReference) extends P
 
+  /** Footer min/max is trusted for integer-family columns (exact by
+    * construction) and float/double under the NaN-proof discipline
+    * ([[graft.sources.Store.fileFooterAgg]]: the writer omits stats
+    * for NaN-bearing chunks, so stats-present proves NaN-free).
+    */
   private def mmSupported(a: AttributeReference): Boolean = a.dataType match {
+    case TimestampType | DateType | LongType | IntegerType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => true
+    case _ => false
+  }
+
+  /** A GROUP BY key must stay integer-family: the key-homogeneity
+    * proof and the rendered group values interpret the stat as a raw
+    * Long — a float key would surface its sortable-bits encoding.
+    */
+  private def groupKeySupported(a: AttributeReference): Boolean = a.dataType match {
     case TimestampType | DateType | LongType | IntegerType => true
     case _ => false
   }
@@ -263,10 +279,12 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
       case None => return None
     }
     val idx = table.store.indexName
-    // the extra grouping column must be integer-family (the only
-    // footer stats this engine ever trusts for values — float NaN and
-    // string truncation/comparator hazards refuse, same as render)
-    extra.foreach { e => if (!mmSupported(e)) return None }
+    // the extra grouping column must be integer-family: the
+    // key-homogeneity proof reads the stat as a raw Long group value
+    // (float/double min/max are admitted for AGGREGATES under the
+    // NaN-proof discipline, but not as group keys; string stays
+    // refused on truncation/comparator hazards)
+    extra.foreach { e => if (!groupKeySupported(e)) return None }
     val extraCol = extra.map(_.name.toUpperCase)
     // each output is either a group key or an answerable aggregate
     sealed trait G
@@ -404,6 +422,12 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
       else Some(stats.colMinMax.get(a.name.toUpperCase).map { v =>
         a.dataType match {
           case IntegerType | DateType => java.lang.Integer.valueOf(pick(v).toInt)
+          case org.apache.spark.sql.types.DoubleType =>
+            java.lang.Double.valueOf(
+              graft.sources.Store.sortableBitsToDouble(pick(v)))
+          case org.apache.spark.sql.types.FloatType =>
+            java.lang.Float.valueOf(
+              graft.sources.Store.sortableBitsToDouble(pick(v)).toFloat)
           case _ => java.lang.Long.valueOf(pick(v))
         }
       }.orNull) // exact-but-absent: all-null in slice → SQL NULL

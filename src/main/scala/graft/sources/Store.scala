@@ -105,14 +105,38 @@ object Store {
       minMaxByCol: Map[String, (Long, Long)],
       minMaxOkCols: Set[String])
 
+  /** Order-preserving (signed-long) encoding of a non-NaN double —
+    * Lucene's sortableDoubleBits shape: negatives flip mantissa and
+    * exponent so signed-long comparison matches IEEE order; the
+    * function is its own inverse. Footer double/float min/max travel
+    * through the engine's (Long, Long) stat plumbing in this encoding
+    * (min/max merging across files stays plain math.min/max); the
+    * render sites decode by the column's data type.
+    */
+  private[graft] def sortableDoubleBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  private[graft] def sortableBitsToDouble(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & 0x7fffffffffffffffL))
+
   /** One file's footer aggregate for [[Store!.footerAgg]]. STATIC so
     * executor closures capture only strings — never a Store. Exactness
     * discipline: a row-bearing group with absent/untyped stats drops
     * the column from the ok sets, which vetoes the aggregate pushdown
-    * for it. Min/max is tracked only for `mmCols` (the integer-family
-    * columns: INT64/INT32 physical, where footer stats are exact by
-    * construction — no truncation, no NaN ordering hazard, no
-    * legacy-UTF-8-comparator ambiguity).
+    * for it. Min/max is tracked only for `mmCols`: the integer-family
+    * columns (INT64/INT32 physical, where footer stats are exact by
+    * construction — no truncation, no legacy-UTF-8-comparator
+    * ambiguity) plus float/double under the NaN-PROOF discipline
+    * (r13 verdict task #8): parquet-java — this store's own writer —
+    * OMITS a chunk's min/max entirely when any NaN was seen (probed on
+    * 1.16: a single NaN value leaves "min/max not defined"), so
+    * stats-present proves the chunk NaN-free and its min/max exact;
+    * a chunk with values but no stats (the NaN case, or a stats-less
+    * foreign writer) drops the column from the ok set — the strict
+    * stats-missing veto. A decoded NaN from some hypothetical foreign
+    * writer that stores NaN bounds is refused defensively.
     */
   private[sources] def fileFooterAgg(
       conf: org.apache.hadoop.conf.Configuration, f: String,
@@ -148,6 +172,16 @@ object Store {
                       Some((lo.longValue, hi.longValue))
                     case (lo: java.lang.Integer, hi: java.lang.Integer) =>
                       Some((lo.longValue, hi.longValue))
+                    case (lo: java.lang.Double, hi: java.lang.Double) =>
+                      // NaN bounds: only a foreign writer could store
+                      // them (parquet-java omits stats on NaN) — refuse
+                      if (lo.isNaN || hi.isNaN) None
+                      else Some((sortableDoubleBits(lo.doubleValue),
+                        sortableDoubleBits(hi.doubleValue)))
+                    case (lo: java.lang.Float, hi: java.lang.Float) =>
+                      if (lo.isNaN || hi.isNaN) None
+                      else Some((sortableDoubleBits(lo.doubleValue),
+                        sortableDoubleBits(hi.doubleValue)))
                     case _ => None // unexpected physical type
                   }
                   loHi match {
@@ -668,6 +702,22 @@ class Store private[sources] (
     * opened with `writerLease = true`, the outermost hold additionally
     * takes the cross-JVM [[withLease]] on the item.
     */
+  /** Columns whose footer min/max this engine trusts: integer-family
+    * (exact by construction) plus float/double under the NaN-proof
+    * discipline (see [[Store$.fileFooterAgg]]'s scaladoc — the writer
+    * omits stats for NaN-bearing chunks, so stats-present proves
+    * NaN-free; chunks without the proof veto the column). String/binary
+    * stay refused (truncation + legacy-comparator hazards).
+    */
+  private[sources] def mmStatCols: Set[String] = schema.fields.collect {
+    case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
+      f.dataType == org.apache.spark.sql.types.DateType ||
+      f.dataType == org.apache.spark.sql.types.LongType ||
+      f.dataType == org.apache.spark.sql.types.IntegerType ||
+      f.dataType == org.apache.spark.sql.types.DoubleType ||
+      f.dataType == org.apache.spark.sql.types.FloatType => f.name
+  }.toSet
+
   private def withItemLock[T](key: String)(body: => T): T = {
     val l = Store.lockFor(base, validateKey(key))
     l.lock()
@@ -1495,12 +1545,7 @@ class Store private[sources] (
   private[sources] def footerAgg(key: String): Store.FooterAgg = {
     val paths = dataFiles(key)
     val cols = schema.fieldNames.toSeq
-    val mmCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.DateType ||
-        f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
-    }.toSet
+    val mmCols: Set[String] = mmStatCols
     val perFile = sweepFooters(paths, cols, mmCols)
     val rows = perFile.map(_.rows).sum
     val exactNullCols = cols.filter(c => perFile.forall(_.nullCountOkCols.contains(c)))
@@ -1598,12 +1643,7 @@ class Store private[sources] (
       hi: Option[(Long, Boolean)])
       : Option[(Array[Store.FileFooterStats], Array[Store.FileFooterStats])] = {
     val cols = schema.fieldNames.toSeq
-    val mmCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.DateType ||
-        f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
-    }.toSet
+    val mmCols: Set[String] = mmStatCols
     // scope the sweep to the bucket-pruned superset (inclusive
     // timestamps are a superset of any strictness)
     val roots = prunedRoots(key,
@@ -1650,12 +1690,7 @@ class Store private[sources] (
       lo: Option[(Long, Boolean)],
       hi: Option[(Long, Boolean)]): Option[Store.FooterAgg] = {
     val cols = schema.fieldNames.toSeq
-    val mmCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.DateType ||
-        f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
-    }.toSet
+    val mmCols: Set[String] = mmStatCols
     val idx = indexName
     // the all-null-index files are correctly invisible here: this path
     // only ever answers an aggregation under a WHERE whose conjuncts

@@ -302,14 +302,19 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     result
   }
 
-  /** Integer-family types: INT64/INT32 physical in the store's files,
-    * where footer min/max is exact by construction. Everything else
-    * (double/float: NaN; string/binary: comparator + truncation
-    * hazards) refuses min/max pushdown.
+  /** Types whose footer min/max this engine trusts: integer-family
+    * (INT64/INT32 physical, exact by construction) plus float/double
+    * under the NaN-proof discipline — the store's writer omits a
+    * chunk's min/max when any NaN was seen, so stats-present proves the
+    * chunk NaN-free and the strict stats-missing veto refuses anything
+    * less ([[graft.sources.Store.fileFooterAgg]]). String/binary stay
+    * refused (comparator + truncation hazards).
     */
   private def mmSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case TimestampType | org.apache.spark.sql.types.DateType |
-         LongType | org.apache.spark.sql.types.IntegerType => true
+         LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => true
     case _ => false
   }
 
@@ -347,12 +352,17 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     }
     plan.flatMap { ps =>
       val stats = store.footerAgg(key)
-      // footerAgg normalizes INT32 stats to Long; render back to the
+      // footerAgg normalizes INT32 stats to Long and float/double to
+      // the order-preserving sortable-bits encoding; render back to the
       // column's InternalRow representation (Int for int/date, Long
-      // for long/timestamp-µs)
+      // for long/timestamp-µs, decoded IEEE for float/double)
       def render(f: StructField, v: Long): Any = f.dataType match {
         case org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.DateType => java.lang.Integer.valueOf(v.toInt)
+        case org.apache.spark.sql.types.DoubleType =>
+          java.lang.Double.valueOf(Store.sortableBitsToDouble(v))
+        case org.apache.spark.sql.types.FloatType =>
+          java.lang.Float.valueOf(Store.sortableBitsToDouble(v).toFloat)
         case _ => java.lang.Long.valueOf(v)
       }
       val answered = ps.map {

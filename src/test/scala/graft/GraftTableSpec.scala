@@ -772,12 +772,13 @@ class GraftTableSpec extends AnyFunSuite {
     assertScans(avg)
     assert(avg.collect()(0).getLong(1) == 100L)
 
-    // min/max of a FLOATING-POINT column must scan: parquet stats omit
-    // NaN while Spark orders NaN above every double, so footer min/max
-    // of a double is not provably Spark's answer
-    val mo = spark.sql("SELECT min(OPEN) AS m FROM noagg_msft")
-    assertScans(mo)
-    mo.collect()
+    // min/max of a STRING column must scan (truncation + legacy
+    // comparator hazards; float/double are admitted since round 14
+    // under the NaN-proof discipline — own test below)
+    val so = spark.sql(
+      "SELECT min(CAST(VOLUME AS STRING)) AS m, count(*) AS c FROM noagg_msft")
+    assertScans(so)
+    assert(so.collect()(0).getLong(1) == 100L)
   }
 
   test("scan reports size statistics: a small item is STATICALLY broadcastable, and a pruned slice reports its slice") {
@@ -987,5 +988,81 @@ class GraftTableSpec extends AnyFunSuite {
     val files = parquetScans(top).head.fileIndex.allFiles()
     assert(files.exists(_.getPath.toString.contains("__HIVE_DEFAULT_PARTITION__")),
       "the veto must fall back to the FULL listing, rogue bucket included")
+  }
+
+  test("double min/max footer-answered on NaN-free data; one NaN-bearing file vetoes the pushdown (stays exact)") {
+    def hasFileScan(df: DataFrame): Boolean = {
+      df.collect()
+      def deep(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: deep(q.plan)
+        case _ => p +: p.children.flatMap(deep)
+      }
+      deep(df.queryExecution.executedPlan).exists(_.isInstanceOf[BatchScanExec])
+    }
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    // negatives + fractions exercise the sortable-bits stat encoding
+    // (IEEE order of negative doubles inverts their raw-bits order)
+    val clean = bars(60)
+      .withColumn("open", $"open" - 200.0) // all negative
+      .withColumn("close", $"close" / 3.0) // non-terminating fractions
+    s.write("DBL", clean)
+    spark.read.format("graft").option("item", "DBL").load(dir)
+      .createOrReplaceTempView("agg_dbl")
+    val q = "SELECT min(OPEN) AS lo, max(OPEN) AS hi, " +
+      "min(CLOSE) AS cl, max(CLOSE) AS ch FROM agg_dbl"
+    val mm = spark.sql(q)
+    assertFooterAnswered(mm)
+    val got = mm.collect()(0)
+    val want = clean.agg(
+      org.apache.spark.sql.functions.min("open"),
+      org.apache.spark.sql.functions.max("open"),
+      org.apache.spark.sql.functions.min("close"),
+      org.apache.spark.sql.functions.max("close")).collect()(0)
+    (0 until 4).foreach { i =>
+      assert(got.getDouble(i) == want.getDouble(i),
+        s"footer double stat $i: ${got.getDouble(i)} != ${want.getDouble(i)}")
+    }
+    // the ranged face (FooterRangeAggregates) admits doubles too: a
+    // bucket-aligned slice answers from footers, exactly
+    val ranged = spark.sql(
+      "SELECT min(OPEN) AS lo, max(OPEN) AS hi, count(*) AS c FROM agg_dbl " +
+        "WHERE DATE >= '2015-01-01' AND DATE < '2015-02-01'")
+    assertFooterAnswered(ranged)
+    val rr = ranged.collect()(0)
+    val rWant = clean.filter(
+      $"date" >= Timestamp.valueOf("2015-01-01 00:00:00") &&
+        $"date" < Timestamp.valueOf("2015-02-01 00:00:00"))
+      .agg(
+        org.apache.spark.sql.functions.min("open"),
+        org.apache.spark.sql.functions.max("open"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()(0)
+    assert(rr.getDouble(0) == rWant.getDouble(0) &&
+      rr.getDouble(1) == rWant.getDouble(1) && rr.getLong(2) == rWant.getLong(2))
+    // append ONE file containing a NaN: the writer records no min/max
+    // for that chunk (probed: parquet-java omits stats when NaN is
+    // seen), so the column lacks the proof and the strict veto refuses
+    // the pushdown — the query plans the ordinary scan and stays exact
+    val nanBatch = bars(5, seed = 99)
+      .withColumn("open",
+        org.apache.spark.sql.functions.when($"volume" === 1002,
+          org.apache.spark.sql.functions.lit(Double.NaN))
+          .otherwise($"open" + 5000.0))
+    s.append("DBL", nanBatch)
+    val mm2 = spark.sql(q)
+    assert(hasFileScan(mm2),
+      "a NaN-bearing file must veto the double min/max pushdown")
+    val got2 = mm2.collect()(0)
+    // Spark orders NaN greatest: max(OPEN) over a NaN-bearing column is
+    // NaN — delivered by the scan, never by a footer stat
+    assert(got2.getDouble(1).isNaN, "scan max over NaN column must be NaN")
+    assert(got2.getDouble(0) == want.getDouble(0), "min unaffected by the NaN rows")
+    // integer-family pushdown on the same item is still footer-answered
+    // (the veto is PER COLUMN, not per item)
+    val vol = spark.sql("SELECT min(VOLUME) AS lo, max(VOLUME) AS hi FROM agg_dbl")
+    assertFooterAnswered(vol)
   }
 }
