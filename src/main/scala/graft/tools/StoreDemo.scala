@@ -139,6 +139,28 @@ object StoreDemo {
       s"[demo] catalog: SHOW TABLES IN demostore -> [$catTables]; " +
         s"demostore.EVENTS range SELECT -> $catRows rows (same pruned scan)")
 
+    // CTAS through the staging protocol: nothing visible until commit;
+    // a failed CTAS (runtime error mid-SELECT) leaves no item behind
+    val ctasRows = {
+      spark.sql(
+        "CREATE TABLE demostore.JAN AS SELECT * FROM demostore.EVENTS " +
+          "WHERE TS BETWEEN '2024-01-10' AND '2024-01-20'")
+      spark.sql("SELECT count(*) FROM demostore.JAN").collect()(0).getLong(0)
+    }
+    val ctasFailClean =
+      try {
+        spark.sql(
+          "CREATE TABLE demostore.BOOM AS SELECT TS, EVENT_ID, USER_ID, EVENT_TYPE, " +
+            "CAST(VALUE / (VALUE - VALUE) AS DOUBLE) AS VALUE FROM demostore.EVENTS")
+        false // must not reach: ANSI divide-by-zero throws mid-SELECT
+      } catch {
+        case _: Throwable => spark.sql("SHOW TABLES IN demostore")
+          .collect().forall(_.getString(1) != "BOOM")
+      }
+    println(
+      s"[demo] ctas: demostore.JAN AS SELECT -> $ctasRows rows; " +
+        s"failed CTAS left no visible item: $ctasFailClean")
+
     // footer-answered SQL: the unfiltered AND the bucket-aligned ranged
     // report shapes plan NO file scan (DSv2 aggregate pushdown + the
     // FooterRangeAggregates rule); "newest k" reads a bucket suffix
