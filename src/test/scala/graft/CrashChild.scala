@@ -71,6 +71,20 @@ object CrashChild {
         s.compact(key) // versioned compact = versionSwap
         System.err.println("CrashChild: compact completed, pointer halt never fired")
         sys.exit(1)
+      case "ctascrash" =>
+        // staged CTAS through the SQL catalog: die the instant the
+        // `_current` pointer create begins — the new item's version dir
+        // is fully materialized (the insert completed), but the commit
+        // never lands. The parent must see NO item at all.
+        val Array(_, dir, key) = args
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+        ObjStoreFs.haltOnCreatePath = Some(s"items/$key/_current")
+        spark.conf.set("spark.sql.catalog.crashcat", "graft.sources.v2.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.crashcat.path", dir)
+        spark.sql(s"CREATE TABLE crashcat.$key AS SELECT * FROM crashcat.SRC")
+        System.err.println("CrashChild: CTAS completed, pointer halt never fired")
+        sys.exit(1)
       case "appendloop" =>
         // live two-writer contention: append `n` disjoint batches under
         // the writer lease while the parent does the same — every batch

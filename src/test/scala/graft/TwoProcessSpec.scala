@@ -190,6 +190,49 @@ class TwoProcessSpec extends AnyFunSuite {
     assert(s("MSFT").count() == 130)
   }
 
+  test("a CTAS halted AT the pointer commit in another process: no visible item, orphan swept, re-CTAS clean") {
+    // the staged-CTAS atomicity claim end-to-end against a REAL
+    // process death (r13 verdict #5's crash half): the child runs
+    // CREATE TABLE AS SELECT through the SQL catalog and halt(43)s the
+    // instant the `_current` pointer create begins — its version dir
+    // is fully written, the commit is not. The parent must see no item
+    // anywhere (Store API, catalog listing), sweep the orphan, and a
+    // re-CTAS of the same name must succeed cleanly.
+    val dir = "objstore://" +
+      java.nio.file.Files.createTempDirectory("graft-2proc-ctas").toString
+    val s = Store.open(spark, dir, chunkRows = 50, versioned = true)
+    s.write("SRC", bars(100))
+
+    val (proc, log) = forkChild(Seq("ctascrash", dir, "CTASX"), Seq.empty)
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"child did not finish; log:\n${tail(log)}")
+    assert(proc.exitValue() == 43,
+      s"child must die AT the pointer-create halt (exit 43), got ${proc.exitValue()}; log:\n${tail(log)}")
+
+    // no pointer ever landed: the item does not exist — the
+    // errorifexists discipline held across a mid-commit crash
+    assert(!s.exists("CTASX"), "crashed CTAS must leave no visible item")
+    spark.conf.set("spark.sql.catalog.gpcrash", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpcrash.path", dir)
+    val listed = spark.sql("SHOW TABLES IN gpcrash")
+      .collect().map(_.getString(1)).toSet
+    assert(listed == Set("SRC"), s"catalog must not list the crashed CTAS: $listed")
+    // the dead child left a fully-written orphan version dir
+    val (fs, base) = hfs(dir)
+    val itemDir = new HPath(new HPath(base, "items"), "CTASX")
+    def orphans(): Seq[String] =
+      if (!fs.exists(itemDir)) Seq.empty
+      else fs.listStatus(itemDir).map(_.getPath.getName).filter(_.startsWith("v-")).toSeq
+    assert(orphans().size == 1, s"expected the staged orphan v-dir, got ${orphans()}")
+    // vacuum(0): a pointer-ABSENT item's versions are genuine orphans
+    s.vacuum(0L)
+    assert(orphans().isEmpty, s"orphan must be swept, got ${orphans()}")
+    // and the same CTAS now succeeds end-to-end
+    spark.sql("CREATE TABLE gpcrash.CTASX AS SELECT * FROM gpcrash.SRC")
+    assert(s.exists("CTASX"))
+    assert(spark.sql("SELECT count(*) FROM gpcrash.CTASX").collect()(0).getLong(0) == 100L)
+  }
+
   test("a swap killed MID-RENAME in another process (halt, objstore semantics) is vacuumed exactly here") {
     val dir = "objstore://" +
       java.nio.file.Files.createTempDirectory("graft-2proc-swap").toString
