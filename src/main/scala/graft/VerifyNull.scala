@@ -106,21 +106,28 @@ object VerifyNull {
       val tmpDir = s"$corpus/.tmp-$t"
       ntz.coalesce(1).write.mode("overwrite").parquet(tmpDir)
       val tmp = java.nio.file.Paths.get(tmpDir)
-      val part = java.nio.file.Files.list(tmp).iterator()
       val dest = java.nio.file.Paths.get(s"$corpus/$t.parquet")
-      var moved = false
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, dest,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          moved = true
+      // Files.list streams hold an open DirectoryStream — close them
+      def withListing[A](d: java.nio.file.Path)(
+          f: Iterator[java.nio.file.Path] => A): A = {
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          f(s.iterator().asScala)
+        } finally s.close()
+      }
+      val moved = withListing(tmp) { it =>
+        it.foldLeft(false) { (m, p) =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, dest,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            true
+          } else m
         }
       }
       require(moved, s"no part file produced for $t")
       // sweep the now-empty staging dir
-      val rest = java.nio.file.Files.list(tmp).iterator()
-      while (rest.hasNext) java.nio.file.Files.deleteIfExists(rest.next())
+      withListing(tmp)(_.foreach(p => java.nio.file.Files.deleteIfExists(p)))
       java.nio.file.Files.deleteIfExists(tmp)
       val nulled = Plan.get(t).map { cols =>
         cols.keys.map { c =>

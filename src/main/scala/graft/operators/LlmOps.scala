@@ -768,12 +768,26 @@ object LlmOps {
     * LSH candidates, exact-Jaccard verify, both the sketch estimate
     * (est_raw) and the exact jacc_raw kept so each query id projects
     * what it needs.
+    *
+    * `completeForTau = true` (dedup_minhash_pairs' oracle contract)
+    * additionally unions the PPJoin rare-prefix candidates — COMPLETE
+    * for Jaccard ≥ τ under any fixed shingle order — so the verified
+    * pair set provably equals the exact all-pairs answer regardless of
+    * banding luck: an 8×8 banding is probabilistically incomplete near
+    * τ (per-pair recall ~0.77 at exactly 0.8), which is fine for
+    * dedup_minhash's recall SPEC but would make an EXACT DuckDB oracle
+    * flake on corpus regeneration. The minhash verify kernel still
+    * scores every candidate, so the oracle exercises the same code.
     */
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashVerifiedPairs(
+      s: SparkSession, d: String, completeForTau: Boolean = false): DataFrame = {
     val sp = s
     import sp.implicits._
     // persist: the signature table feeds the band-key explode plus
-    // both sides of the verify payload join
+    // both sides of the verify payload join (and the prefix index under
+    // completeForTau). Not explicitly unpersisted — the result is lazy;
+    // Verify/Bench clearCache() between queries and Spark's LRU bounds
+    // residency under pressure.
     val sigs = minhashSigs(s, d).persist()
     // distinct() after the band join is deliberate: a first-match-only
     // variant (carry the full bkeys array on both sides, keep a pair
@@ -784,20 +798,31 @@ object LlmOps {
     // shuffle inputs + a 28-comparison predicate per joined row.
     // (PLANS.md "first-match-only candidate emission" for the
     // experiment; the simhash variant lost even harder at 100x.)
+    val thr = JaccardThreshold
+    val perms = MinhashPerms
     val bandsDf = sigs.select(col("doc_id"), explode(col("bkeys")).as("bkey"))
-    val cand = bandsDf
+    val bandCand = bandsDf
       .as("x")
       .join(
         bandsDf.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id")
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand =
+      if (!completeForTau) bandCand.distinct()
+      else {
+        val prefix = rarePrefix(hashedInv(sigs.select(col("doc_id"), col("shs"))), thr)
+        val prefCand = prefix
+          .as("x")
+          .join(
+            prefix.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        bandCand.unionByName(prefCand).distinct()
+      }
     // exact-Jaccard verify as a per-pair merge kernel over the two
     // sorted shingle-hash sets (collision-free at 64 bits for any
     // real corpus) — replaces two relational intersection joins
-    val thr = JaccardThreshold
-    val perms = MinhashPerms
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"), col("sig").as("sig_b")), "doc_b")
@@ -1204,21 +1229,20 @@ object LlmOps {
           .orderBy("doc_a", "doc_b"),
       None
     ),
-    // The ORACLE-ELIGIBLE projection of dedup_minhash (r13 verdict
+    // The ORACLE-ELIGIBLE face of the minhash pipeline (r13 verdict
     // task #3): the sketch-dependent est_jaccard column is what blocked
     // a DuckDB oracle — the {doc_a, doc_b, jacc} half is exact (the
     // verify kernel computes true shingle Jaccard), so it gets the
-    // dedup_ngram SQL shape as its oracle. This also asserts empirical
-    // FULL RECALL of the 8x8 banding on the test corpora (verified on
-    // sf0.01 + NULL + empty before registration: pair sets and jacc
-    // values byte-identical to dedup_ngram's oracle-green output);
-    // recall is deterministic per corpus (fixed hashes), so this is a
-    // stable regression gate, while the probabilistic >= 0.8 recall
-    // SPEC on adversarial corpora stays with dedup_minhash itself.
+    // dedup_ngram SQL shape as its oracle. The candidate set is made
+    // COMPLETE for τ by construction (band candidates ∪ rare-prefix
+    // candidates — see minhashVerifiedPairs), so the oracle equality is
+    // provable, not banding luck, and survives corpus regeneration; the
+    // probabilistic >= 0.8 recall SPEC on the pure-LSH path stays with
+    // dedup_minhash itself.
     Q(
       "dedup_minhash_pairs",
       (s, d) =>
-        minhashVerifiedPairs(s, d)
+        minhashVerifiedPairs(s, d, completeForTau = true)
           .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 6).as("jacc"))
           .orderBy("doc_a", "doc_b"),
       Some(

@@ -25,16 +25,15 @@ object TimeSeries {
   /** Perf-only memo for [[asOfJoin]]'s hot-key verdicts, keyed by
     * (canonicalized input plan hash, threshold). Bounded: cleared
     * wholesale past 256 entries (decisions are one boolean each; a
-    * clear only re-runs a cheap detection job on next use).
+    * clear only re-runs a cheap detection job on next use). Writers
+    * use get → compute → putIfAbsent, never computeIfAbsent — the
+    * compute is a Spark job and must not run under a bin lock.
     */
   private val hotMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean] {
-      override def computeIfAbsent(
-          k: (Int, Long),
-          f: java.util.function.Function[_ >: (Int, Long), _ <: java.lang.Boolean]
-      ): java.lang.Boolean = {
+      override def putIfAbsent(k: (Int, Long), v: java.lang.Boolean): java.lang.Boolean = {
         if (size() > 256) clear()
-        super.computeIfAbsent(k, f)
+        super.putIfAbsent(k, v)
       }
     }
 
@@ -133,8 +132,20 @@ object TimeSeries {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotKeyThreshold)
       .select("__hk")
+    // get → compute OUTSIDE the map → putIfAbsent: computeIfAbsent
+    // would run the detection JOB inside a CHM bin lock, stalling any
+    // concurrent asOfJoin planning that hashes to the same bin (CHM
+    // mapping functions must be short; a Spark job is not). A lost
+    // race just runs the cheap detection twice — same verdict both
+    // times (deterministic per corpus).
     val memoKey = (unioned.queryExecution.analyzed.canonicalized.semanticHash(), hotKeyThreshold)
-    val hasHot = TimeSeries.hotMemo.computeIfAbsent(memoKey, _ => !hotKeys.isEmpty)
+    val hasHot: Boolean = TimeSeries.hotMemo.get(memoKey) match {
+      case null =>
+        val v: java.lang.Boolean = !hotKeys.isEmpty
+        TimeSeries.hotMemo.putIfAbsent(memoKey, v)
+        v.booleanValue
+      case cached => cached.booleanValue
+    }
     // prepared rows + the per-row window + a carry-column lookup:
     //   no hot keys — the classic single window keyed by (key); no
     //     carry columns exist (lookup returns None);

@@ -154,17 +154,12 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
   private case class MinCol(a: AttributeReference) extends P
   private case class MaxCol(a: AttributeReference) extends P
 
-  /** Footer min/max is trusted for integer-family columns (exact by
-    * construction) and float/double under the NaN-proof discipline
-    * ([[graft.sources.Store.fileFooterAgg]]: the writer omits stats
-    * for NaN-bearing chunks, so stats-present proves NaN-free).
+  /** The ONE shared trusted-footer-min/max type predicate
+    * ([[graft.sources.Store.footerMinMaxTrusted]] — integer exactness,
+    * the per-file NaN proof for float/double, string refusal).
     */
-  private def mmSupported(a: AttributeReference): Boolean = a.dataType match {
-    case TimestampType | DateType | LongType | IntegerType |
-         org.apache.spark.sql.types.DoubleType |
-         org.apache.spark.sql.types.FloatType => true
-    case _ => false
-  }
+  private def mmSupported(a: AttributeReference): Boolean =
+    graft.sources.Store.footerMinMaxTrusted(a.dataType)
 
   /** A GROUP BY key must stay integer-family: the key-homogeneity
     * proof and the rendered group values interpret the stat as a raw

@@ -113,6 +113,26 @@ object Store {
     * (min/max merging across files stays plain math.min/max); the
     * render sites decode by the column's data type.
     */
+  /** THE data types whose parquet footer min/max this engine trusts —
+    * the single definition behind Store.mmStatCols, the DSv2 builder's
+    * gate, and the FooterRangeAggregates rule's gate (three consumers
+    * that must never drift: a type admitted in one but not another
+    * silently degrades to a scan with no error). Integer-family is
+    * exact by construction; float/double under the per-file NaN-proof
+    * discipline ([[fileFooterAgg]]); string/binary refuse (truncation +
+    * legacy-comparator hazards).
+    */
+  private[graft] def footerMinMaxTrusted(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => true
+    case _ => false
+  }
+
   private[graft] def sortableDoubleBits(d: Double): Long = {
     val b = java.lang.Double.doubleToLongBits(d)
     b ^ ((b >> 63) & 0x7fffffffffffffffL)
@@ -138,7 +158,7 @@ object Store {
     * stats-missing veto. A decoded NaN from some hypothetical foreign
     * writer that stores NaN bounds is refused defensively.
     */
-  private[sources] def fileFooterAgg(
+  private[graft] def fileFooterAgg(
       conf: org.apache.hadoop.conf.Configuration, f: String,
       cols: Seq[String], mmCols: Set[String]): FileFooterStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -147,6 +167,17 @@ object Store {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
     try {
+      // the NaN-proof discipline (stats-present ⇒ NaN-free) is a
+      // WRITER property, probed on parquet-mr: it omits a chunk's
+      // min/max when any NaN was seen. arrow-cpp (pyarrow/pandas — the
+      // reference's own writer) instead SKIPS NaNs and records finite
+      // bounds, so a foreign file's finite stats prove nothing about
+      // NaN and footer-answering max() would silently disagree with
+      // the scan (Spark orders NaN greatest). Strict veto: float/double
+      // min/max is trusted only under a parquet-mr created_by; integer
+      // columns are unaffected (no NaN exists to skip).
+      val createdBy = Option(r.getFooter.getFileMetaData.getCreatedBy).getOrElse("")
+      val floatProofOk = createdBy.startsWith("parquet-mr")
       val blocks = r.getFooter.getBlocks.asScala
       var rows = 0L
       val nonNull = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
@@ -173,13 +204,13 @@ object Store {
                     case (lo: java.lang.Integer, hi: java.lang.Integer) =>
                       Some((lo.longValue, hi.longValue))
                     case (lo: java.lang.Double, hi: java.lang.Double) =>
-                      // NaN bounds: only a foreign writer could store
-                      // them (parquet-java omits stats on NaN) — refuse
-                      if (lo.isNaN || hi.isNaN) None
+                      // foreign writer (NaN-skipping stats possible) or
+                      // NaN bounds → the proof fails, refuse the column
+                      if (!floatProofOk || lo.isNaN || hi.isNaN) None
                       else Some((sortableDoubleBits(lo.doubleValue),
                         sortableDoubleBits(hi.doubleValue)))
                     case (lo: java.lang.Float, hi: java.lang.Float) =>
-                      if (lo.isNaN || hi.isNaN) None
+                      if (!floatProofOk || lo.isNaN || hi.isNaN) None
                       else Some((sortableDoubleBits(lo.doubleValue),
                         sortableDoubleBits(hi.doubleValue)))
                     case _ => None // unexpected physical type
@@ -702,21 +733,13 @@ class Store private[sources] (
     * opened with `writerLease = true`, the outermost hold additionally
     * takes the cross-JVM [[withLease]] on the item.
     */
-  /** Columns whose footer min/max this engine trusts: integer-family
-    * (exact by construction) plus float/double under the NaN-proof
-    * discipline (see [[Store$.fileFooterAgg]]'s scaladoc — the writer
-    * omits stats for NaN-bearing chunks, so stats-present proves
-    * NaN-free; chunks without the proof veto the column). String/binary
-    * stay refused (truncation + legacy-comparator hazards).
+  /** Columns whose footer min/max this engine trusts — the schema
+    * projection of [[Store$.footerMinMaxTrusted]] (one shared type
+    * predicate; see its scaladoc for the discipline).
     */
-  private[sources] def mmStatCols: Set[String] = schema.fields.collect {
-    case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
-      f.dataType == org.apache.spark.sql.types.DateType ||
-      f.dataType == org.apache.spark.sql.types.LongType ||
-      f.dataType == org.apache.spark.sql.types.IntegerType ||
-      f.dataType == org.apache.spark.sql.types.DoubleType ||
-      f.dataType == org.apache.spark.sql.types.FloatType => f.name
-  }.toSet
+  private[sources] def mmStatCols: Set[String] =
+    schema.fields.filter(f => Store.footerMinMaxTrusted(f.dataType))
+      .map(_.name).toSet
 
   private def withItemLock[T](key: String)(body: => T): T = {
     val l = Store.lockFor(base, validateKey(key))

@@ -302,21 +302,13 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     result
   }
 
-  /** Types whose footer min/max this engine trusts: integer-family
-    * (INT64/INT32 physical, exact by construction) plus float/double
-    * under the NaN-proof discipline — the store's writer omits a
-    * chunk's min/max when any NaN was seen, so stats-present proves the
-    * chunk NaN-free and the strict stats-missing veto refuses anything
-    * less ([[graft.sources.Store.fileFooterAgg]]). String/binary stay
-    * refused (comparator + truncation hazards).
+  /** The ONE shared trusted-footer-min/max type predicate
+    * ([[graft.sources.Store.footerMinMaxTrusted]] — see its scaladoc
+    * for the integer-exactness / NaN-proof / string-refusal
+    * discipline).
     */
-  private def mmSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case TimestampType | org.apache.spark.sql.types.DateType |
-         LongType | org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.DoubleType |
-         org.apache.spark.sql.types.FloatType => true
-    case _ => false
-  }
+  private def mmSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    Store.footerMinMaxTrusted(dt)
 
   private def computeAggregation(agg: Aggregation): Option[GraftAggScan] = {
     // pushed.nonEmpty cannot actually reach here — Spark only offers an

@@ -1065,4 +1065,34 @@ class GraftTableSpec extends AnyFunSuite {
     val vol = spark.sql("SELECT min(VOLUME) AS lo, max(VOLUME) AS hi FROM agg_dbl")
     assertFooterAnswered(vol)
   }
+
+  test("foreign-writer files (pyarrow) veto float/double footer min/max: NaN-skipping stats prove nothing") {
+    // the NaN proof is a WRITER property: parquet-mr omits a chunk's
+    // min/max when NaN was seen, but arrow-cpp SKIPS NaNs and records
+    // finite bounds — so a pyarrow file's finite double stats must NOT
+    // qualify. The driver's testdata is pyarrow-written: fileFooterAgg
+    // over it must refuse the double column while the int64 column
+    // (no NaN exists to skip) stays exact.
+    val f = "/root/testdata/sf0.001/events.parquet"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    val stats = Store.fileFooterAgg(
+      spark.sparkContext.hadoopConfiguration, f,
+      cols = Seq("VALUE", "EVENT_ID"), mmCols = Set("VALUE", "EVENT_ID"))
+    assert(!stats.minMaxOkCols.contains("VALUE"),
+      "a pyarrow-written double column must not pass the NaN-proof gate")
+    assert(stats.minMaxOkCols.contains("EVENT_ID"),
+      "the created_by gate must not touch integer columns")
+    assert(stats.minMaxByCol.contains("EVENT_ID"))
+    // and the store's OWN writer passes the gate (control)
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, bucket = Some("month"))
+    s.write("CTRL", bars(10))
+    val own = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "items", "CTRL"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get.toString
+    val ownStats = Store.fileFooterAgg(
+      spark.sparkContext.hadoopConfiguration, own,
+      cols = Seq("OPEN"), mmCols = Set("OPEN"))
+    assert(ownStats.minMaxOkCols.contains("OPEN"),
+      "parquet-mr-written NaN-free doubles must pass the gate")
+  }
 }
