@@ -133,6 +133,9 @@ object Store {
     case _ => false
   }
 
+  /** created_by vintage matcher for the float/double NaN-proof gate. */
+  private val ParquetMrVersion = """parquet-mr version (\d+)\.(\d+)""".r
+
   private[graft] def sortableDoubleBits(d: Double): Long = {
     val b = java.lang.Double.doubleToLongBits(d)
     b ^ ((b >> 63) & 0x7fffffffffffffffL)
@@ -177,7 +180,19 @@ object Store {
       // min/max is trusted only under a parquet-mr created_by; integer
       // columns are unaffected (no NaN exists to skip).
       val createdBy = Option(r.getFooter.getFileMetaData.getCreatedBy).getOrElse("")
-      val floatProofOk = createdBy.startsWith("parquet-mr")
+      // ...and the proof is a VINTAGE property too: the omission
+      // behavior was probed on parquet-mr 1.16 (tools/NanProbe); older
+      // parquet-mr writers' NaN handling varied (PARQUET-1222 history —
+      // some recorded finite bounds while SKIPPING NaNs, exactly the
+      // unprovable case). Trust only the probed major.minor and later;
+      // anything else refuses float/double, which is perf-only.
+      val floatProofOk = {
+        val m = ParquetMrVersion.findFirstMatchIn(createdBy)
+        m.exists { g =>
+          val (maj, min) = (g.group(1).toInt, g.group(2).toInt)
+          maj > 1 || (maj == 1 && min >= 16)
+        }
+      }
       val blocks = r.getFooter.getBlocks.asScala
       var rows = 0L
       val nonNull = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)

@@ -1087,8 +1087,11 @@ class GraftTableSpec extends AnyFunSuite {
     val dir = tmpDir()
     val s = Store.open(spark, dir, bucket = Some("month"))
     s.write("CTRL", bars(10))
-    val own = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "items", "CTRL"))
-      .iterator().asScala.find(_.toString.endsWith(".parquet")).get.toString
+    val own = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "items", "CTRL"))
+      try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get.toString
+      finally w.close()
+    }
     val ownStats = Store.fileFooterAgg(
       spark.sparkContext.hadoopConfiguration, own,
       cols = Seq("OPEN"), mmCols = Set("OPEN"))
