@@ -45,6 +45,14 @@ object LlmOps {
   private[graft] val MinhashPerms = 64
   private[graft] val Bands = 8
   private[graft] val RowsPerBand = 8
+  /** The previous invocation's persisted minhash signature table —
+    * evicted (recompute-safe) when the next invocation persists its
+    * own, bounding cache residency to one table per JVM instead of
+    * leaking one per dedup_minhash call in a long-lived session.
+    */
+  private val lastMinhashSigs =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private val JaccardThreshold = 0.8
   private val CosineDupThreshold = 0.45 // corpus max pairwise cosine ≈ 0.51
   // dedup_embedding block-pair fan-out: B(B+1)/2 tasks, each holding two
@@ -785,10 +793,15 @@ object LlmOps {
     import sp.implicits._
     // persist: the signature table feeds the band-key explode plus
     // both sides of the verify payload join (and the prefix index under
-    // completeForTau). Not explicitly unpersisted — the result is lazy;
-    // Verify/Bench clearCache() between queries and Spark's LRU bounds
-    // residency under pressure.
+    // completeForTau). The result is lazy, so the cache can't be
+    // unpersisted inside this builder — instead residency is bounded to
+    // ONE table per JVM: each invocation evicts the previous
+    // invocation's signature cache (recompute-safe even if that plan
+    // were somehow still running), so a long-lived session issuing
+    // repeated minhash queries no longer accumulates cached tables.
     val sigs = minhashSigs(s, d).persist()
+    val prev = LlmOps.lastMinhashSigs.getAndSet(sigs)
+    if (prev != null && (prev ne sigs)) prev.unpersist(blocking = false)
     // distinct() after the band join is deliberate: a first-match-only
     // variant (carry the full bkeys array on both sides, keep a pair
     // only at its first matching band) was measured SLOWER at sf0.1

@@ -136,6 +136,19 @@ object Store {
   /** created_by vintage matcher for the float/double NaN-proof gate. */
   private val ParquetMrVersion = """parquet-mr version (\d+)\.(\d+)""".r
 
+  /** Explicit allowlist of parquet-mr (major, minor) vintages whose
+    * NaN-omission behavior has been PROBED (tools/NanProbe + the
+    * NanProofVintageSpec that re-proves it on the runtime jar every
+    * `sbt test`). Deliberately NOT an open-ended `>= 1.16`: the parquet
+    * spec's direction (nan_count / NaN-skipping finite bounds,
+    * PARQUET-1222) means a FUTURE parquet-mr may legitimately write
+    * finite min/max on NaN-bearing chunks — an unprobed newer vintage
+    * must refuse float/double footer answers (perf-only) rather than
+    * silently drop NaN from a footer-answered max(). Extend this set
+    * only after re-running the probe on that vintage.
+    */
+  private[graft] val NanProofProbedVintages: Set[(Int, Int)] = Set((1, 16))
+
   private[graft] def sortableDoubleBits(d: Double): Long = {
     val b = java.lang.Double.doubleToLongBits(d)
     b ^ ((b >> 63) & 0x7fffffffffffffffL)
@@ -184,14 +197,14 @@ object Store {
       // behavior was probed on parquet-mr 1.16 (tools/NanProbe); older
       // parquet-mr writers' NaN handling varied (PARQUET-1222 history —
       // some recorded finite bounds while SKIPPING NaNs, exactly the
-      // unprovable case). Trust only the probed major.minor and later;
-      // anything else refuses float/double, which is perf-only.
+      // unprovable case) and FUTURE ones may adopt the spec's
+      // NaN-skipping finite bounds. Trust ONLY the explicitly probed
+      // major.minor allowlist; anything else refuses float/double,
+      // which is perf-only.
       val floatProofOk = {
         val m = ParquetMrVersion.findFirstMatchIn(createdBy)
-        m.exists { g =>
-          val (maj, min) = (g.group(1).toInt, g.group(2).toInt)
-          maj > 1 || (maj == 1 && min >= 16)
-        }
+        m.exists(g =>
+          NanProofProbedVintages.contains((g.group(1).toInt, g.group(2).toInt)))
       }
       val blocks = r.getFooter.getBlocks.asScala
       var rows = 0L
@@ -220,12 +233,22 @@ object Store {
                       Some((lo.longValue, hi.longValue))
                     case (lo: java.lang.Double, hi: java.lang.Double) =>
                       // foreign writer (NaN-skipping stats possible) or
-                      // NaN bounds → the proof fails, refuse the column
-                      if (!floatProofOk || lo.isNaN || hi.isNaN) None
+                      // NaN bounds → the proof fails, refuse the column.
+                      // A ±0.0 bound is refused too: parquet-mr WIDENS
+                      // signed zeros (an actual min of +0.0 is recorded
+                      // as -0.0, an actual max of -0.0 as +0.0), so a
+                      // zero bound's sign is unknowable from the footer
+                      // and a footer answer could render the opposite
+                      // zero from the scan path — numerically equal but
+                      // bit-distinguishable, breaking the exactness
+                      // contract. (`x == 0.0` is true for both signs.)
+                      if (!floatProofOk || lo.isNaN || hi.isNaN ||
+                        lo.doubleValue == 0.0 || hi.doubleValue == 0.0) None
                       else Some((sortableDoubleBits(lo.doubleValue),
                         sortableDoubleBits(hi.doubleValue)))
                     case (lo: java.lang.Float, hi: java.lang.Float) =>
-                      if (!floatProofOk || lo.isNaN || hi.isNaN) None
+                      if (!floatProofOk || lo.isNaN || hi.isNaN ||
+                        lo.floatValue == 0.0f || hi.floatValue == 0.0f) None
                       else Some((sortableDoubleBits(lo.doubleValue),
                         sortableDoubleBits(hi.doubleValue)))
                     case _ => None // unexpected physical type
@@ -2021,11 +2044,29 @@ class Store private[sources] (
     * pointer PUT, atomic on every real backend; overwrite=false makes
     * the loser of a cross-JVM create race fail exactly like an
     * errorifexists write (first pointer wins).
+    *
+    * The staged dir is re-verified (dir + `_SUCCESS`) immediately
+    * before the PUT: the activeStagingIds vacuum guard is same-JVM
+    * only, so a vacuum in ANOTHER process whose retention is shorter
+    * than this CTAS's insert phase may have swept the pointer-less
+    * v-dir as an orphan — committing blind would publish a visible
+    * item whose version dir is gone. Failing the CTAS here is the
+    * correct outcome (the statement reruns); the residual TOCTOU
+    * window between this check and the PUT is the same one
+    * versionSwap documents: cross-process vacuum retention MUST
+    * exceed the longest in-flight mutation.
     */
   def commitStagedVersion(key: String, id: String): Unit = withItemLock(key) {
     val k = validateKey(key)
-    try Store.writeUTF8(fs, ptrPath(k), id, overwrite = false)
-    finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
+    try {
+      val vdir = new HPath(new HPath(itemsRoot, k), id)
+      if (!fs.exists(new HPath(vdir, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"staged version $id for item $k is missing or incomplete " +
+            "(swept by a concurrent vacuum with retention shorter than " +
+            "the CTAS insert?); the CTAS must be rerun")
+      Store.writeUTF8(fs, ptrPath(k), id, overwrite = false)
+    } finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
   }
 
   /** CTAS staging abort: delete the orphan version dir. Best-effort —
