@@ -48,6 +48,39 @@ object Bench {
     "corpus_mix_temperature"
   )
 
+  /** Fixed per-query anchors for the `extended` set at sf0.1 (r14
+    * verdict task #1): before this table the extended entries gated
+    * round-over-round only, so a 1.2×/round creep was invisible across
+    * rounds. Anchors are the round-15 certified-calm min-of-3 run
+    * (calm=true, spread_flagged=[], resampled={}; recorded in
+    * BASELINE.md "Round-15 extended anchors") — the same discipline as
+    * the headline BASELINE numbers. Any extended entry whose min
+    * exceeds 2× its anchor is flagged in the artifact
+    * (`extended_anchor_flagged`) exactly as the headline set is judged
+    * against BASELINE.md. Applies only when benching sf0.1 (the
+    * anchors' scale); other SF dirs skip the gate.
+    */
+  val extendedAnchorSf01: Map[String, Double] = Map(
+    "dedup_containment" -> 1.454, "dedup_incremental" -> 1.539,
+    "sim_knn_batch" -> 0.521, "sim_ann_batch" -> 0.673,
+    "text_chunk" -> 0.373, "text_quality_lm" -> 0.780,
+    "resample_ffill" -> 0.560, "resample_interp" -> 0.823,
+    "ts_zscore" -> 0.743, "ts_diff" -> 0.495, "ts_ewma" -> 0.644,
+    "ts_rolling_corr" -> 0.694, "win_rolling_time" -> 0.586,
+    "sessionize" -> 0.559, "bpe_pair_counts" -> 0.316,
+    "corpus_sources" -> 0.400, "dedup_semantic" -> 0.733,
+    "corpus_mix" -> 0.345, "text_classifier" -> 0.714,
+    "text_winnow" -> 1.797, "agg_corr" -> 0.350,
+    "funnel_steps" -> 0.588, "multimodal_framesample" -> 0.304,
+    "dedup_substring" -> 1.596, "fn_map" -> 0.328,
+    "ts_outlier_mad" -> 1.443, "embed_kmeans" -> 1.212,
+    "join_asof_near" -> 0.632, "text_bpe_encode" -> 1.498,
+    "text_normalize" -> 0.564, "sample_quality_weighted" -> 0.987,
+    "embed_stats" -> 0.314, "ts_concurrency" -> 1.199,
+    "embed_pca" -> 1.998, "embed_pq_encode" -> 0.791,
+    "sim_ann_ivfpq" -> 1.254, "corpus_mix_temperature" -> 0.365,
+    "footer_count_range" -> 0.041, "topn_index" -> 0.055)
+
   /** 1/5/15-minute load averages, (-1,-1,-1) if unreadable. Stamped
     * into the artifact so a load-contaminated run is machine-visible
     * (r12 and r13 both shipped official BENCH artifacts skewed by
@@ -327,6 +360,40 @@ object Bench {
     val ext = (extResults ++ scanPathResults)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // extended-anchor gate (r14 verdict task #1): at the anchors' scale
+    // every extended entry is judged against its fixed calm baseline,
+    // same 2× bar as the headline set. Ratios ride the artifact so the
+    // judge can tally drift without re-deriving it.
+    val anchorApplies = sfDir.contains("sf0.1")
+    val anchorRatios: Seq[(String, Double)] =
+      if (!anchorApplies) Seq.empty
+      else (extResults ++ scanPathResults).flatMap { case (k, v) =>
+        extendedAnchorSf01.get(k).map(a => k -> v / a)
+      }
+    val anchorFlagged = anchorRatios.filter(_._2 > 2.0).map(_._1)
+    if (anchorApplies) {
+      val worst = anchorRatios.sortBy(-_._2).take(3)
+        .map { case (k, r) => f"$k=$r%.2fx" }.mkString(", ")
+      System.err.println(
+        s"[bench] extended-anchor gate: ${anchorRatios.size} anchored, " +
+          s"${anchorFlagged.size} over 2x; worst: $worst")
+      if (anchorFlagged.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: extended entries above 2x their sf0.1 anchor: " +
+            anchorFlagged.mkString(", "))
+    }
+    val anchorJsonShort =
+      if (!anchorApplies) ""
+      else s""","extended_anchor_flagged_n":${anchorFlagged.size}"""
+    val anchorJson =
+      if (!anchorApplies) ""
+      else {
+        val ratios = anchorRatios
+          .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+          .mkString("{", ",", "}")
+        val flagged = anchorFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","extended_anchor_ratio":$ratios,"extended_anchor_flagged":$flagged"""
+      }
     // "value"/"queries" stay the BASELINE.md-comparable headline+store
     // set; the extended ops report separately so the baseline ratio is
     // never diluted by ops the baseline predates
@@ -369,8 +436,8 @@ object Bench {
     // recorded "parsed": null), so the headline total goes out on its
     // own small line that always survives truncation; the detail line
     // with per-query timings follows for humans and deep tooling.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,$calmJsonShort,"sf":"$sfDir"}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"spread_warm":$warmSpreads,$calmJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,$calmJsonShort$anchorJsonShort,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"spread_warm":$warmSpreads,$calmJson$anchorJson,"sf":"$sfDir"}"""
     // summary printed both before AND after the detail line: whichever
     // end of the stream the capture keeps, a parseable total survives
     // (both carry the same value, so last-wins / first-wins both work)

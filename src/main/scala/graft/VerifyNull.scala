@@ -47,24 +47,9 @@ object VerifyNull {
   def main(args: Array[String]): Unit = {
     val Array(mode, sfDir, workDir) = args
     require(Set("null", "empty", "single")(mode), s"mode must be null|empty|single, got $mode")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DerivedCorpus.session()
     val corpus = s"$workDir/corpus"
     val out = s"$workDir/out"
-    // the corpus mirrors the source vintage (micros), NOT the dump's
-    // INT96 — DuckDB and graft.Tables read both, but micros keeps the
-    // row-group stats the scan paths rely on
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     AllTables.foreach { t =>
       // events rides graft.Tables (ts-vintage normalization); everything
       // else is a straight read
@@ -89,46 +74,9 @@ object VerifyNull {
             }
           }
       }
-      // mirror the source vintage exactly: the driver's testdata tags
-      // timestamps TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark's
-      // TIMESTAMP_MICROS writer would tag adjusted=true and flip the
-      // DuckDB/pandas dtype to tz-aware, failing every dtype compare.
-      // Casting to TIMESTAMP_NTZ (value-identical under the UTC
-      // session) writes the unadjusted annotation
-      val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
-        if (f.dataType == org.apache.spark.sql.types.TimestampType)
-          d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
-        else d
-      }
       // land as a FLAT FILE named <t>.parquet (what Tables and the
-      // DuckDB views expect), not a directory: write a single-part dir,
-      // then promote the part file
-      val tmpDir = s"$corpus/.tmp-$t"
-      ntz.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-      val tmp = java.nio.file.Paths.get(tmpDir)
-      val dest = java.nio.file.Paths.get(s"$corpus/$t.parquet")
-      // Files.list streams hold an open DirectoryStream — close them
-      def withListing[A](d: java.nio.file.Path)(
-          f: Iterator[java.nio.file.Path] => A): A = {
-        val s = java.nio.file.Files.list(d)
-        try {
-          import scala.jdk.CollectionConverters._
-          f(s.iterator().asScala)
-        } finally s.close()
-      }
-      val moved = withListing(tmp) { it =>
-        it.foldLeft(false) { (m, p) =>
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            java.nio.file.Files.move(p, dest,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            true
-          } else m
-        }
-      }
-      require(moved, s"no part file produced for $t")
-      // sweep the now-empty staging dir
-      withListing(tmp)(_.foreach(p => java.nio.file.Files.deleteIfExists(p)))
-      java.nio.file.Files.deleteIfExists(tmp)
+      // DuckDB views expect), not a directory — shared with VerifyFuzz
+      DerivedCorpus.land(df, corpus, t)
       val nulled = Plan.get(t).map { cols =>
         cols.keys.map { c =>
           val n = spark.read.parquet(s"$corpus/$t.parquet")
