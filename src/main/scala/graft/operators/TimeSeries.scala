@@ -696,13 +696,26 @@ object TimeSeries {
           .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("slot"))
         val back = Window.partitionBy("event_type").orderBy("slot")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = Window.partitionBy("event_type").orderBy("slot")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // forward-looking next-known anchor, O(n): "first non-null at or
+        // after the current slot" rewritten as a RUNNING last() over the
+        // DESC ordering. The literal frame — (currentRow,
+        // unboundedFollowing) — plans as Spark's
+        // UnboundedFollowingWindowFunctionFrame, which re-scans to the
+        // partition end for every row: O(n²) in the series' grid length.
+        // Harmless on a month of hourly slots; a single far-out
+        // timestamp (VerifyFuzz's 1969/2038 edges — how this was found)
+        // stretches the grid to ~600 k slots per series and the
+        // quadratic frame turns a sub-second query into hours. The
+        // running-DESC form is the same value at every row and stays
+        // incremental, costing one extra sort instead.
+        val fwdAsRunningDesc = Window.partitionBy("event_type")
+          .orderBy(col("slot").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         g.join(b, Seq("event_type", "slot"), "left")
           .withColumn("v0", last(col("v"), ignoreNulls = true).over(back))
           .withColumn("s0", last(when(col("v").isNotNull, col("slot")), ignoreNulls = true).over(back))
-          .withColumn("v1", first(col("v"), ignoreNulls = true).over(fwd))
-          .withColumn("s1", first(when(col("v").isNotNull, col("slot")), ignoreNulls = true).over(fwd))
+          .withColumn("v1", last(col("v"), ignoreNulls = true).over(fwdAsRunningDesc))
+          .withColumn("s1", last(when(col("v").isNotNull, col("slot")), ignoreNulls = true).over(fwdAsRunningDesc))
           .withColumn(
             "v_lin",
             when(col("v").isNotNull, col("v")).otherwise(
