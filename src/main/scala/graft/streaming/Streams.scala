@@ -633,8 +633,13 @@ object Streams {
     * Complete mode so tail windows beyond the final watermark are
     * emitted; the spec asserts equality with the batch bars.
     */
-  def ohlcv(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(driveSession(s), dir)
+  /** The OHLCV bar aggregation itself, source-agnostic — shared by the
+    * memory-sink registered query and the file-sink crash spec
+    * (StreamsSpec): in append mode through a parquet sink a bar emits
+    * exactly once, when the watermark passes its window end.
+    */
+  private[graft] def ohlcvAggOn(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -645,6 +650,9 @@ object Streams {
         round(sum("value"), 4).as("volume"),
         count(lit(1)).as("n")
       )
+
+  def ohlcv(s: SparkSession, dir: String): DataFrame = {
+    val agg = ohlcvAggOn(eventsStream(driveSession(s), dir))
     runToBatch(agg, "complete")
       .select(
         col("window.start").as("w_start"), col("event_type"),
