@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * CodegenFallback, i.e. interpreted per element; this generates a
   * tight primitive loop instead).
   *
-  * Semantics match VectorFunctions.cosine / DuckDB's
-  * list_cosine_similarity bit-for-bit: all accumulation in double,
-  * dimensions left-to-right, result = dot / (sqrt(na) * sqrt(nb)).
+  * Semantics match VectorFunctions.cosine bit-for-bit: all
+  * accumulation in double, dimensions left-to-right, result =
+  * dot / (sqrt(na) * sqrt(nb)) — EXCEPT a zero-norm side, pinned to
+  * 0.0 (DuckDB's list_cosine_similarity returns -1.0 there and raw
+  * IEEE gives NaN; the oracle SQL carries the matching CASE).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -60,7 +62,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // PINNED: cosine with a zero-norm side is 0.0 ("no similarity"),
+    // never 0/0. Engines disagree wildly here — raw IEEE gives NaN
+    // (which Spark's descending sort ranks ABOVE every real match, so
+    // one zero vector would poison every top-k) and DuckDB's
+    // list_cosine_similarity returns -1.0; the oracle SQL carries the
+    // same CASE so both sides agree by construction. Found by the
+    // VerifyFuzz zero-vector corpus.
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -87,7 +97,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    double ${dot}Denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ${dot}Denom == 0.0 ? 0.0 : $dot / ${dot}Denom;
          |  }
          |}
        """.stripMargin

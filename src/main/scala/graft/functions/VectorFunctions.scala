@@ -19,8 +19,15 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
 
-  /** Cosine similarity of two double arrays: dot / (|a|·|b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two double arrays: dot / (|a|·|b|); a
+    * zero-norm side yields 0.0 by the PINNED convention (see
+    * [[CosineSimilarity]] — raw IEEE NaN would rank above every real
+    * match in a descending top-k).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Cosine similarity of two raw float-array columns. */
   def cosineF(a: Column, b: Column): Column = cosine(toDouble(a), toDouble(b))

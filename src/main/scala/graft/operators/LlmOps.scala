@@ -1669,10 +1669,16 @@ object LlmOps {
           .limit(10)
       },
       Some(
+        // zero-norm cosine pinned to 0.0 on both sides (DuckDB's raw
+        // list_cosine_similarity returns -1.0 there; the engine pins 0)
         """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS probe
           |           FROM embeddings WHERE vec_id = 0)
           |SELECT e.vec_id,
-          |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe), 6) AS score
+          |       round(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+          |                                          CAST(e.embedding AS DOUBLE[])) = 0
+          |                    OR list_inner_product(p.probe, p.probe) = 0 THEN 0.0
+          |             ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe)
+          |             END, 6) AS score
           |FROM embeddings e, p WHERE e.vec_id <> 0
           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
       )
@@ -1774,7 +1780,11 @@ object LlmOps {
         """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
           |           FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL),
           |c AS (SELECT q.q_id, e.vec_id,
-          |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+          |        CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+          |                                     CAST(e.embedding AS DOUBLE[])) = 0
+          |               OR list_inner_product(q.qv, q.qv) = 0 THEN 0.0
+          |        ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+          |        END AS s
           |      FROM embeddings e, q
           |      WHERE e.vec_id % 100 <> 0 AND e.embedding IS NOT NULL),
           |r AS (SELECT q_id, vec_id, s,
@@ -2044,25 +2054,39 @@ object LlmOps {
           .select(
             col("doc_id"),
             col("b"),
-            explode(sequence(lit(1), col("len"), lit(strideB))).as("off")
+            // empty/NULL text has no frames: Spark's sequence(1, 0)
+            // THROWS ("Illegal sequence boundaries") rather than
+            // returning empty — a zero-length document crashed the
+            // whole job until the VerifyFuzz empty-text corpus caught
+            // it. Guard to an empty offset array instead.
+            explode(
+              when(col("len") >= 1, sequence(lit(1), col("len"), lit(strideB)))
+                .otherwise(array().cast("array<int>"))).as("off")
           )
           .select(
             col("doc_id"),
             intDiv(col("off") - 1, lit(frameB)).as("frame_idx"),
             col("off").cast("long").as("off"),
             length(expr(s"substring(b, off, $frameB)")).cast("long").as("n_bytes"),
-            md5(expr(s"substring(b, off, $frameB)")).as("chk")
+            // checksum of the HEX of the byte slice (not the raw
+            // bytes): DuckDB has neither BLOB substring nor md5(BLOB),
+            // so the oracle slices hex(b) at doubled offsets — the
+            // comparison stays BYTE-exact on any input (the old
+            // char-sliced oracle was only equal on pure-ASCII text;
+            // the fuzz's unicode docs broke that coincidence)
+            md5(hex(expr(s"substring(b, off, $frameB)"))).as("chk")
           )
           .orderBy("doc_id", "frame_idx")
       },
       Some(
-        """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
-          |f AS (SELECT doc_id, text, unnest(range(1, len + 1, 256)) AS off FROM t)
+        """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+          |             octet_length(encode(text)) AS len FROM documents),
+          |f AS (SELECT doc_id, h, unnest(range(1, len + 1, 256)) AS off FROM t)
           |SELECT doc_id,
           |  (off - 1) // 64 AS frame_idx,
           |  CAST(off AS BIGINT) AS off,
-          |  CAST(octet_length(encode(substring(text, off, 64))) AS BIGINT) AS n_bytes,
-          |  md5(substring(text, off, 64)) AS chk
+          |  CAST(length(substring(h, (off - 1) * 2 + 1, 128)) // 2 AS BIGINT) AS n_bytes,
+          |  md5(substring(h, (off - 1) * 2 + 1, 128)) AS chk
           |FROM f ORDER BY doc_id, frame_idx""".stripMargin
       )
     ),

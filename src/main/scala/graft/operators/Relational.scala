@@ -83,7 +83,13 @@ object Relational {
         old.unionByName(neu).dropDuplicates().orderBy("event_id")
       },
       Some(
-        s"""SELECT DISTINCT * FROM (
+        // value + 0.0: the pinned ±0.0 normalization. Spark's
+        // dropDuplicates normalizes -0.0 in its grouping keys
+        // (SPARK-24834) so the deduped row comes back with +0.0;
+        // DuckDB's DISTINCT preserves the sign. IEEE x + 0.0 is the
+        // identity for every other value, NULL included.
+        s"""SELECT DISTINCT event_id, ts, user_id, event_type,
+           |  value + 0.0 AS value, props FROM (
            |  SELECT * FROM events WHERE ts < TIMESTAMP '$t1'
            |  UNION ALL
            |  SELECT * FROM events WHERE ts >= TIMESTAMP '$t0'
@@ -112,8 +118,10 @@ object Relational {
           )
           .orderBy("o_orderkey"),
       Some(
+        // + 0.0: Spark's round() collapses -0.0 to +0.0 (BigDecimal
+        // path), DuckDB's preserves it — the pinned normalization
         """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
-          |       round(o_totalprice, 2) AS total
+          |       round(o_totalprice, 2) + 0.0 AS total
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_orderkey""".stripMargin
       )
@@ -339,10 +347,12 @@ object Relational {
           .orderBy("event_id")
       },
       Some(
+        // + 0.0 on both doubles: the pinned ±0.0 normalization
+        // (Spark round() collapses -0.0, DuckDB's preserves it)
         """SELECT event_id, user_id,
-          |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id), 6) AS prev_value,
+          |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id), 6) + 0.0 AS prev_value,
           |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
-          |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg7
+          |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) + 0.0 AS mavg7
           |FROM events ORDER BY event_id""".stripMargin
       )
     ),
@@ -1081,11 +1091,13 @@ object Relational {
           .orderBy("vec_id")
       },
       Some(
+        // + 0.0 on the doubles: the pinned ±0.0 normalization (Spark
+        // round() collapses -0.0, DuckDB's preserves it)
         """SELECT vec_id,
           |       CAST(len(embedding) AS BIGINT) AS dim,
-          |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-          |       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vsum,
-          |       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2
+          |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_val,
+          |       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) + 0.0 AS vsum,
+          |       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) + 0.0 AS l2
           |FROM embeddings ORDER BY vec_id""".stripMargin
       )
     ),
@@ -1109,7 +1121,13 @@ object Relational {
           )
           .orderBy("event_id"),
       Some(
-        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        // json_valid + TRY_CAST: DuckDB's json functions THROW on
+        // malformed/empty JSON while Spark's from_json yields NULL —
+        // the guard makes dirty props (VerifyFuzz: '', '{not json!')
+        // NULL on both sides and is a no-op on well-formed rows
+        """SELECT event_id,
+          |  TRY_CAST(CASE WHEN json_valid(props)
+          |                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val
           |FROM events ORDER BY event_id""".stripMargin
       )
     ),

@@ -646,7 +646,8 @@ object TimeSeries {
         val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
-          .agg(round(max(col("value")), 2).as("v"))
+          // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
+          .agg((round(max(col("value")), 2) + lit(0.0)).as("v"))
           .persist() // read by both the grid derivation and the join
         val g = b.groupBy("event_type")
           .agg(min("slot").as("lo"), max("slot").as("hi"))
@@ -660,7 +661,7 @@ object TimeSeries {
       },
       Some(
         """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
-          |             round(max(value), 2) AS v
+          |             round(max(value), 2) + 0.0 AS v
           |           FROM events GROUP BY 1, 2),
           |r AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM b GROUP BY 1),
           |g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS slot FROM r),
@@ -689,7 +690,8 @@ object TimeSeries {
         val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
-          .agg(round(max(col("value")), 2).as("v"))
+          // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
+          .agg((round(max(col("value")), 2) + lit(0.0)).as("v"))
           .persist() // read by both the grid derivation and the join
         val g = b.groupBy("event_type")
           .agg(min("slot").as("lo"), max("slot").as("hi"))
@@ -732,7 +734,7 @@ object TimeSeries {
       },
       Some(
         """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
-          |             round(max(value), 2) AS v
+          |             round(max(value), 2) + 0.0 AS v
           |           FROM events GROUP BY 1, 2),
           |r AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM b GROUP BY 1),
           |g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS slot FROM r),
@@ -752,7 +754,7 @@ object TimeSeries {
           |SELECT event_type, CAST(slot AS BIGINT) AS slot,
           |  CASE WHEN v IS NOT NULL THEN v
           |       ELSE round(v0 + (v1 - v0) * CAST(slot - s0 AS DOUBLE)
-          |                  / CAST(s1 - s0 AS DOUBLE), 6) END AS v_lin
+          |                  / CAST(s1 - s0 AS DOUBLE), 6) + 0.0 END AS v_lin
           |FROM w ORDER BY event_type, slot""".stripMargin
       )
     ),
@@ -1076,12 +1078,20 @@ object TimeSeries {
         e.withColumn("rn_a", row_number().over(wAsc))
           .withColumn("rn_d", row_number().over(wDesc))
           .groupBy("day", "event_type")
+          // + 0.0 on every double output: PINNED ±0.0 normalization.
+          // Spark's round() collapses -0.0 to +0.0 but the min_by/
+          // max_by-style passthroughs (open/close) preserve it, while
+          // DuckDB preserves it everywhere — a bar whose trades are all
+          // -0.0 rendered sign-mixed across engines (VerifyFuzz). IEEE
+          // x + 0.0 is the identity for every other value incl. NaN
+          // and NULL, so the pin is free on clean data; the oracle SQL
+          // carries the same + 0.0.
           .agg(
-            max(when(col("rn_a") === 1, col("value"))).as("open"),
-            round(max("value"), 6).as("high"),
-            round(min("value"), 6).as("low"),
-            max(when(col("rn_d") === 1, col("value"))).as("close"),
-            round(sum("value"), 4).as("volume"),
+            (max(when(col("rn_a") === 1, col("value"))) + lit(0.0)).as("open"),
+            (round(max("value"), 6) + lit(0.0)).as("high"),
+            (round(min("value"), 6) + lit(0.0)).as("low"),
+            (max(when(col("rn_d") === 1, col("value"))) + lit(0.0)).as("close"),
+            (round(sum("value"), 4) + lit(0.0)).as("volume"),
             count(lit(1)).as("n")
           )
           .orderBy("day", "event_type")
@@ -1104,11 +1114,11 @@ object TimeSeries {
           |                       ORDER BY ts DESC, event_id DESC) AS rn_d
           |  FROM e2)
           |SELECT day, event_type,
-          |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
-          |       round(max(value), 6) AS high,
-          |       round(min(value), 6) AS low,
-          |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
-          |       round(sum(value), 4) AS volume,
+          |       max(CASE WHEN rn_a = 1 THEN value END) + 0.0 AS open,
+          |       round(max(value), 6) + 0.0 AS high,
+          |       round(min(value), 6) + 0.0 AS low,
+          |       max(CASE WHEN rn_d = 1 THEN value END) + 0.0 AS close,
+          |       round(sum(value), 4) + 0.0 AS volume,
           |       count(*) AS n
           |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
       )
@@ -1142,11 +1152,12 @@ object TimeSeries {
           .toDF("key", "ohlc")
           .select(
             col("key._1").as("day"), col("key._2").as("event_type"),
-            col("ohlc.open").as("open"),
-            round(col("ohlc.high"), 6).as("high"),
-            round(col("ohlc.low"), 6).as("low"),
-            col("ohlc.close").as("close"),
-            round(col("ohlc.volume"), 4).as("volume"),
+            // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
+            (col("ohlc.open") + lit(0.0)).as("open"),
+            (round(col("ohlc.high"), 6) + lit(0.0)).as("high"),
+            (round(col("ohlc.low"), 6) + lit(0.0)).as("low"),
+            (col("ohlc.close") + lit(0.0)).as("close"),
+            (round(col("ohlc.volume"), 4) + lit(0.0)).as("volume"),
             col("ohlc.n").as("n")
           )
           .orderBy("day", "event_type")
@@ -1169,11 +1180,11 @@ object TimeSeries {
           |                       ORDER BY ts DESC, event_id DESC) AS rn_d
           |  FROM e2)
           |SELECT day, event_type,
-          |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
-          |       round(max(value), 6) AS high,
-          |       round(min(value), 6) AS low,
-          |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
-          |       round(sum(value), 4) AS volume,
+          |       max(CASE WHEN rn_a = 1 THEN value END) + 0.0 AS open,
+          |       round(max(value), 6) + 0.0 AS high,
+          |       round(min(value), 6) + 0.0 AS low,
+          |       max(CASE WHEN rn_d = 1 THEN value END) + 0.0 AS close,
+          |       round(sum(value), 4) + 0.0 AS volume,
           |       count(*) AS n
           |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
       )

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CosineSimilarity, VectorFunctions}
+
+/** In-repo pins for the round-15 adversarial-corpus campaign
+  * (graft.VerifyFuzz): the fuzz gate proved cross-engine parity on
+  * zero vectors, ±0.0, malformed JSON, empty/unicode text and extreme
+  * timestamps, but it runs outside `sbt test` — these fixtures pin the
+  * chosen semantics so a regression fails the suite, not just the
+  * external gate.
+  */
+class FuzzSemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("cosine with a zero-norm side is pinned to 0.0 (never NaN / -1), codegen and interpreted") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    // codegen'd expression path
+    val expr = df.select(col("id"),
+      CosineSimilarity.cosineSim(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expr(1L) == 0.0, "zero vs non-zero must be 0.0, not NaN")
+    assert(!expr.values.exists(_.isNaN), "no NaN may escape the kernel")
+    assert(math.abs(expr(2L) - 1.0) < 1e-12)
+    assert(expr(3L) == 0.0, "zero vs zero must be 0.0")
+    // HOF-composed path must agree
+    val hof = df.select(col("id"),
+      VectorFunctions.cosineF(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hof == expr, "VectorFunctions.cosine must match the codegen kernel")
+    // a descending top-k over scores can therefore never rank a zero
+    // vector above a genuinely similar one (the failure VerifyFuzz
+    // exposed: IEEE 0/0=NaN sorted ABOVE every real match)
+  }
+
+  test("multimodal_framesample survives empty text and slices BYTES on unicode") {
+    val work = Files.createTempDirectory("graft-fuzzframe").toString
+    val uni = "héllo 你好 🚀" // 1-, 2-, 3-, 4-byte UTF-8 code points
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "a" * 300, "en", "web", 300L),
+      (3L, uni, "zz", "web", uni.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // the real registered query — this THREW ("Illegal sequence
+    // boundaries: 1 to 0 by 256") on any zero-length document before
+    // the round-15 guard
+    val out = SparkEntry.queries("multimodal_framesample")(spark, work)
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(1L), "empty text has no frames (and must not crash)")
+    // 300 ASCII bytes, stride 256 → offsets 1 and 257; frame 2 is the
+    // 44-byte tail
+    val d2 = byDoc(2L).map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(d2 == Map(1L -> 64L, 257L -> 44L), s"got $d2")
+    // unicode doc: offsets/lengths count BYTES, not chars — the UTF-8
+    // encoding of the fixture is 19 bytes for 11 chars
+    val uniBytes = uni.getBytes("UTF-8").length
+    val d3 = byDoc(3L).map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(d3 == Map(1L -> uniBytes.toLong), s"byte-domain slicing: got $d3")
+  }
+
+  test("Spark round() collapses -0.0 to +0.0 — the normalization the oracle '+ 0.0' pins mirror") {
+    // through a real double COLUMN (a bare -0.0 literal is DECIMAL)
+    val bits = Seq(-0.0).toDF("v")
+      .select(round(col("v"), 2).as("r"), round(col("v"), 6).as("r6"))
+      .collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(bits.getDouble(0)) == 0L,
+      "round(-0.0) must render +0.0")
+    assert(java.lang.Double.doubleToRawLongBits(bits.getDouble(1)) == 0L)
+  }
+
+  test("dropDuplicates normalizes ±0.0 in its keys: sign-twin rows collapse to one +0.0 row") {
+    val df = Seq((1L, -0.0), (1L, 0.0)).toDF("id", "v")
+    val out = df.dropDuplicates().collect()
+    assert(out.length == 1, "-0.0 and +0.0 are the same dedup key (SPARK-24834)")
+    assert(java.lang.Double.doubleToRawLongBits(out(0).getDouble(1)) == 0L,
+      "the surviving representative is normalized to +0.0")
+  }
+
+  test("from_json yields NULL on malformed / empty / type-mismatched props (fn_json's dirty-data contract)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val out = Seq("", "{not json!", """{"k":"你好 🚀","n":-0.0}""", """{"k": 49}""")
+      .toDF("props")
+      .select(from_json(col("props"), schema).getField("k").as("k_val"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(None, None, None, Some(49L)),
+      s"malformed and type-mismatched JSON must be NULL, got ${out.toSeq}")
+  }
+
+  test("resample grids stay linear under far-out timestamps (the O(n^2) window frame stays banished)") {
+    // the regression shape: one pre-epoch and one 2038 event stretch a
+    // series' slot grid to ~600k rows; resample_interp's forward
+    // anchor must stay an incremental frame (running last over DESC),
+    // not UnboundedFollowingWindowFunctionFrame. Pin by plan: no
+    // "unboundedfollowing" in the executed plan of the registered query.
+    val plan = SparkEntry.queries("resample_interp")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing$()"),
+      "resample_interp must not plan an unbounded-following frame")
+  }
+}

@@ -1062,14 +1062,18 @@ class LlmOpsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1)).toMap
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
-    def md5hex(b: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(b)
+    // chk = md5 of the UPPERCASE HEX of the frame bytes (round 15: the
+    // oracle can't hash BLOBs, so both sides hash the hex form — still
+    // uniquely determined by the bytes)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+    def hexUpper(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
     docs.foreach { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
       val expect = (0 until bytes.length by 256).map { o =>
         val frame = bytes.slice(o, math.min(o + 64, bytes.length))
-        ((o / 64).toLong, (o + 1).toLong, frame.length.toLong, md5hex(frame))
+        ((o / 64).toLong, (o + 1).toLong, frame.length.toLong, md5hex(hexUpper(frame)))
       }
       assert(got(id).toSeq == expect, s"doc $id frame mismatch")
     }
