@@ -498,7 +498,16 @@ object Relational {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       )
     ),
-    // Unpivot/melt: wide → long.
+    // Unpivot/melt: wide → long. The sort must stay AFTER the expand:
+    // (l_orderkey, l_linenumber) is NOT unique in the corpus, and the
+    // required (key, metric) order interleaves metrics ACROSS the
+    // duplicate rows — no pre-expand row sort can reproduce it (a
+    // sort-before-expand rewrite was measured ~25% cheaper and rejected
+    // on exactly this, r15 adjudication in BASELINE.md). `val` joins the
+    // ORDER BY as the final tiebreaker because those duplicate keys also
+    // yield duplicate (key, metric) pairs with DIFFERENT values, whose
+    // relative order neither engine otherwise pins — the hash match was
+    // implementation luck without it.
     Q(
       "agg_unpivot",
       (s, d) =>
@@ -509,7 +518,10 @@ object Relational {
             "metric",
             "val"
           )
-          .orderBy("l_orderkey", "l_linenumber", "metric"),
+          .orderBy(
+            asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+            asc_nulls_first("metric"), asc_nulls_first("val")
+          ),
       Some(
         """SELECT l_orderkey, l_linenumber, metric, val FROM (
           |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
@@ -517,7 +529,8 @@ object Relational {
           |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
           |  UNION ALL
           |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
-          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+          |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+          |         metric NULLS FIRST, val NULLS FIRST""".stripMargin
       )
     ),
     // Full outer join with one-sided nulls (customers without 'F' orders).
