@@ -364,7 +364,11 @@ object Bench {
     // every extended entry is judged against its fixed calm baseline,
     // same 2× bar as the headline set. Ratios ride the artifact so the
     // judge can tally drift without re-deriving it.
-    val anchorApplies = sfDir.contains("sf0.1")
+    // exact dir-name match, not substring: "sf0.1".contains would also
+    // fire on sf0.15 / sf0.1-old and judge a different scale against
+    // these anchors
+    val anchorApplies =
+      new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1"
     val anchorRatios: Seq[(String, Double)] =
       if (!anchorApplies) Seq.empty
       else (extResults ++ scanPathResults).flatMap { case (k, v) =>

@@ -801,7 +801,14 @@ object LlmOps {
     // repeated minhash queries no longer accumulates cached tables.
     val sigs = minhashSigs(s, d).persist()
     val prev = LlmOps.lastMinhashSigs.getAndSet(sigs)
-    if (prev != null && (prev ne sigs)) prev.unpersist(blocking = false)
+    if (prev != null && (prev ne sigs)) {
+      // best-effort: the previous table may belong to an already-STOPPED
+      // session (its cached blocks died with the session's
+      // BlockManager); unpersist through the dead cacheManager throws
+      // rather than no-ops, and must not fail the NEW session's query
+      try prev.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
     // distinct() after the band join is deliberate: a first-match-only
     // variant (carry the full bkeys array on both sides, keep a pair
     // only at its first matching band) was measured SLOWER at sf0.1

@@ -1134,13 +1134,20 @@ object Relational {
           )
           .orderBy("event_id"),
       Some(
-        // json_valid + TRY_CAST: DuckDB's json functions THROW on
+        // json_valid + typed extract: DuckDB's json functions THROW on
         // malformed/empty JSON while Spark's from_json yields NULL —
-        // the guard makes dirty props (VerifyFuzz: '', '{not json!')
-        // NULL on both sides and is a no-op on well-formed rows
+        // the outer guard makes dirty props (VerifyFuzz: '',
+        // '{not json!') NULL on both sides. The inner json_type check
+        // mirrors Spark's TYPED parse: from_json(k: LONG) yields NULL
+        // for a quoted numeral ('{"k":"7"}' is a STRING, not a number)
+        // where a bare TRY_CAST of the string extract would coerce to
+        // 7 — only JSON integer values cast. CASE branches evaluate
+        // lazily in DuckDB, so json_type never sees invalid JSON.
         """SELECT event_id,
-          |  TRY_CAST(CASE WHEN json_valid(props)
-          |                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val
+          |  CASE WHEN json_valid(props) THEN
+          |    CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+          |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+          |  END AS k_val
           |FROM events ORDER BY event_id""".stripMargin
       )
     ),

@@ -2060,11 +2060,25 @@ class Store private[sources] (
     val k = validateKey(key)
     try {
       val vdir = new HPath(new HPath(itemsRoot, k), id)
-      if (!fs.exists(new HPath(vdir, "_SUCCESS")))
+      // The marker is only evidence where the committer produces one:
+      // deployments with mapreduce.fileoutputcommitter.marksuccessfuljobs
+      // =false (common on object-store committers) stage complete dirs
+      // with no _SUCCESS, and requiring it there would fail EVERY CTAS
+      // with a misleading vacuum message. Dir existence is the
+      // vacuum-sweep check either way; the marker is the completeness
+      // check only when the committer writes markers.
+      val marksEnabled = fs.getConf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      if (!fs.exists(vdir))
         throw new IllegalStateException(
-          s"staged version $id for item $k is missing or incomplete " +
+          s"staged version $id for item $k is gone " +
             "(swept by a concurrent vacuum with retention shorter than " +
             "the CTAS insert?); the CTAS must be rerun")
+      if (marksEnabled && !fs.exists(new HPath(vdir, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"staged version $id for item $k exists but has no _SUCCESS " +
+            "marker while the committer is configured to write one — " +
+            "the staged write is incomplete; the CTAS must be rerun")
       Store.writeUTF8(fs, ptrPath(k), id, overwrite = false)
     } finally Store.activeStagingIds.remove(id.stripPrefix("v-"))
   }

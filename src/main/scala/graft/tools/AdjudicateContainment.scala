@@ -39,8 +39,16 @@ object AdjudicateContainment {
       System.gc()
       Thread.sleep(500)
       val df = SparkEntry.queries(query)(spark, dir)
+      // Materialize through df's OWN QueryExecution: a noop-sink write
+      // wraps the logical plan in a NEW QueryExecution, leaving
+      // df.queryExecution unexecuted — its executedPlan would print the
+      // pre-adaptive skeleton (isFinalPlan=false) every sample and a
+      // bimodal AQE flip (the thing being adjudicated) would be
+      // invisible. Draining toRdd runs AdaptiveSparkPlanExec to its
+      // final plan at the same full-materialization cost as the noop
+      // sink.
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
       val sec = (System.nanoTime() - t0) / 1e9
       // the final adaptive plan: one line per join/exchange/scan node
       val skeleton = df.queryExecution.executedPlan.toString

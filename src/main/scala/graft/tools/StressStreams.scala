@@ -64,11 +64,16 @@ object StressStreams {
       val work = Files.createTempDirectory(s"graft-sstream-$op-$keys").toString
       val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
       val df = corpus(keys)
-      // four time-ordered batches, one file each
+      // four time-ordered batches, one file each; the LAST batch takes
+      // the division remainder so every generated row is driven (a
+      // floor-quartered upper bound silently drops perKey % 4 minutes
+      // of events and the rows= line would overstate the driven input)
+      require(perKey >= 4, s"perKey must be >= 4 to form 4 batches, got $perKey")
       val quarter = perKey / 4
       (0 until 4).foreach { i =>
+        val hi = if (i == 3) perKey else (i + 1) * quarter
         df.filter(expr(s"event_id div $keys") >= i * quarter &&
-            expr(s"event_id div $keys") < (i + 1) * quarter)
+            expr(s"event_id div $keys") < hi)
           .coalesce(1).write.parquet(s"$stage/b$i")
         val p = java.nio.file.Paths.get(s"$stage/b$i")
         val walk = java.nio.file.Files.walk(p)

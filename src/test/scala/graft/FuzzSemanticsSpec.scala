@@ -90,11 +90,17 @@ class FuzzSemanticsSpec extends AnyFunSuite {
   test("from_json yields NULL on malformed / empty / type-mismatched props (fn_json's dirty-data contract)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType)))
-    val out = Seq("", "{not json!", """{"k":"你好 🚀","n":-0.0}""", """{"k": 49}""")
+    // the quoted numeral is the load-bearing case: Spark's TYPED parse
+    // does NOT coerce the JSON string "7" to 7, so the DuckDB oracle
+    // must not either — it gates on json_type IN (BIGINT, UBIGINT)
+    // before casting (a bare TRY_CAST of the string extract would
+    // yield 7 and diverge). Same for a JSON double: 5.5 is not a LONG.
+    val out = Seq("", "{not json!", """{"k":"你好 🚀","n":-0.0}""",
+        """{"k": 49}""", """{"k":"7"}""", """{"k": 5.5}""")
       .toDF("props")
       .select(from_json(col("props"), schema).getField("k").as("k_val"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(out.toSeq == Seq(None, None, None, Some(49L)),
+    assert(out.toSeq == Seq(None, None, None, Some(49L), None, None),
       s"malformed and type-mismatched JSON must be NULL, got ${out.toSeq}")
   }
 
