@@ -1264,12 +1264,20 @@ object TimeSeries {
         val sD = col("sn").cast("double")
         val qD = col("qn").cast("double")
         val nD = col("n").cast("double")
+        // cmx > cmn proves the EXACT variance is nonzero, but the DOUBLE
+        // moment qD − sD²/nD can still round to 0 (or below) once qn
+        // passes 2^53 — e.g. two cents values 1e8 and 1e8+1 — and the
+        // division would then raise DIVIDE_BY_ZERO under ANSI (or emit
+        // ±Inf without it). A variance the doubles cannot resolve gets
+        // a NULL z on both engines (when() branches evaluate lazily, so
+        // the guarded division never executes on degenerate rows).
+        val varNum = qD - sD * sD / nD
         e.select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
           col("n").as("n_window"),
           when(
-            col("n") >= 2 && col("cmx") > col("cmn"),
-            round((cD - sD / nD) / sqrt((qD - sD * sD / nD) / (nD - 1.0)), 6)
+            col("n") >= 2 && col("cmx") > col("cmn") && varNum > 0.0,
+            round((cD - sD / nD) / sqrt(varNum / (nD - 1.0)), 6)
           ).as("z")
         ).orderBy("event_id")
       },
@@ -1286,7 +1294,8 @@ object TimeSeries {
           |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
           |SELECT event_id, user_id, ts, value,
           |  CAST(n AS BIGINT) AS n_window,
-          |  CASE WHEN n >= 2 AND cmx > cmn THEN
+          |  CASE WHEN n >= 2 AND cmx > cmn
+          |       AND (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE)) > 0 THEN
           |    round((CAST(c AS DOUBLE) - CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))
           |      / sqrt((CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))
           |             / (CAST(n AS DOUBLE) - 1.0)), 6)

@@ -12,19 +12,31 @@ import java.util.concurrent.atomic.AtomicInteger
 case class DocSig(doc_id: Long, bkey: Long)
 
 /** Event projected to epoch-µs + integer cents for the streaming
-  * z-score (exact integer moments, like the batch ts_zscore). */
+  * z-score (exact integer moments, like the batch ts_zscore). `value`
+  * and `c` are Options: the batch window COUNTS NULL-value rows in
+  * n_window (count(lit(1))) while sum/max/min skip them — a primitive
+  * field would either NOT_NULL_ASSERT the batch or silently drop the
+  * rows the batch emits. */
 case class ZEvent(
     event_id: Long,
     user_id: Long,
     ts: java.sql.Timestamp,
     tss: Long,
-    value: Double,
-    c: Long
+    value: Option[Double],
+    c: Option[Long]
 )
 
 /** Trailing-hour ring buffer carried per user: parallel arrays of
-  * (epoch-µs, cents), oldest first. */
-case class ZBuf(tss: Array[Long], cents: Array[Long])
+  * (epoch-µs, cents, cents-is-defined), oldest first. The mask carries
+  * NULL-value rows: they occupy a window slot (n_window counts them,
+  * like the batch count(lit(1))) without contributing to the moments.
+  *
+  * STATE-SCHEMA COMPATIBILITY: `defined` widened this state from 2 to
+  * 3 fields — a z-score query restarted against a DURABLE checkpoint
+  * of the 2-field vintage fails Spark's state schema check; start a
+  * fresh checkpointLocation when upgrading.
+  */
+case class ZBuf(tss: Array[Long], cents: Array[Long], defined: Array[Boolean])
 
 /** Typed event row for the custom-state operator. `value` is an Option
   * — SQL semantics for a nullable column (a primitive field would
@@ -285,9 +297,14 @@ object Streams {
     * partition-order determinism) — emitted keep=true rows can never be
     * retracted in append mode, so a stable claimant is the only
     * consistent cross-batch semantic. State is one long per occupied
-    * bucket — bounded by corpus diversity, not stream length. Docs too
-    * short to shingle pass through unflagged (no signature ⇒ no
-    * bucket).
+    * bucket — bounded by corpus diversity, not stream length.
+    *
+    * OUTPUT CONTRACT: rows are per-(doc, band) DUP EVIDENCE, not a doc
+    * roster — a doc with NULL text or text too short to shingle emits
+    * NO rows (no signature ⇒ no bucket ⇒ no dup evidence). A consumer
+    * building a keep-list must LEFT-join this output and treat absence
+    * as keep; filtering to keep=true rows alone would silently discard
+    * every unshingleable doc.
     */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     val src = driveSession(s).readStream
@@ -337,11 +354,21 @@ object Streams {
     * moments (S, Q, n, max, min) of its window and the identical double
     * expression the batch query uses, so for in-order delivery the
     * streamed scores are bit-identical to the batch RANGE-frame window
-    * (asserted by the spec). Events inside one micro-batch are sorted
-    * by (tss, event_id) before processing, and runs of EQUAL
-    * timestamps are buffered before any of them is scored — the batch
-    * RANGE frame includes peer rows at the current tss, so the
-    * streamed window must too. State per user is bounded by the hour's
+    * (asserted by the spec). The equivalence CONTRACT, precisely:
+    * cross-micro-batch delivery is time-ordered and equal-timestamp
+    * peers do not split across micro-batches — append mode cannot
+    * retract an emitted score, so a row arriving after its window peer
+    * was scored can fix only its own score, never its peer's. Outside
+    * the contract the machine stays SOUND (sorted insert + one-off
+    * window scan for a late row; see the disorder branch) rather than
+    * silently corrupting state. NULL-value rows are emitted and occupy
+    * window slots exactly as the batch query emits and counts them;
+    * NULL-time rows are an inherent watermarked-streaming exclusion
+    * (the stateful operator's late filter drops them). Events inside
+    * one micro-batch are sorted by (tss, event_id) before processing,
+    * and runs of EQUAL timestamps are buffered before any of them is
+    * scored — the batch RANGE frame includes peer rows at the current
+    * tss, so the streamed window must too. State per user is bounded by the hour's
     * event rate and evicted entirely once the event-time watermark
     * passes an hour beyond the user's last event (by then every
     * buffered entry is expired anyway). Event-time — NOT processing-
@@ -402,9 +429,12 @@ object Streams {
     val Slack = 3600000000L // tolerated cross-batch event-time disorder
     val typed = events
       .filter(col("event_type").isin("view", "click", "purchase"))
-      // an event-time state machine cannot place a NULL-time event in
-      // any window — dropped at ingestion (round-13 NULL robustness)
-      .filter(col("ts").isNotNull)
+      // NULL-time events are NOT dropped: this operator has no
+      // watermark (NoTimeout state), so they reach the state function,
+      // which mirrors the batch pin (NullSemanticsSpec "funnel_steps:
+      // a NULL-time event counts and satisfies step 1") — they count
+      // toward n_events and a NULL-time view still reaches step 1, but
+      // no window step can anchor on a missing time
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventRow]
     typed
@@ -424,7 +454,14 @@ object Streams {
           var steps = prev.steps
           var n = prev.n
           var maxSeen = prev.maxSeen
-          val batch = it.toArray
+          val (batch, untimed) = it.toArray.partition(_.ts != null)
+          // NULL-time events: count, view reaches step 1, nothing else
+          // (the batch pin) — applied before the timed pass so a
+          // same-batch timed click can never ride a NULL-time view
+          untimed.foreach { e =>
+            n += 1
+            if (e.event_type == "view" && steps < 1) steps = 1
+          }
           // a buffered purchase completes once ANY qualified click
           // within W precedes it — checked whenever the qualified set
           // grows (fresh click or pending promotion)
@@ -498,9 +535,14 @@ object Streams {
     import sp.implicits._
     val windowUs = 3600000000L
     val typed = events
-      // the z-score machine needs an event time AND a value; rows
-      // lacking either carry no information it can use (round-13)
-      .filter(col("ts").isNotNull && col("value").isNotNull)
+      // an event-time machine cannot place a NULL-time row, and the
+      // stateful operator's late-data filter drops them anyway (NULL
+      // event time fails the >= watermark predicate) — an INHERENT
+      // watermarked-streaming divergence from batch, where NULL-ts rows
+      // form their own null-peer frame. NULL VALUES are kept: the batch
+      // window counts them in n_window while its sum/max/min skip them,
+      // mirrored here by the buffer's defined mask.
+      .filter(col("ts").isNotNull)
       .select(
         col("event_id"), col("user_id"), col("ts"),
         expr("unix_micros(ts)").as("tss"),
@@ -525,61 +567,123 @@ object Streams {
             Iterator.empty
           } else {
             val batch = it.toArray.sortBy(e => (e.tss, e.event_id))
-            val prev = state.getOption.getOrElse(ZBuf(Array.empty, Array.empty))
-            val buf = scala.collection.mutable.ArrayDeque.from(prev.tss.zip(prev.cents))
+            val prev = state.getOption.getOrElse(ZBuf(Array.empty, Array.empty, Array.empty))
+            val buf = scala.collection.mutable.ArrayDeque.from(
+              prev.tss.indices.map(i => (prev.tss(i), prev.cents(i), prev.defined(i))))
             // running moments maintained incrementally: O(w) once per
             // (user, batch) here, then O(1) amortized per event — not a
-            // full O(w) rescan per event
+            // full O(w) rescan per event. Moments cover DEFINED entries
+            // only (batch sum/max/min skip NULLs); n is the buffer
+            // length (batch count(lit(1)) counts every row).
             var sn = 0L; var qn = 0L
-            buf.foreach { case (_, c) => sn += c; qn += c * c }
+            buf.foreach { case (_, c, d) => if (d) { sn += c; qn += c * c } }
             var mx = Long.MinValue; var mn = Long.MaxValue
             def rescanMinMax(): Unit = {
               mx = Long.MinValue; mn = Long.MaxValue
-              buf.foreach { case (_, c) =>
+              buf.foreach { case (_, c, d) =>
+                if (d) {
+                  if (c > mx) mx = c
+                  if (c < mn) mn = c
+                }
+              }
+            }
+            rescanMinMax()
+            def add(tss: Long, co: Option[Long]): Unit = {
+              buf.append((tss, co.getOrElse(0L), co.isDefined))
+              co.foreach { c =>
+                sn += c; qn += c * c
                 if (c > mx) mx = c
                 if (c < mn) mn = c
               }
             }
-            rescanMinMax()
-            def add(tss: Long, c: Long): Unit = {
-              buf.append((tss, c)); sn += c; qn += c * c
-              if (c > mx) mx = c
-              if (c < mn) mn = c
-            }
             def evictBefore(lo: Long): Unit = {
               var hitExtreme = false
               while (buf.nonEmpty && buf.head._1 < lo) {
-                val (_, c) = buf.removeHead()
-                sn -= c; qn -= c * c
-                if (c == mx || c == mn) hitExtreme = true
+                val (_, c, d) = buf.removeHead()
+                if (d) {
+                  sn -= c; qn -= c * c
+                  if (c == mx || c == mn) hitExtreme = true
+                }
               }
               if (hitExtreme) rescanMinMax()
             }
+            // belt-and-braces: a non-finite raw (extreme magnitudes)
+            // must pass through like the batch round() does — a bare
+            // BigDecimal(raw) THROWS on NaN/Inf and kills the stream
+            def rounded(raw: Double): Double =
+              if (raw.isNaN || raw.isInfinite) raw
+              else BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            def zOf(co: Option[Long], n: Long, s: Long, q: Long,
+                lmx: Long, lmn: Long): Option[Double] =
+              co.flatMap { c =>
+                val sD = s.toDouble; val qD = q.toDouble; val nD = n.toDouble
+                // num > 0 mirrors the batch guard: the double moment can
+                // round to 0 despite lmx > lmn (qn past 2^53), and the
+                // batch emits NULL there instead of dividing by zero
+                val num = qD - sD * sD / nD
+                if (n >= 2 && lmx > lmn && num > 0.0)
+                  Some(rounded((c.toDouble - sD / nD) / math.sqrt(num / (nD - 1.0))))
+                else None
+              }
             // process runs of EQUAL timestamps together: the batch RANGE
             // frame includes all peer rows at the current tss, so every
             // peer must be in the buffer before any of them is scored
-            val out = Vector.newBuilder[(Long, Long, Double, Long, Option[Double])]
+            val out = Vector.newBuilder[(Long, Long, Option[Double], Long, Option[Double])]
             var i = 0
             while (i < batch.length) {
               var j = i
               while (j < batch.length && batch(j).tss == batch(i).tss) j += 1
-              evictBefore(batch(i).tss - windowUs)
-              (i until j).foreach(x => add(batch(x).tss, batch(x).c))
-              val n = buf.length.toLong
-              (i until j).foreach { x =>
-                val e = batch(x)
-                val z =
-                  if (n >= 2 && mx > mn) {
-                    val cD = e.c.toDouble; val sD = sn.toDouble
-                    val qD = qn.toDouble; val nD = n.toDouble
-                    val raw = (cD - sD / nD) / math.sqrt((qD - sD * sD / nD) / (nD - 1.0))
-                    Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-                  } else None
-                out += ((e.event_id, uid, e.value, n, z))
+              val t = batch(i).tss
+              if (buf.nonEmpty && t < buf.last._1) {
+                // cross-micro-batch DISORDER: admitted by the 10-minute
+                // watermark but outside the in-order batch-equivalence
+                // contract. Insert at the sorted position — an
+                // unconditional tail append would leave the deque
+                // time-unsorted, strand entries past head-only eviction
+                // and silently corrupt every subsequent score for this
+                // user — and score the late row against the RETAINED
+                // part of its window by a one-off O(w) scan (entries
+                // already evicted by newer scores are gone:
+                // best-effort for the late row itself; rows previously
+                // emitted cannot be retracted in append mode either
+                // way; in-order rows stay exact).
+                (i until j).foreach { x =>
+                  val e = batch(x)
+                  val idx = buf.indexWhere(_._1 > e.tss)
+                  val at = if (idx < 0) buf.length else idx
+                  buf.insert(at, (e.tss, e.c.getOrElse(0L), e.c.isDefined))
+                  e.c.foreach { c =>
+                    sn += c; qn += c * c
+                    if (c > mx) mx = c
+                    if (c < mn) mn = c
+                  }
+                  var ln = 0L; var lsn = 0L; var lqn = 0L
+                  var lmx = Long.MinValue; var lmn = Long.MaxValue
+                  buf.foreach { case (bt, bc, bd) =>
+                    if (bt >= e.tss - windowUs && bt <= e.tss) {
+                      ln += 1
+                      if (bd) {
+                        lsn += bc; lqn += bc * bc
+                        if (bc > lmx) lmx = bc
+                        if (bc < lmn) lmn = bc
+                      }
+                    }
+                  }
+                  out += ((e.event_id, uid, e.value, ln, zOf(e.c, ln, lsn, lqn, lmx, lmn)))
+                }
+              } else {
+                evictBefore(t - windowUs)
+                (i until j).foreach(x => add(batch(x).tss, batch(x).c))
+                val n = buf.length.toLong
+                (i until j).foreach { x =>
+                  val e = batch(x)
+                  out += ((e.event_id, uid, e.value, n, zOf(e.c, n, sn, qn, mx, mn)))
+                }
               }
               i = j
             }
-            state.update(ZBuf(buf.map(_._1).toArray, buf.map(_._2).toArray))
+            state.update(ZBuf(
+              buf.map(_._1).toArray, buf.map(_._2).toArray, buf.map(_._3).toArray))
             // bound state for users who go silent: evict once the
             // watermark passes an hour beyond this user's newest event
             // (everything buffered is expired by then). Clamp above the
@@ -673,8 +777,11 @@ object Streams {
     * AvailableNow drive here uses complete so the materialized result
     * equals the batch leaderboard exactly (spec).
     */
-  private[graft] def topkOn(s: SparkSession, events: DataFrame, k: Int) = {
-    val sp = s
+  private[graft] def topkOn(events: DataFrame, k: Int) = {
+    // like every sibling *On helper, the session is the SOURCE's — a
+    // separate session parameter invited a cross-session mismatch
+    // (parent session passed while the stream lives on the drive clone)
+    val sp = events.sparkSession
     import sp.implicits._
     import graft.functions.{Scored, TopKAggregator}
     events
@@ -694,7 +801,7 @@ object Streams {
     * drained AvailableNow and unpacked to ranked rows.
     */
   def topk(s: SparkSession, dir: String): DataFrame = {
-    val agg = topkOn(s, eventsStream(driveSession(s), dir), 5).toDF("hour_epoch", "top")
+    val agg = topkOn(eventsStream(driveSession(s), dir), 5).toDF("hour_epoch", "top")
     runToBatch(agg, "complete")
       .select(col("hour_epoch"), posexplode(col("top.items")).as(Seq("pos0", "c")))
       .select(
@@ -718,8 +825,24 @@ object Streams {
   def storeIngest(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Store
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    // the returned DataFrame reads the store's files LAZILY, so the
+    // temp store cannot be deleted here — sweep it at JVM exit instead
+    // of leaking one store+checkpoint per invocation
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val root = java.nio.file.Paths.get(tmp)
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      } catch { case _: Throwable => () }
+    }))
+    val drive = driveSession(s)
     val store = Store.open(
-      s, tmp,
+      drive, tmp,
       cols = Some(Seq(
         "EVENT_ID" -> LongType,
         "USER_ID" -> LongType,
@@ -731,7 +854,7 @@ object Streams {
     )
     // normalize handles the rest: lower-case names matched
     // case-insensitively and upper-folded, extra columns (props) dropped
-    store.ingestStream("EVENTS", eventsStream(s, dir), s"$tmp/.checkpoint")
+    store.ingestStream("EVENTS", eventsStream(drive, dir), s"$tmp/.checkpoint")
       .awaitTermination()
     store.query("EVENTS", None, None).orderBy("EVENT_ID")
   }

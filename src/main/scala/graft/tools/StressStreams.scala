@@ -104,7 +104,7 @@ object StressStreams {
             col("event_id"),
             expr(s"timestamp_millis(1704067200000L + (user_id * 3600L + (event_id div ${keys})) * 1000L)").as("ts"),
             col("value"))
-          Streams.topkOn(spark, hours, 5).toDF("hour_epoch", "top")
+          Streams.topkOn(hours, 5).toDF("hour_epoch", "top")
             .writeStream
             .option("checkpointLocation", chk).outputMode("update")
             .foreachBatch { (d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -457,7 +457,7 @@ class StreamsSpec extends AnyFunSuite {
       val src = spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
         .parquet(stage)
-      val agg = Streams.topkOn(spark, src, 5).toDF("hour_epoch", "top")
+      val agg = Streams.topkOn(src, 5).toDF("hour_epoch", "top")
       val w = agg.writeStream
         .outputMode("update")
         .option("checkpointLocation", chk)
@@ -1005,5 +1005,130 @@ class StreamsSpec extends AnyFunSuite {
       s"exactly 200 distinct keys (got ${streamed.count()}): re-delivered keys " +
         "must stay suppressed by the RESTORED seen-keys state")
     assert(streamed.select("event_id").distinct().count() == 200)
+  }
+
+  // ---- round-15 streaming review pins ---------------------------------
+
+  test("stream_zscore mirrors batch NULL-value semantics: NULL rows emitted, counted in peers' n_window") {
+    import spark.implicits._
+    val work = JFiles.createTempDirectory("graft-znull").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fixture = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", Some(5.0), "{}"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "view", None, "{}"), // NULL value
+      (3L, t("2024-01-01 10:20:00"), 1L, "view", Some(9.0), "{}"),
+      (4L, t("2024-01-01 10:30:00"), 2L, "view", None, "{}")  // all-NULL user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // land as a FLAT FILE: eventsStream's pathGlobFilter matches file
+    // names, so a directory-shaped events.parquet reads as empty
+    graft.DerivedCorpus.land(fixture, work, "events")
+    val streamed = Streams.zscore(spark, work)
+    val batch = SparkEntry.queries("ts_zscore")(spark, work)
+      .select("event_id", "user_id", "value", "n_window", "z")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val byId = streamed.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.contains(2L) && byId(2L).isNullAt(4),
+      "the NULL-value row itself must be emitted with z NULL (batch emits it)")
+    assert(byId(3L).getLong(3) == 3L,
+      "n_window must count the NULL-value peer, like batch count(lit(1))")
+    assert(byId(4L).getLong(3) == 1L && byId(4L).isNullAt(4),
+      "an all-NULL user's row still emits (n=1, z NULL)")
+  }
+
+  test("stream_funnel mirrors the batch NULL-time pin: counts, satisfies step 1, never qualifies a window step") {
+    import spark.implicits._
+    val work = JFiles.createTempDirectory("graft-fnull").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    val fixture = Seq(
+      // user 1: NULL-ts view + timed click -> click must NOT qualify
+      (1L, nullTs, 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      // user 2: timed view + NULL-ts click -> click must NOT complete step 2
+      (3L, t("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, nullTs, 2L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.DerivedCorpus.land(fixture, work, "events")
+    val streamed = Streams.funnel(spark, work)
+    val batch = SparkEntry.queries("funnel_steps")(spark, work)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val out = streamed.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 1L)), "NULL-ts view counts and reaches step 1; click unqualified")
+    assert(out(2L) == ((2L, 1L)), "NULL-ts click counts but cannot complete step 2")
+  }
+
+  test("stream_zscore: a late row inside the watermark inserts SORTED - state stays sound, later rows equal batch") {
+    import spark.implicits._
+    val work = JFiles.createTempDirectory("graft-zlate").toString
+    val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0 delivers 10:00 and 10:06 (watermark -> 09:56); batch 1
+    // delivers 09:58 (late but admitted) then 10:10; batch 2 delivers
+    // 11:05, whose eviction horizon (10:05) falls MID-window: with an
+    // unsorted buffer the head-only eviction would strand the 09:58
+    // entry and corrupt this row's moments - the exact old failure
+    val rows = Seq(
+      (Seq((1L, t("2024-01-01 10:00:00"), 1L, 1.0), (2L, t("2024-01-01 10:06:00"), 1L, 2.0)), 1000000L),
+      (Seq((3L, t("2024-01-01 09:58:00"), 1L, 3.0), (4L, t("2024-01-01 10:10:00"), 1L, 4.0)), 1000100L),
+      (Seq((5L, t("2024-01-01 11:05:00"), 1L, 5.0)), 1000200L))
+    rows.zipWithIndex.foreach { case ((rs, mtime), i) =>
+      rs.toDF("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.parquet(s"$stage/b$i")
+      stampMtime(s"$stage/b$i", mtime)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    runStaged(stage, out, chk, schema, Streams.zscoreOn, killEarly = false)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the registered batch query over the same five events
+    rows.flatMap(_._1).map { case (id, ts, uid, v) => (id, ts, uid, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val batch = SparkEntry.queries("ts_zscore")(spark, work)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the late row and every row AFTER it must equal batch exactly
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(streamed(id).getLong(3) == batch(id).getAs[Long]("n_window"),
+        s"event $id n_window: streamed ${streamed(id).getLong(3)} vs batch ${batch(id).getAs[Long]("n_window")}")
+      assert(streamed(id).isNullAt(4) == batch(id).isNullAt(batch(id).fieldIndex("z")))
+      if (!streamed(id).isNullAt(4))
+        assert(streamed(id).getDouble(4) == batch(id).getAs[Double]("z"), s"event $id z")
+    }
+    assert(streamed(5L).getLong(3) == 3L,
+      "11:05's window is {10:06,10:10,11:05} - a stranded 09:58 entry (the unsorted-buffer bug) would make it 4")
+    // rows emitted BEFORE the late arrival keep their at-emission windows
+    // (append mode cannot retract) - the documented contract boundary
+    assert(streamed(1L).getLong(3) == 1L && streamed(2L).getLong(3) == 2L)
+  }
+
+  test("stream_zscore survives a degenerate double moment (variance rounds to 0): NULL z on both sides") {
+    import spark.implicits._
+    val work = JFiles.createTempDirectory("graft-zinf").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // cents 1e8 and 1e8+1: the double moment qD - sD*sD/nD rounds to
+    // exactly 0.0 despite cmx > cmn -- the batch division raised ANSI
+    // DIVIDE_BY_ZERO and the stream died in BigDecimal(Infinity); both
+    // now emit NULL for a variance the doubles cannot resolve
+    val fixture = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1000000.00, "{}"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "view", 1000000.01, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // land as a FLAT FILE: eventsStream's pathGlobFilter matches file
+    // names, so a directory-shaped events.parquet reads as empty
+    graft.DerivedCorpus.land(fixture, work, "events")
+    val streamed = Streams.zscore(spark, work)
+    val batch = SparkEntry.queries("ts_zscore")(spark, work)
+      .select("event_id", "user_id", "value", "n_window", "z")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val r2 = streamed.filter(col("event_id") === 2L).collect()(0)
+    assert(r2.isNullAt(4), "the degenerate-moment z must be NULL, matching the guarded batch")
+    assert(r2.getLong(3) == 2L, "the row itself is still emitted with its window count")
   }
 }
