@@ -554,7 +554,13 @@ object LlmOps {
       .crossJoin(broadcast(qnorm))
       .select(
         col("vec_id"),
-        (col("adot") / (col("qnorm") * sqrt(col("anorm2")))).as("ascore"))
+        // zero-norm pin (FuzzSemanticsSpec): a zero probe or an
+        // all-zero codebook reconstruction makes the ADC denominator 0
+        // — ANSI would raise DIVIDE_BY_ZERO; score 0.0 like the exact
+        // cosine kernel does for a zero-norm side
+        when(col("qnorm") * sqrt(col("anorm2")) > 0.0,
+          col("adot") / (col("qnorm") * sqrt(col("anorm2"))))
+          .otherwise(lit(0.0)).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id"))
       .limit(rerank)
     // exact cosine re-rank of the bounded ADC survivor set

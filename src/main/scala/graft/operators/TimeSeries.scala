@@ -800,15 +800,20 @@ object TimeSeries {
         val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
         val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
         val sxyD = col("sxy").cast("double")
+        // same degenerate-double class as ts_zscore: the exact max>min
+        // gates prove nonzero variance, but n·sxx − sx² in DOUBLES can
+        // round to 0 (or below) once the moments pass 2^53 — the
+        // division would then raise DIVIDE_BY_ZERO under ANSI (or the
+        // sqrt of a rounded-negative go NaN). Variances the doubles
+        // cannot resolve yield NULL corr on both engines.
+        val varX = nD * sxxD - sxD * sxD
+        val varY = nD * syyD - syD * syD
         e.select(
           col("type_x"), col("type_y"), col("slot"), col("n").as("n_window"),
           when(
-            col("n") >= 2 && col("xmx") > col("xmn") && col("ymx") > col("ymn"),
-            round(
-              (nD * sxyD - sxD * syD)
-                / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)),
-              6
-            )
+            col("n") >= 2 && col("xmx") > col("xmn") && col("ymx") > col("ymn")
+              && varX > 0.0 && varY > 0.0,
+            round((nD * sxyD - sxD * syD) / (sqrt(varX) * sqrt(varY)), 6)
           ).as("corr")
         ).orderBy("type_x", "type_y", "slot")
       },
@@ -831,7 +836,11 @@ object TimeSeries {
           |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
           |SELECT type_x, type_y, CAST(slot AS BIGINT) AS slot,
           |  CAST(n AS BIGINT) AS n_window,
-          |  CASE WHEN n >= 2 AND xmx > xmn AND ymx > ymn THEN
+          |  CASE WHEN n >= 2 AND xmx > xmn AND ymx > ymn
+          |       AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          |       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
           |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)

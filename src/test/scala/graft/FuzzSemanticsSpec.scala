@@ -115,4 +115,35 @@ class FuzzSemanticsSpec extends AnyFunSuite {
     assert(!plan.contains("unboundedfollowing$()"),
       "resample_interp must not plan an unbounded-following frame")
   }
+
+  test("degenerate double moments (variance rounds to 0) yield NULL, never DIVIDE_BY_ZERO") {
+    import spark.implicits._
+    // cents 1e8 and 1e8+1: q = c1^2 + c2^2 loses the +1 past 2^53, so
+    // n*q - s^2 rounds to EXACTLY 0 although max > min proves the true
+    // variance is 0.5 - the unguarded division raised ANSI
+    // DIVIDE_BY_ZERO in ts_zscore (1-hour RANGE window) and
+    // ts_rolling_corr (the x-series variance term). Both now emit NULL
+    // for a variance the doubles cannot resolve, on both engines.
+    val work = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "x", 1000000.00, "{}"),
+      (2L, t("2024-01-01 11:00:00"), 1L, "x", 1000000.01, "{}"),
+      (3L, t("2024-01-01 10:00:00"), 2L, "y", 1.0, "{}"),
+      (4L, t("2024-01-01 11:00:00"), 2L, "y", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val zs = SparkEntry.queries("ts_zscore")(spark, work)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(zs(2L).getAs[Long]("n_window") == 2L)
+    assert(zs(2L).isNullAt(zs(2L).fieldIndex("z")),
+      "the degenerate z must be NULL (the true variance 0.5 is below double resolution)")
+    val corr = SparkEntry.queries("ts_rolling_corr")(spark, work)
+      .filter(col("n_window") === 2).collect()
+    assert(corr.nonEmpty, "the (x,y) pair's second slot must have a 2-row window")
+    corr.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("corr")),
+        "degenerate x-variance must yield NULL corr, not a crash or +-Inf")
+    }
+  }
 }
