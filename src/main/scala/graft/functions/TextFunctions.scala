@@ -93,7 +93,15 @@ object TextFunctions {
       lit(3L) * least((c - n + lit(1L)) * c, lit(10L) * n * c) +
       lit(30L) * a * n
     val den = lit(100L) * n * c
-    val ppm = intDiv(num * lit(2000000L) + den, den * lit(2L))
+    // the ×2e6 scaling step runs in DECIMAL(38,0): num ≈ 100·n·c stays
+    // inside LONG up to ~300 MB documents, but num·2e6 overflows LONG
+    // already at n·c ≈ 4.6e10 (a ~600 kB web document) — ANSI would
+    // kill the whole query on one big doc. The oracle widens the same
+    // step to HUGEINT; IntegralDivide on decimals still returns the
+    // exact BIGINT ppm.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ppm = intDiv(num.cast(dec38) * lit(2000000L) + den.cast(dec38),
+      den.cast(dec38) * lit(2L))
     when(c === 0, lit(null).cast("double"))
       .otherwise(ppm.cast("double") / lit(1000000.0))
   }

@@ -185,6 +185,19 @@ object TextKernels {
 
   /** Regex tokens (lowercased alnum runs, empties dropped) — Spark
     * `split(lower(text), "[^a-z0-9]+")` + non-empty filter semantics.
+    *
+    * LOCALE CONTRACT: this kernel lowercases with Locale.ROOT
+    * (deterministic everywhere), while Spark's `lower()` — and any
+    * oracle column built on it — falls back to `String.toLowerCase()`
+    * under the JVM DEFAULT locale for non-ASCII input. On a tr/az
+    * default-locale JVM the dotted/dotless-I mappings differ (U+0130
+    * 'İ' → 'i' vs 'i' + U+0307), which splits tokens differently and
+    * shifts simhash/near-dup signatures between the kernel and
+    * expression paths. Deployments must run executors with a
+    * ROOT-compatible default locale (every graft builder and the test
+    * JVM do); the kernel deliberately does NOT follow the default
+    * locale, because a signature that changes with JVM locale would
+    * make persisted dedup state non-portable.
     */
   private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
   def reTokens(text: String): Array[String] =

@@ -40,7 +40,22 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
 
   override def reduce(b: TopKBuf, in: Scored): TopKBuf =
     if (b.items.size >= k && better(b.items.last, in)) b
-    else TopKBuf((b.items :+ in).sortWith(better).take(k))
+    else {
+      // the buffer is ALREADY sorted — insert at the binary-search
+      // position instead of re-sorting the whole buffer per accepted
+      // row (this is the map-side hot path: one reduce per corpus row
+      // per query in batch kNN; the append+TimSort+take shape allocated
+      // three collections and O(k log k) comparisons per row)
+      val items = b.items
+      var lo = 0
+      var hi = items.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(items(mid), in)) lo = mid + 1 else hi = mid
+      }
+      val patched = (items.take(lo) :+ in) ++ items.drop(lo)
+      TopKBuf(if (patched.size > k) patched.dropRight(1) else patched)
+    }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     if (a.items.isEmpty) b

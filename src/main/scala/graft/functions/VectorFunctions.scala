@@ -22,11 +22,16 @@ object VectorFunctions {
   /** Cosine similarity of two double arrays: dot / (|a|·|b|); a
     * zero-norm side yields 0.0 by the PINNED convention (see
     * [[CosineSimilarity]] — raw IEEE NaN would rank above every real
-    * match in a descending top-k).
+    * match in a descending top-k). Mismatched lengths yield NULL FIRST,
+    * exactly like the native expression — without the size guard a
+    * zero-norm side on a ragged pair would hit the 0.0 pin where
+    * [[CosineSimilarity]] returns NULL, and the two forms are
+    * documented interchangeable.
     */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+    when(size(a) =!= size(b), lit(null).cast("double"))
+      .otherwise(when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom))
   }
 
   /** Cosine similarity of two raw float-array columns. */

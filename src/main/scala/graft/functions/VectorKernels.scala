@@ -208,6 +208,10 @@ object VectorKernels {
         while (j < k) {
           if (cbs.isNullAt(j)) return null
           val e = cbs.getStruct(j, 2)
+          // a null FIELD inside the struct is a null element too: an
+          // unchecked e.getArray(1) NPEs the task on a null codebook
+          // vector, and e.getLong(0) silently reads a null cell as 0
+          if (e.isNullAt(0) || e.isNullAt(1)) return null
           val c = e.getArray(1)
           if (c.numElements() != n) return null
           var d2 = 0L; var i = 0
@@ -229,6 +233,10 @@ object VectorKernels {
         while (j < k) {
           if (cbs.isNullAt(j)) return null
           val e = cbs.getStruct(j, 2)
+          // a null FIELD inside the struct is a null element too: an
+          // unchecked e.getArray(1) NPEs the task on a null codebook
+          // vector, and e.getLong(0) silently reads a null cell as 0
+          if (e.isNullAt(0) || e.isNullAt(1)) return null
           val c = e.getArray(1)
           if (c.numElements() != n) return null
           var d2 = 0.0; var i = 0
@@ -284,6 +292,7 @@ object VectorKernels {
            |  for (int $j = 0; $j < $k && !${ev.isNull}; $j++) {
            |    if ($y.isNullAt($j)) { ${ev.isNull} = true; break; }
            |    org.apache.spark.sql.catalyst.InternalRow $e = $y.getStruct($j, 2);
+           |    if ($e.isNullAt(0) || $e.isNullAt(1)) { ${ev.isNull} = true; break; }
            |    org.apache.spark.sql.catalyst.util.ArrayData $c = $e.getArray(1);
            |    if ($c.numElements() != $n) { ${ev.isNull} = true; break; }
            |    $jt $d2 = 0;

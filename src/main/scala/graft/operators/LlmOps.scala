@@ -990,7 +990,7 @@ object LlmOps {
           |  FROM documents)
           |SELECT doc_id,
           |  CASE WHEN c = 0 THEN NULL ELSE
-          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |  ((CAST(40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n AS HUGEINT) * 2000000 + 100*n*c)
           |    // (2*100*n*c)) END / 1000000.0 AS quality
           |FROM t ORDER BY doc_id""".stripMargin
       )
@@ -2015,12 +2015,12 @@ object LlmOps {
           |  FROM documents d JOIN surv USING (doc_id) WHERE lang = 'en')
           |SELECT doc_id,
           |  CASE WHEN c = 0 THEN NULL ELSE
-          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |  ((CAST(40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n AS HUGEINT) * 2000000 + 100*n*c)
           |    // (2*100*n*c)) END / 1000000.0 AS quality,
           |  n AS n_tokens
           |FROM q
           |WHERE CASE WHEN c = 0 THEN FALSE ELSE
-          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |  ((CAST(40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n AS HUGEINT) * 2000000 + 100*n*c)
           |    // (2*100*n*c)) / 1000000.0 >= 0.46 END
           |ORDER BY doc_id""".stripMargin
       )
@@ -3170,7 +3170,7 @@ object LlmOps {
           |  FROM documents),
           |q AS (SELECT doc_id, lang, bucket,
           |  CASE WHEN c = 0 THEN NULL ELSE
-          |  (((40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n) * 2000000 + 100*n*c)
+          |  ((CAST(40*s*c + 3*least((c-n+1)*c, 10*n*c) + 30*a*n AS HUGEINT) * 2000000 + 100*n*c)
           |    // (2*100*n*c)) END AS k
           |  FROM t)
           |SELECT doc_id, lang, k / 1000000.0 AS quality, bucket

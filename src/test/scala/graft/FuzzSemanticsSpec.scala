@@ -37,6 +37,15 @@ class FuzzSemanticsSpec extends AnyFunSuite {
       VectorFunctions.cosineF(col("a"), col("b")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(hof == expr, "VectorFunctions.cosine must match the codegen kernel")
+    // ragged pair with a zero-norm side: the length-mismatch NULL must
+    // win over the zero-norm 0.0 pin in BOTH forms (the HOF form used
+    // to hit its denom===0 guard first and return 0.0 where the native
+    // expression returns NULL)
+    val ragged = Seq((1L, Array(0.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+    val rNative = ragged.select(CosineSimilarity.cosineSim(col("a"), col("b"))).collect()(0)
+    val rHof = ragged.select(VectorFunctions.cosineF(col("a"), col("b"))).collect()(0)
+    assert(rNative.isNullAt(0) && rHof.isNullAt(0),
+      "mismatched lengths yield NULL in both forms, even with a zero-norm side")
     // a descending top-k over scores can therefore never rank a zero
     // vector above a genuinely similar one (the failure VerifyFuzz
     // exposed: IEEE 0/0=NaN sorted ABOVE every real match)

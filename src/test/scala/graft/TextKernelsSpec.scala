@@ -160,4 +160,31 @@ class TextKernelsSpec extends AnyFunSuite {
       assert(TextKernels.intersectCount(a, b) == a.toSet.intersect(b.toSet).size)
     }
   }
+
+  test("qualityScore is exact on a ~600 kB document (the x2e6 scaling step used to overflow LONG)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.TextFunctions
+    // n*c ~ 1.3e4 * 6e5 = 8e9 -> old num*2000000 ~ 8e17*2e6 per-term
+    // magnitudes pushed the LONG product past Long.MaxValue; ANSI would
+    // kill the query on this single document
+    val phrase = "the quick brown fox jumps over the lazy dog "
+    val text = phrase * (600000 / phrase.length)
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextFunctions.qualityScore(col("text")).as("q"))
+      .collect()(0).getDouble(0)
+    // BigInt reference over the same component definitions (wsTokens =
+    // split-by-single-space keeping empties; a = chars in [a-z ])
+    val parts = text.split(" ", -1)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "that")
+    val n = BigInt(parts.length)
+    val c = BigInt(text.length)
+    val s = BigInt(parts.count(stop))
+    val a = BigInt(text.count(ch => (ch >= 'a' && ch <= 'z') || ch == ' '))
+    val num = 40 * s * c + 3 * ((c - n + 1) * c).min(10 * n * c) + 30 * a * n
+    val den = 100 * n * c
+    val expected = ((num * 2000000 + den) / (den * 2)).toDouble / 1000000.0
+    assert(got == expected, s"got $got, BigInt reference $expected")
+    assert(got >= 0.0 && got <= 1.0)
+  }
 }

@@ -99,5 +99,19 @@ class VectorKernelsSpec extends AnyFunSuite {
         array().cast("array<struct<cell:bigint,c:array<bigint>>>")).as("best"))
       .collect()
     assert(empty.head.isNullAt(0))
+    // a null FIELD inside a codebook struct is a null element too:
+    // unguarded, a null vector NPE'd the task and a null cell id was
+    // silently read as cell 0 (a wrong competing argmin). pq_argmin is
+    // a registered SQL function, so user input reaches this directly.
+    val nullVec = spark.sql(
+      "SELECT pq_argmin(array(1L, 2L), " +
+        "array(named_struct('cell', 1L, 'c', CAST(NULL AS ARRAY<BIGINT>))))")
+      .collect()
+    assert(nullVec.head.isNullAt(0), "null codebook vector must yield NULL, not NPE")
+    val nullCell = spark.sql(
+      "SELECT pq_argmin(array(1L, 2L), " +
+        "array(named_struct('cell', CAST(NULL AS BIGINT), 'c', array(1L, 2L))))")
+      .collect()
+    assert(nullCell.head.isNullAt(0), "null cell id must yield NULL, not compete as cell 0")
   }
 }
