@@ -372,23 +372,23 @@ object FooterRangeAggregates extends Rule[LogicalPlan] with PredicateHelper {
         key2: Option[Long],
         fs: Seq[Store.FileFooterStats])
         : Option[org.apache.spark.sql.catalyst.InternalRow] = {
+      // a column's min/max is exact only when EVERY file vouches for it
+      // (computed once — this set feeds both colMinMax and the
+      // exactness roster, which must never diverge)
+      val exactCols = fs.flatMap(_.minMaxOkCols).toSet
+        .filter(c => fs.forall(_.minMaxOkCols.contains(c)))
       val stats = Store.FooterAgg(
         files = fs.map(f => (f.path, f.rows)),
         rows = fs.map(_.rows).sum,
         nonNullCounts = table.store.schema.fieldNames.toSeq
           .filter(c => fs.forall(_.nullCountOkCols.contains(c)))
           .map(c => c -> fs.map(_.nonNullByCol(c)).sum).toMap,
-        colMinMax = {
-          val exact = fs.flatMap(_.minMaxOkCols).toSet
-            .filter(c => fs.forall(_.minMaxOkCols.contains(c)))
-          exact.flatMap { c =>
-            val vs = fs.flatMap(_.minMaxByCol.get(c))
-            if (vs.isEmpty) None
-            else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
-          }.toMap
-        },
-        minMaxExactCols = fs.flatMap(_.minMaxOkCols).toSet
-          .filter(c => fs.forall(_.minMaxOkCols.contains(c))))
+        colMinMax = exactCols.flatMap { c =>
+          val vs = fs.flatMap(_.minMaxByCol.get(c))
+          if (vs.isEmpty) None
+          else Some(c -> (vs.map(_._1).min, vs.map(_._2).max))
+        }.toMap,
+        minMaxExactCols = exactCols)
       val vals = outs.map {
         case Key => Some(key.map(java.lang.Long.valueOf).orNull: Any)
         case Key2 => Some(key2.map { v =>

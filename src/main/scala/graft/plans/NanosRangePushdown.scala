@@ -27,8 +27,18 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * row-group stat skipping and partition pruning — restoring the
   * reference's pushdown behavior (oakstore/store.py:255-264) for
   * natural-form queries.
+  *
+  * Overflow discipline: a literal outside the nanos-representable
+  * range (|T·1000| past Long.MaxValue — e.g. the common sentinel
+  * timestamp'9999-12-31') must NOT be pushed: the wrapped product
+  * would be conjoined as a WRONG bound and silently drop matching
+  * rows. Such literals skip the rewrite (full scan + exact residual —
+  * slower, never wrong). An equality rewrite emits its two bounds as
+  * SEPARATE conjuncts: a single And would be re-split by the next
+  * fixed-point pass, defeat the semanticEquals dedup, and keep the
+  * plan changing until the optimizer's max-iteration guard fires.
   */
-object NanosRangePushdown extends Rule[LogicalPlan] {
+object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   /** timestamp_micros(n div 1000) over a long attribute → n. */
   private object Conv {
@@ -40,38 +50,49 @@ object NanosRangePushdown extends Rule[LogicalPlan] {
     }
   }
 
-  private def rawBound(e: Expression): Option[Expression] = e match {
-    case GreaterThanOrEqual(Conv(n), Literal(t: Long, TimestampType)) =>
-      Some(GreaterThanOrEqual(n, Literal(t * 1000L - 999L, LongType)))
-    case GreaterThan(Conv(n), Literal(t: Long, TimestampType)) =>
-      Some(GreaterThanOrEqual(n, Literal(t * 1000L + 1L, LongType)))
-    case LessThanOrEqual(Conv(n), Literal(t: Long, TimestampType)) =>
-      Some(LessThanOrEqual(n, Literal(t * 1000L + 999L, LongType)))
-    case LessThan(Conv(n), Literal(t: Long, TimestampType)) =>
-      Some(LessThanOrEqual(n, Literal(t * 1000L - 1L, LongType)))
-    case EqualTo(Conv(n), Literal(t: Long, TimestampType)) =>
-      Some(And(
-        GreaterThanOrEqual(n, Literal(t * 1000L - 999L, LongType)),
-        LessThanOrEqual(n, Literal(t * 1000L + 999L, LongType))))
-    // mirrored literal-first forms
-    case GreaterThanOrEqual(Literal(t: Long, TimestampType), Conv(n)) =>
-      Some(LessThanOrEqual(n, Literal(t * 1000L + 999L, LongType)))
-    case LessThanOrEqual(Literal(t: Long, TimestampType), Conv(n)) =>
-      Some(GreaterThanOrEqual(n, Literal(t * 1000L - 999L, LongType)))
-    case _ => None
-  }
+  /** T·1000 only when the product (and the ±999/±1 slack) stays inside
+    * Long — the 1000-row slack bound keeps the guard simple and exact.
+    */
+  private def nanosOf(t: Long): Option[Long] =
+    if (t >= (Long.MinValue + 1000L) / 1000L && t <= (Long.MaxValue - 1000L) / 1000L)
+      Some(t * 1000L)
+    else None
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case other => Seq(other)
+  private def ge(n: Attribute, v: Long) = GreaterThanOrEqual(n, Literal(v, LongType))
+  private def le(n: Attribute, v: Long) = LessThanOrEqual(n, Literal(v, LongType))
+
+  private def rawBounds(e: Expression): Seq[Expression] = e match {
+    case GreaterThanOrEqual(Conv(n), Literal(t: Long, TimestampType)) =>
+      nanosOf(t).map(v => ge(n, v - 999L)).toSeq
+    case GreaterThan(Conv(n), Literal(t: Long, TimestampType)) =>
+      nanosOf(t).map(v => ge(n, v + 1L)).toSeq
+    case LessThanOrEqual(Conv(n), Literal(t: Long, TimestampType)) =>
+      nanosOf(t).map(v => le(n, v + 999L)).toSeq
+    case LessThan(Conv(n), Literal(t: Long, TimestampType)) =>
+      nanosOf(t).map(v => le(n, v - 1L)).toSeq
+    case EqualTo(Conv(n), Literal(t: Long, TimestampType)) =>
+      nanosOf(t).toSeq.flatMap(v => Seq(ge(n, v - 999L), le(n, v + 999L)))
+    // mirrored literal-first forms (T op conv ⟺ conv flipped-op T)
+    case GreaterThanOrEqual(Literal(t: Long, TimestampType), Conv(n)) =>
+      nanosOf(t).map(v => le(n, v + 999L)).toSeq
+    case GreaterThan(Literal(t: Long, TimestampType), Conv(n)) =>
+      nanosOf(t).map(v => le(n, v - 1L)).toSeq
+    case LessThanOrEqual(Literal(t: Long, TimestampType), Conv(n)) =>
+      nanosOf(t).map(v => ge(n, v - 999L)).toSeq
+    case LessThan(Literal(t: Long, TimestampType), Conv(n)) =>
+      nanosOf(t).map(v => ge(n, v + 1L)).toSeq
+    case EqualTo(Literal(t: Long, TimestampType), Conv(n)) =>
+      nanosOf(t).toSeq.flatMap(v => Seq(ge(n, v - 999L), le(n, v + 999L)))
+    case _ => Seq.empty
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val existing = conjuncts(cond)
+      val existing = splitConjunctivePredicates(cond)
       val extra = existing
-        .flatMap(rawBound)
+        .flatMap(rawBounds)
         .filterNot(rb => existing.exists(_.semanticEquals(rb)))
+        .distinct
       if (extra.isEmpty) f
       else Filter((existing ++ extra).reduce(And), child)
   }

@@ -67,4 +67,41 @@ class NanosPushdownSpec extends AnyFunSuite {
       assert(full.contains("LessThan(ts,"), full)
     }
   }
+
+  test("equality predicate converges and stays exact (a single And conjunct never dedups)") {
+    // pick a real timestamp so the fixture selects a row
+    val one = Tables.events(spark, dir).select(col("ts")).limit(1).collect()(0).getTimestamp(0)
+    // the old rewrite emitted And(ge, le) as ONE conjunct: the next
+    // fixed-point pass re-split it, the semanticEquals dedup never
+    // matched, and the optimizer ran to max iterations (which THROWS
+    // under sbt test / Utils.isTesting) — merely optimizing this plan
+    // is the regression check
+    val q = Tables.events(spark, dir).filter(col("ts") === lit(one))
+    assert(q.count() >= 1)
+    val expect = Tables.events(spark, dir).select(col("ts"))
+      .collect().count(_.getTimestamp(0) == one)
+    assert(q.count() == expect)
+  }
+
+  test("a literal outside the nanos range is NOT pushed (overflowed bound would drop every row)") {
+    val all = Tables.events(spark, dir).count()
+    // timestamp'9999-12-31' * 1000 wraps Long: the old rule conjoined
+    // the wrapped (negative) upper bound and silently returned 0 rows
+    val q = Tables.events(spark, dir).filter(col("ts") <= lit_ts("9999-12-31 00:00:00"))
+    assert(q.count() == all, "a far-future sentinel bound must keep every row")
+    val q2 = Tables.events(spark, dir).filter(col("ts") >= lit_ts("1000-01-01 00:00:00"))
+    assert(q2.count() == all, "a far-past sentinel bound must keep every row")
+  }
+
+  test("literal-first spellings push the same raw bound") {
+    val q = Tables.events(spark, dir)
+      .filter(lit_ts("2024-01-20 00:00:00") > col("ts"))
+    val expect = Tables.eventsWhere(spark, dir)((ts, l) => ts < l("2024-01-20T00:00:00Z"))
+    assert(q.count() > 0 && q.count() == expect.count())
+    if (nanosVintage) {
+      val full = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(full.contains("LessThanOrEqual(ts,1705708799999999999"), full)
+    }
+  }
 }
