@@ -279,6 +279,14 @@ object Store {
     t
   }
 
+  /** Timestamp → epoch-µs, the exact inverse of [[microsToTimestamp]]
+    * (floor semantics pre-1970: getTime already floors to ms and
+    * getNanos carries the sub-second remainder). ONE definition shared
+    * by every conversion site so the floor discipline cannot drift.
+    */
+  private[graft] def timestampToMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   private val SchemaFile = "schema.json"
   private val LayoutFile = "layout.json"
   private val ItemsDir = "items"

@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import graft.sources.{SchemaError, Store}
+import graft.sources.{ItemKeyError, SchemaError, Store}
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -147,7 +147,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def tableExists(ident: Identifier): Boolean =
     try { val (s, k) = resolve(ident); s.exists(k) }
-    catch { case _: NoSuchNamespaceException | _: SchemaError => false }
+    // ItemKeyError too: a name that fails the key regex (spaces, '+')
+    // cannot name an existing item — CREATE TABLE IF NOT EXISTS and
+    // catalog tooling probing such names must get false, not a crash
+    catch {
+      case _: NoSuchNamespaceException | _: SchemaError | _: ItemKeyError => false
+    }
 
   override def createTable(
       ident: Identifier,
@@ -221,6 +226,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new GraftTable(s, k) with StagedTable {
       private val stagedId =
         new java.util.concurrent.atomic.AtomicReference[String]()
+      // flat stores write DIRECTLY (no pointer to stage behind), so the
+      // abort path must know whether THIS CTAS's insert is what made
+      // the item visible — a bare exists(k) check would also drop an
+      // item a CONCURRENT writer created after our staging existence
+      // check, destroying data this statement never touched
+      private val wroteFlat = new java.util.concurrent.atomic.AtomicBoolean(false)
       override def newWriteBuilder(
           info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -235,7 +246,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                       overwrite: Boolean): Unit = {
                     Store.pinMicros(data.sparkSession, s"catalog CTAS $k")
                     if (s.versioned) stagedId.set(s.writeStagedVersion(k, data))
-                    else s.write(k, data)
+                    else { s.write(k, data); wroteFlat.set(true) }
                   }
                 }
             }
@@ -251,7 +262,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         }
       override def abortStagedChanges(): Unit =
         if (s.versioned) Option(stagedId.get).foreach(id => s.abortStagedVersion(k, id))
-        else if (s.exists(k)) s.drop(k)
+        else if (wroteFlat.get && s.exists(k)) s.drop(k)
     }
   }
 
@@ -279,11 +290,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"store-wide and persisted at ${pathOf(ident.namespace())} " +
         "(reference contract: one schema per store)")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val (s, k) = resolve(ident)
-    if (!s.exists(k)) false
-    else { s.drop(k); true }
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    try {
+      val (s, k) = resolve(ident)
+      if (!s.exists(k)) false
+      else { s.drop(k); true }
+    } catch {
+      // an invalid item name cannot name an existing item: DROP TABLE
+      // IF EXISTS on it reports "nothing dropped" instead of crashing
+      case _: ItemKeyError => false
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new SchemaError(
@@ -397,7 +413,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         StructField("bytes", LongType, nullable = false)))) { (s, in) =>
       val st = s.describe(itemArg(s, in, 0))
       def us(t: java.sql.Timestamp): java.lang.Long =
-        java.lang.Long.valueOf(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        java.lang.Long.valueOf(Store.timestampToMicros(t))
       Seq(java.lang.Long.valueOf(st.rows),
         st.minIndex.map(us).orNull,
         st.maxIndex.map(us).orNull,

@@ -201,6 +201,14 @@ class GraftTable(private[graft] val store: Store, private[graft] val key: String
                 // The warning gives the SQL-only user the visibility
                 // the old silent repoint lacked.
                 Store.pinMicros(data.sparkSession, s"graft INSERT into $key")
+                // the store's OWN session too: appendNewOnly validates
+                // requireMicrosTimestamps against store.spark, which
+                // can be a DIFFERENT session than the INSERT's in a
+                // multi-session JVM (catalog CTAS pins both for the
+                // same reason) — pinning only the data session fails
+                // the write with the misleading "pinned by Store.open"
+                // error this pin exists to prevent
+                Store.pinMicros(store.spark, s"graft INSERT into $key")
                 if (store.exists(key)) store.appendNewOnly(key, data)
                 else store.write(key, data)
               }
@@ -292,7 +300,13 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
     * cluster-wide scan (reference posture: oakstore store.py:255-264).
     */
   private def evalAggregation(agg: Aggregation): Option[GraftAggScan] = {
-    val keyStr = agg.toString
+    // CONTENT key, not agg.toString: Aggregation is a Java record over
+    // arrays whose generated toString renders the array components by
+    // identity hash — a fresh-but-identical instance would never hit
+    // the cache (extra footer sweep), and a recycled identity hash
+    // could in principle serve a stale wrong answer
+    val keyStr = (agg.aggregateExpressions().map(_.describe()) ++
+      agg.groupByExpressions().map(_.describe())).mkString("aggs[", ";", "]")
     evalCache match {
       case Some((a, r)) if a == keyStr => return r
       case _ => ()
@@ -343,7 +357,15 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
       if (ps.forall(_.isDefined)) Some(ps.flatten) else None
     }
     plan.flatMap { ps =>
-      val stats = store.footerAgg(key)
+      // vanish tolerance, like filesForLimit/filesForTopN/bytesUnder: a
+      // file deleted between listing and footer read (concurrent
+      // compact/prune swap) must degrade to the ordinary scan — which
+      // re-lists and never sees the removed file — not fail the whole
+      // query at plan time
+      val statsOpt =
+        try Some(store.footerAgg(key))
+        catch { case _: java.io.IOException => None }
+      statsOpt.flatMap { stats =>
       // footerAgg normalizes INT32 stats to Long and float/double to
       // the order-preserving sortable-bits encoding; render back to the
       // column's InternalRow representation (Int for int/date, Long
@@ -381,6 +403,7 @@ class GraftScanBuilder(store: Store, key: String, options: CaseInsensitiveString
           new GenericInternalRow(fields.map(_._2).toArray),
           s"item=$key store=${store.base} " +
             s"pushedAggregates=[${agg.aggregateExpressions().mkString(", ")}]"))
+      }
       }
     }
   }

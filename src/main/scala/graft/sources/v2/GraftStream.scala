@@ -36,8 +36,14 @@ final class GraftScan(
   private val parquetRef =
     new java.util.concurrent.atomic.AtomicReference[Scan](null)
 
+  // memoized: the thunk is fixed for a scan's lifetime by design, but
+  // both estimateStatistics and the parquet assembly consume it — for
+  // a TopN scan the un-memoized thunk re-ran the listing plus up to 64
+  // driver footer reads a second time per query
+  private lazy val batchRootsMemo: Seq[HPath] = batchRoots()
+
   private def roots(): Seq[HPath] =
-    runtimeRoots.map(_()).getOrElse(batchRoots())
+    runtimeRoots.map(_()).getOrElse(batchRootsMemo)
 
   /** The batch parquet assembly, built on first batch use (a streaming
     * read never lists the batch roots) and REBUILT if a runtime filter
@@ -102,7 +108,7 @@ final class GraftScan(
           .getOption("spark.sql.sources.fileCompressionFactor")
           .map(_.toDouble).getOrElse(1.0)
         java.util.OptionalLong.of(
-          math.max(1L, (store.bytesUnder(batchRoots()) * factor).toLong))
+          math.max(1L, (store.bytesUnder(batchRootsMemo) * factor).toLong))
       } catch { case _: Exception => java.util.OptionalLong.empty() }
     new V2Statistics {
       override def sizeInBytes(): java.util.OptionalLong = size
@@ -498,6 +504,11 @@ final class GraftMicroBatchStream(
       if (seenSet != null) (seenSet.contains(_: String), lastSeq)
       else if (legacySeen != null) (legacySeen.contains(_: String), legacySeen.size.toLong)
       else return null
+    // a FRESH listing by design (GraftStreamSpec pins that a backlog
+    // appended between triggers shows up here immediately): the pending
+    // metric costs one extra LIST per progress event — the freshness of
+    // an ops-facing backlog gauge is worth it, and a deployment that
+    // disagrees can ignore progress events, not the other way around
     val pending = listing().count(f => !known(f))
     new Offset {
       override def json(): String = s"""{"v":2,"seq":$at,"pending":$pending}"""
@@ -515,7 +526,15 @@ final class GraftMicroBatchStream(
       // GraftSeqOffset) — replay never consults a listing or the log
       case v2: GraftSeqOffset => v2.delta
       case legacy: GraftFilesOffset =>
-        val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
+        val seen = start match {
+          case f: GraftFilesOffset => f.files.toSet
+          // batch-0 REPLAY of a legacy checkpoint: Spark passes
+          // initialOffset() (a GraftSeqOffset on this build) as the
+          // start when no offset was committed yet — nothing is seen;
+          // an unconditional cast bricked exactly the upgraded
+          // checkpoint this branch exists to keep alive
+          case _ => Set.empty[String]
+        }
         legacy.files.filterNot(seen)
     }
     if (fresh.isEmpty) Array.empty

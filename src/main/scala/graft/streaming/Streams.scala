@@ -443,7 +443,7 @@ object Streams {
         (uid: Long, it: Iterator[EventRow],
          state: org.apache.spark.sql.streaming.GroupState[FunnelSt]) =>
           def us(t: java.sql.Timestamp): Long =
-            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+            graft.sources.Store.timestampToMicros(t)
           val prev = state.getOption
             .getOrElse(FunnelSt(Array.empty, Array.empty, Array.empty,
               Array.empty, 0L, 0L, Long.MinValue))

@@ -500,4 +500,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       "CREATE OR REPLACE TABLE gvcat.CTAS_V AS SELECT * FROM gvcat.SRC"))
     assert(spark.sql("SELECT count(*) FROM gvcat.CTAS_V").as[Long].head() == 30L)
   }
+
+  test("invalid item names answer false from tableExists/dropTable; flat CTAS abort only drops its own write") {
+    storeDir
+    // names that fail Store.KeyRegex (space, '+') cannot name an item:
+    // existence probes must answer false and DROP must report "nothing
+    // dropped" — not crash with a raw ItemKeyError (tableExists caught
+    // only SchemaError). CREATING such a name still refuses loudly.
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+    val bad = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "bad name!")
+    assert(!cat.tableExists(bad), "invalid-name existence probe must be false")
+    assert(!cat.dropTable(bad), "invalid-name drop must report nothing dropped")
+    spark.sql("DROP TABLE IF EXISTS gcat.`bad name!`") // must not crash
+    intercept[graft.sources.ItemKeyError](spark.sql(
+      "CREATE TABLE gcat.`bad name!` AS SELECT * FROM gcat.MSFT LIMIT 0"))
+    // flat-store CTAS abort scoping: a failed CTAS whose INSERT never
+    // ran must NOT drop an identically-named item a CONCURRENT writer
+    // created in the race window. Simulate via the staging API directly:
+    // stage, let another writer create the item, abort.
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "RACED")
+    val staged = cat.stageCreate(ident,
+      Store.attach(spark, storeDir).schema, Array.empty,
+      new java.util.HashMap[String, String]())
+    val other = Store.attach(spark, storeDir)
+    other.write("RACED", bars(5)) // the concurrent writer's data
+    staged.abortStagedChanges()    // our CTAS failed WITHOUT inserting
+    assert(other.exists("RACED"),
+      "abort of a never-written flat CTAS must not drop the concurrent writer's item")
+    assert(other.query("RACED", None, None).count() == 5)
+    other.drop("RACED")
+  }
 }

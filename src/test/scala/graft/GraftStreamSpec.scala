@@ -489,6 +489,14 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(endFiles.size >= 2)
     val parts = st.planInputPartitions(start, end)
     assert(parts.nonEmpty)
+    // batch-0 REPLAY of a legacy checkpoint: Spark passes
+    // initialOffset() (the current GraftSeqOffset shape) as start when
+    // no offset is committed yet — an unconditional GraftFilesOffset
+    // cast threw ClassCastException here, permanently bricking exactly
+    // the upgraded checkpoint the legacy path exists to keep alive
+    val replay = st.planInputPartitions(st.initialOffset(), end)
+    assert(replay.length == parts.length,
+      "batch-0 replay with a seq-shaped start must plan the same legacy input")
     // steady state: no new files → identical json → Spark plans no batch
     val again = st.latestOffset(end, ReadLimit.allAvailable())
     assert(again.json() == end.json())
