@@ -3,20 +3,25 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One tick: full-precision event time (epoch nanos), a unique
-  * tiebreaker id, and the (nullable — SQL semantics) value. A NULL
-  * event time maps to [[Tick.NullTs]] BEFORE the typed boundary: the
-  * NULL-time rows all share one resample group (date_trunc(NULL) is
-  * NULL), so within that group ordering falls to the id tiebreaker —
-  * exactly the comparison SQL's `ORDER BY ts, event_id` makes when ts
-  * is constant-NULL across the partition.
+/** One tick: the event time as an ORDERING KEY (epoch micros —
+  * TimestampType's native precision, so nothing finer exists to lose;
+  * the field name is historical from a ×1000 nanos encoding that only
+  * added overflow range), a unique tiebreaker id, and the (nullable —
+  * SQL semantics) value. A NULL event time maps to [[Tick.NullTs]]
+  * BEFORE the typed boundary: the NULL-time rows all share one
+  * resample group (date_trunc(NULL) is NULL), so within that group
+  * ordering falls to the id tiebreaker — exactly the comparison SQL's
+  * `ORDER BY ts, event_id` makes when ts is constant-NULL across the
+  * partition.
   */
 case class Tick(tsNanos: Long, eventId: Long, value: Option[Double])
 
 object Tick {
   /** Sentinel for a NULL event time (see class doc). Strictly above the
-    * aggregator's zero-buffer close key and below every real nano
-    * timestamp, so buffer comparisons stay total.
+    * aggregator's zero-buffer close key and below every real ordering
+    * key: a collision needs a timestamp at exactly MinValue+1 µs
+    * (~year −294247, one µs after Spark's minimum representable
+    * instant) — outside any domain the resample family admits.
     */
   val NullTs: Long = Long.MinValue + 1
 }

@@ -22,17 +22,25 @@ object TimeSeries {
     */
   private[graft] val FunnelWindowUs = 14400000000L // 4 hours
 
-  /** Perf-only memo for [[asOfJoin]]'s hot-key verdicts, keyed by
-    * (canonicalized input plan hash, threshold). Bounded: cleared
-    * wholesale past 256 entries (decisions are one boolean each; a
-    * clear only re-runs a cheap detection job on next use). Writers
-    * use get → compute → putIfAbsent, never computeIfAbsent — the
-    * compute is a Spark job and must not run under a bin lock.
+  /** Perf-only memo for [[asOfJoin]]'s hot-key detection, keyed by
+    * (canonicalized input plan hash, threshold). The memo holds the
+    * SURVIVOR KEY LIST itself, not just a boolean: the hot branch turns
+    * it into a LocalRelation broadcast side, so repeated actions on a
+    * hot-keyed result (bench samples, retries, the two asOfJoin calls
+    * in join_asof_near) never re-run the corpus-wide detection
+    * aggregation — it used to ride the main plan and re-aggregate the
+    * whole union per action. Survivor count is bounded by
+    * corpus-rows / threshold (≤ ~250k at 1e12 rows), so entries are
+    * small; cleared wholesale past 64 entries. Writers use get →
+    * compute → putIfAbsent, never computeIfAbsent — the compute is a
+    * Spark job and must not run under a bin lock.
     */
   private val hotMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean] {
-      override def putIfAbsent(k: (Int, Long), v: java.lang.Boolean): java.lang.Boolean = {
-        if (size() > 256) clear()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[org.apache.spark.sql.Row]] {
+      override def putIfAbsent(
+          k: (Int, Long),
+          v: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
+        if (size() > 64) clear()
         super.putIfAbsent(k, v)
       }
     }
@@ -41,11 +49,20 @@ object TimeSeries {
     * with `rightTs <= leftTs` sharing the key (or, with
     * `forward = true`, the EARLIEST right row with `rightTs >= leftTs`
     * — pandas merge_asof's direction='forward'). Implemented by
-    * unioning both sides tagged with a side marker, then
-    * `last(..., ignoreNulls)` over a window ordered by (ts, side) —
+    * unioning both sides tagged with a side marker, then ONE
+    * `last(struct, ignoreNulls)` over a window ordered by (ts, side) —
     * right rows sort before left rows at equal ts, so the bound is
     * inclusive; the forward direction just inverts the timestamp
     * ordering. No correlated subquery or row explosion.
+    *
+    * ROW-ATOMIC MATCH: every payload column (and the tolerance check)
+    * resolves from the SAME matched right row, carried as one struct —
+    * DuckDB ASOF's "the latest right row", so a NULL payload value in
+    * the matched row comes out NULL rather than borrowing an older
+    * row's value past the staleness bound. KEY semantics are SQL
+    * equality (the oracles' ASOF ... ON l.k = r.k): a NULL key on
+    * either side never matches — NULL-key left rows keep their row
+    * with NULL payloads, like any unmatched left row.
     *
     * HOT KEYS take a TWO-LEVEL carry (the ts_ewma / pack_shards block
     * pattern, r13 verdict #4): a single (key)-partitioned running
@@ -91,25 +108,35 @@ object TimeSeries {
     val l = left.withColumn("__side", lit(1))
     // a right row without a time can never satisfy rightTs <= / >=
     // leftTs (ASOF comparisons over NULL are false) — and unfiltered it
-    // would ride the running last() into every later left row
-    val r0 = right.filter(col(rightTs).isNotNull).select(
-      (col(key) +: col(rightTs).as("__ts") +:
-        rightPayload.map { case (c, out) => col(c).as(s"__p_$out") }): _*
-    )
+    // would ride the running last() into every later left row. A right
+    // row without a KEY never matches either: the contract is SQL
+    // equality (the oracles' ASOF ... ON l.k = r.k), where NULL = NULL
+    // is not true — the window's partitionBy alone would silently
+    // group NULL keys together and match them.
+    //
+    // The matched row travels as ONE STRUCT (__m: its timestamp plus
+    // every payload column): resolving payload columns independently
+    // with per-column last(ignoreNulls) mixed values from DIFFERENT
+    // right rows whenever the latest row carried a NULL payload — and
+    // let a stale value bypass the tolerance bound, which checks only
+    // the latest matched row's timestamp. One struct = every output
+    // column and the staleness check come from the same row, exactly
+    // DuckDB ASOF's "the latest right row" semantics.
+    val r0 = right
+      .filter(col(rightTs).isNotNull && col(key).isNotNull)
+      .select(
+        col(key),
+        col(rightTs).as("__ts"),
+        struct(
+          (col(rightTs).as("__mts") +:
+            rightPayload.map { case (c, out) => col(c).as(s"__p_$out") }): _*).as("__m"))
     val lCols = left.columns
     val l1 = l.withColumn("__ts", col(leftTs))
     val r1 = r0.withColumn("__side", lit(0))
-    // align schemas for unionByName(allowMissingColumns)
-    val unioned0 = l1.unionByName(r1, allowMissingColumns = true)
-    // tolerance needs the matched right row's timestamp; it rides the
-    // same block-carry machinery as any payload column
-    val unioned =
-      if (tolerance.isDefined)
-        unioned0.withColumn("__p___match_ts", when(col("__side") === 0, col("__ts")))
-      else unioned0
-    val vals: Seq[String] =
-      rightPayload.map { case (_, out) => s"__p_$out" } ++
-        (if (tolerance.isDefined) Seq("__p___match_ts") else Nil)
+    // align schemas for unionByName(allowMissingColumns): left rows get
+    // a NULL __m, which ignoreNulls skips — a left row never "matches"
+    // another left row
+    val unioned = l1.unionByName(r1, allowMissingColumns = true)
     // backward: ascending ts — the last right row seen is the latest
     //   with rightTs <= leftTs.
     // forward: descending ts — rows already processed have HIGHER ts,
@@ -118,15 +145,19 @@ object TimeSeries {
     //   before left at equal ts ⇒ inclusive bound).
     val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     // hot-key pre-pass: two-phase count per key; only keys above the
-    // threshold survive the filter, so the isEmpty check reads a
-    // bounded (corpus/threshold) table. Deterministic per corpus —
-    // the branch cannot flap between runs. The verdict is MEMOIZED per
-    // canonicalized input plan (cheap driver-side hash, no job): the
-    // decision is perf-only — both branches are value-identical — so a
-    // stale hit after data changed under the same paths can never
-    // corrupt a result, only pick the less optimal plan until the JVM
-    // (or the memo) is recycled. Repeated executions of a query shape
-    // (dashboards, bench samples, retries) pay the detection job once.
+    // threshold survive the filter, so the collected list is bounded by
+    // corpus-rows / threshold. Deterministic per corpus — the branch
+    // cannot flap between runs. The SURVIVOR LIST is MEMOIZED per
+    // canonicalized input plan (cheap driver-side hash): the decision
+    // is perf-only — both branches are value-identical — so a stale
+    // hit after data changed under the same paths can never corrupt a
+    // result, only pick the less optimal plan until the JVM (or the
+    // memo) is recycled. Repeated executions of a query shape
+    // (dashboards, bench samples, retries) pay the detection job once,
+    // and the hot branch's broadcast side is a LocalRelation of the
+    // collected keys — zero jobs per action, where broadcasting the
+    // detection DataFrame itself re-aggregated the whole union every
+    // time the result was acted on.
     val hotKeys = unioned
       .groupBy(col(key).as("__hk"))
       .agg(count(lit(1)).as("__n"))
@@ -139,13 +170,14 @@ object TimeSeries {
     // race just runs the cheap detection twice — same verdict both
     // times (deterministic per corpus).
     val memoKey = (unioned.queryExecution.analyzed.canonicalized.semanticHash(), hotKeyThreshold)
-    val hasHot: Boolean = TimeSeries.hotMemo.get(memoKey) match {
+    val survivors: Array[org.apache.spark.sql.Row] = TimeSeries.hotMemo.get(memoKey) match {
       case null =>
-        val v: java.lang.Boolean = !hotKeys.isEmpty
+        val v = hotKeys.collect()
         TimeSeries.hotMemo.putIfAbsent(memoKey, v)
-        v.booleanValue
-      case cached => cached.booleanValue
+        v
+      case cached => cached
     }
+    val hasHot: Boolean = survivors.nonEmpty
     // prepared rows + the per-row window + a carry-column lookup:
     //   no hot keys — the classic single window keyed by (key); no
     //     carry columns exist (lookup returns None);
@@ -153,40 +185,41 @@ object TimeSeries {
     //     the degenerate block 0 = their whole-key window), the block
     //     carry tables are built, and the lookup surfaces __c_* columns
     //     for the coalesce fallback.
-    val (prepared, w, carryOf): (DataFrame, org.apache.spark.sql.expressions.WindowSpec, String => Option[org.apache.spark.sql.Column]) =
+    val (prepared, w, carry): (DataFrame, org.apache.spark.sql.expressions.WindowSpec, Option[org.apache.spark.sql.Column]) =
       if (!hasHot) {
         val w0 = Window
           .partitionBy(key)
           .orderBy(tsOrd, col("__side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        (unioned, w0, (_: String) => None)
+        (unioned, w0, None)
       } else {
+        // the collected survivor keys as a LocalRelation broadcast side
+        val hotDf = unioned.sparkSession.createDataFrame(
+          java.util.Arrays.asList(survivors: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "__hk", unioned.schema(key).dataType))))
         val u = unioned
-          .join(broadcast(hotKeys), col(key) <=> col("__hk"), "left")
+          .join(broadcast(hotDf), col(key) <=> col("__hk"), "left")
           .withColumn(
             "__blk",
             when(col("__hk").isNotNull, intDiv(unix_micros(col("__ts")), lit(blockUs)))
               .otherwise(lit(0L)))
           .drop("__hk")
-        // level 1 — block finals from right rows only: per payload
-        // column, the value at the extreme ts among its non-null
-        // occurrences (ties on ts between distinct right rows were
-        // equally unordered under the single window; the test corpora
-        // have none). Two-phase hash agg, map-side partials; output is
-        // |cold keys| + (hot keys × active cells).
-        val finalAggs = vals.map { v =>
-          val ord = when(col(v).isNotNull, col("__ts"))
-          (if (forward) min_by(col(v), ord) else max_by(col(v), ord)).as(s"__f_$v")
-        }
+        // level 1 — block finals from right rows only: the matched-row
+        // struct at the extreme ts (ties on ts between distinct right
+        // rows were equally unordered under the single window; the test
+        // corpora have none). Two-phase hash agg, map-side partials;
+        // output is |cold keys| + (hot keys × active cells).
         val finals = u
           .filter(col("__side") === 0)
           .groupBy(col(key).as("__k"), col("__blk").as("__b"))
-          .agg(finalAggs.head, finalAggs.tail: _*)
+          .agg((if (forward) min_by(col("__m"), col("__ts"))
+                else max_by(col("__m"), col("__ts"))).as("__f"))
         // level 2 — carry-in per (key, block) over the block SPINE
         // (blocks seen on either side: a left-only block still needs
-        // the carry from older right rows). NULL keys stay one carry
-        // group (<=> join + window partition semantics agree), matching
-        // the single window's NULL-key grouping.
+        // the carry from older right rows). NULL keys (left-side only —
+        // right NULL keys are filtered at ingestion) carry nothing.
         val spine = u
           .filter(col("__blk").isNotNull)
           .select(col(key).as("__k"), col("__blk").as("__b"))
@@ -202,12 +235,11 @@ object TimeSeries {
             col("sp.__k") <=> col("fi.__k") && col("sp.__b") === col("fi.__b"),
             "left")
           .select(
-            (col("sp.__k").as("__k") +: col("sp.__b").as("__b") +:
-              vals.map(v => col(s"fi.__f_$v").as(s"__f_$v"))): _*)
+            col("sp.__k").as("__k"), col("sp.__b").as("__b"),
+            col("fi.__f").as("__f"))
           .select(
-            (col("__k") +: col("__b") +:
-              vals.map(v =>
-                last(col(s"__f_$v"), ignoreNulls = true).over(wCarry).as(s"__c_$v"))): _*)
+            col("__k"), col("__b"),
+            last(col("__f"), ignoreNulls = true).over(wCarry).as("__c"))
         val withCarry = u
           .as("u")
           .join(
@@ -220,28 +252,21 @@ object TimeSeries {
           .partitionBy(col(key), col("__blk"))
           .orderBy(tsOrd, col("__side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        (withCarry, wB, (v: String) => Some(col(s"__c_$v")))
+        (withCarry, wB, Some(col("__c")))
       }
-    val filled = rightPayload.foldLeft(prepared) { case (df, (_, out)) =>
-      val localLast = last(col(s"__p_$out"), ignoreNulls = true).over(w)
-      df.withColumn(
-        out,
-        carryOf(s"__p_$out").fold(localLast)(c => coalesce(localLast, c)))
-    }
-    // tolerance: drop matches further than `tolerance` from leftTs (the
-    // matched right timestamp rides along in the same window pass)
-    val bounded = tolerance.fold(filled) { tol =>
-      val localMatch =
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
-      val withMatchTs = filled.withColumn(
-        "__match_ts",
-        carryOf("__p___match_ts").fold(localMatch)(c => coalesce(localMatch, c)))
+    // ONE running last over the matched-row struct: every payload
+    // column and the tolerance bound resolve from the same right row
+    val localLast = last(col("__m"), ignoreNulls = true).over(w)
+    val withM = prepared.withColumn(
+      "__matched", carry.fold(localLast)(c => coalesce(localLast, c)))
+    // tolerance: a match further than `tolerance` from leftTs is no
+    // match at all — nulling the WHOLE struct bounds every payload
+    // column by the same matched row's timestamp
+    val bounded = tolerance.fold(withM) { tol =>
       val inRange =
-        if (forward) col("__match_ts") <= col(leftTs) + expr(s"INTERVAL $tol")
-        else col("__match_ts") >= col(leftTs) - expr(s"INTERVAL $tol")
-      rightPayload.foldLeft(withMatchTs) { case (df, (_, out)) =>
-        df.withColumn(out, when(inRange, col(out)))
-      }
+        if (forward) col("__matched.__mts") <= col(leftTs) + expr(s"INTERVAL $tol")
+        else col("__matched.__mts") >= col(leftTs) - expr(s"INTERVAL $tol")
+      withM.withColumn("__matched", when(inRange, col("__matched")))
     }
     bounded
       .filter(col("__side") === 1)
@@ -249,7 +274,7 @@ object TimeSeries {
       // nothing — under the forward ordering (desc, Spark nulls last)
       // it would otherwise see every right row as "after" it
       .select((lCols.map(col) ++ rightPayload.map { case (_, out) =>
-        when(col(leftTs).isNotNull, col(out)).as(out) }).toIndexedSeq: _*)
+        when(col(leftTs).isNotNull, col(s"__matched.__p_$out")).as(out) }).toIndexedSeq: _*)
   }
 
   /** Session gap: a new session starts after 30 idle minutes. */
@@ -505,8 +530,7 @@ object TimeSeries {
     Q(
       "join_interval",
       (s, d) => {
-        import graft.functions.MathFunctions.intDiv
-        val cellUs = lit(3600000000L) // 1-hour grid
+            val cellUs = lit(3600000000L) // 1-hour grid
         // exact integer cell ids (double division + cast would rest on an
         // ULP-headroom argument that a finer grid or nanos domain breaks);
         // persist: both sides of the self-join read the exploded cells —
@@ -569,8 +593,7 @@ object TimeSeries {
     Q(
       "ts_concurrency",
       (s, d) => {
-        import graft.functions.MathFunctions.intDiv
-        val cellUs = 3600000000L // 1-hour prefix-sum cells
+            val cellUs = 3600000000L // 1-hour prefix-sum cells
         val sess = sessionIndexed(s, d)
           .groupBy(col("user_id"), col("session_idx"))
           .agg(
@@ -642,8 +665,7 @@ object TimeSeries {
     Q(
       "resample_ffill",
       (s, d) => {
-        import graft.functions.MathFunctions.intDiv
-        val cellUs = lit(3600000000L)
+            val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
           // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
@@ -686,8 +708,7 @@ object TimeSeries {
     Q(
       "resample_interp",
       (s, d) => {
-        import graft.functions.MathFunctions.intDiv
-        val cellUs = lit(3600000000L)
+            val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
           // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
@@ -770,8 +791,7 @@ object TimeSeries {
     Q(
       "ts_rolling_corr",
       (s, d) => {
-        import graft.functions.MathFunctions.intDiv
-        val cellUs = lit(3600000000L)
+            val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
           .agg(round(max(col("value")) * 100, 0).cast("long").as("c"))
@@ -1149,8 +1169,13 @@ object TimeSeries {
             col("event_type"),
             // NULL event times all land in the NULL-day group, where
             // the sentinel makes ordering fall to event_id — the same
-            // comparison SQL makes over a constant-NULL ts partition
-            coalesce(expr("unix_micros(ts) * 1000L"), lit(Tick.NullTs)).as("tsNanos"),
+            // comparison SQL makes over a constant-NULL ts partition.
+            // MICROS, not ×1000 nanos: TimestampType's native precision
+            // is micros, so the multiply added no ordering information
+            // while overflowing LONG (ANSI ARITHMETIC_OVERFLOW) for any
+            // timestamp past 2262 — the window variant handles the same
+            // row fine
+            coalesce(expr("unix_micros(ts)"), lit(Tick.NullTs)).as("tsMicros"),
             col("event_id"),
             col("value")
           )

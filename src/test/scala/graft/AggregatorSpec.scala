@@ -16,7 +16,7 @@ class AggregatorSpec extends AnyFunSuite {
     val ds = e.select(
       date_trunc("day", col("ts")).as("day"),
       col("event_type"),
-      coalesce(expr("unix_micros(ts) * 1000L"), lit(Tick.NullTs)).as("tsNanos"),
+      coalesce(expr("unix_micros(ts)"), lit(Tick.NullTs)).as("tsMicros"),
       col("event_id"),
       col("value")
     ).as[(java.sql.Timestamp, String, Long, Long, Option[Double])]

@@ -282,4 +282,42 @@ class QueriesSpec extends AnyFunSuite {
       assert(hot.count(_(1) == null) > 10, "fixture must produce real misses")
     }
   }
+
+  test("asOfJoin: row-atomic match, SQL-equality NULL keys, payload-less hot branch") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 12:00:00"), java.lang.Long.valueOf(1L)),
+      (2L, ts("2024-01-01 12:00:00"), null.asInstanceOf[java.lang.Long])
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (java.lang.Long.valueOf(5L), java.lang.Long.valueOf(1L), ts("2024-01-01 10:00:00")),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L), ts("2024-01-01 11:59:00")),
+      (java.lang.Long.valueOf(9L), null.asInstanceOf[java.lang.Long], ts("2024-01-01 11:00:00"))
+    ).toDF("click_eid", "user_id", "cts")
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.operators.TimeSeries
+        .asOfJoin(left, right, "user_id", "ts", "cts",
+          Seq("click_eid" -> "click_id", "cts" -> "click_ts"),
+          tolerance = Some("30 minutes"), hotKeyThreshold = threshold)
+        .orderBy("event_id").collect()
+      // row 1: the LATEST right row (11:59, inside tolerance) is THE
+      // match; its payload is NULL — per-column resolution used to
+      // borrow 10:00's id=5, smuggling a 2-hour-stale value past the
+      // 30-minute bound and mixing columns from two different rows
+      assert(got(0).isNullAt(got(0).fieldIndex("click_id")),
+        s"threshold=$threshold: stale payload leaked past tolerance")
+      assert(got(0).getTimestamp(got(0).fieldIndex("click_ts")) == ts("2024-01-01 11:59:00"))
+      // row 2: a NULL key never matches (SQL equality, like the
+      // oracles' ASOF ... ON l.k = r.k), even with a NULL-key right row
+      assert(got(1).isNullAt(got(1).fieldIndex("click_id")))
+      assert(got(1).isNullAt(got(1).fieldIndex("click_ts")))
+    }
+    // payload-less join must plan on BOTH branches (the hot branch used
+    // to throw NoSuchElementException on an empty aggregate list)
+    val bare = graft.operators.TimeSeries
+      .asOfJoin(left, right, "user_id", "ts", "cts", Seq.empty, hotKeyThreshold = 0L)
+      .collect()
+    assert(bare.length == 2)
+  }
 }
