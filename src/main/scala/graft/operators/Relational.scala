@@ -20,6 +20,10 @@ object Relational {
 
   private val t0 = "2024-01-10 00:00:00"
   private val t1 = "2024-01-20 00:00:00"
+  // the SAME instants in ISO-Z form for the raw-domain helpers — derived,
+  // not retyped, so the Spark impls and the oracle SQL cannot desync
+  private val t0Iso = t0.replace(' ', 'T') + "Z"
+  private val t1Iso = t1.replace(' ', 'T') + "Z"
 
   val all: Seq[Q] = Seq(
     // R7: inclusive time-range scan; predicates reach the parquet reader
@@ -27,7 +31,7 @@ object Relational {
     Q(
       "scan_range",
       (s, d) =>
-        Tables.eventsInRange(s, d, "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+        Tables.eventsInRange(s, d, t0Iso, t1Iso)
           .orderBy("event_id"),
       Some(
         s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
@@ -78,8 +82,8 @@ object Relational {
       "append_dedup",
       (s, d) => {
         // filter in the raw ts domain so both branch scans prune
-        val old = Tables.eventsWhere(s, d)((ts, l) => ts < l("2024-01-20T00:00:00Z"))
-        val neu = Tables.eventsWhere(s, d)((ts, l) => ts >= l("2024-01-10T00:00:00Z"))
+        val old = Tables.eventsWhere(s, d)((ts, l) => ts < l(t1Iso))
+        val neu = Tables.eventsWhere(s, d)((ts, l) => ts >= l(t0Iso))
         old.unionByName(neu).dropDuplicates().orderBy("event_id")
       },
       Some(
@@ -595,7 +599,14 @@ object Relational {
         customer(s, d)
           .select(
             col("c_custkey"),
-            format_string("C-%07d/%s", col("c_custkey"), upper(col("c_mktsegment"))).as("ident"),
+            // SQL printf convention: any NULL argument makes the WHOLE
+            // result NULL (DuckDB printf does this natively; Spark's
+            // java.util.Formatter would render the string 'null' — a
+            // latent cross-engine divergence the moment a customer
+            // attribute is NULL)
+            when(col("c_mktsegment").isNotNull,
+              format_string("C-%07d/%s", col("c_custkey"), upper(col("c_mktsegment"))))
+              .as("ident"),
             lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
             concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined")
           )
@@ -710,19 +721,19 @@ object Relational {
         val hist = base.filter(col("cents").isNotNull)
           .groupBy(col("l_returnflag"), col("cents"))
           .agg(count(lit(1)).as("cnt"))
-        val n = hist.groupBy("l_returnflag").agg(sum(col("cnt")).as("nv"))
         val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
           .rowsBetween(Window.unboundedPreceding, 0)
+        // the group total as a WHOLE-PARTITION window sum over the same
+        // partitioning wCum already forces: no extra shuffle on the
+        // grid-bounded hist, and the NULL l_returnflag group is handled
+        // natively by partitionBy — this replaces a separate aggregate
+        // plus a null-safe broadcast join (the exact machinery the
+        // round-13 NULL-group bug lived in)
+        val wAll = Window.partitionBy("l_returnflag")
         val inRank = (r: org.apache.spark.sql.Column) =>
           r.between(col("cum") - col("cnt"), col("cum") - 1)
-        // joins on the group key are NULL-SAFE (<=>): the oracle is a
-        // bare GROUP BY, which keeps a NULL l_returnflag group and
-        // computes its real median — a plain equi-join would strand
-        // that group's histogram rows and report med=NULL instead
         val med = hist
-          .join(broadcast(n.withColumnRenamed("l_returnflag", "rf")),
-            col("l_returnflag") <=> col("rf"))
-          .drop("rf")
+          .withColumn("nv", sum(col("cnt")).over(wAll))
           .withColumn("cum", sum(col("cnt")).over(wCum))
           .groupBy("l_returnflag")
           .agg(
@@ -829,7 +840,11 @@ object Relational {
     ),
     // Bitwise scalar functions over BIGINT keys — mask/shift/xor are
     // the partitioner- and fingerprint-building primitives. Pure
-    // integer ops, bit-identical everywhere.
+    // integer ops, bit-identical everywhere — PROVIDED the shift stays
+    // in range: Spark shiftleft silently wraps past bit 63 while DuckDB
+    // << throws Out of Range, so the shifted operand is masked to 59
+    // bits on BOTH sides (id << 4 then provably fits), making the
+    // bit-identity claim true by construction instead of by corpus luck.
     Q(
       "fn_bitwise",
       (s, d) =>
@@ -839,7 +854,7 @@ object Relational {
             (col("user_id").bitwiseAND(lit(255L))).as("band"),
             (col("user_id").bitwiseOR(lit(4096L))).as("ored"),
             (col("user_id").bitwiseXOR(col("event_id"))).as("mixed"),
-            shiftleft(col("user_id"), 4).as("shl"),
+            shiftleft(col("user_id").bitwiseAND(lit(0x07FFFFFFFFFFFFFFL)), 4).as("shl"),
             shiftright(col("event_id"), 2).as("shr")
           )
           .orderBy("event_id"),
@@ -848,7 +863,7 @@ object Relational {
           |       user_id & 255 AS band,
           |       user_id | 4096 AS ored,
           |       xor(user_id, event_id) AS mixed,
-          |       user_id << 4 AS shl,
+          |       (user_id & 576460752303423487) << 4 AS shl,
           |       event_id >> 2 AS shr
           |FROM events ORDER BY event_id""".stripMargin
       )
@@ -896,6 +911,12 @@ object Relational {
     Q(
       "agg_corr",
       (s, d) => {
+        // y-bearing moment sums run in DECIMAL(38,0) (the oracle's
+        // BIGINT sums auto-widen to HUGEINT): sum(y*y) in LONG
+        // overflows at ~1e12 rows of 1e4-cent values — ANSI would kill
+        // the query exactly at the scale the exactness claim targets.
+        // x is hour-of-day (0-23), so its pure-x moments stay LONG.
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val e = events(s, d)
           .select(
             col("event_type"),
@@ -905,9 +926,10 @@ object Relational {
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),
-            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y").cast(dec38) * col("y")).as("syy"),
+            sum(col("y").cast(dec38) * col("x")).as("sxy"),
             max(col("x")).as("xmx"), min(col("x")).as("xmn"),
             max(col("y")).as("ymx"), min(col("y")).as("ymn")
           )
@@ -915,15 +937,18 @@ object Relational {
         val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
         val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
         val sxyD = col("sxy").cast("double")
+        // degenerate-double guard (the ts_zscore / ts_rolling_corr
+        // class): the exact max>min gates cannot stop the DOUBLE
+        // moment from rounding to 0 past 2^53 — NULL, never
+        // DIVIDE_BY_ZERO, on both engines
+        val varX = nD * sxxD - sxD * sxD
+        val varY = nD * syyD - syD * syD
         e.select(
           col("event_type"), col("n"),
           when(
-            col("n") >= 2 && col("xmx") > col("xmn") && col("ymx") > col("ymn"),
-            round(
-              (nD * sxyD - sxD * syD)
-                / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)),
-              6
-            )
+            col("n") >= 2 && col("xmx") > col("xmn") && col("ymx") > col("ymn")
+              && varX > 0.0 && varY > 0.0,
+            round((nD * sxyD - sxD * syD) / (sqrt(varX) * sqrt(varY)), 6)
           ).as("corr")
         ).orderBy("event_type")
       },
@@ -934,11 +959,17 @@ object Relational {
           |           FROM events),
           |m AS (SELECT event_type, count(*) AS n,
           |        sum(x) AS sx, sum(y) AS sy,
-          |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+          |        sum(x * x) AS sxx,
+          |        sum(CAST(y AS HUGEINT) * y) AS syy,
+          |        sum(CAST(y AS HUGEINT) * x) AS sxy,
           |        max(x) AS xmx, min(x) AS xmn, max(y) AS ymx, min(y) AS ymn
           |      FROM t GROUP BY event_type)
           |SELECT event_type, CAST(n AS BIGINT) AS n,
-          |  CASE WHEN n >= 2 AND xmx > xmn AND ymx > ymn THEN
+          |  CASE WHEN n >= 2 AND xmx > xmn AND ymx > ymn
+          |       AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          |       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
           |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -1070,8 +1101,14 @@ object Relational {
             round(abs(col("l_discount") - 0.05), 6).as("adisc"),
             ceil(col("l_extendedprice")).cast("long").as("cp"),
             floor(col("l_extendedprice")).cast("long").as("fp"),
-            round(log(lit(1) + col("l_extendedprice")), 6).as("lnp"),
-            round(sqrt(col("l_quantity")), 6).as("sq"),
+            // explicit domain guards: Spark log()/sqrt() return NULL
+            // (or NaN) outside their domain while DuckDB ln()/sqrt()
+            // THROW and abort the whole oracle query — one refund line
+            // (price <= -1) or negative quantity must cost one NULL
+            // cell on both engines, not the query
+            round(when(lit(1) + col("l_extendedprice") > 0,
+              log(lit(1) + col("l_extendedprice"))), 6).as("lnp"),
+            round(when(col("l_quantity") >= 0, sqrt(col("l_quantity"))), 6).as("sq"),
             round(pow(col("l_discount"), 2), 8).as("d2")
           ),
       Some(
@@ -1080,8 +1117,9 @@ object Relational {
           |       round(abs(l_discount - 0.05), 6) AS adisc,
           |       CAST(ceil(l_extendedprice) AS BIGINT) AS cp,
           |       CAST(floor(l_extendedprice) AS BIGINT) AS fp,
-          |       round(ln(1 + l_extendedprice), 6) AS lnp,
-          |       round(sqrt(l_quantity), 6) AS sq,
+          |       round(CASE WHEN 1 + l_extendedprice > 0
+          |                  THEN ln(1 + l_extendedprice) END, 6) AS lnp,
+          |       round(CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END, 6) AS sq,
           |       round(pow(l_discount, 2), 8) AS d2
           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
       )
@@ -1097,7 +1135,10 @@ object Relational {
           .select(
             col("vec_id"),
             size(col("embedding")).cast("long").as("dim"),
-            round(element_at(emb, 1), 6).as("first_val"),
+            // try_element_at: ANSI element_at THROWS on a zero-length
+            // array while DuckDB embedding[1] yields NULL — an empty
+            // (not NULL) vector must cost one NULL cell, not the query
+            round(try_element_at(emb, lit(1)), 6).as("first_val"),
             round(aggregate(emb, lit(0.0), (a: Column, x: Column) => a + x), 4).as("vsum"),
             round(sqrt(aggregate(emb, lit(0.0), (a: Column, x: Column) => a + x * x)), 6).as("l2")
           )

@@ -155,4 +155,44 @@ class FuzzSemanticsSpec extends AnyFunSuite {
         "degenerate x-variance must yield NULL corr, not a crash or +-Inf")
     }
   }
+
+  test("domain edges cost one NULL cell, not the query: printf NULL args, log/sqrt out of domain, empty arrays") {
+    import spark.implicits._
+    // fn_format: SQL printf convention — a NULL argument nulls the
+    // RESULT (DuckDB printf does; Spark's Formatter would print 'null')
+    val work = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    Seq(
+      (1L, "Alice", "BUILDING"),
+      (2L, "Bob", null.asInstanceOf[String])
+    ).toDF("c_custkey", "c_name", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$work/customer.parquet")
+    val fmt = SparkEntry.queries("fn_format")(spark, work)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fmt(1L).getString(1) == "C-0000001/BUILDING")
+    assert(fmt(2L).isNullAt(1), "NULL segment must null ident, not render 'null'")
+    // fn_math: a refund line (price <= -1) and a negative quantity are
+    // out of ln/sqrt domain — Spark returns NULL natively but DuckDB
+    // THROWS, so both sides now guard explicitly; the engine's answer
+    // must be a NULL cell, never a crash
+    Seq(
+      (1L, 1, -2.0, 0.05, 0.02, -1.0),
+      (2L, 1, 100.0, 0.05, 0.02, 4.0)
+    ).toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax", "l_quantity")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val m = SparkEntry.queries("fn_math")(spark, work)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).isNullAt(m(1L).fieldIndex("lnp")) && m(1L).isNullAt(m(1L).fieldIndex("sq")))
+    assert(!m(2L).isNullAt(m(2L).fieldIndex("lnp")) && m(2L).getDouble(m(2L).fieldIndex("sq")) == 2.0)
+    // fn_array: an EMPTY (not NULL) embedding — ANSI element_at threw
+    // INVALID_ARRAY_INDEX; try_element_at yields NULL like DuckDB [1]
+    Seq(
+      (1L, Array.empty[Float], "a"),
+      (2L, Array(3.0f, 4.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val a = SparkEntry.queries("fn_array")(spark, work)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(a(1L).getLong(1) == 0L && a(1L).isNullAt(a(1L).fieldIndex("first_val")))
+    assert(a(2L).getDouble(a(2L).fieldIndex("l2")) == 5.0)
+  }
 }
