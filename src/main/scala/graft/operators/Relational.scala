@@ -604,7 +604,7 @@ object Relational {
             // java.util.Formatter would render the string 'null' — a
             // latent cross-engine divergence the moment a customer
             // attribute is NULL)
-            when(col("c_mktsegment").isNotNull,
+            when(col("c_custkey").isNotNull && col("c_mktsegment").isNotNull,
               format_string("C-%07d/%s", col("c_custkey"), upper(col("c_mktsegment"))))
               .as("ident"),
             lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),

@@ -31,14 +31,21 @@ object TimeSeries {
     * aggregation — it used to ride the main plan and re-aggregate the
     * whole union per action. Survivor count is bounded by
     * corpus-rows / threshold (≤ ~250k at 1e12 rows), so entries are
-    * small; cleared wholesale past 64 entries. Writers use get →
-    * compute → putIfAbsent, never computeIfAbsent — the compute is a
-    * Spark job and must not run under a bin lock.
+    * small; cleared wholesale past 64 entries, and a list longer than
+    * [[hotMemoMaxSurvivors]] is never cached at all (re-running
+    * detection beats pinning hundreds of MB on the driver under a
+    * pathologically low threshold). The key carries the key column's
+    * DataType name alongside the 32-bit semanticHash: a hash collision
+    * between plans with differently-typed keys must not feed mistyped
+    * Rows into createDataFrame. Writers use get → compute →
+    * putIfAbsent, never computeIfAbsent — the compute is a Spark job
+    * and must not run under a bin lock.
     */
+  private[operators] val hotMemoMaxSurvivors = 10000
   private val hotMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[org.apache.spark.sql.Row]] {
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, String), Array[org.apache.spark.sql.Row]] {
       override def putIfAbsent(
-          k: (Int, Long),
+          k: (Int, Long, String),
           v: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
         if (size() > 64) clear()
         super.putIfAbsent(k, v)
@@ -169,11 +176,14 @@ object TimeSeries {
     // mapping functions must be short; a Spark job is not). A lost
     // race just runs the cheap detection twice — same verdict both
     // times (deterministic per corpus).
-    val memoKey = (unioned.queryExecution.analyzed.canonicalized.semanticHash(), hotKeyThreshold)
+    val memoKey = (
+      unioned.queryExecution.analyzed.canonicalized.semanticHash(),
+      hotKeyThreshold,
+      unioned.schema(key).dataType.catalogString)
     val survivors: Array[org.apache.spark.sql.Row] = TimeSeries.hotMemo.get(memoKey) match {
       case null =>
         val v = hotKeys.collect()
-        TimeSeries.hotMemo.putIfAbsent(memoKey, v)
+        if (v.length <= TimeSeries.hotMemoMaxSurvivors) TimeSeries.hotMemo.putIfAbsent(memoKey, v)
         v
       case cached => cached
     }

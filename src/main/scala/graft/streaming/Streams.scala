@@ -151,6 +151,39 @@ object Streams {
     s2
   }
 
+  /** Temp directories to delete at JVM exit. One static hook drains
+    * this queue — per-call `addShutdownHook` would accumulate a Thread
+    * (plus its captured path) per invocation in a long-lived process,
+    * and throws IllegalStateException if the JVM is already shutting
+    * down when called.
+    */
+  private val sweepQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val sweepHookInstalled: Boolean = {
+    try {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        var dir = sweepQueue.poll()
+        while (dir != null) {
+          try {
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator().asScala
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } finally walk.close()
+          } catch { case _: Throwable => () }
+          dir = sweepQueue.poll()
+        }
+      }, "graft-streams-temp-sweep"))
+      true
+    } catch { case _: IllegalStateException => false } // already shutting down
+  }
+
+  private[graft] def sweepAtExit(dir: String): Unit = {
+    sweepQueue.add(dir)
+    sweepHookInstalled: Unit
+  }
+
   /** Run `out` to completion under AvailableNow into a memory sink and
     * return the materialized result. The sink table registers in the
     * session the stream graph is bound to (`out.sparkSession` — the
@@ -647,6 +680,11 @@ object Streams {
                 // best-effort for the late row itself; rows previously
                 // emitted cannot be retracted in append mode either
                 // way; in-order rows stay exact).
+                // buffer EVERY peer of the run before scoring any of
+                // them — the batch RANGE frame includes same-ts peers,
+                // and a per-row insert-then-score would let earlier
+                // peers miss later ones (mirrors the in-order branch's
+                // buffer-peers-before-scoring discipline)
                 (i until j).foreach { x =>
                   val e = batch(x)
                   val idx = buf.indexWhere(_._1 > e.tss)
@@ -657,6 +695,9 @@ object Streams {
                     if (c > mx) mx = c
                     if (c < mn) mn = c
                   }
+                }
+                (i until j).foreach { x =>
+                  val e = batch(x)
                   var ln = 0L; var lsn = 0L; var lqn = 0L
                   var lmx = Long.MinValue; var lmn = Long.MaxValue
                   buf.foreach { case (bt, bc, bd) =>
@@ -826,20 +867,9 @@ object Streams {
     import graft.sources.Store
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
     // the returned DataFrame reads the store's files LAZILY, so the
-    // temp store cannot be deleted here — sweep it at JVM exit instead
-    // of leaking one store+checkpoint per invocation
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val root = java.nio.file.Paths.get(tmp)
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
-      } catch { case _: Throwable => () }
-    }))
+    // temp store cannot be deleted here — enqueue it for the single
+    // static exit sweep (one hook total, not one Thread per invocation)
+    sweepAtExit(tmp)
     val drive = driveSession(s)
     val store = Store.open(
       drive, tmp,

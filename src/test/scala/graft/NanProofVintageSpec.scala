@@ -150,4 +150,82 @@ class NanProofVintageSpec extends AnyFunSuite {
     assert(ok.minMaxByCol("V") ==
       (Store.sortableDoubleBits(1.0), Store.sortableDoubleBits(3.0)))
   }
+
+  // ---- foreign vintages (round-16 probe drill, tools/nanprobe_foreign.py) --
+  //
+  // The recovery drill the allowlist documents ("re-run the probe on a
+  // new vintage, then extend or pin its refusal") was walked against
+  // the two OTHER parquet writers in this sandbox. The probe receipts
+  // (PLANS.md round 16) and the committed fixture files pin the
+  // refusal verdicts:
+  //
+  //  - parquet-cpp-arrow 16.1.0 records FINITE min/max on a
+  //    NaN-bearing double chunk (min=1.0 max=3.0 over {1,2,NaN,3}) —
+  //    the exact silently-NaN-skipping behavior the veto exists for.
+  //    Trusting it would footer-answer max()=3.0 where the scan
+  //    returns NaN (Spark orders NaN greatest). MUST stay refused.
+  //  - DuckDB omits stats entirely on a NaN-bearing chunk (safe, but
+  //    indistinguishable from stats-absent) → refused by the same
+  //    stats-missing veto.
+
+  private def fixture(name: String): String = {
+    val url = getClass.getResource(s"/foreign-vintage/$name")
+    assert(url != null, s"missing test fixture foreign-vintage/$name")
+    url.getPath
+  }
+
+  test("parquet-cpp-arrow vintage: finite NaN-skipping bounds are refused (the veto's reason made flesh)") {
+    // first verify the fixture still shows the dangerous footer shape
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HPath(fixture("with_nan.pyarrow.parquet")), conf))
+    val (createdBy, st) =
+      try {
+        import scala.jdk.CollectionConverters._
+        val b = r.getFooter.getBlocks.asScala.head
+        (r.getFooter.getFileMetaData.getCreatedBy,
+          b.getColumns.asScala.head.getStatistics)
+      } finally r.close()
+    assert(createdBy.startsWith("parquet-cpp-arrow"), createdBy)
+    assert(st.hasNonNullValue &&
+      st.genericGetMin == java.lang.Double.valueOf(1.0) &&
+      st.genericGetMax == java.lang.Double.valueOf(3.0),
+      s"fixture drifted: expected finite NaN-skipping bounds 1.0..3.0, got $st")
+    // the data really contains NaN — the footer's 3.0 max is a lie
+    val scanned = spark.read
+      .parquet(fixture("with_nan.pyarrow.parquet"))
+      .selectExpr("max(v)").head.getDouble(0)
+    assert(scanned.isNaN, s"scan max should be NaN, got $scanned")
+    // ...and the gate refuses it
+    val agg = Store.fileFooterAgg(
+      conf, fixture("with_nan.pyarrow.parquet"), Seq("V"), Set("V"))
+    assert(!agg.minMaxOkCols.contains("V"),
+      "a parquet-cpp-arrow double column must be refused for footer min/max")
+    assert(agg.rows == 4L, "row count stays exact regardless of vintage")
+  }
+
+  test("DuckDB vintage: NaN-bearing chunk has no stats and is refused") {
+    val agg = Store.fileFooterAgg(
+      conf, fixture("with_nan.duckdb.parquet"), Seq("V"), Set("V"))
+    assert(!agg.minMaxOkCols.contains("V"),
+      "a DuckDB-written NaN-bearing double column must be refused")
+    assert(agg.rows == 4L)
+  }
+
+  test("foreign created_by strings never match the parquet-mr allowlist regex") {
+    val re = """parquet-mr version (\d+)\.(\d+)""".r
+    for (cb <- Seq(
+        "parquet-cpp-arrow version 16.1.0",
+        "DuckDB",
+        "parquet-cpp version 1.5.1-SNAPSHOT",
+        "")) {
+      assert(re.findFirstMatchIn(cb).isEmpty, s"'$cb' must not parse as parquet-mr")
+    }
+    // an UNPROBED parquet-mr vintage parses but is not allowlisted
+    val old = re.findFirstMatchIn(
+      "parquet-mr version 1.12.3 (build f8dced182c4c1fbdec6ccb3185537b5a01e6ed6b)")
+    assert(old.nonEmpty)
+    assert(!Store.NanProofProbedVintages.contains(
+      (old.get.group(1).toInt, old.get.group(2).toInt)),
+      "parquet-mr 1.12 was never probed and must stay refused")
+  }
 }

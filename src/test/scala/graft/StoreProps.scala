@@ -190,6 +190,283 @@ object StoreProps extends Properties("Store") {
       ok
   }
 
+  // ------------------------------------------------------------------
+  // Randomized store-lifecycle fuzz (round 16): the enumerated crash
+  // sweeps in ObjStoreSpec prove every LISTED crash point recovers;
+  // this property searches the op-SEQUENCE space nobody enumerated. A
+  // seeded generator drives a random sequence of lifecycle ops
+  // (write / append / appendNewOnly / compact / compactIfNeeded /
+  // compactBuckets / prune / drop / vacuum, plus deliberate
+  // invalid-op probes) over the objstore:// copy+delete rename
+  // semantics, arming a random ObjStoreFs crash point before each
+  // renaming op with p≈1/2. A crashed op is recovered exactly the way
+  // the docs prescribe (vacuum(0) then retry once) and the run then
+  // continues. Invariants, checked against a sequentially-replayed
+  // local model: no row lost, no duplicate incarnation (footer row
+  // count == model size catches old+new mixes value-set equality
+  // would miss), refusals only where documented, vacuum converges to
+  // zero, staging drains.
+  // ------------------------------------------------------------------
+
+  private type BarRow = (Timestamp, Double, Double, Double, Double, Long)
+
+  private def barRows(n: Int, seed: Long): Seq[BarRow] = {
+    val rnd = new scala.util.Random(seed)
+    val t0 = java.time.LocalDate.parse("2020-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    (0 until n).map { i =>
+      (Timestamp.from(t0.plusDays(i).toInstant),
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        rnd.nextDouble() * 100, rnd.nextInt(1000).toLong)
+    }
+  }
+
+  private def dayTs(i: Int): Timestamp = Timestamp.from(
+    java.time.LocalDate.parse("2020-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).plusDays(i).toInstant)
+
+  private def isInjected(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[ObjStoreFs.InjectedCrash]) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  property("randomized lifecycle fuzz over objstore:// with injected crashes") =
+    forAll(Gen.choose(1L, 1000000L)) { seed => lifecycleFuzz(seed) }
+
+  private def lifecycleFuzz(seed: Long): Boolean = {
+    ObjStoreFs.reset()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+    val rnd = new scala.util.Random(seed)
+    val dir = "objstore://" + Files.createTempDirectory("graft-lfz").toString
+    val s = Store.open(spark, dir, bucket = Some("day"))
+    val nDays = 10
+    val batches = (0 until 4).map(i => barRows(nDays, seed * 7 + i))
+    def df(i: Int) = batches(i)
+      .toDF("date", "open", "high", "low", "close", "volume")
+
+    // sequential model: the row set the item must hold (date keyed as
+    // epoch millis — rows are all at midnight so day-bucket prune is
+    // exactly a date >= cutoff filter)
+    val model = scala.collection.mutable.Set.empty[BarRow]
+    var exists = false
+    var fired = 0
+    val log = new scala.collection.mutable.ArrayBuffer[String]
+
+    def maybeArm(): Unit = if (rnd.nextInt(4) > 0) { // p=3/4
+      // rename SOURCES only: items/K covers move-outs (incl. bucket
+      // dirs, whose path contains items/K), .tmp- covers promotes;
+      // afterFiles weighted low — most renamed dirs hold 1-3 files
+      val target = Seq("items/K", "items/K", ".tmp-")(rnd.nextInt(3))
+      val phase = if (rnd.nextBoolean()) "copy" else "delete"
+      val c = ObjStoreFs.Crash(target, phase, Seq(0, 0, 1, 2)(rnd.nextInt(4)))
+      ObjStoreFs.crash = Some(c)
+      log += s"  armed $c"
+    }
+
+    // run op; on an injected crash, recover the documented way
+    // (vacuum(0) + retry once). Returns false on an UNdocumented error.
+    def run(name: String, body: () => Unit, retryOk: Throwable => Boolean): Boolean = {
+      log += s"op $name (crash=${ObjStoreFs.crash.isDefined})"
+      try { body(); ObjStoreFs.crash = None; true }
+      catch {
+        case t: Throwable if isInjected(t) =>
+          fired += 1
+          log += s"  crashed: ${t.getMessage}"
+          s.vacuum(0L)
+          try { body(); true }
+          catch {
+            case r: Throwable if retryOk(r) =>
+              log += s"  retry refused as documented: ${r.getClass.getSimpleName}"
+              true
+            case r: Throwable =>
+              log += s"  RETRY FAILED: $r"; false
+          }
+        case t: Throwable =>
+          log += s"  UNDOCUMENTED ERROR: $t"; false
+      }
+    }
+
+    val never = (_: Throwable) => false
+    var ok = true
+    val nOps = 14
+    var step = 0
+    while (ok && step < nOps) {
+      step += 1
+      if (!exists) {
+        // only creation is valid; also probe that everything else
+        // refuses with the documented error
+        if (rnd.nextBoolean()) {
+          val probe = try { s.drop("K"); "no-error" }
+          catch { case e: Throwable => e.getClass.getSimpleName }
+          if (probe != "ItemKeyError") { log += s"drop on absent: $probe"; ok = false }
+        }
+        val b = rnd.nextInt(batches.size)
+        ok = ok && run(s"write($b)", () => s.write("K", df(b)), never)
+        if (ok) { model.clear(); model ++= batches(b); exists = true }
+      } else rnd.nextInt(10) match {
+        case 0 | 1 =>
+          val b = rnd.nextInt(batches.size)
+          ok = run(s"appendNewOnly($b)", () => s.appendNewOnly("K", df(b)), never)
+          if (ok) model ++= batches(b)
+        case 2 =>
+          val b = rnd.nextInt(batches.size)
+          ok = run(s"append($b)", () => s.append("K", df(b)), never)
+          if (ok) model ++= batches(b)
+        case 3 =>
+          maybeArm()
+          ok = run("compact", () => s.compact("K"), never)
+        case 4 =>
+          maybeArm()
+          ok = run("compactBuckets",
+            () => { s.compactBuckets("K", maxFilesPerBucket = 1L); () }, never)
+        case 5 =>
+          val cut = rnd.nextInt(nDays)
+          maybeArm()
+          ok = run(s"prune($cut)", () => { s.prune("K", dayTs(cut)); () }, never)
+          if (ok) {
+            val keep = model.filter(_._1.getTime >= dayTs(cut).getTime).toSet
+            model.clear(); model ++= keep
+          }
+        case 6 =>
+          maybeArm()
+          ok = run("vacuum", () => { s.vacuum(0L); () }, never)
+        case 7 =>
+          maybeArm()
+          // a crashed drop may have completed via the recovery vacuum:
+          // the retry's ItemKeyError is the documented already-gone shape
+          ok = run("drop", () => s.drop("K"),
+            _.isInstanceOf[graft.sources.ItemKeyError])
+          if (ok) { model.clear(); exists = false }
+        case 8 =>
+          // documented refusal probe: write on an existing item
+          val probe = try { s.write("K", df(0)); "no-error" }
+          catch { case e: Throwable => e.getClass.getSimpleName }
+          if (probe != "ItemExistsError") { log += s"write on existing: $probe"; ok = false }
+        case 9 =>
+          ok = run("compactIfNeeded",
+            () => { s.compactIfNeeded("K", 2L); () }, never)
+      }
+      ObjStoreFs.crash = None // a point that never fired must not leak forward
+    }
+
+    // settle: recovery sweep, then convergence — a second vacuum must
+    // find nothing left to do
+    ok = ok && {
+      s.vacuum(0L)
+      val second = s.vacuum(0L)
+      if (second != 0L) log += s"vacuum did not converge: second pass did $second"
+      second == 0L
+    }
+    ok = ok && {
+      val (fsH, base) = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      val staging = new org.apache.hadoop.fs.Path(base, ".staging")
+      val drained = !fsH.exists(staging) || fsH.listStatus(staging).isEmpty
+      if (!drained) log += "staging not drained"
+      drained
+    }
+    ok = ok && (if (!exists) {
+      val gone = !s.exists("K")
+      if (!gone) log += "item should not exist"
+      gone
+    } else {
+      val got = s("K").collect().map(r =>
+        (r.getAs[Timestamp]("DATE"), r.getAs[Double]("OPEN"),
+          r.getAs[Double]("HIGH"), r.getAs[Double]("LOW"),
+          r.getAs[Double]("CLOSE"), r.getAs[Long]("VOLUME"))).toSet
+      val fRows = s.describe("K").rows
+      val contentOk = got == model.toSet
+      val countOk = fRows == model.size.toLong
+      if (!contentOk) log +=
+        s"content mismatch: got=${got.size} model=${model.size} " +
+          s"missing=${(model.toSet -- got).take(3)} extra=${(got -- model.toSet).take(3)}"
+      if (!countOk) log += s"footer rows=$fRows model=${model.size} (duplicate incarnation?)"
+      contentOk && countOk
+    })
+    // non-vacuity receipt: one line per sequence so a test-log reader
+    // can see the searched interleavings really hit crash windows
+    System.err.println(
+      s"[lifecycle-fuzz] seed=$seed ops=$step crashesFired=$fired " +
+        s"endRows=${if (exists) model.size else -1} ok=$ok")
+    if (!ok) log.foreach(l => System.err.println(s"[lifecycle-fuzz] $l"))
+    ObjStoreFs.reset()
+    ok
+  }
+
+  /** The same op-sequence search on the VERSIONED layout, plus the
+    * CTAS staging triple (writeStagedVersion / commit / abort) on
+    * fresh item names: pointer swaps replace renames here, so the
+    * interesting interleavings are staged-version visibility (an
+    * uncommitted version must never become visible, an aborted one
+    * must vanish) racing vacuum's orphan sweep mid-sequence.
+    */
+  property("randomized lifecycle fuzz on the versioned layout with CTAS staging") =
+    forAll(Gen.choose(1L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory("graft-lfzv").toString
+      val s = Store.open(spark, dir, versioned = true)
+      val batches = (0 until 3).map(i => barRows(8, seed * 11 + i))
+      def df(i: Int) = batches(i)
+        .toDF("date", "open", "high", "low", "close", "volume")
+      val model = scala.collection.mutable.Map.empty[String, Set[BarRow]]
+      var ctasN = 0
+      var ok = true
+      (0 until 12).foreach { _ =>
+        if (!ok) ()
+        else rnd.nextInt(8) match {
+          case 0 | 1 =>
+            val b = rnd.nextInt(batches.size)
+            if (model.contains("K")) { s.appendNewOnly("K", df(b)); model("K") ++= batches(b).toSet }
+            else { s.write("K", df(b)); model("K") = batches(b).toSet }
+          case 2 =>
+            if (model.contains("K")) { s.drop("K"); model.remove("K") }
+          case 3 =>
+            if (model.contains("K")) s.compact("K")
+          case 4 =>
+            s.vacuum(0L)
+          case 5 | 6 =>
+            // CTAS on a fresh name: commit or abort by coin flip; the
+            // item must be invisible between stage and commit
+            val name = s"C$ctasN"; ctasN += 1
+            val b = rnd.nextInt(batches.size)
+            val id = s.writeStagedVersion(name, df(b))
+            if (s.exists(name)) { ok = false }
+            else if (rnd.nextBoolean()) {
+              s.commitStagedVersion(name, id)
+              model(name) = batches(b).toSet
+            } else {
+              s.abortStagedVersion(name, id)
+              if (s.exists(name)) ok = false
+            }
+          case 7 =>
+            // vacuum must not sweep a registered in-flight staged id —
+            // stage, vacuum, THEN commit
+            val name = s"C$ctasN"; ctasN += 1
+            val b = rnd.nextInt(batches.size)
+            val id = s.writeStagedVersion(name, df(b))
+            s.vacuum(0L)
+            s.commitStagedVersion(name, id)
+            model(name) = batches(b).toSet
+        }
+      }
+      s.vacuum(0L)
+      ok = ok && s.vacuum(0L) == 0L
+      ok && model.forall { case (k, want) =>
+        val got = s(k).collect().map(r =>
+          (r.getAs[Timestamp]("DATE"), r.getAs[Double]("OPEN"),
+            r.getAs[Double]("HIGH"), r.getAs[Double]("LOW"),
+            r.getAs[Double]("CLOSE"), r.getAs[Long]("VOLUME"))).toSet
+        got == want && s.describe(k).rows == want.size.toLong
+      } && s.listItems().toSet == model.keySet
+    }
+
   property("normalization is case-insensitive in column names") =
     forAll(Gen.choose(5, 15), Gen.choose(1L, 999L)) { (n, seed) =>
       val s = freshStore()
