@@ -22,9 +22,24 @@ import graft.streaming.Streams
   *    not make batches ~10× slower (state is partitioned HDFS-backed
   *    maps, commit cost ∝ delta, not ∝ store size).
   *
+  * Round 16 extends the receipt to the remaining three per-key-state
+  * streams, with the adversarial axis their contracts name:
+  *
+  *  - funnel: per-user candidate buffers — driven with late-but-
+  *    inside-slack event-time disorder (20% of events carry a
+  *    timestamp minutes EARLIER than their arrival batch), the shape
+  *    where an unbounded candidate buffer would hide; state rows must
+  *    stay == users and bytes/user flat across a key sweep;
+  *  - custom_state: one (n, sum) pair per user — rows == users;
+  *  - minhash_dedup: one claimant Long per band bucket — rows ==
+  *    distinct buckets (≈ docs × bands / dup-factor), never per-doc.
+  *
   * Run (idle box):
   *   sbt "runMain graft.tools.StressStreams zscore 1000,10000 40"
   *   sbt "runMain graft.tools.StressStreams topk 100,1000 200"
+  *   sbt "runMain graft.tools.StressStreams funnel 1000,10000 40"
+  *   sbt "runMain graft.tools.StressStreams custom_state 1000,10000 40"
+  *   sbt "runMain graft.tools.StressStreams minhash_dedup 500,5000 1"
   */
 object StressStreams {
 
@@ -60,20 +75,66 @@ object StressStreams {
         (rand(42) * 100).as("value"))
     }
 
+    /** Events with a type column and seeded DISORDER: every 5th event's
+      * time is pulled 1-3 minutes earlier than its arrival batch —
+      * late-but-inside-slack rows, the funnel/custom_state adversarial
+      * case (their state functions buffer against the 1-hour slack).
+      */
+    def corpusTyped(keys: Int): DataFrame =
+      corpus(keys)
+        .withColumn("event_type",
+          element_at(array(lit("view"), lit("click"), lit("purchase")),
+            (col("event_id") % 3).cast("int") + 1))
+        .withColumn("ts",
+          when(col("event_id") % 5 === 4,
+            expr("ts - make_interval(0, 0, 0, 0, 0, cast(event_id % 3 + 1 as int), 0)"))
+            .otherwise(col("ts")))
+
+    /** Documents for minhash_dedup: `keys` docs, every PAIR shares its
+      * text (id/2 keys the content), so half the band buckets see two
+      * claim attempts — state must stay one Long per bucket.
+      */
+    def corpusDocs(keys: Int): DataFrame = {
+      val words = (0 until 24).map(j =>
+        concat(lit(s"w"), ((col("id") / 2).cast("long") * 31 + j) % 997))
+      spark.range(keys.toLong).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+
     for (keys <- keyCounts) {
       val work = Files.createTempDirectory(s"graft-sstream-$op-$keys").toString
       val (stage, out, chk) = (s"$work/in", s"$work/out", s"$work/chk")
-      val df = corpus(keys)
+      val df = op match {
+        case "funnel" | "custom_state" => corpusTyped(keys)
+        case "minhash_dedup" => corpusDocs(keys)
+        case _ => corpus(keys)
+      }
       // four time-ordered batches, one file each; the LAST batch takes
       // the division remainder so every generated row is driven (a
       // floor-quartered upper bound silently drops perKey % 4 minutes
       // of events and the rows= line would overstate the driven input)
-      require(perKey >= 4, s"perKey must be >= 4 to form 4 batches, got $perKey")
-      val quarter = perKey / 4
+      // batch index: events batch by their per-key minute (time order,
+      // so the disorder injection above is genuinely cross-batch);
+      // docs batch by doc_id quarter (content pairs are ADJACENT ids,
+      // so most dup pairs land in the same batch but the quarter
+      // boundaries split some across batches — both claim orders run)
+      val batchOf: Int => org.apache.spark.sql.Column = op match {
+        case "minhash_dedup" =>
+          val q = math.max(1, keys / 4)
+          i => if (i == 3) col("doc_id") >= 3L * q
+               else col("doc_id") >= i.toLong * q && col("doc_id") < (i + 1L) * q
+        case _ =>
+          require(perKey >= 4, s"perKey must be >= 4 to form 4 batches, got $perKey")
+          val quarter = perKey / 4
+          i => {
+            val hi = if (i == 3) perKey else (i + 1) * quarter
+            expr(s"event_id div $keys") >= i * quarter &&
+              expr(s"event_id div $keys") < hi
+          }
+      }
       (0 until 4).foreach { i =>
-        val hi = if (i == 3) perKey else (i + 1) * quarter
-        df.filter(expr(s"event_id div $keys") >= i * quarter &&
-            expr(s"event_id div $keys") < hi)
+        df.filter(batchOf(i))
           .coalesce(1).write.parquet(s"$stage/b$i")
         val p = java.nio.file.Paths.get(s"$stage/b$i")
         val walk = java.nio.file.Files.walk(p)
@@ -110,6 +171,18 @@ object StressStreams {
             .foreachBatch { (d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
               d.write.mode("append").parquet(out): Unit
             }
+        case "funnel" =>
+          Streams.funnelOn(src).writeStream
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", chk).outputMode("append")
+        case "custom_state" =>
+          Streams.customStateOn(src).writeStream
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", chk).outputMode("append")
+        case "minhash_dedup" =>
+          Streams.minhashDedupOn(src).writeStream
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", chk).outputMode("append")
         case other => sys.error(s"unknown op $other")
       }
       val t0 = System.nanoTime()

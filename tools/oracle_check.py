@@ -7,6 +7,7 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 """
 import json
 import sys
+import time
 
 import duckdb
 
@@ -31,8 +32,18 @@ def main(sf_dir, out_dir):
         )
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # optional name filters (argv[3:]): substrings selecting a subset,
+    # prefix '-' excludes — lets big corpora (sf0.1) run in parallel
+    # shards and heavy oracles be isolated
+    include = [a for a in sys.argv[3:] if not a.startswith("-")]
+    exclude = [a[1:] for a in sys.argv[3:] if a.startswith("-")]
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if include and not any(s in name for s in include):
+            continue
+        if any(s in name for s in exclude):
+            continue
+        t0 = time.time()
         try:
             want = con.execute(sql).fetchdf()
             got = con.execute(
@@ -58,13 +69,13 @@ def main(sf_dir, out_dir):
                         f"  want: {ws.iloc[i].to_dict()}\n  got:  {gs.iloc[i].to_dict()}")
             if status:
                 n_fail += 1
-                print(f"FAIL {name}: " + " | ".join(status))
+                print(f"FAIL {name}: " + " | ".join(status), flush=True)
             else:
                 n_pass += 1
-                print(f"PASS {name} ({len(want_s)} rows)")
+                print(f"PASS {name} ({len(want_s)} rows, {time.time() - t0:.1f}s)", flush=True)
         except Exception as e:  # noqa: BLE001
             n_fail += 1
-            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            print(f"ERROR {name}: {type(e).__name__}: {e}", flush=True)
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
