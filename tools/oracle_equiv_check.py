@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Proves each rewritten oracle in oracle_overrides_scale.json returns the
+IDENTICAL frame as the original oracle SQL it replaces, on a corpus where
+the original is feasible. Run at sf0.01 before trusting the overrides at
+sf0.1: both forms execute in the same DuckDB, rows sorted, exact string
+compare per cell.
+
+Usage: oracle_equiv_check.py <sfDir> <verifyOutDir-with-oracle_sql.json>
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        originals = json.load(f)
+    here = "/".join(__file__.split("/")[:-1]) or "."
+    with open(f"{here}/oracle_overrides_scale.json") as f:
+        overrides = {k: v for k, v in json.load(f).items() if not k.startswith("_")}
+    n_fail = 0
+    for name, new_sql in sorted(overrides.items()):
+        if name not in originals:
+            print(f"FAIL {name}: override has no original oracle")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        a = con.execute(originals[name]).fetchdf()
+        t1 = time.time()
+        b = con.execute(new_sql).fetchdf()
+        t2 = time.time()
+        a = a[sorted(a.columns)].sort_values(by=sorted(a.columns), kind="mergesort").reset_index(drop=True)
+        b = b[sorted(b.columns)].sort_values(by=sorted(b.columns), kind="mergesort").reset_index(drop=True)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: cols {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+        elif len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+        elif (a.astype(str) != b.astype(str)).any(axis=None):
+            neq = (a.astype(str) != b.astype(str)).any(axis=1)
+            i = int(neq.idxmax())
+            print(f"FAIL {name}: {int(neq.sum())} differing rows; first at {i}:"
+                  f"\n  orig: {a.iloc[i].to_dict()}\n  new:  {b.iloc[i].to_dict()}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: identical ({len(a)} rows; "
+                  f"orig {t1 - t0:.1f}s, rewrite {t2 - t1:.1f}s)", flush=True)
+    print(f"\n{len(overrides) - n_fail} identical, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
