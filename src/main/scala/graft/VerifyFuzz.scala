@@ -71,7 +71,11 @@ object VerifyFuzz {
   val HotUser = 7L
 
   def main(args: Array[String]): Unit = {
-    val Array(seed, sfDir, workDir) = args
+    val (seed, sfDir, workDir, naninf) = args match {
+      case Array(s, d, w)           => (s, d, w, false)
+      case Array(s, d, w, "naninf") => (s, d, w, true)
+      case other => sys.error(s"usage: VerifyFuzz <seed> <sfDir> <workDir> [naninf], got ${other.toSeq}")
+    }
     val spark = DerivedCorpus.session()
     import spark.implicits._
     val corpus = s"$workDir/corpus"
@@ -128,12 +132,31 @@ object VerifyFuzz {
             lit("""{"k":"你好 🚀","n":-0.0}"""))
           .when(gate("events", "json_empty", eKey, 25), lit(""))
           .otherwise(col("props")))
-    DerivedCorpus.land(events, corpus, "events")
+    // naninf lane (r15 verdict task #5): NaN/±Inf in value columns.
+    // Kept OUT of the exact lane for a sound reason (sums over Inf
+    // mixtures are non-associative and would flake bit-exact compare);
+    // here the relaxed contract applies — no crash, footer refusal
+    // exact, NaN sort placement cross-engine. The zero-variance
+    // purchase group is exempted so its degenerate-moment coverage
+    // survives the lane.
+    val eventsL =
+      if (!naninf) events
+      else events.withColumn("value",
+        when(col("event_type") =!= "purchase" && gate("events", "nan", eKey, 30),
+          lit(Double.NaN))
+          .when(col("event_type") =!= "purchase" && gate("events", "posinf", eKey, 20),
+            lit(Double.PositiveInfinity))
+          .when(col("event_type") =!= "purchase" && gate("events", "neginf", eKey, 10),
+            lit(Double.NegativeInfinity))
+          .otherwise(col("value")))
+    DerivedCorpus.land(eventsL, corpus, "events")
     report("events", spark.read.parquet(s"$corpus/events.parquet"), Seq(
       "hot_user" -> (col("user_id") === HotUser),
       "pre_epoch" -> (col("ts") < lit("1970-01-01").cast("timestamp")),
       "rollover" -> (col("ts") > lit("2038-01-01").cast("timestamp")),
       "denormal" -> (col("value") > 0.0 && col("value") < 1.0e-300),
+      "nan" -> isnan(col("value")),
+      "inf" -> (abs(col("value")) === Double.PositiveInfinity),
       "bad_json" -> (col("props") === "{not json!")))
 
     // ------------------------------------------------------------------
@@ -177,10 +200,21 @@ object VerifyFuzz {
           .when(gate("embeddings", "negzero_vec", vKey, 25),
             transform(col("embedding"), x => x * lit(-0.0f)))
           .otherwise(col("embedding")))
-    DerivedCorpus.land(emb, corpus, "embeddings")
+    val embL =
+      if (!naninf) emb
+      else emb.withColumn("embedding",
+        when(gate("embeddings", "nan_vec", vKey, 30),
+          transform(col("embedding"), _ => lit(Float.NaN)))
+          .when(gate("embeddings", "inf_component", vKey, 20),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, lit(Float.PositiveInfinity)).otherwise(x)))
+          .otherwise(col("embedding")))
+    DerivedCorpus.land(embL, corpus, "embeddings")
     report("embeddings", spark.read.parquet(s"$corpus/embeddings.parquet"), Seq(
       "zero_vec" -> (aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => acc + abs(x)) === 0.0)))
+        (acc, x) => acc + abs(x)) === 0.0),
+      "nan_vec" -> isnan(element_at(col("embedding"), 2)),
+      "inf_vec" -> (element_at(col("embedding"), 1) === Float.PositiveInfinity)))
 
     // ------------------------------------------------------------------
     // lineitem (key l_orderkey, l_linenumber): zero-variance group
@@ -204,7 +238,18 @@ object VerifyFuzz {
           .when(gate("lineitem", "ship_max", lKey, 20),
             lit(MaxDate).cast("timestamp"))
           .otherwise(col("l_shipdate")))
-    DerivedCorpus.land(li, corpus, "lineitem")
+    val liL =
+      if (!naninf) li
+      else li
+        .withColumn("l_extendedprice",
+          when(gate("lineitem", "price_nan", lKey, 20), lit(Double.NaN))
+            .when(gate("lineitem", "price_posinf", lKey, 10),
+              lit(Double.PositiveInfinity))
+            .otherwise(col("l_extendedprice")))
+        .withColumn("l_tax",
+          when(gate("lineitem", "tax_nan", lKey, 20), lit(Double.NaN))
+            .otherwise(col("l_tax")))
+    DerivedCorpus.land(liL, corpus, "lineitem")
     report("lineitem", spark.read.parquet(s"$corpus/lineitem.parquet"), Seq(
       "zero_var_R" -> (col("l_returnflag") === "R" && col("l_quantity") === 25.0),
       "ship_min" -> (col("l_shipdate") < lit("1900-01-01").cast("timestamp")),
@@ -224,7 +269,14 @@ object VerifyFuzz {
         when(gate("orders", "date_min", oKey, 20), lit(MinDate).cast("timestamp"))
           .when(gate("orders", "date_max", oKey, 20), lit(MaxDate).cast("timestamp"))
           .otherwise(col("o_orderdate")))
-    DerivedCorpus.land(ord, corpus, "orders")
+    val ordL =
+      if (!naninf) ord
+      else ord.withColumn("o_totalprice",
+        when(gate("orders", "total_nan", oKey, 20), lit(Double.NaN))
+          .when(gate("orders", "total_neginf", oKey, 10),
+            lit(Double.NegativeInfinity))
+          .otherwise(col("o_totalprice")))
+    DerivedCorpus.land(ordL, corpus, "orders")
     report("orders", spark.read.parquet(s"$corpus/orders.parquet"), Seq(
       "date_min" -> (col("o_orderdate") < lit("1900-01-01").cast("timestamp")),
       "date_max" -> (col("o_orderdate") > lit("2200-01-01").cast("timestamp"))))
@@ -235,7 +287,41 @@ object VerifyFuzz {
       DerivedCorpus.land(spark.read.parquet(s"$sfDir/$t.parquet"), corpus, t)
     }
 
-    println(s"[verifyfuzz] seed=$seed corpus at $corpus; dumping queries to $out")
+    if (naninf) {
+      // (b) the NaN-proof footer discipline, exercised on REAL NaN
+      // data: a landed events file whose VALUE chunk saw NaN must
+      // refuse footer min/max (the runtime writer omits stats there —
+      // NanProofVintageSpec's premise), a NaN-free file must answer,
+      // and row counts stay exact on both. Self-asserting: a violation
+      // aborts the lane.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(s"$corpus/events.parquet")
+      val fs = dir.getFileSystem(conf)
+      val files = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      var refused = 0
+      var answered = 0
+      files.foreach { f =>
+        val part = spark.read.parquet(f.toString)
+        val hasNaN = part.filter(isnan(col("value"))).limit(1).count() > 0
+        val agg = graft.sources.Store.fileFooterAgg(
+          conf, f.toString, Seq("VALUE"), Set("VALUE"))
+        val rows = part.count()
+        require(agg.rows == rows,
+          s"footer row count drifted on $f: ${agg.rows} vs $rows")
+        if (hasNaN) {
+          require(!agg.minMaxOkCols.contains("VALUE"),
+            s"NaN-bearing file $f must refuse footer min/max for VALUE")
+          refused += 1
+        } else if (agg.minMaxOkCols.contains("VALUE")) answered += 1
+      }
+      println(s"[verifyfuzz] naninf footer receipt: ${files.length} files, " +
+        s"$refused NaN-refused, $answered clean-answered")
+      require(refused > 0, "lane vacuous: no events file carried NaN")
+    }
+
+    println(s"[verifyfuzz] seed=$seed lane=${if (naninf) "naninf" else "exact"} " +
+      s"corpus at $corpus; dumping queries to $out")
     Verify.main(Array(corpus, out))
   }
 }

@@ -61,14 +61,22 @@ object OhlcAggregator extends Aggregator[Tick, OhlcBuf, Ohlc] {
   private def earlier(ts1: Long, id1: Long, ts2: Long, id2: Long): Boolean =
     ts1 < ts2 || (ts1 == ts2 && id1 < id2)
 
+  // Double.compare, NOT math.min/max: Spark's builtin min/max order
+  // doubles with NaN GREATEST and -0.0 < +0.0 (java.lang.Double.compare
+  // semantics), so min over {NaN, 0.0} is 0.0 — while math.min
+  // NaN-poisons (math.min(NaN, x) = NaN) and one NaN tick would flip
+  // this aggregator's low/high away from the builtin path and the
+  // DuckDB oracle (found by the round-16 NaN/Inf corpus lane).
   private def mergeMax(a: Option[Double], b: Option[Double]): Option[Double] =
     (a, b) match {
-      case (Some(x), Some(y)) => Some(math.max(x, y))
+      case (Some(x), Some(y)) =>
+        Some(if (java.lang.Double.compare(x, y) >= 0) x else y)
       case _ => a.orElse(b)
     }
   private def mergeMin(a: Option[Double], b: Option[Double]): Option[Double] =
     (a, b) match {
-      case (Some(x), Some(y)) => Some(math.min(x, y))
+      case (Some(x), Some(y)) =>
+        Some(if (java.lang.Double.compare(x, y) <= 0) x else y)
       case _ => a.orElse(b)
     }
   private def mergeSum(a: Option[Double], b: Option[Double]): Option[Double] =

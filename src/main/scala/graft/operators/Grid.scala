@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The integer-grid discipline's non-finite boundary (round-16 NaN/Inf
+  * lane). Grid queries compare exactly across engines by mapping a
+  * double onto an integer lattice — `round(x * scale)` cast to LONG.
+  * NaN and ±Inf have no lattice image: under Spark's ANSI mode the
+  * cast throws CAST_OVERFLOW and kills the whole query (DuckDB's
+  * equivalent cast aborts identically), so one NaN row in 10^12 would
+  * take down the pipeline. The pinned semantic instead: NON-FINITE
+  * VALUES MAP TO NULL at the grid boundary — they carry no magnitude
+  * information the lattice can hold, and NULL already has defined
+  * behavior in every downstream aggregate (skipped) and key (never
+  * matches). On NaN-free data the mapping is the identity it always
+  * was. FuzzSemanticsSpec pins the class; the VerifyFuzz naninf lane
+  * replays the whole registry against NaN/Inf-bearing corpora.
+  */
+object Grid {
+
+  /** `round(c * scale)` as LONG, non-finite (NaN, ±Inf) → NULL. A NULL
+    * input stays NULL (isnan(NULL) is NULL → otherwise-branch → NULL).
+    */
+  def gridLong(c: Column, scale: Double): Column =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
+      lit(null).cast("long"))
+      .otherwise(round(c * scale, 0).cast("long"))
+
+  /** The identical mapping as a DuckDB SQL fragment, so oracle strings
+    * cannot drift from [[gridLong]].
+    */
+  def gridSql(expr: String, scale: String): String =
+    s"CAST(round((CASE WHEN isnan($expr) OR isinf($expr) THEN NULL ELSE $expr END) * $scale, 0) AS BIGINT)"
+
+  /** Non-finite double → NULL, finite passes through. The moment/
+    * percentile family consumes values through this: Spark's moment
+    * aggregates return NaN on non-finite input while DuckDB's THROW
+    * ("Out of Range"), so neither engine has usable native semantics —
+    * the pinned behavior is that non-finite carries no magnitude and
+    * is absent (NULL), which both engines then treat identically.
+    */
+  def finiteD(c: Column): Column =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
+      lit(null).cast("double"))
+      .otherwise(c)
+
+  /** DuckDB fragment of [[finiteD]]. */
+  def finiteSql(expr: String): String =
+    s"(CASE WHEN isnan($expr) OR isinf($expr) THEN NULL ELSE $expr END)"
+
+  /** Spark-SQL fragment of [[finiteD]] for `expr(...)` strings — Spark
+    * has no isinf(); ±Inf is matched by absolute-value equality.
+    */
+  def finiteSparkSql(expr: String): String =
+    s"(CASE WHEN isnan($expr) OR abs($expr) = CAST('Infinity' AS DOUBLE) " +
+      s"THEN NULL ELSE $expr END)"
+
+  /** A float/double vector with ANY non-finite component is treated as
+    * a NULL vector (absent): component-wise NULL would poison distance
+    * sums element-by-element in engine-dependent ways, while a NULL
+    * vector is already skipped by every embed/sim operator's
+    * `IS NOT NULL` ingestion filter.
+    */
+  def finiteVec(c: Column): Column =
+    when(exists(c, x =>
+      isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity), lit(null))
+      .otherwise(c)
+
+  /** DuckDB fragment of [[finiteVec]]. */
+  def finiteVecSql(expr: String): String =
+    s"(CASE WHEN len(list_filter($expr, x -> isnan(x) OR isinf(x))) > 0 THEN NULL ELSE $expr END)"
+}

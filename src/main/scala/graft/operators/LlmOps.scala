@@ -1661,7 +1661,12 @@ object LlmOps {
     Q(
       "sim_cosine_topk",
       (s, d) => {
+        // finiteVec: a vector with a non-finite component is a NULL
+        // vector (Grid.scala pin) — a NaN score would otherwise rank
+        // TOP in the desc order on both engines from different rows
         val e = embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
         // feed the FLOAT arrays straight to the expression: it widens
         // per element in both eval and codegen (bit-identical to a
         // transform-to-double first — oracle hash-equal), and skipping
@@ -1684,15 +1689,16 @@ object LlmOps {
       Some(
         // zero-norm cosine pinned to 0.0 on both sides (DuckDB's raw
         // list_cosine_similarity returns -1.0 there; the engine pins 0)
-        """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS probe
-          |           FROM embeddings WHERE vec_id = 0)
+s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings),
+          |p AS (SELECT CAST(embedding AS DOUBLE[]) AS probe
+          |           FROM f WHERE vec_id = 0 AND embedding IS NOT NULL)
           |SELECT e.vec_id,
           |       round(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
           |                                          CAST(e.embedding AS DOUBLE[])) = 0
           |                    OR list_inner_product(p.probe, p.probe) = 0 THEN 0.0
           |             ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe)
           |             END, 6) AS score
-          |FROM embeddings e, p WHERE e.vec_id <> 0
+          |FROM f e, p WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
       )
     ),
@@ -1762,7 +1768,9 @@ object LlmOps {
         // NULL vectors can neither query nor be retrieved — the filter
         // is mirrored in the oracle SQL (both sides would otherwise
         // rank NULL scores, and a typed Scored.score cannot hold one)
-        val e = embeddings(s, d).filter(col("embedding").isNotNull)
+        val e = embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
         val queries = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val scored = e.filter(col("vec_id") % 100 =!= 0)
@@ -1790,15 +1798,16 @@ object LlmOps {
           .orderBy("q_id", "rank")
       },
       Some(
-        """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-          |           FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL),
+s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM f WHERE vec_id % 100 = 0 AND embedding IS NOT NULL),
           |c AS (SELECT q.q_id, e.vec_id,
           |        CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
           |                                     CAST(e.embedding AS DOUBLE[])) = 0
           |               OR list_inner_product(q.qv, q.qv) = 0 THEN 0.0
           |        ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
           |        END AS s
-          |      FROM embeddings e, q
+          |      FROM f e, q
           |      WHERE e.vec_id % 100 <> 0 AND e.embedding IS NOT NULL),
           |r AS (SELECT q_id, vec_id, s,
           |        row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
@@ -2852,6 +2861,8 @@ object LlmOps {
       "embed_quantize",
       (s, d) => {
         val e = embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
           .withColumn("mn", array_min(col("embedding")).cast("double"))
           .withColumn("mx", array_max(col("embedding")).cast("double"))
         e.select(
@@ -2868,12 +2879,13 @@ object LlmOps {
         ).orderBy("vec_id", "pos")
       },
       Some(
-        """WITH t AS (SELECT vec_id,
+s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings),
+          |t AS (SELECT vec_id,
           |  CAST(list_min(embedding) AS DOUBLE) AS mn,
           |  CAST(list_max(embedding) AS DOUBLE) AS mx,
           |  unnest(range(0, len(embedding))) AS pos,
           |  unnest(embedding) AS v
-          |  FROM embeddings)
+          |  FROM f WHERE embedding IS NOT NULL)
           |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
           |  CASE WHEN mx > mn THEN
           |    CAST(round((CAST(v AS DOUBLE) - mn) * 254.0 / (mx - mn)) AS BIGINT) - 127
@@ -2903,11 +2915,14 @@ object LlmOps {
         // clustering/encoding is over OBSERVED vectors — a NULL
         // embedding has no cell/code and would poison the hash-ranked
         // seed draw; excluded on both sides (round-13 NULL campaign)
-        val vecs = embeddings(s, d).filter(col("embedding").isNotNull).select(
-          col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
-            .as("q")
-        )
+        val vecs = embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
+          .select(
+            col("vec_id"),
+            transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+              .as("q")
+          )
         val init = vecs
           .select(col("vec_id"), col("q"), md5(col("vec_id").cast("string")).as("h"))
           .orderBy("h", "vec_id")
@@ -2946,10 +2961,11 @@ object LlmOps {
         assigned.select(col("vec_id"), col("cell"), col("d2")).orderBy("vec_id")
       },
       Some(
-        """WITH v AS (SELECT vec_id,
+        s"""WITH v AS (SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |  FROM (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings)
+          |  WHERE embedding IS NOT NULL),
           |init AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell, q AS c
           |         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
           |p1 AS (SELECT v.vec_id, v.q, i.cell,
@@ -3010,11 +3026,14 @@ object LlmOps {
         // clustering/encoding is over OBSERVED vectors — a NULL
         // embedding has no cell/code and would poison the hash-ranked
         // seed draw; excluded on both sides (round-13 NULL campaign)
-        val vecs = embeddings(s, d).filter(col("embedding").isNotNull).select(
-          col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
-            .as("q")
-        )
+        val vecs = embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
+          .select(
+            col("vec_id"),
+            transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+              .as("q")
+          )
         val seeds = vecs
           .select(col("vec_id"), col("q"), md5(col("vec_id").cast("string")).as("h"))
           .orderBy("h", "vec_id")
@@ -3063,10 +3082,11 @@ object LlmOps {
           .orderBy("vec_id", "sub")
       },
       Some(
-        """WITH v AS (SELECT vec_id,
+        s"""WITH v AS (SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |  FROM (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings)
+          |  WHERE embedding IS NOT NULL),
           |g AS (SELECT unnest(range(0, 4)) AS sub),
           |sv AS (SELECT vec_id, sub,
           |    list_transform(range(1, 17), j -> q[sub*16 + j]) AS sq FROM v, g),
@@ -3193,6 +3213,8 @@ object LlmOps {
       "embed_stats",
       (s, d) => {
         embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
           .select(
             posexplode(
               transform(
@@ -3229,10 +3251,11 @@ object LlmOps {
           .orderBy("dim")
       },
       Some(
-        """WITH t AS (SELECT
+s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings),
+          |t AS (SELECT
           |    unnest(range(0, len(embedding))) AS dim,
           |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
-          |  FROM embeddings),
+          |  FROM f WHERE embedding IS NOT NULL),
           |a AS (SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
           |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS sq,
           |    min(v) AS mn, max(v) AS mx
@@ -3274,11 +3297,14 @@ object LlmOps {
         // clustering/encoding is over OBSERVED vectors — a NULL
         // embedding has no cell/code and would poison the hash-ranked
         // seed draw; excluded on both sides (round-13 NULL campaign)
-        val vecs = embeddings(s, d).filter(col("embedding").isNotNull).select(
-          col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
-            .as("q")
-        )
+        val vecs = embeddings(s, d)
+          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
+          .filter(col("embedding").isNotNull)
+          .select(
+            col("vec_id"),
+            transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+              .as("q")
+          )
         val mArr = vecs
           .select(posexplode(col("q")).as(Seq("dim", "v")))
           .groupBy("dim")
@@ -3364,10 +3390,11 @@ object LlmOps {
           .orderBy("dim")
       },
       Some(
-        """WITH v AS (SELECT vec_id,
+        s"""WITH v AS (SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |  FROM (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FROM embeddings)
+          |  WHERE embedding IS NOT NULL),
           |mm AS (SELECT dim,
           |    (CAST(sum(val) AS BIGINT) + count(*) * 1000000) // count(*) - 1000000 AS mq
           |  FROM (SELECT unnest(range(1, 65)) AS dim, unnest(q) AS val FROM v)

@@ -417,7 +417,11 @@ object Relational {
           .orderBy("o_custkey", "rn")
       },
       Some(
-        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
+        // + 0.0: the pinned ±0.0 normalization — Spark's round()
+        // collapses -0.0 to +0.0, DuckDB's preserves it (same pin as
+        // join_inner; a -0.0 total surfacing in a top-3 was caught by
+        // the r16 fuzz seed)
+        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) + 0.0 AS total, rn FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,
           |    CAST(row_number() OVER (PARTITION BY o_custkey
           |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
@@ -572,9 +576,12 @@ object Relational {
         // at x.9999…, and Spark's double→long cast truncates while
         // DuckDB's rounds — rounding first makes both exact. The 1e10
         // multiplier keeps the key unique up to orderkey < 1e10 and
-        // price·100 < 9e8 (long max 9.2e18).
+        // price·100 < 9e8 (long max 9.2e18). Grid.gridLong maps a
+        // non-finite price to a NULL key — min_by/max_by skip NULL
+        // keys in both engines, so a NaN-priced row never anchors the
+        // argmin/argmax (and never kills the query under ANSI).
         val key =
-          round(col("l_extendedprice") * 100).cast("long") * lit(10000000000L) + col("l_orderkey")
+          Grid.gridLong(col("l_extendedprice"), 100) * lit(10000000000L) + col("l_orderkey")
         lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
@@ -585,9 +592,9 @@ object Relational {
           .orderBy("l_returnflag")
       },
       Some(
-        """SELECT l_returnflag,
-          |  arg_max(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000000 + l_orderkey) AS top_order,
-          |  arg_min(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000000 + l_orderkey) AS bottom_order,
+        s"""SELECT l_returnflag,
+          |  arg_max(l_orderkey, ${Grid.gridSql("l_extendedprice", "100")}*10000000000 + l_orderkey) AS top_order,
+          |  arg_min(l_orderkey, ${Grid.gridSql("l_extendedprice", "100")}*10000000000 + l_orderkey) AS bottom_order,
           |  round(max(l_extendedprice), 2) AS max_price
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       )
@@ -710,7 +717,7 @@ object Relational {
         val base = lineitem(s, d)
           .select(
             col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+            Grid.gridLong(col("l_extendedprice"), 100).as("cents"))
         // exact interpolated median of the integral cents column via
         // histogram selection (ranks (n-1) div 2 and n div 2 averaged).
         // NULL prices are excluded HERE, not in base: percentile-family
@@ -745,7 +752,7 @@ object Relational {
         base
           .groupBy("l_returnflag")
           .agg(
-            round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
+            round(stddev_samp(Grid.finiteD(col("l_extendedprice"))), 4).as("sd"),
             // corr via try_divide(covar_samp, sd*sd) — mathematically
             // identical to corr() (the (n-1) factors cancel) but a
             // ZERO-VARIANCE group yields NULL instead of ANSI corr()'s
@@ -755,9 +762,11 @@ object Relational {
             // rows (both sides non-NULL) — corr()'s own semantics —
             // else a row NULL in only one column skews the denominator
             round(expr(
-              "try_divide(covar_samp(l_quantity, l_extendedprice), " +
-                "stddev_samp(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END) * " +
-                "stddev_samp(CASE WHEN l_quantity IS NOT NULL THEN l_extendedprice END))"), 6).as("co"),
+              "try_divide(covar_samp(l_quantity, " +
+                s"${Grid.finiteSparkSql("l_extendedprice")}), " +
+                s"stddev_samp(CASE WHEN ${Grid.finiteSparkSql("l_extendedprice")} IS NOT NULL THEN l_quantity END) * " +
+                "stddev_samp(CASE WHEN l_quantity IS NOT NULL THEN " +
+                s"${Grid.finiteSparkSql("l_extendedprice")} END))"), 6).as("co"),
             count(lit(1)).as("n"))
           // LEFT + null-safe join: a group whose prices are all NULL has
           // no histogram rows (med absent), but the oracle keeps the
@@ -770,10 +779,10 @@ object Relational {
           .orderBy("l_returnflag")
       },
       Some(
-        """SELECT l_returnflag,
-          |       round(stddev_samp(l_extendedprice), 4) AS sd,
-          |       round(corr(l_quantity, l_extendedprice), 6) AS co,
-          |       round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)
+        s"""SELECT l_returnflag,
+          |       round(stddev_samp(${Grid.finiteSql("l_extendedprice")}), 4) AS sd,
+          |       round(corr(l_quantity, ${Grid.finiteSql("l_extendedprice")}), 6) AS co,
+          |       round(quantile_cont(${Grid.gridSql("l_extendedprice", "100")}, 0.5)
           |             / 100.0, 4) AS med,
           |       count(*) AS n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -879,7 +888,7 @@ object Relational {
       (s, d) => {
         import graft.functions.MathFunctions.intDiv
         events(s, d)
-          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+          .withColumn("c", Grid.gridLong(col("value"), 100))
           .withColumn("bucket", intDiv(col("c"), lit(2000L)))
           .groupBy("bucket")
           .agg(
@@ -891,7 +900,7 @@ object Relational {
           .orderBy("bucket")
       },
       Some(
-        """WITH t AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events)
+        s"""WITH t AS (SELECT ${Grid.gridSql("value", "100")} AS c FROM events)
           |SELECT c // 2000 AS bucket,
           |       CAST((c // 2000) * 20 AS DOUBLE) AS lo,
           |       count(*) AS n,
@@ -921,7 +930,7 @@ object Relational {
           .select(
             col("event_type"),
             hour(col("ts")).cast("long").as("x"),
-            round(col("value") * 100, 0).cast("long").as("y")
+            Grid.gridLong(col("value"), 100).as("y")
           )
           .groupBy("event_type")
           .agg(
@@ -953,9 +962,9 @@ object Relational {
         ).orderBy("event_type")
       },
       Some(
-        """WITH t AS (SELECT event_type,
+        s"""WITH t AS (SELECT event_type,
           |             CAST(hour(ts) AS BIGINT) AS x,
-          |             CAST(round(value * 100, 0) AS BIGINT) AS y
+          |             ${Grid.gridSql("value", "100")} AS y
           |           FROM events),
           |m AS (SELECT event_type, count(*) AS n,
           |        sum(x) AS sx, sum(y) AS sy,
@@ -1099,8 +1108,12 @@ object Relational {
             // (where Spark HALF_UP and DuckDB disagree).
             round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
             round(abs(col("l_discount") - 0.05), 6).as("adisc"),
-            ceil(col("l_extendedprice")).cast("long").as("cp"),
-            floor(col("l_extendedprice")).cast("long").as("fp"),
+            // through finiteD: Spark's ceil(NaN) silently yields 0L
+            // while DuckDB's CAST(ceil(nan)) aborts the query — the
+            // grid pin (non-finite has no integer image -> NULL) is
+            // the only semantics that is both correct and total
+            ceil(Grid.finiteD(col("l_extendedprice"))).cast("long").as("cp"),
+            floor(Grid.finiteD(col("l_extendedprice"))).cast("long").as("fp"),
             // explicit domain guards: Spark log()/sqrt() return NULL
             // (or NaN) outside their domain while DuckDB ln()/sqrt()
             // THROW and abort the whole oracle query — one refund line
@@ -1112,11 +1125,11 @@ object Relational {
             round(pow(col("l_discount"), 2), 8).as("d2")
           ),
       Some(
-        """SELECT l_orderkey, l_linenumber,
+        s"""SELECT l_orderkey, l_linenumber,
           |       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
           |       round(abs(l_discount - 0.05), 6) AS adisc,
-          |       CAST(ceil(l_extendedprice) AS BIGINT) AS cp,
-          |       CAST(floor(l_extendedprice) AS BIGINT) AS fp,
+          |       CAST(ceil(${Grid.finiteSql("l_extendedprice")}) AS BIGINT) AS cp,
+          |       CAST(floor(${Grid.finiteSql("l_extendedprice")}) AS BIGINT) AS fp,
           |       round(CASE WHEN 1 + l_extendedprice > 0
           |                  THEN ln(1 + l_extendedprice) END, 6) AS lnp,
           |       round(CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END, 6) AS sq,

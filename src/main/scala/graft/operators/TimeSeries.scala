@@ -456,7 +456,7 @@ object TimeSeries {
         // falling out of an inner join's NULL-key behavior
         val base = events(s, d)
           .filter(col("event_type").isNotNull)
-          .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
+          .select(col("event_type"), Grid.gridLong(col("value"), 100).as("c"))
         val med = histMedian(base, "c", "med")
         // deviations on the half-cent grid: med is integer or exact .5,
         // so 2·|c − med| is integral and the MAD histogram stays BIGINT.
@@ -482,7 +482,7 @@ object TimeSeries {
           .orderBy("event_type")
       },
       Some(
-        """WITH b AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+        s"""WITH b AS (SELECT event_type, ${Grid.gridSql("value", "100")} AS c
           |           FROM events),
           |m AS (SELECT event_type, quantile_cont(c, 0.5) AS med FROM b GROUP BY 1),
           |d AS (SELECT b.event_type, b.c, m.med, abs(b.c - m.med) AS dev
@@ -804,7 +804,7 @@ object TimeSeries {
             val cellUs = lit(3600000000L)
         val b = events(s, d)
           .groupBy(col("event_type"), intDiv(unix_micros(col("ts")), cellUs).as("slot"))
-          .agg(round(max(col("value")) * 100, 0).cast("long").as("c"))
+          .agg(Grid.gridLong(max(col("value")), 100).as("c"))
         val pairs = b.as("x")
           .join(
             b.as("y"),
@@ -848,8 +848,8 @@ object TimeSeries {
         ).orderBy("type_x", "type_y", "slot")
       },
       Some(
-        """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
-          |             CAST(round(max(value) * 100, 0) AS BIGINT) AS c
+        s"""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+          |             ${Grid.gridSql("max(value)", "100")} AS c
           |           FROM events GROUP BY 1, 2),
           |p AS (SELECT x.event_type AS type_x, y.event_type AS type_y,
           |             x.slot AS slot, x.c AS cx, y.c AS cy
@@ -1246,7 +1246,7 @@ object TimeSeries {
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         events(s, d)
-          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+          .withColumn("c", Grid.gridLong(col("value"), 100))
           .withColumn("p", lag(col("c"), 1).over(w))
           .select(
             col("event_id"), col("user_id"), col("ts"), col("value"),
@@ -1262,9 +1262,9 @@ object TimeSeries {
           .orderBy("event_id")
       },
       Some(
-        """WITH t AS (SELECT event_id, user_id, ts, value,
-          |  CAST(round(value*100) AS BIGINT) AS c,
-          |  lag(CAST(round(value*100) AS BIGINT)) OVER
+        s"""WITH t AS (SELECT event_id, user_id, ts, value,
+          |  ${Grid.gridSql("value", "100")} AS c,
+          |  lag(${Grid.gridSql("value", "100")}) OVER
           |    (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS p
           |  FROM events)
           |SELECT event_id, user_id, ts, value,
@@ -1295,7 +1295,7 @@ object TimeSeries {
           .rangeBetween(-3600000000L, 0L)
         val e = events(s, d)
           .withColumn("tss", unix_micros(col("ts")))
-          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+          .withColumn("c", Grid.gridLong(col("value"), 100))
           .withColumn("sn", sum(col("c")).over(w))
           .withColumn("qn", sum(col("c") * col("c")).over(w))
           .withColumn("n", count(lit(1)).over(w))
@@ -1326,8 +1326,8 @@ object TimeSeries {
         ).orderBy("event_id")
       },
       Some(
-        """WITH t AS (SELECT event_id, user_id, ts, value,
-          |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+        s"""WITH t AS (SELECT event_id, user_id, ts, value,
+          |    ${Grid.gridSql("value", "100")} AS c FROM events),
           |m AS (SELECT event_id, user_id, ts, value, c,
           |    sum(c)   OVER w AS sn,
           |    sum(c*c) OVER w AS qn,

@@ -580,7 +580,10 @@ object Streams {
         col("event_id"), col("user_id"), col("ts"),
         expr("unix_micros(ts)").as("tss"),
         col("value"),
-        expr("CAST(round(value * 100) AS LONG)").as("c")
+        // the batch ts_zscore's grid boundary (Grid.gridLong): a
+        // non-finite value has no cents image and maps to NULL — under
+        // ANSI the bare cast would kill the STREAM on one NaN row
+        graft.operators.Grid.gridLong(col("value"), 100).as("c")
       )
       // watermark AFTER the projection so the event-time column is
       // still present on the flatMapGroupsWithState input — the

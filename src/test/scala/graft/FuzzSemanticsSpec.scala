@@ -195,4 +195,103 @@ class FuzzSemanticsSpec extends AnyFunSuite {
     assert(a(1L).getLong(1) == 0L && a(1L).isNullAt(a(1L).fieldIndex("first_val")))
     assert(a(2L).getDouble(a(2L).fieldIndex("l2")) == 5.0)
   }
+
+  // ---- round-16 NaN/Inf lane pins (VerifyFuzz naninf) --------------------
+
+  test("grid boundary: non-finite doubles map to NULL, never CAST_OVERFLOW") {
+    import graft.operators.Grid
+    val df = Seq(
+      (1L, Some(12.345)), (2L, Some(Double.NaN)),
+      (3L, Some(Double.PositiveInfinity)), (4L, Some(Double.NegativeInfinity)),
+      (5L, None: Option[Double]), (6L, Some(-0.0))
+    ).toDF("id", "v")
+    val out = df.select(col("id"), Grid.gridLong(col("v"), 100).as("c"),
+      Grid.finiteD(col("v")).as("f"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1235L) // HALF_UP on the cents grid
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id).isNullAt(1), s"gridLong($id) must be NULL")
+      assert(out(id).isNullAt(2), s"finiteD($id) must be NULL")
+    }
+    assert(out(6L).getLong(1) == 0L, "-0.0 is finite and on-grid")
+    // the Spark-SQL fragment agrees with the Column form
+    val viaSql = df.selectExpr(
+      "id", Grid.finiteSparkSql("v") + " AS f").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(2L, 3L, 4L, 5L).foreach(id => assert(viaSql(id).isNullAt(1)))
+    assert(viaSql(1L).getDouble(1) == 12.345)
+  }
+
+  test("finiteVec: a vector with ANY non-finite component is a NULL vector") {
+    import graft.operators.Grid
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, Float.NaN)),
+      (3L, Array(Float.PositiveInfinity, 0.0f)),
+      (4L, Array(0.0f, -0.0f))
+    ).toDF("id", "v")
+    val out = df.select(col("id"), Grid.finiteVec(col("v")).as("fv"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).isNullAt(1) && !out(4L).isNullAt(1), "finite vectors pass through")
+    assert(out(2L).isNullAt(1) && out(3L).isNullAt(1), "NaN/Inf-bearing vectors are NULL")
+  }
+
+  test("OHLC aggregator orders doubles like Spark's builtin min/max: NaN greatest, -0.0 < +0.0") {
+    // one NaN tick used to math.min-poison low/high away from both the
+    // builtin path and the DuckDB oracle (found by the naninf lane)
+    import graft.functions.{OhlcAggregator, Tick}
+    val ticks = Seq(
+      Tick(1L, 1L, Some(3.0)), Tick(2L, 2L, Some(Double.NaN)),
+      Tick(3L, 3L, Some(0.0)), Tick(4L, 4L, Some(-0.0)))
+    val viaReduce = ticks.foldLeft(OhlcAggregator.zero)(OhlcAggregator.reduce)
+    val o1 = OhlcAggregator.finish(viaReduce)
+    assert(o1.high.exists(_.isNaN), "high = NaN (NaN greatest, like builtin max)")
+    assert(o1.low.exists(v => v == 0.0 && 1.0 / v < 0), "low = -0.0 (below +0.0)")
+    assert(o1.open.contains(3.0) && o1.close.exists(v => v == 0.0 && 1.0 / v < 0))
+    // merge order must not change the verdict (bit-compare the doubles
+    // — Double == is false on NaN pairs, which is the point here)
+    val (l, r) = ticks.splitAt(2)
+    val merged = OhlcAggregator.merge(
+      r.foldLeft(OhlcAggregator.zero)(OhlcAggregator.reduce),
+      l.foldLeft(OhlcAggregator.zero)(OhlcAggregator.reduce))
+    def bits(o: graft.functions.Ohlc) = (
+      o.open.map(java.lang.Double.doubleToLongBits),
+      o.high.map(java.lang.Double.doubleToLongBits),
+      o.low.map(java.lang.Double.doubleToLongBits),
+      o.close.map(java.lang.Double.doubleToLongBits),
+      o.volume.map(java.lang.Double.doubleToLongBits), o.n)
+    assert(bits(OhlcAggregator.finish(merged)) == bits(o1))
+  }
+
+  test("one NaN/Inf row costs one NULL cell, not the query: ts_zscore and agg_argminmax stay alive") {
+    val work = Files.createTempDirectory("naninf-pin").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      (1L, ts(0), 7L, "view", Some(1.0), "{}"),
+      (2L, ts(1), 7L, "view", Some(Double.NaN), "{}"),
+      (3L, ts(2), 7L, "view", Some(2.0), "{}"),
+      (4L, ts(3), 7L, "view", Some(Double.PositiveInfinity), "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val z = SparkEntry.queries("ts_zscore")(spark, work)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(z.size == 4, "all four rows survive — no CAST_OVERFLOW")
+    assert(z(2L).isNullAt(z(2L).fieldIndex("z")) && z(4L).isNullAt(z(4L).fieldIndex("z")),
+      "non-finite rows carry NULL z")
+    assert(!z(3L).isNullAt(z(3L).fieldIndex("z")),
+      "the finite row after a NaN still gets a z from the finite window members")
+    Seq(
+      (10L, 1, 5.0, "R"), (11L, 1, Double.NaN, "R"), (12L, 1, 3.0, "R")
+    ).toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val am = SparkEntry.queries("agg_argminmax")(spark, work).collect()
+    assert(am.length == 1)
+    val r0 = am(0)
+    assert(r0.getLong(r0.fieldIndex("top_order")) == 10L,
+      "NaN price has a NULL grid key and never anchors argmax")
+    assert(r0.getLong(r0.fieldIndex("bottom_order")) == 12L)
+    assert(r0.getDouble(r0.fieldIndex("max_price")).isNaN,
+      "raw max keeps engine NaN-greatest semantics (parity with DuckDB max)")
+  }
 }

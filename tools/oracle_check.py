@@ -34,9 +34,20 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     # optional name filters (argv[3:]): substrings selecting a subset,
     # prefix '-' excludes — lets big corpora (sf0.1) run in parallel
-    # shards and heavy oracles be isolated
-    include = [a for a in sys.argv[3:] if not a.startswith("-")]
-    exclude = [a[1:] for a in sys.argv[3:] if a.startswith("-")]
+    # shards and heavy oracles be isolated. --overrides=FILE swaps in
+    # equivalence-proven rewrites of oracles whose original SQL is
+    # infeasible at the corpus size (see oracle_equiv_check.py).
+    extra = sys.argv[3:]
+    for a in [a for a in extra if a.startswith("--overrides=")]:
+        with open(a.split("=", 1)[1]) as f:
+            ov = {k: v for k, v in json.load(f).items() if not k.startswith("_")}
+        unknown = sorted(set(ov) - set(oracles))
+        if unknown:
+            print(f"WARNING: overrides for unknown oracles ignored: {unknown}")
+        oracles.update({k: v for k, v in ov.items() if k in oracles})
+        extra = [x for x in extra if x != a]
+    include = [a for a in extra if not a.startswith("-")]
+    exclude = [a[1:] for a in extra if a.startswith("-")]
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if include and not any(s in name for s in include):
