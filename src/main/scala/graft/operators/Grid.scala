@@ -61,11 +61,32 @@ object Grid {
     * sums element-by-element in engine-dependent ways, while a NULL
     * vector is already skipped by every embed/sim operator's
     * `IS NOT NULL` ingestion filter.
+    *
+    * Detected via array_max/array_min, NOT an exists() HOF: higher-
+    * order functions are CodegenFallback and an interpreted projection
+    * on the sim hot path measured ~2× on sim_cosine_topk (the same
+    * cost the round-11 note pinned for transform()). array_max/min are
+    * codegen'd, and Spark orders NaN greatest — so any NaN makes
+    * array_max NaN, a +Inf without NaN makes it +Inf, and a -Inf
+    * surfaces as array_min (NaN cannot mask it at the min end).
     */
-  def finiteVec(c: Column): Column =
-    when(exists(c, x =>
-      isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity), lit(null))
+  def finiteVec(c: Column): Column = {
+    val mx = array_max(c)
+    when(isnan(mx) || mx === Float.PositiveInfinity ||
+      array_min(c) === Float.NegativeInfinity, lit(null))
       .otherwise(c)
+  }
+
+  /** Filter form of [[finiteVec]]: TRUE iff the vector is non-NULL with
+    * every component finite. Prefer this where the consumer drops
+    * non-finite vectors anyway — a predicate keeps the scan projection
+    * untouched (no array rebuild) and fuses into the scan filter.
+    */
+  def isFiniteVec(c: Column): Column = {
+    val mx = array_max(c)
+    c.isNotNull && !isnan(mx) && mx =!= Float.PositiveInfinity &&
+      array_min(c) =!= Float.NegativeInfinity
+  }
 
   /** DuckDB fragment of [[finiteVec]]. */
   def finiteVecSql(expr: String): String =

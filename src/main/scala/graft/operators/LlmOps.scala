@@ -1665,8 +1665,7 @@ object LlmOps {
         // vector (Grid.scala pin) — a NaN score would otherwise rank
         // TOP in the desc order on both engines from different rows
         val e = embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
         // feed the FLOAT arrays straight to the expression: it widens
         // per element in both eval and codegen (bit-identical to a
         // transform-to-double first — oracle hash-equal), and skipping
@@ -1769,8 +1768,7 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
         // is mirrored in the oracle SQL (both sides would otherwise
         // rank NULL scores, and a typed Scored.score cannot hold one)
         val e = embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
         val queries = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val scored = e.filter(col("vec_id") % 100 =!= 0)
@@ -2861,8 +2859,7 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
       "embed_quantize",
       (s, d) => {
         val e = embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
           .withColumn("mn", array_min(col("embedding")).cast("double"))
           .withColumn("mx", array_max(col("embedding")).cast("double"))
         e.select(
@@ -2873,8 +2870,13 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
           col("pos").cast("long").as("pos"),
           when(
             col("mx") > col("mn"),
-            round((col("v").cast("double") - col("mn")) * 254.0 / (col("mx") - col("mn")), 0)
-              .cast("long") - 127L
+            // gridLong, not a bare cast: a reordered/CSE'd evaluation
+            // above the finite filter would see NaN here (NaN > mn is
+            // TRUE under Spark's NaN-greatest comparisons) and ANSI
+            // would kill the query; post-filter the guard never fires
+            Grid.gridLong(
+              (col("v").cast("double") - col("mn")) * 254.0 / (col("mx") - col("mn")),
+              1.0) - 127L
           ).otherwise(0L).as("q")
         ).orderBy("vec_id", "pos")
       },
@@ -2916,11 +2918,15 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
         // embedding has no cell/code and would poison the hash-ranked
         // seed draw; excluded on both sides (round-13 NULL campaign)
         val vecs = embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
           .select(
             col("vec_id"),
-            transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+            // per-component gridLong, not a bare cast: Catalyst may
+            // reorder/CSE this projection ABOVE the finite filter
+            // (filters and deterministic projections commute in its
+            // model), so under ANSI the cast must be individually
+            // total — the guard never fires on rows the filter keeps
+            transform(col("embedding"), x => Grid.gridLong(x.cast("double"), S.toDouble))
               .as("q")
           )
         val init = vecs
@@ -3027,11 +3033,15 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
         // embedding has no cell/code and would poison the hash-ranked
         // seed draw; excluded on both sides (round-13 NULL campaign)
         val vecs = embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
           .select(
             col("vec_id"),
-            transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+            // per-component gridLong, not a bare cast: Catalyst may
+            // reorder/CSE this projection ABOVE the finite filter
+            // (filters and deterministic projections commute in its
+            // model), so under ANSI the cast must be individually
+            // total — the guard never fires on rows the filter keeps
+            transform(col("embedding"), x => Grid.gridLong(x.cast("double"), S.toDouble))
               .as("q")
           )
         val seeds = vecs
@@ -3213,13 +3223,12 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
       "embed_stats",
       (s, d) => {
         embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
           .select(
             posexplode(
               transform(
                 col("embedding"),
-                x => round(x.cast("double") * 1000000.0, 0).cast("long")
+                x => Grid.gridLong(x.cast("double"), 1000000.0)
               )
             ).as(Seq("dim", "v"))
           )
@@ -3298,11 +3307,15 @@ s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embedd
         // embedding has no cell/code and would poison the hash-ranked
         // seed draw; excluded on both sides (round-13 NULL campaign)
         val vecs = embeddings(s, d)
-          .select(col("vec_id"), Grid.finiteVec(col("embedding")).as("embedding"))
-          .filter(col("embedding").isNotNull)
+          .filter(Grid.isFiniteVec(col("embedding")))
           .select(
             col("vec_id"),
-            transform(col("embedding"), x => round(x.cast("double") * S, 0).cast("long"))
+            // per-component gridLong, not a bare cast: Catalyst may
+            // reorder/CSE this projection ABOVE the finite filter
+            // (filters and deterministic projections commute in its
+            // model), so under ANSI the cast must be individually
+            // total — the guard never fires on rows the filter keeps
+            transform(col("embedding"), x => Grid.gridLong(x.cast("double"), S.toDouble))
               .as("q")
           )
         val mArr = vecs

@@ -234,6 +234,14 @@ class FuzzSemanticsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(!out(1L).isNullAt(1) && !out(4L).isNullAt(1), "finite vectors pass through")
     assert(out(2L).isNullAt(1) && out(3L).isNullAt(1), "NaN/Inf-bearing vectors are NULL")
+    // the filter form agrees (codegen'd array_max/min, no HOF)
+    val kept = df.filter(Grid.isFiniteVec(col("v"))).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // and a -Inf-only vector is caught at the MIN end (NaN-greatest
+    // ordering cannot mask it)
+    val negInf = Seq((9L, Array(Float.NegativeInfinity, 1.0f))).toDF("id", "v")
+    assert(negInf.filter(Grid.isFiniteVec(col("v"))).count() == 0)
   }
 
   test("OHLC aggregator orders doubles like Spark's builtin min/max: NaN greatest, -0.0 < +0.0") {
