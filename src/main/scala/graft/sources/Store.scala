@@ -1323,8 +1323,36 @@ class Store private[sources] (
   private def walkFiles(root: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
     val buf = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
     if (base.toUri.getScheme == "file") {
-      def go(d: HPath): Unit = fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) go(st.getPath) else buf += st
+      // Every caller applies the Spark hidden-segment filter (`_`/`.`
+      // prefixes, `=`-bearing partition dirs exempt), so the walk never
+      // needs to ENTER a hidden directory — and must not: a concurrent
+      // committer's `_temporary/` task dirs appear and vanish mid-write,
+      // and RawLocalFileSystem surfaces a dir deleted between the parent
+      // listing and the child listStatus as an opaque
+      // IOException("Invalid directory or I/O error occurred") that no
+      // message-matching retry can own (found by the widened 25-seed
+      // concurrent-torture sweep: describe() in a maintenance thread
+      // died walking an appender's task dir). Visible dirs can vanish
+      // too (a concurrent prune/compactBuckets deleting a bucket dir),
+      // so any child that is GONE on recheck is treated as an empty
+      // subtree — the listing is a point-in-time snapshot and callers
+      // needing stronger consistency already retry; an I/O error on a
+      // dir that still EXISTS stays fatal.
+      def hiddenDir(p: HPath): Boolean = {
+        val n = p.getName
+        (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
+      }
+      def go(d: HPath): Unit = {
+        val children =
+          try fs.listStatus(d)
+          catch {
+            case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+            case _: java.io.IOException if !fs.exists(d) => Array.empty[org.apache.hadoop.fs.FileStatus]
+          }
+        children.foreach { st =>
+          if (st.isDirectory) { if (!hiddenDir(st.getPath)) go(st.getPath) }
+          else buf += st
+        }
       }
       go(root)
     } else {

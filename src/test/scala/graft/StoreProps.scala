@@ -15,8 +15,11 @@ import java.sql.Timestamp
   */
 object StoreProps extends Properties("Store") {
 
+  // GRAFT_PROPS_N widens the per-property sample count for dedicated
+  // fuzz sweeps (the lifecycle receipts in PLANS.md); the suite default
+  // stays small because every case drives real Spark jobs.
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(5)
+    p.withMinSuccessfulTests(sys.env.get("GRAFT_PROPS_N").map(_.toInt).getOrElse(5))
 
   private lazy val spark = TestSpark.session
   import spark.implicits._
@@ -458,13 +461,18 @@ object StoreProps extends Properties("Store") {
       }
       s.vacuum(0L)
       ok = ok && s.vacuum(0L) == 0L
-      ok && model.forall { case (k, want) =>
+      val result = ok && model.forall { case (k, want) =>
         val got = s(k).collect().map(r =>
           (r.getAs[Timestamp]("DATE"), r.getAs[Double]("OPEN"),
             r.getAs[Double]("HIGH"), r.getAs[Double]("LOW"),
             r.getAs[Double]("CLOSE"), r.getAs[Long]("VOLUME"))).toSet
         got == want && s.describe(k).rows == want.size.toLong
       } && s.listItems().toSet == model.keySet
+      // non-vacuity receipt, mirroring the objstore lane's line
+      System.err.println(
+        s"[lifecycle-fuzz-versioned] seed=$seed ctas=$ctasN " +
+          s"items=${model.size} ok=$result")
+      result
     }
 
   property("normalization is case-insensitive in column names") =

@@ -666,4 +666,37 @@ class StoreSpec extends AnyFunSuite {
       .filter(n => n.contains(".swap-") || n.contains(".mid-") || n.contains(".del-"))
     assert(leftovers.isEmpty, s"recovery markers left behind: $leftovers")
   }
+
+  test("listing walk never enters hidden dirs: in-flight _temporary payload invisible to ALL metadata") {
+    // Found by the widened 25-seed concurrent-torture sweep: a
+    // maintenance thread's describe() died walking a concurrent
+    // appender's `_temporary/` task dir that vanished between the
+    // parent listing and the descent (RawLocalFileSystem surfaces that
+    // as an opaque IOException no message-matching retry can own).
+    // Every walkFiles caller filters hidden segments anyway, so the
+    // walk must never ENTER a hidden directory — which also closes the
+    // one caller whose own filter was name-only: versions() counted an
+    // in-flight committer's `_temporary/**.parquet` payload into a
+    // version's files/bytes. Pin that observable here; the race itself
+    // is covered by the widened StoreProps torture sweep.
+    val dir = tmpDir()
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(10))
+    val cur = s.versionsOf("MSFT").find(_.current).get
+    val vDir = java.nio.file.Paths.get(dir, "items", "MSFT", cur.id)
+    val tmpTask = vDir.resolve("_temporary").resolve("0").resolve("task-0")
+    java.nio.file.Files.createDirectories(tmpTask)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.copy(
+      java.nio.file.Files.walk(vDir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next(),
+      tmpTask.resolve("part-00000-inflight.snappy.parquet"))
+    val after = s.versionsOf("MSFT").find(_.current).get
+    assert(after.files == cur.files,
+      s"in-flight _temporary payload leaked into version file count: $cur -> $after")
+    assert(after.bytes == cur.bytes,
+      s"in-flight _temporary payload leaked into version bytes: $cur -> $after")
+    assert(s.describe("MSFT").rows == 10)
+    assert(s("MSFT").count() == 10, "scan must exclude the hidden subtree")
+  }
 }
