@@ -193,11 +193,30 @@ object StressStreams {
       val batchMs = progress.map(_.durationMs.get("triggerExecution").toLong)
       val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
       val stateMem = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes)).lastOption.getOrElse(-1L)
+      // per-batch attribution: where a tail batch's wall goes is part
+      // of the receipt — output rows (sink emission), state rows
+      // updated/removed (watermark-close work), and the state-store
+      // commit share of the trigger, so "slower tail batch" can be
+      // READ as emission-at-close vs lookup degradation instead of
+      // asserted
+      val detail = progress.map { p =>
+        val so = p.stateOperators.headOption
+        val commit = Option(p.durationMs.get("commitOffsets")).map(_.toLong).getOrElse(-1L)
+        val add = Option(p.durationMs.get("addBatch")).map(_.toLong).getOrElse(-1L)
+        s"out=${p.sink.numOutputRows} upd=${so.map(_.numRowsUpdated).getOrElse(-1L)} " +
+          s"rm=${so.map(_.numRowsRemoved).getOrElse(-1L)} " +
+          s"stateUpdateMs=${so.map(_.allUpdatesTimeMs).getOrElse(-1L)} " +
+          s"stateCommitMs=${so.map(_.commitTimeMs).getOrElse(-1L)} " +
+          s"addBatchMs=$add commitOffsetsMs=$commit"
+      }
       println(
         f"[stress-streams] op=$op keys=$keys rows=${keys.toLong * perKey} " +
           f"batches=${batchMs.length} wall=$total%.2fs " +
           s"batch_ms=${batchMs.mkString("[", ",", "]")} " +
           s"state_rows=$stateRows state_bytes=$stateMem")
+      detail.zipWithIndex.foreach { case (d, i) =>
+        println(s"[stress-streams]   batch $i: $d")
+      }
     }
     spark.stop()
   }
