@@ -84,8 +84,15 @@ object Grid {
     */
   def isFiniteVec(c: Column): Column = {
     val mx = array_max(c)
-    c.isNotNull && !isnan(mx) && mx =!= Float.PositiveInfinity &&
-      array_min(c) =!= Float.NegativeInfinity
+    // empty-array totality: array_max([]) is NULL, which would turn the
+    // whole predicate NULL and silently DROP empty vectors that
+    // [[finiteVec]] and [[finiteVecSql]] both pass through — the three
+    // forms must agree or the engines drift the day a corpus carries a
+    // zero-length embedding (none does today; pinned in
+    // FuzzSemanticsSpec so that stays a choice, not an accident)
+    c.isNotNull && (size(c) === 0 ||
+      (!isnan(mx) && mx =!= Float.PositiveInfinity &&
+        array_min(c) =!= Float.NegativeInfinity))
   }
 
   /** DuckDB fragment of [[finiteVec]]. */

@@ -242,6 +242,17 @@ class FuzzSemanticsSpec extends AnyFunSuite {
     // ordering cannot mask it)
     val negInf = Seq((9L, Array(Float.NegativeInfinity, 1.0f))).toDF("id", "v")
     assert(negInf.filter(Grid.isFiniteVec(col("v"))).count() == 0)
+    // empty-array totality: all three forms must AGREE that a
+    // zero-length vector is finite (array_max([]) is NULL — an unguarded
+    // predicate turns NULL and silently drops the row while finiteVec
+    // and the DuckDB fragment both pass it; no corpus carries empty
+    // embeddings today, and this pin keeps the three-way agreement a
+    // choice rather than an accident)
+    val empty = Seq((7L, Array.empty[Float])).toDF("id", "v")
+    assert(empty.filter(Grid.isFiniteVec(col("v"))).count() == 1,
+      "isFiniteVec must keep empty vectors")
+    assert(!empty.select(Grid.finiteVec(col("v")).as("fv")).head().isNullAt(0),
+      "finiteVec must pass empty vectors through")
   }
 
   test("OHLC aggregator orders doubles like Spark's builtin min/max: NaN greatest, -0.0 < +0.0") {
