@@ -62,6 +62,14 @@ object TimeSeries {
     * inclusive; the forward direction just inverts the timestamp
     * ordering. No correlated subquery or row explosion.
     *
+    * BOUNDARY TIES: among right rows sharing the match-deciding
+    * timestamp, the GREATEST payload tuple wins — lexicographic over
+    * (rightTs, rightPayload columns in declared order), in both
+    * directions. This is a pinned choice, not an accident: SQL ASOF
+    * engines pick an arbitrary tied row, and an unpinned pick is
+    * invisible until a corpus carries ties (the round-16 fuzz × sf0.1
+    * corpus did).
+    *
     * ROW-ATOMIC MATCH: every payload column (and the tolerance check)
     * resolves from the SAME matched right row, carried as one struct —
     * DuckDB ASOF's "the latest right row", so a NULL payload value in
@@ -195,11 +203,27 @@ object TimeSeries {
     //     the degenerate block 0 = their whole-key window), the block
     //     carry tables are built, and the lookup surfaces __c_* columns
     //     for the coalesce fallback.
+    // Boundary-tie pin (found by the round-16 fuzz × sf0.1 corpus):
+    // DISTINCT right rows at the SAME timestamp are ordered by NEITHER
+    // engine — DuckDB's ASOF picks an arbitrary one and this window's
+    // (ts, side) sort left their relative order to partition layout,
+    // so 16 rounds of hash agreement on tied corpora were
+    // implementation luck (the sf0.01 fuzz corpus has 6-way click ties
+    // that happened to agree; the sf0.1 one has 28-way ties that
+    // didn't). The pinned contract, both directions: among right rows
+    // sharing the boundary timestamp, the GREATEST payload tuple
+    // (rightTs first, then the declared payload columns in order)
+    // wins. Engine side: __m itself is that tuple, so it rides the
+    // window sort as the final key (free) and the hot path's max_by /
+    // min_by key becomes (signed ts, __m) (free); oracle side: the
+    // right leg pre-collapses to max(payload) per (key, ts), which is
+    // the identical winner and leaves untied data untouched.
+    val mTie = col("__m").asc_nulls_first
     val (prepared, w, carry): (DataFrame, org.apache.spark.sql.expressions.WindowSpec, Option[org.apache.spark.sql.Column]) =
       if (!hasHot) {
         val w0 = Window
           .partitionBy(key)
-          .orderBy(tsOrd, col("__side"))
+          .orderBy(tsOrd, col("__side"), mTie)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         (unioned, w0, None)
       } else {
@@ -217,15 +241,22 @@ object TimeSeries {
               .otherwise(lit(0L)))
           .drop("__hk")
         // level 1 — block finals from right rows only: the matched-row
-        // struct at the extreme ts (ties on ts between distinct right
-        // rows were equally unordered under the single window; the test
-        // corpora have none). Two-phase hash agg, map-side partials;
-        // output is |cold keys| + (hot keys × active cells).
+        // struct at the extreme ts. The max_by key is (signed ts, __m),
+        // NOT bare __ts: distinct right rows tied on __ts would leave
+        // max_by/min_by's pick unpinned — the appended __m resolves the
+        // tie to the greatest payload tuple, the same winner the
+        // single-window sort's mTie key picks (the sign flip turns the
+        // forward min-over-ts into a max so ONE aggregate expresses
+        // both directions with the tie always maximizing __m).
+        // Two-phase hash agg, map-side partials; output is
+        // |cold keys| + (hot keys × active cells).
+        val tsSigned =
+          if (forward) lit(-1L) * unix_micros(col("__ts"))
+          else unix_micros(col("__ts"))
         val finals = u
           .filter(col("__side") === 0)
           .groupBy(col(key).as("__k"), col("__blk").as("__b"))
-          .agg((if (forward) min_by(col("__m"), col("__ts"))
-                else max_by(col("__m"), col("__ts"))).as("__f"))
+          .agg(max_by(col("__m"), struct(tsSigned.as("__o"), col("__m"))).as("__f"))
         // level 2 — carry-in per (key, block) over the block SPINE
         // (blocks seen on either side: a left-only block still needs
         // the carry from older right rows). NULL keys (left-side only —
@@ -260,7 +291,7 @@ object TimeSeries {
           .drop(col("ca.__b"))
         val wB = Window
           .partitionBy(col(key), col("__blk"))
-          .orderBy(tsOrd, col("__side"))
+          .orderBy(tsOrd, col("__side"), mTie)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         (withCarry, wB, Some(col("__c")))
       }
@@ -972,11 +1003,17 @@ object TimeSeries {
         ).orderBy("event_id")
       },
       Some(
+        // the click leg pre-collapses to max(event_id) per (user, ts):
+        // DuckDB's ASOF picks an ARBITRARY row among boundary-ts ties —
+        // the engine pins the greatest payload tuple (= max event_id
+        // here), and the GROUP BY makes the oracle's winner identical
+        // while leaving untied data untouched (round-16 fuzz × sf0.1)
         """SELECT p.event_id, p.ts, p.user_id,
           |       c.event_id AS click_id, c.ts AS click_ts
           |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
-          |ASOF LEFT JOIN (SELECT * FROM events
-          |                WHERE event_type = 'click' AND ts IS NOT NULL) c
+          |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id FROM events
+          |                WHERE event_type = 'click' AND ts IS NOT NULL
+          |                GROUP BY user_id, ts) c
           |  ON p.user_id = c.user_id AND p.ts >= c.ts
           |UNION ALL
           |SELECT event_id, ts, user_id, NULL, NULL FROM events
@@ -1007,11 +1044,14 @@ object TimeSeries {
         ).orderBy("event_id")
       },
       Some(
+        // boundary-tie pin: same max-per-(user, ts) collapse as
+        // join_asof — see that oracle's comment
         """SELECT p.event_id, p.ts, p.user_id,
           |       c.event_id AS click_id, c.ts AS click_ts
           |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
-          |ASOF LEFT JOIN (SELECT * FROM events
-          |                WHERE event_type = 'click' AND ts IS NOT NULL) c
+          |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id FROM events
+          |                WHERE event_type = 'click' AND ts IS NOT NULL
+          |                GROUP BY user_id, ts) c
           |  ON p.user_id = c.user_id AND p.ts <= c.ts
           |UNION ALL
           |SELECT event_id, ts, user_id, NULL, NULL FROM events
@@ -1053,10 +1093,13 @@ object TimeSeries {
           .orderBy("event_id")
       },
       Some(
+        // boundary-tie pin in BOTH directions: max-per-(user, ts)
+        // collapse, see join_asof's oracle comment
         """WITH p AS (SELECT event_id, ts, user_id FROM events
           |           WHERE event_type = 'purchase' AND ts IS NOT NULL),
-          |c AS (SELECT event_id, ts, user_id FROM events
-          |      WHERE event_type = 'click' AND ts IS NOT NULL),
+          |c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+          |      WHERE event_type = 'click' AND ts IS NOT NULL
+          |      GROUP BY user_id, ts),
           |b AS (SELECT p.event_id, c.event_id AS b_id, c.ts AS b_ts
           |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
           |f AS (SELECT p.event_id, c.event_id AS f_id, c.ts AS f_ts
@@ -1367,12 +1410,15 @@ object TimeSeries {
         ).orderBy("event_id")
       },
       Some(
+        // boundary-tie pin: same max-per-(user, ts) collapse as
+        // join_asof — see that oracle's comment
         """WITH j AS (
           |  SELECT p.event_id, p.ts, p.user_id,
           |         c.event_id AS cid, c.ts AS cts
           |  FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
-          |  ASOF LEFT JOIN (SELECT * FROM events
-          |                  WHERE event_type = 'click' AND ts IS NOT NULL) c
+          |  ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id FROM events
+          |                  WHERE event_type = 'click' AND ts IS NOT NULL
+          |                  GROUP BY user_id, ts) c
           |    ON p.user_id = c.user_id AND p.ts >= c.ts)
           |SELECT event_id, ts, user_id,
           |  CASE WHEN cts >= ts - INTERVAL 30 MINUTE THEN cid END AS click_id,

@@ -242,6 +242,45 @@ class QueriesSpec extends AnyFunSuite {
     assert(fwdTol == Seq((1L, None), (2L, Some(103L)), (3L, Some(201L))))
   }
 
+  test("asOfJoin: boundary-timestamp ties resolve to the greatest payload tuple, both paths, both directions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Found by the round-16 fuzz × sf0.1 corpus: distinct right rows at
+    // the SAME timestamp were ordered by neither engine — DuckDB ASOF
+    // picks an arbitrary tied row and the window sort left tie order to
+    // partition layout, so prior hash agreement on tied corpora was
+    // luck. Pinned: greatest payload tuple (rightTs, then declared
+    // payload columns) wins — here, the max click_eid among the tie.
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), // boundary IS the tie group
+      (2L, ts("2024-01-01 11:00:00"), 1L)  // tie group is strictly past
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (103L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 10:00:00")), // 3-way tie at 10:00
+      (102L, 1L, ts("2024-01-01 10:00:00")),
+      (90L, 1L, ts("2024-01-01 09:00:00"))
+    ).toDF("click_eid", "user_id", "cts")
+    for (threshold <- Seq(Long.MaxValue, 0L)) { // single-window AND hot-block paths
+      val back = graft.operators.TimeSeries
+        .asOfJoin(left, right, "user_id", "ts", "cts",
+          Seq("click_eid" -> "click_id"), hotKeyThreshold = threshold)
+        .orderBy("event_id").select("event_id", "click_id")
+        .as[(Long, Option[Long])].collect().toSeq
+      assert(back == Seq((1L, Some(103L)), (2L, Some(103L))),
+        s"backward tie must take max payload (threshold=$threshold): $back")
+      val fwd = graft.operators.TimeSeries
+        .asOfJoin(left, right, "user_id", "ts", "cts",
+          Seq("click_eid" -> "click_id"), forward = true, hotKeyThreshold = threshold)
+        .orderBy("event_id").select("event_id", "click_id")
+        .as[(Long, Option[Long])].collect().toSeq
+      // (1) boundary tie at 10:00 → max 103; (2) 11:00 → nothing after
+      assert(fwd == Seq((1L, Some(103L)), (2L, None)),
+        s"forward tie must take max payload (threshold=$threshold): $fwd")
+    }
+  }
+
   test("asOfJoin: hot-key block path is value-identical to the single-window path") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
