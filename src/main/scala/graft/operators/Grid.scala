@@ -20,12 +20,22 @@ import org.apache.spark.sql.functions._
 object Grid {
 
   /** `round(c * scale)` as LONG, non-finite (NaN, ±Inf) → NULL. A NULL
-    * input stays NULL (isnan(NULL) is NULL → otherwise-branch → NULL).
+    * input stays NULL (abs(NULL) <= x is NULL → no-else CaseWhen → NULL).
+    *
+    * One predicate, not three: `abs(c) <= Double.MaxValue` is false for
+    * every non-finite double under Spark's comparison ordering (NaN sorts
+    * GREATER than any value, so `abs(NaN) <= MaxValue` is false, and
+    * ±Inf exceeds MaxValue by magnitude). The round-16 three-branch form
+    * (`isnan || === +Inf || === -Inf`) measured ~0.1–0.2 s on
+    * ts_outlier_mad at sf0.1 — this query evaluates the grid cast on
+    * three corpus-sized passes — and the single-comparison form recovers
+    * about a third of that (r17 A/B receipt in BASELINE.md). The cast
+    * stays INSIDE the when-branch: conditional evaluation is what keeps
+    * ANSI CAST_OVERFLOW unreachable, and an upstream guard filter was
+    * proven unsound under Catalyst reordering/CSE (FuzzSemanticsSpec).
     */
   def gridLong(c: Column, scale: Double): Column =
-    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
-      lit(null).cast("long"))
-      .otherwise(round(c * scale, 0).cast("long"))
+    when(abs(c) <= Double.MaxValue, round(c * scale, 0).cast("long"))
 
   /** The identical mapping as a DuckDB SQL fragment, so oracle strings
     * cannot drift from [[gridLong]].
@@ -90,9 +100,17 @@ object Grid {
     // forms must agree or the engines drift the day a corpus carries a
     // zero-length embedding (none does today; pinned in
     // FuzzSemanticsSpec so that stays a choice, not an accident)
+    // NULL-element totality: array_max/array_min SKIP NULL elements, so
+    // a vector of all-NULL components makes mx NULL and the inner
+    // conjunction NULL — which would silently DROP a row that
+    // [[finiteVec]] (when(NULL) → otherwise → pass) and [[finiteVecSql]]
+    // (isnan(NULL) lambda → not-true → filtered out → len 0 → pass) both
+    // pass through. coalesce(…, true) restores the agreement; a vector
+    // with SOME NULL components is unaffected (the non-NULL extremes
+    // still surface any NaN/±Inf).
     c.isNotNull && (size(c) === 0 ||
-      (!isnan(mx) && mx =!= Float.PositiveInfinity &&
-        array_min(c) =!= Float.NegativeInfinity))
+      coalesce(!isnan(mx) && mx =!= Float.PositiveInfinity &&
+        array_min(c) =!= Float.NegativeInfinity, lit(true)))
   }
 
   /** DuckDB fragment of [[finiteVec]]. */

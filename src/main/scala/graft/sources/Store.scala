@@ -1320,7 +1320,20 @@ class Store private[sources] (
     *    — a per-directory walk there would pay one round-trip per
     *    bucket directory (10k buckets = 10k LISTs vs ~10 pages).
     */
-  private def walkFiles(root: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+  /** `rootMustExist = true` (default): a ROOT that does not exist
+    * surfaces as FileNotFoundException instead of an empty listing — a
+    * caller passing an unchecked root must not read "empty item" where
+    * the truth is "no such path" (r16 ADVICE). The vanish-tolerance
+    * below is only for CHILDREN disappearing mid-walk (point-in-time
+    * snapshot semantics). Callers that walk dirs taken from a fresh
+    * listing — which a concurrent vacuum/compaction can legitimately
+    * delete before the walk starts — pass `rootMustExist = false`.
+    * Strictness costs no extra round-trip: the root's own listStatus /
+    * listFiles call already throws FNF when it is missing.
+    */
+  private def walkFiles(
+      root: HPath,
+      rootMustExist: Boolean = true): Seq[org.apache.hadoop.fs.FileStatus] = {
     val buf = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
     if (base.toUri.getScheme == "file") {
       // Every caller applies the Spark hidden-segment filter (`_`/`.`
@@ -1342,21 +1355,34 @@ class Store private[sources] (
         val n = p.getName
         (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
       }
-      def go(d: HPath): Unit = {
+      def go(d: HPath, atRoot: Boolean): Unit = {
+        val swallow = !atRoot || !rootMustExist
         val children =
           try fs.listStatus(d)
           catch {
-            case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
-            case _: java.io.IOException if !fs.exists(d) => Array.empty[org.apache.hadoop.fs.FileStatus]
+            case _: java.io.FileNotFoundException if swallow =>
+              Array.empty[org.apache.hadoop.fs.FileStatus]
+            case _: java.io.IOException if swallow && !fs.exists(d) =>
+              Array.empty[org.apache.hadoop.fs.FileStatus]
           }
         children.foreach { st =>
-          if (st.isDirectory) { if (!hiddenDir(st.getPath)) go(st.getPath) }
+          if (st.isDirectory) { if (!hiddenDir(st.getPath)) go(st.getPath, atRoot = false) }
           else buf += st
         }
       }
-      go(root)
+      go(root, atRoot = true)
     } else {
-      val it = fs.listFiles(root, true)
+      val it =
+        try fs.listFiles(root, true)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            if (rootMustExist) throw e
+            else new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+              def hasNext: Boolean = false
+              def next(): org.apache.hadoop.fs.LocatedFileStatus =
+                throw new java.util.NoSuchElementException
+            }
+        }
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile) buf += st
@@ -1485,8 +1511,20 @@ class Store private[sources] (
     fs.listStatus(itemDir).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
       .map { st =>
-        val files = walkFiles(st.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        // same segment-wise hidden filter as describe/dataFiles — a
+        // name-only .parquet filter would count an in-flight
+        // committer's `_temporary/**/part-*.parquet` payload into the
+        // version's files/bytes on the fs.listFiles branch, where the
+        // walk cannot skip hidden DIRS up front (r16 ADVICE). The
+        // version dir itself comes from a point-in-time listing a
+        // concurrent vacuum can invalidate → rootMustExist = false.
+        val vprefix = st.getPath.toString + "/"
+        def hiddenSeg(path: String): Boolean =
+          path.stripPrefix(vprefix).split('/').exists(seg =>
+            (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+        val files = walkFiles(st.getPath, rootMustExist = false)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !hiddenSeg(f.getPath.toString))
         Store.ItemVersion(
           id = st.getPath.getName,
           current = st.getPath.getName == cur,
@@ -1829,7 +1867,9 @@ class Store private[sources] (
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rootPrefix = root.toUri.getPath
-      walkFiles(root).foreach { st =>
+      // pruned bucket roots come from a point-in-time listing a
+      // concurrent compaction/prune can delete → tolerant root
+      walkFiles(root, rootMustExist = false).foreach { st =>
         val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
         val hidden = rel.split('/').exists(seg =>
           seg.startsWith(".") || (seg.startsWith("_") && !seg.contains("=")))
@@ -2264,7 +2304,9 @@ class Store private[sources] (
     else {
       val root = p.toUri.getPath
       val b = Set.newBuilder[(String, Long)]
-      walkFiles(p).foreach { f =>
+      // the exists() guard above can race a concurrent remover; absent
+      // then = absent now = empty manifest, so the root stays tolerant
+      walkFiles(p, rootMustExist = false).foreach { f =>
         val rel = f.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
         // DATA files only: Spark-hidden entries (`_`/`.`-prefixed
         // segments; `=`-bearing partition dirs exempt) are excluded —

@@ -253,6 +253,25 @@ class FuzzSemanticsSpec extends AnyFunSuite {
       "isFiniteVec must keep empty vectors")
     assert(!empty.select(Grid.finiteVec(col("v")).as("fv")).head().isNullAt(0),
       "finiteVec must pass empty vectors through")
+    // NULL-element totality (r16 ADVICE): array_max/min SKIP NULL
+    // elements, so only an ALL-NULL vector turns the extremes NULL —
+    // before the coalesce guard isFiniteVec dropped that row while
+    // finiteVec passed it through. All three forms agree now:
+    // some-NULL vectors still surface NaN/±Inf via the non-NULL
+    // extremes; all-NULL vectors are "not non-finite" and pass.
+    val nulls = Seq(
+      (10L, Array[java.lang.Float](null, null)),            // all-NULL: pass
+      (11L, Array[java.lang.Float](null, 1.0f)),            // some-NULL finite: pass
+      (12L, Array[java.lang.Float](null, Float.NaN)),       // NULL cannot mask NaN
+      (13L, Array[java.lang.Float](null, Float.NegativeInfinity))
+    ).toDF("id", "v")
+    val keptN = nulls.filter(Grid.isFiniteVec(col("v"))).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(10L, 11L), s"isFiniteVec NULL-element agreement: $keptN")
+    val fvN = nulls.select(col("id"), Grid.finiteVec(col("v")).as("fv"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!fvN(10L) && !fvN(11L) && fvN(12L) && fvN(13L),
+      "finiteVec must agree with isFiniteVec on NULL-element vectors")
   }
 
   test("OHLC aggregator orders doubles like Spark's builtin min/max: NaN greatest, -0.0 < +0.0") {

@@ -224,4 +224,39 @@ class StoreFsSpec extends AnyFunSuite {
     s.vacuum(0L) // force-sweep now drains it
     assert(fs.listStatus(new HPath(base, ".staging")).isEmpty)
   }
+
+  test("non-file scheme: versionsOf excludes in-flight _temporary payload on the listFiles branch") {
+    // The file:// branch of walkFiles skips hidden DIRS during the walk,
+    // so a name-only .parquet filter in versionsOf happened to be safe
+    // there — but the fs.listFiles branch (object-store shape: one flat
+    // recursive LIST) surfaces EVERY file including `_temporary/**`
+    // task payloads, which the r16 ADVICE found still inflating a
+    // version's files/bytes. Route a versioned store through AtomicFs
+    // (RawLocalFileSystem under a non-file scheme) so walkFiles takes
+    // the listFiles branch, then pin the same invariant StoreSpec pins
+    // on file://.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.atomicfs.impl", classOf[AtomicFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-fs-atomic")
+    val dir = "atomicfs://" + local.toString
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(10))
+    val cur = s.versionsOf("MSFT").find(_.current).get
+    val vDir = local.resolve("items").resolve("MSFT").resolve(cur.id)
+    val tmpTask = vDir.resolve("_temporary").resolve("0").resolve("task-7")
+    java.nio.file.Files.createDirectories(tmpTask)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(vDir)
+    val firstParquet =
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).next()
+      finally walk.close()
+    java.nio.file.Files.copy(
+      firstParquet, tmpTask.resolve("part-00007-inflight.snappy.parquet"))
+    val after = s.versionsOf("MSFT").find(_.current).get
+    assert(after.files == cur.files,
+      s"listFiles branch leaked _temporary payload into file count: $cur -> $after")
+    assert(after.bytes == cur.bytes,
+      s"listFiles branch leaked _temporary payload into bytes: $cur -> $after")
+    assert(s("MSFT").count() == 10)
+  }
 }

@@ -687,10 +687,12 @@ class StoreSpec extends AnyFunSuite {
     val tmpTask = vDir.resolve("_temporary").resolve("0").resolve("task-0")
     java.nio.file.Files.createDirectories(tmpTask)
     import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(vDir)
+    val firstParquet =
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).next()
+      finally walk.close()
     java.nio.file.Files.copy(
-      java.nio.file.Files.walk(vDir).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).next(),
-      tmpTask.resolve("part-00000-inflight.snappy.parquet"))
+      firstParquet, tmpTask.resolve("part-00000-inflight.snappy.parquet"))
     val after = s.versionsOf("MSFT").find(_.current).get
     assert(after.files == cur.files,
       s"in-flight _temporary payload leaked into version file count: $cur -> $after")
