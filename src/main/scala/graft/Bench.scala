@@ -81,6 +81,97 @@ object Bench {
     "sim_ann_ivfpq" -> 1.254, "corpus_mix_temperature" -> 0.365,
     "footer_count_range" -> 0.041, "topn_index" -> 0.055)
 
+  /** BASELINE.md's round-1 per-query table, in code so the artifact can
+    * self-adjudicate elevated HEADLINE entries (r16 verdict task #2):
+    * any headline min >= 1.5x its baseline gets the same AQE-final
+    * plan-skeleton evidence as a warm-spread flag, instead of costing a
+    * manual adjudication round-trip. sf0.1 only (the baseline's scale).
+    */
+  val headlineBaselineSf01: Map[String, Double] = Map(
+    "agg_collect" -> 0.46, "agg_distinct" -> 0.77, "agg_hash" -> 0.47,
+    "agg_pivot" -> 0.45, "agg_rollup" -> 0.61, "agg_stats" -> 2.11,
+    "agg_unpivot" -> 1.48, "append_dedup" -> 0.74, "dedup_embedding" -> 0.77,
+    "dedup_exact" -> 0.26, "dedup_minhash" -> 2.46, "dedup_ngram" -> 1.98,
+    "dedup_simhash" -> 0.78, "distinct_rows" -> 0.35, "filter_pred" -> 0.58,
+    "fn_array" -> 0.25, "fn_cond" -> 0.83, "fn_explode" -> 0.48,
+    "fn_json" -> 0.84, "fn_math" -> 2.63, "join_asof" -> 0.48,
+    "join_broadcast" -> 0.73, "join_inner" -> 0.57, "join_outer" -> 0.44,
+    "join_range" -> 0.41, "join_semi" -> 0.32, "resample_ohlcv" -> 0.52,
+    "resample_ohlcv_agg" -> 0.46, "scan_range" -> 0.54, "sim_ann_ivf" -> 0.41,
+    "sim_cosine_topk" -> 0.18, "sort_limit" -> 0.26, "store_ingest" -> 1.29,
+    "store_slice" -> 0.33, "stream_tumbling" -> 1.40, "text_fingerprint" -> 0.62,
+    "text_quality" -> 0.59, "text_stats" -> 0.30, "text_tokens" -> 0.42,
+    "topk_pergroup" -> 0.59, "win_analytic" -> 0.56, "win_cume" -> 0.51,
+    "win_dist" -> 0.81, "win_rank" -> 0.61)
+
+  /** Absolute reference probe (r16 verdict task #3). The guest `calm`
+    * bit judges LOADAVG, which cannot see host-level degradation: the
+    * round-16 window ran 25–30% slower for BOTH code states while
+    * hypervisor steal read ~2%, and two rounds of perf signal needed
+    * after-the-fact A/Bs to attribute. This probe is a fixed-cost
+    * workload — identical instructions and identical data every round —
+    * so its wall time is a pure measurement of the window: outside the
+    * banked envelope (BASELINE.md "Probe envelope") means the window is
+    * degraded no matter what loadavg says, and the artifact carries a
+    * probe-scaled view of the anchor ratios alongside the raw one.
+    *
+    * Two components, taken min-of-3 at bench start AND end:
+    *  - cpu: 150M SplitMix64 mixes, single thread — pure ALU/JIT speed.
+    *  - scan: one Spark aggregate over the canonical sf0.1 lineitem
+    *    file (10.8 MB, fixed since round 1) — parquet decode + codegen
+    *    + page-cache/memory bandwidth, the bench's actual substrate.
+    * DO NOT change either workload or the envelope loses meaning.
+    */
+  def probeCpuMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 150000000) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (acc == 42L) System.err.println("[bench] probe sentinel") // defeat DCE
+    ms
+  }
+
+  val probeScanFile = "/root/testdata/sf0.1/lineitem.parquet"
+
+  def probeScanMs(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(probeScanFile)
+      .selectExpr("sum(l_extendedprice * (1.0 - l_discount))",
+        "sum(l_quantity)", "count(*)")
+      .collect()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Banked nominal floors (ms) + degradation thresholds; measured and
+    * recorded in BASELINE.md "Probe envelope" (round 17, calm window).
+    * Degraded = either component's min exceeds its threshold multiple.
+    */
+  val probeCpuNominalMs = 155.0
+  val probeScanNominalMs = 285.0
+  val probeCpuDegradedAt = 1.25
+  val probeScanDegradedAt = 1.45
+
+  /** min-of-3 probe pair; scan first sample untimed once per JVM via
+    * the caller's warm-up. Returns (cpuMs, scanMs); scan = -1 when the
+    * canonical file is absent (non-standard box — no envelope verdict).
+    */
+  def probePair(spark: SparkSession): (Double, Double) = {
+    val cpu = (1 to 3).map(_ => probeCpuMs()).min
+    val scan =
+      if (!new java.io.File(probeScanFile).isFile) -1.0
+      else (1 to 3).map { _ => spark.catalog.clearCache(); probeScanMs(spark) }.min
+    (cpu, scan)
+  }
+
   /** 1/5/15-minute load averages, (-1,-1,-1) if unreadable. Stamped
     * into the artifact so a load-contaminated run is machine-visible
     * (r12 and r13 both shipped official BENCH artifacts skewed by
@@ -145,6 +236,18 @@ object Bench {
 
     // untimed warm-up: JVM + codegen + parquet footer caches
     try materialize("agg_hash") catch { case _: Throwable => () }
+
+    // absolute window probe, start-of-run reading (one untimed scan
+    // first: the probe query's own codegen is JVM state, not window
+    // state). Taken BEFORE any timed query so a mid-run degradation
+    // shows as start/end disagreement.
+    try { if (new java.io.File(probeScanFile).isFile) probeScanMs(spark) }
+    catch { case _: Throwable => () }
+    val (probeCpuStart, probeScanStart) =
+      try probePair(spark) catch { case _: Throwable => (-1.0, -1.0) }
+    System.err.println(
+      f"[bench] probe start: cpu=$probeCpuStart%.0fms scan=$probeScanStart%.0fms " +
+        f"(nominal $probeCpuNominalMs%.0f/$probeScanNominalMs%.0f)")
 
     // best-of-3 per query: one timing sample on a shared box is noisy
     // (background load, first-touch codegen); min-of-3 records the
@@ -417,12 +520,30 @@ object Bench {
     val flagged = (allSamples ++ extSamples)
       .filter { case (_, ss) => warmSpread(ss, nSamples) > 2.0 }
       .map(_._1)
+    // elevated-HEADLINE trigger (r16 verdict task #2): any headline
+    // entry whose min reads >= 1.5x its BASELINE.md number is evidence-
+    // worthy even when its samples were tight — a genuinely regressed
+    // plan is perfectly stable, so the warm-spread trigger alone never
+    // fires on it. sf0.1 only (the baseline's scale).
+    val headlineElevated: Seq[String] =
+      if (!anchorApplies) Seq.empty
+      else results.flatMap { case (k, v) =>
+        headlineBaselineSf01.get(k).filter(b => v >= 1.5 * b).map(_ => k)
+      }
+    if (headlineElevated.nonEmpty)
+      System.err.println(
+        s"[bench] headline entries >= 1.5x baseline (skeleton evidence attached): " +
+          headlineElevated.mkString(", "))
     // flag adjudication (r15 verdict task #6): a flag that SURVIVES
     // re-sampling arrives pre-evidenced instead of costing a manual
     // AdjudicateContainment round-trip — two AQE-FINAL plan skeletons
     // are captured for it (toRdd drains AdaptiveSparkPlanExec to
     // isFinalPlan=true; a noop-sink write would print the pre-adaptive
     // plan, the mistake the containment adjudication corrected).
+    // Since r17 the trigger set also includes every extended-ANCHOR
+    // flag and every headline entry >= 1.5x baseline (r16 task #2) —
+    // the r16 artifact shipped two anchor flags with plan_skeleton:{},
+    // costing exactly the manual round-trip this exists to kill.
     // Identical skeleton hashes = the plan is stable and the spread is
     // JIT/ambient residue; differing hashes = a genuinely bimodal plan
     // (AQE flipped a strategy between samples) — that fails the calm
@@ -434,7 +555,8 @@ object Bench {
     val forceAdjudicate = sys.env.get("SPARK_GRAFT_BENCH_ADJUDICATE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     val skeletonEvidence: Seq[(String, Seq[String], String)] =
-      (flagged ++ forceAdjudicate).distinct.filter(SparkEntry.queries.contains).map { name =>
+      (flagged ++ anchorFlagged ++ headlineElevated ++ forceAdjudicate)
+        .distinct.filter(SparkEntry.queries.contains).map { name =>
       def one(): Option[String] =
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
@@ -460,6 +582,31 @@ object Bench {
       (name, hashes, verdict)
     }
     val bimodal = skeletonEvidence.filter(_._3 == "bimodal-plan").map(_._1)
+    // end-of-run probe: start/end disagreement localizes a mid-run
+    // window shift; the MIN of the two is the window's best observed
+    // quality and is what the envelope judges (a probe can only be
+    // inflated by degradation, never deflated).
+    val (probeCpuEnd, probeScanEnd) =
+      try probePair(spark) catch { case _: Throwable => (-1.0, -1.0) }
+    val probeCpuMin =
+      Seq(probeCpuStart, probeCpuEnd).filter(_ > 0) match {
+        case Nil => -1.0; case xs => xs.min }
+    val probeScanMin =
+      Seq(probeScanStart, probeScanEnd).filter(_ > 0) match {
+        case Nil => -1.0; case xs => xs.min }
+    // scale >= 1: how much slower this window is than the banked
+    // nominal, taken as the worse of the two components. Anchor ratios
+    // divided by it give the "self-normalized" view the raw ratios sit
+    // alongside — interpretation aid, never the gating number.
+    val probeScale = math.max(1.0, math.max(
+      if (probeCpuMin > 0) probeCpuMin / probeCpuNominalMs else 1.0,
+      if (probeScanMin > 0) probeScanMin / probeScanNominalMs else 1.0))
+    val windowDegraded =
+      (probeCpuMin > 0 && probeCpuMin > probeCpuDegradedAt * probeCpuNominalMs) ||
+        (probeScanMin > 0 && probeScanMin > probeScanDegradedAt * probeScanNominalMs)
+    System.err.println(
+      f"[bench] probe end: cpu=$probeCpuEnd%.0fms scan=$probeScanEnd%.0fms; " +
+        f"window scale=$probeScale%.2fx degraded=$windowDegraded")
     val nTimed = (allSamples ++ extSamples).size
     val calm = loadStart._1 >= 0 && loadStart._1 < 1.5 &&
       (nTimed == 0 || flagged.size.toDouble / nTimed <= 0.05) &&
@@ -482,8 +629,24 @@ object Bench {
         hashes.map("\"" + _ + "\"").mkString("[", ",", "]") +
         ",\"verdict\":\"" + verdict + "\"}"
     }.mkString("{", ",", "}")
-    val calmJsonShort = s""""calm":$calm,"loadavg_raw":${loadJson(loadRaw)},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"settle_sec":${settleMs / 1000},"spread_flagged_n":${flagged.size},"plan_bimodal_n":${bimodal.size}"""
-    val calmJson = s"""$calmJsonShort,"resampled":$resampledJson,"spread_flagged":$flaggedJson,"plan_skeleton":$skeletonJson"""
+    val probeJson =
+      f""""probe":{"cpu_start_ms":$probeCpuStart%.0f,"scan_start_ms":$probeScanStart%.0f,"cpu_end_ms":$probeCpuEnd%.0f,"scan_end_ms":$probeScanEnd%.0f,"cpu_nominal_ms":$probeCpuNominalMs%.0f,"scan_nominal_ms":$probeScanNominalMs%.0f,"scale":$probeScale%.2f,"degraded":$windowDegraded}"""
+    val calmJsonShort = s""""calm":$calm,$probeJson,"loadavg_raw":${loadJson(loadRaw)},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"settle_sec":${settleMs / 1000},"spread_flagged_n":${flagged.size},"plan_bimodal_n":${bimodal.size}"""
+    // probe-normalized anchor view (alongside raw, never replacing it):
+    // ratio / probeScale ≈ what the entry would read in a nominal
+    // window, under the whole-run-degrades-uniformly assumption the
+    // round-16 A/B receipt validated (both code states +25-30%).
+    val scaledAnchorJson =
+      if (!anchorApplies || probeScale <= 1.0) ""
+      else {
+        val ratios = anchorRatios
+          .map { case (k, r) => "\"" + k + "\":" + f"${r / probeScale}%.2f" }
+          .mkString("{", ",", "}")
+        s""","extended_anchor_ratio_probe_scaled":$ratios"""
+      }
+    val headlineElevatedJson =
+      s""","headline_elevated":${headlineElevated.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val calmJson = s"""$calmJsonShort,"resampled":$resampledJson,"spread_flagged":$flaggedJson,"plan_skeleton":$skeletonJson$scaledAnchorJson$headlineElevatedJson"""
     // Short summary line FIRST: the full detail line can run to several
     // KB and has overflowed the driver's tail capture (BENCH_r07/r08
     // recorded "parsed": null), so the headline total goes out on its
