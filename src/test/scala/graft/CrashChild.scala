@@ -85,6 +85,62 @@ object CrashChild {
         spark.sql(s"CREATE TABLE crashcat.$key AS SELECT * FROM crashcat.SRC")
         System.err.println("CrashChild: CTAS completed, pointer halt never fired")
         sys.exit(1)
+      case "fuzzlife" =>
+        // randomized cross-JVM lifecycle writer (r16 verdict task #7):
+        // the same op-sequence search as StoreProps' lifecycle fuzz,
+        // but the crashes are REAL process death — each op may arm a
+        // halt=true ObjStoreFs crash inside a rename's copy/delete
+        // phase, or a halt at the `_current` pointer create, so the
+        // JVM dies exactly where a preempted executor would. The
+        // parent replays the truth from this process's confirmed-op
+        // log and model-checks the recovered store. Ops print START
+        // before and OK after, flushed, because nothing after a halt
+        // runs — the log IS the happened-before record.
+        val Array(_, dir, seedStr, nStr) = args
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.objstore.impl", classOf[ObjStoreFs].getName)
+        val rnd = new scala.util.Random(seedStr.toLong)
+        val s = Store.open(spark, dir) // versioned marker persisted by parent
+        def say(l: String): Unit = { println(l); System.out.flush() }
+        (0 until nStr.toInt).foreach { i =>
+          val armKind = rnd.nextInt(6)
+          val op = rnd.nextInt(8)
+          val b = rnd.nextInt(4)
+          // arm AFTER drawing op/b so the sequence is log-reconstructable
+          if (armKind == 0) { // p=1/6: die inside any rename that occurs
+            // (the versioned layout is rename-free by design — this arm
+            // documents that: it must never fire here, and a fire would
+            // mean a rename crept back into the versioned write path)
+            val target = Seq("items/K", ".tmp-", "_temporary")(rnd.nextInt(3))
+            val phase = if (rnd.nextBoolean()) "copy" else "delete"
+            ObjStoreFs.crash = Some(ObjStoreFs.Crash(
+              target, phase, Seq(0, 0, 1, 2)(rnd.nextInt(4)), halt = true))
+          } else if (armKind == 1) { // p=1/6: die mid-MATERIALIZATION —
+            // at a data-file create under the item's version tree
+            // (compact's fresh v-dir, or an append's in-place/_temporary
+            // file), leaving uncommitted debris for the hidden-segment
+            // filters and the orphan sweep
+            ObjStoreFs.haltOnCreatePath = Some("items/K/v-")
+          } else if (armKind == 2) { // p=1/6: die AT the pointer commit
+            ObjStoreFs.haltOnCreatePath = Some("items/K/_current")
+          }
+          op match {
+            case 0 | 1 | 2 | 3 =>
+              say(s"FUZZLIFE_START appendNewOnly $b")
+              s.appendNewOnly("K", TwoProcFixtures.batch(spark, seedStr.toInt, b))
+            case 4 | 5 =>
+              say(s"FUZZLIFE_START append $b")
+              s.append("K", TwoProcFixtures.batch(spark, seedStr.toInt, b))
+            case 6 | 7 =>
+              say(s"FUZZLIFE_START compact -")
+              s.compact("K")
+          }
+          ObjStoreFs.crash = None
+          ObjStoreFs.haltOnCreatePath = None
+          say("FUZZLIFE_OK")
+        }
+        say("FUZZLIFE_DONE")
+        sys.exit(0)
       case "appendloop" =>
         // live two-writer contention: append `n` disjoint batches under
         // the writer lease while the parent does the same — every batch

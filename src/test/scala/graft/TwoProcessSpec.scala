@@ -269,4 +269,123 @@ class TwoProcessSpec extends AnyFunSuite {
       else fs.listStatus(staging).map(_.getPath.getName).toSeq
     assert(leftovers.isEmpty, s"staging debris left: $leftovers")
   }
+
+  test("randomized cross-JVM lifecycle fuzz: forked writer with halt kill points, in-process reads, model-checked recovery") {
+    // Composition of StoreProps' randomized lifecycle fuzz with this
+    // spec's real-process-death machinery (r16 verdict task #7): a
+    // forked JVM drives a SEEDED random op sequence (appendNewOnly /
+    // append / compact) over a shared versioned objstore://, arming
+    // halt=true crash points inside rename copy/delete phases and at
+    // the `_current` pointer create — so the writer dies at random
+    // protocol offsets like a preempted executor, with no finally
+    // blocks and no shared JVM state. This process concurrently probes
+    // the reader/metadata surface (the class the round-16 walkFiles
+    // race lived in), then recovers with ONE vacuum(0) and checks the
+    // final store against a model replayed from the child's
+    // confirmed-op log:
+    //   - every CONFIRMED op's rows are present (nothing a dead writer
+    //     completed is ever lost by recovery),
+    //   - extra rows beyond the model can only come from the ONE
+    //     in-flight op, and only if that op was an append form (a
+    //     compact is a pointer swap: all or nothing),
+    //   - footer row count == content count (no duplicate incarnation,
+    //     no torn file contributing phantom rows),
+    //   - vacuum converges (second pass sweeps 0), staging drains, and
+    //     exactly one version dir remains (orphans swept).
+    // Mutations stay in the child: cross-JVM mutation without a writer
+    // lease is documented-undefined, and objstore's check-then-act
+    // create cannot honestly attest lease exactness — one mutator,
+    // many readers is the objstore deployment model this searches.
+    // GRAFT_XJVM_N widens the seed sweep (default 3; 25 for the
+    // dedicated PLANS.md receipt), GRAFT_XJVM_SEED moves the base.
+    val nSeeds = sys.env.get("GRAFT_XJVM_N").map(_.toInt).getOrElse(3)
+    val baseSeed = sys.env.get("GRAFT_XJVM_SEED").map(_.toLong).getOrElse(1700L)
+    def ks(seed: Int, b: Int): Set[Double] =
+      (0 until 50).map(j => ((seed * 1000 + b) * 100 + j).toDouble).toSet
+    (0 until nSeeds).foreach { idx =>
+      val seed = baseSeed + idx
+      val dir = "objstore://" +
+        java.nio.file.Files.createTempDirectory("graft-2proc-fuzz").toString
+      val s = Store.open(spark, dir, versioned = true)
+      s.write("K", TwoProcFixtures.batch(spark, 0, 0))
+      val (proc, log) = forkChild(Seq("fuzzlife", dir, seed.toString, "7"), Seq.empty)
+      var probes = 0
+      var probeOk = 0
+      try {
+        val deadline = System.currentTimeMillis() + 180000
+        while (proc.isAlive && System.currentTimeMillis() < deadline) {
+          // read/metadata probes against a LIVE foreign mutator. On
+          // this simulated object store a probe can catch a per-file
+          // copy mid-flight (real stores surface whole objects), so
+          // probes are best-effort — the assertion is liveness (some
+          // succeed), not per-probe success.
+          try {
+            probes % 3 match {
+              case 0 => s.describe("K")
+              case 1 => s("K").count()
+              case _ => s.listItems()
+            }
+            probeOk += 1
+          } catch { case _: Throwable => () }
+          probes += 1
+          Thread.sleep(100)
+        }
+        assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+          s"child hung; log:\n${tail(log)}")
+        val exit = proc.exitValue()
+        assert(Set(0, 42, 43).contains(exit),
+          s"child died outside its halt points (exit $exit); log:\n${tail(log)}")
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(log.toPath), "UTF-8").linesIterator.toVector
+        val starts = lines.filter(_.startsWith("FUZZLIFE_START")).map { l =>
+          val p = l.split(" "); (p(1), p(2))
+        }
+        val nOk = lines.count(_ == "FUZZLIFE_OK")
+        assert(exit != 0 || (nOk == starts.size && lines.contains("FUZZLIFE_DONE")),
+          s"clean exit but incomplete log; log:\n${tail(log)}")
+        // model = initial batch + every CONFIRMED op's rows (compact
+        // adds nothing); the one started-but-unconfirmed op bounds the
+        // permitted extras
+        val model = scala.collection.mutable.Set.empty[Double] ++ ks(0, 0)
+        starts.take(nOk).foreach {
+          case ("appendNewOnly", b) => model ++= ks(seed.toInt, b.toInt)
+          case ("append", b)        => model ++= ks(seed.toInt, b.toInt)
+          case _                    => ()
+        }
+        val inflight = starts.drop(nOk).headOption
+        val allowedExtra: Set[Double] = inflight match {
+          case Some(("appendNewOnly", b)) => ks(seed.toInt, b.toInt)
+          case Some(("append", b))        => ks(seed.toInt, b.toInt)
+          case _                          => Set.empty
+        }
+        // recovery: the writer is provably dead — one force sweep
+        s.vacuum(0L)
+        val got = s("K").collect().map(_.getAs[Double]("OPEN")).toSet
+        val missing = model.toSet -- got
+        assert(missing.isEmpty,
+          s"seed=$seed: confirmed rows lost after recovery: ${missing.take(5)} " +
+            s"(${missing.size} of ${model.size}); log:\n${tail(log)}")
+        val phantom = got -- model -- allowedExtra
+        assert(phantom.isEmpty,
+          s"seed=$seed: rows from nowhere (or a non-append in-flight op " +
+            s"leaked): ${phantom.take(5)}; inflight=$inflight; log:\n${tail(log)}")
+        assert(s.describe("K").rows == got.size.toLong,
+          s"seed=$seed: footer rows=${s.describe("K").rows} content=${got.size} " +
+            "(duplicate incarnation or torn file)")
+        assert(s.vacuum(0L) == 0L, s"seed=$seed: vacuum did not converge")
+        val versions = s.versionsOf("K")
+        assert(versions.size == 1 && versions.head.current,
+          s"seed=$seed: orphan versions survived the sweep: $versions")
+        val (fs, base) = hfs(dir)
+        val staging = new HPath(base, ".staging")
+        assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+          s"seed=$seed: staging not drained")
+        assert(probeOk > 0, s"seed=$seed: vacuous probe loop ($probes probes, 0 ok)")
+        System.err.println(
+          s"[xjvm-fuzz] seed=$seed exit=$exit confirmed=$nOk/" +
+            s"${starts.size} inflight=${inflight.getOrElse("-")} " +
+            s"rows=${got.size} probes=$probeOk/$probes ok=true")
+      } finally proc.destroyForcibly()
+    }
+  }
 }
