@@ -557,7 +557,7 @@ object Bench {
     val skeletonEvidence: Seq[(String, Seq[String], String)] =
       (flagged ++ anchorFlagged ++ headlineElevated ++ forceAdjudicate)
         .distinct.filter(SparkEntry.queries.contains).map { name =>
-      def one(): Option[String] =
+      def one(): Option[(String, String)] =
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
@@ -567,18 +567,41 @@ object Bench {
               l.contains("AQEShuffleRead") || l.contains("isFinalPlan"))
             // strip run-varying ids so equal plans hash equal
             .map(_.replaceAll("#\\d+", "#").replaceAll("id=\\d+", "id=")
-              .replaceAll("plan_id=\\d+", "plan_id=").take(160))
+              .replaceAll("plan_id=\\d+", "plan_id="))
+            // canonicalize partitioning key ORDER: the distinct-aggregate
+            // rewrite (and anything else that iterates expression sets)
+            // orders grouping keys by exprId, which varies per DataFrame
+            // build — two compilations of the SAME query can emit
+            // hashpartitioning(a, b, gid) vs hashpartitioning(b, a, gid).
+            // Key order inside one hash partitioning is semantically
+            // irrelevant (same co-location), so sort the args before
+            // hashing; a REAL flip (strategy change, extra Exchange,
+            // different key SET) still hashes differently.
+            .map(l => "(hash|range)partitioning\\(([^)]*)\\)".r
+              .replaceAllIn(l, m => java.util.regex.Matcher.quoteReplacement(
+                m.group(1) + "partitioning(" +
+                  m.group(2).split(",\\s*").sorted.mkString(",") + ")")))
+            .map(_.take(160))
             .mkString("\n")
-          Some(java.security.MessageDigest.getInstance("MD5")
-            .digest(skel.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString)
+          Some((java.security.MessageDigest.getInstance("MD5")
+            .digest(skel.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+            skel))
         } catch { case _: Throwable => None }
-      val hashes = Seq(one(), one()).flatten
+      val pairs = Seq(one(), one()).flatten
+      val hashes = pairs.map(_._1)
       val verdict =
         if (hashes.size < 2) "unadjudicated"
         else if (hashes.distinct.size == 1) "jit-or-ambient"
         else "bimodal-plan"
       System.err.println(
         s"[bench] flag adjudication: $name skeleton hashes=${hashes.mkString(",")} -> $verdict")
+      // a bimodal verdict fails calm certification — print the two
+      // skeletons so the artifact reader sees WHAT flipped without a
+      // reproduction round-trip
+      if (verdict == "bimodal-plan") pairs.foreach { case (h, skel) =>
+        System.err.println(s"[bench] $name skeleton $h:\n" +
+          skel.linesIterator.map("    " + _).mkString("\n"))
+      }
       (name, hashes, verdict)
     }
     val bimodal = skeletonEvidence.filter(_._3 == "bimodal-plan").map(_._1)
