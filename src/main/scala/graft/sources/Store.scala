@@ -1395,7 +1395,12 @@ class Store private[sources] (
     val root = dataPath(key, mustExist = true)
     val rootPrefix = root.toUri.getPath
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    walkFiles(root).foreach { st =>
+    // mustExist above already excludes never-existed roots, so a root
+    // missing INSIDE the walk is the vanished-mid-call snapshot race
+    // (concurrent compact move-out / drop) — tolerant, like every
+    // listing here; a strict root would re-introduce the very
+    // throw-on-vanish the point-in-time contract forbids
+    walkFiles(root, rootMustExist = false).foreach { st =>
       // hidden-ness applies to EVERY path segment below the item root,
       // not just the file name: a concurrent write's in-flight task
       // files live under a `_temporary/` DIRECTORY with ordinary file
@@ -1554,7 +1559,9 @@ class Store private[sources] (
     // and the descent — that's a stale snapshot, not an error, so
     // retake it (bounded; a persistent failure is a real one)
     def listing(): Seq[(String, Long)] =
-      walkFiles(p).collect {
+      // p passed dataPath(mustExist = true): vanish-mid-call is the
+      // snapshot race, not a missing item — tolerant root (see dataFiles)
+      walkFiles(p, rootMustExist = false).collect {
         case st if st.isFile && st.getPath.getName.endsWith(".parquet") &&
             !hidden(st.getPath.toString) =>
           (st.getPath.toString, st.getLen)
