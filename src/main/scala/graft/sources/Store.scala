@@ -325,6 +325,20 @@ object Store {
   private[sources] val activeStagingIds: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Tags (base#KEY) of items with an IN-PLACE append running in this
+    * JVM ([[Store!.appendNewOnly]]'s `mode("append")` job — the one
+    * write that materializes committer staging inside the LIVE data
+    * dir). [[Store!.vacuum]]'s job-staging debris sweep (job 4) skips
+    * them unconditionally, same split as [[activeStagingIds]]: this set
+    * makes a force-sweep safe against same-driver concurrent appends,
+    * the age guard covers writers in other JVMs.
+    */
+  private[graft] val activeInPlaceWrites: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def inPlaceTag(base: HPath, key: String): String =
+    base.toString + "#" + key
+
   /** The one list of staging-entry name tokens — [[stagingId]] (the
     * in-flight guard) and `stagingEntries` (the mutation gate) must
     * agree on it, or a marker kind added to one but not the other would
@@ -2752,7 +2766,12 @@ class Store private[sources] (
     val fresh = incoming
       .join(existing, cond, "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    writer(fresh).mode("append").parquet(p.toString)
+    // registered so vacuum's job-staging sweep (job 4) never reclaims
+    // THIS job's live `_temporary`/`.spark-staging-*` out from under it
+    val tag = Store.inPlaceTag(base, validateKey(key))
+    Store.activeInPlaceWrites.add(tag)
+    try writer(fresh).mode("append").parquet(p.toString)
+    finally Store.activeInPlaceWrites.remove(tag)
   }
 
   /** Drop one item entirely (maintenance op, like [[compact]]):
@@ -2877,7 +2896,7 @@ class Store private[sources] (
   }
 
   /** Crash-recovery sweep, finishing the atomicity story of
-    * [[append]]/[[compact]]/[[drop]]/[[prune]]. Three jobs:
+    * [[append]]/[[compact]]/[[drop]]/[[prune]]. Four jobs:
     *
     *  1. **Swap recovery** — an interrupted [[stagedOverwrite]] leaves
     *     its `KEY.swap-ID` (and possibly `KEY.mid-ID`) marker behind;
@@ -2901,6 +2920,15 @@ class Store private[sources] (
     *  2. **Orphan sweep** — `*.tmp-*` / `*.old-*` dirs whose op died
     *     between its last rename and its delete: invisible to readers
     *     (staging lives outside items/) but occupying storage; swept.
+    *     (Job 3, further down in [[vacuumLocked]]: the versioned
+    *     layout's orphan-version sweep.)
+    *  4. **Job-staging debris sweep** — committer `_temporary` /
+    *     `.spark-staging-*` dirs inside a live data dir, left by an
+    *     in-place append that died mid-job: hidden from every read but
+    *     holding staged bytes nothing else reclaims (`.spark-staging`
+    *     names are per-job UUIDs no later job touches). Skips items
+    *     with a same-JVM in-place append in flight
+    *     ([[Store$.activeInPlaceWrites]]).
     *
     * Two writer-safety layers: entries whose staging id belongs to an
     * op IN FLIGHT IN THIS JVM ([[Store$.activeStagingIds]]) are always
@@ -3161,6 +3189,43 @@ class Store private[sources] (
               if (n != freshCur && fs.delete(v.getPath, true))
                 removed += 1
             }
+          }
+        }
+      }
+    }
+    // job 4 (both layouts): sweep dead JOB-STAGING debris inside live
+    // data dirs — the committer `_temporary`/`.spark-staging-<jobId>`
+    // dirs an in-place append that died mid-job leaves behind. Readers
+    // and metadata never see them (hidden-segment filters), but nothing
+    // else reclaims the staging bytes: `_temporary` is only swept by
+    // the NEXT successful append's committer (which may never come),
+    // and `.spark-staging` names are per-job UUIDs no later job
+    // touches — found by the cross-JVM lifecycle fuzz's halt-on-delete
+    // arm, which dies exactly at this cleanup point. Same two
+    // writer-safety layers as the flat jobs: items with an in-place
+    // append IN FLIGHT IN THIS JVM ([[Store$.activeInPlaceWrites]]) are
+    // skipped unconditionally, and the age guard covers writers in
+    // other JVMs. Torn/absent version pointers are job 3's territory —
+    // an unresolvable item is left alone here.
+    if (fs.exists(itemsRoot)) {
+      fs.listStatus(itemsRoot).filter(_.isDirectory).foreach { item =>
+        val k = item.getPath.getName
+        val dataDir: HPath =
+          if (!versioned) item.getPath
+          else (try new HPath(item.getPath, currentVersion(k))
+                catch { case _: Throwable => null })
+        if (dataDir != null &&
+            !Store.activeInPlaceWrites.contains(Store.inPlaceTag(base, k))) {
+          val children =
+            try fs.listStatus(dataDir).toSeq
+            catch { case _: Throwable => Seq.empty } // vanished mid-walk
+          children.foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory &&
+                (n == "_temporary" || n.startsWith(".spark-staging")) &&
+                st.getModificationTime <= cutoff &&
+                fs.delete(st.getPath, true))
+              removed += 1
           }
         }
       }

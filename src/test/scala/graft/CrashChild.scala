@@ -103,11 +103,11 @@ object CrashChild {
         val s = Store.open(spark, dir) // versioned marker persisted by parent
         def say(l: String): Unit = { println(l); System.out.flush() }
         (0 until nStr.toInt).foreach { i =>
-          val armKind = rnd.nextInt(6)
-          val op = rnd.nextInt(8)
+          val armKind = rnd.nextInt(8)
+          val op = rnd.nextInt(10)
           val b = rnd.nextInt(4)
           // arm AFTER drawing op/b so the sequence is log-reconstructable
-          if (armKind == 0) { // p=1/6: die inside any rename that occurs
+          if (armKind == 0) { // p=1/8: die inside any rename that occurs
             // (the versioned layout is rename-free by design — this arm
             // documents that: it must never fire here, and a fire would
             // mean a rename crept back into the versioned write path)
@@ -115,14 +115,21 @@ object CrashChild {
             val phase = if (rnd.nextBoolean()) "copy" else "delete"
             ObjStoreFs.crash = Some(ObjStoreFs.Crash(
               target, phase, Seq(0, 0, 1, 2)(rnd.nextInt(4)), halt = true))
-          } else if (armKind == 1) { // p=1/6: die mid-MATERIALIZATION —
+          } else if (armKind == 1) { // p=1/8: die mid-MATERIALIZATION —
             // at a data-file create under the item's version tree
             // (compact's fresh v-dir, or an append's in-place/_temporary
             // file), leaving uncommitted debris for the hidden-segment
             // filters and the orphan sweep
             ObjStoreFs.haltOnCreatePath = Some("items/K/v-")
-          } else if (armKind == 2) { // p=1/6: die AT the pointer commit
+          } else if (armKind == 2) { // p=1/8: die AT the pointer commit
             ObjStoreFs.haltOnCreatePath = Some("items/K/_current")
+          } else if (armKind == 3) { // p=1/8: die mid-SWEEP — at a
+            // version-dir delete (vacuum's orphan sweep, or a swap's
+            // old-version reclaim), after 0-1 matching deletes pass so a
+            // multi-orphan sweep dies PARTWAY; the recovery vacuum must
+            // finish the half-done sweep it inherits
+            ObjStoreFs.deleteSkips.set(rnd.nextInt(2))
+            ObjStoreFs.haltOnDeletePath = Some("items/K/v-")
           }
           op match {
             case 0 | 1 | 2 | 3 =>
@@ -134,9 +141,19 @@ object CrashChild {
             case 6 | 7 =>
               say(s"FUZZLIFE_START compact -")
               s.compact("K")
+            case 8 | 9 =>
+              // maintenance belongs in the searched mix: a force sweep
+              // between ops exercises orphan reclaim against whatever
+              // debris earlier arms left, and the delete arm above can
+              // kill THIS op partway through its sweep. Rows never
+              // change: vacuum touches only non-current versions and
+              // staging, which is exactly what the model asserts.
+              say(s"FUZZLIFE_START vacuum -")
+              s.vacuum(0L)
           }
           ObjStoreFs.crash = None
           ObjStoreFs.haltOnCreatePath = None
+          ObjStoreFs.haltOnDeletePath = None
           say("FUZZLIFE_OK")
         }
         say("FUZZLIFE_DONE")

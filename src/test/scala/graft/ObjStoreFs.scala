@@ -108,6 +108,28 @@ class ObjStoreFs extends RawLocalFileSystem {
       blockSize, progress)
   }
 
+  // mid-sweep crash point: REAL process death the instant a matching
+  // DELETE begins — vacuum's orphan-version sweep and versionSwap's
+  // old-version reclaim are pure delete paths a rename crash can never
+  // reach. `deleteSkips` lets the arm pass over the first N matching
+  // deletes so a multi-orphan sweep dies PARTWAY, not at its first
+  // decision (committer `_temporary` cleanup is excluded — that's the
+  // rename/create families' territory).
+  private def maybeHaltOnDelete(f: HPath): Unit =
+    ObjStoreFs.haltOnDeletePath.foreach { sub =>
+      val p = f.toUri.getPath
+      if (p.contains(sub) && !p.contains("_temporary") &&
+          ObjStoreFs.deleteSkips.getAndDecrement() <= 0)
+        Runtime.getRuntime.halt(44)
+    }
+
+  override def delete(f: HPath, recursive: Boolean): Boolean = {
+    if (ObjStoreFs.traceDeletes)
+      System.err.println(s"[objstore-delete] recursive=$recursive ${f.toUri.getPath}")
+    maybeHaltOnDelete(f)
+    super.delete(f, recursive)
+  }
+
   override def rename(src: HPath, dst: HPath): Boolean = {
     ObjStoreFs.renames.add((src.toUri.getPath, dst.toUri.getPath))
     if (!exists(src)) return false
@@ -165,5 +187,22 @@ object ObjStoreFs {
     */
   @volatile var haltOnCreatePath: Option[String] = None
 
-  def reset(): Unit = { renames.clear(); crash = None; haltOnCreatePath = None }
+  /** When set: `Runtime.halt(44)` the instant a delete targets a path
+    * containing this substring (committer `_temporary` cleanup
+    * excluded), after letting [[deleteSkips]] matching deletes pass —
+    * real process death partway through a vacuum sweep or an
+    * old-version reclaim (see maybeHaltOnDelete).
+    */
+  @volatile var haltOnDeletePath: Option[String] = None
+  val deleteSkips = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Diagnostic: print every delete the FS sees (never armed by specs —
+    * a human investigating which real delete a kill point hit).
+    */
+  val traceDeletes: Boolean = sys.env.contains("GRAFT_OBJSTORE_TRACE_DELETES")
+
+  def reset(): Unit = {
+    renames.clear(); crash = None; haltOnCreatePath = None
+    haltOnDeletePath = None; deleteSkips.set(0)
+  }
 }

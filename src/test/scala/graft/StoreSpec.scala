@@ -701,4 +701,23 @@ class StoreSpec extends AnyFunSuite {
     assert(s.describe("MSFT").rows == 10)
     assert(s("MSFT").count() == 10, "scan must exclude the hidden subtree")
   }
+
+  test("vacuum job 4 on the flat layout: dead committer staging inside the item dir is swept") {
+    // flat-layout twin of StoreVersionedSpec's job-4 test: the in-place
+    // append's committer staging lands directly under items/KEY here
+    val dir = tmpDir()
+    val s = Store.open(spark, dir)
+    s.write("IBM", bars(20))
+    val before = s("IBM").collect().map(_.toSeq).toSet
+    val itemDir = java.nio.file.Paths.get(dir, "items", "IBM")
+    val staging = itemDir.resolve(".spark-staging-dead-uuid")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-00000-dead.snappy.parquet"),
+      Array[Byte](9, 9, 9))
+    assert(s.vacuum() == 0L, "fresh debris survives the aged sweep")
+    assert(s.vacuum(0L) == 1L, "force sweep reclaims the dead staging dir")
+    assert(!java.nio.file.Files.exists(staging))
+    assert(s("IBM").collect().map(_.toSeq).toSet == before, "data untouched")
+    assert(s.vacuum(0L) == 0L, "sweep converges")
+  }
 }

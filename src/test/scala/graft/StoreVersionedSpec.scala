@@ -228,4 +228,45 @@ class StoreVersionedSpec extends AnyFunSuite {
     assert(s("EVT").collect().map(_.toSeq).toSet == before, "rows preserved")
     assert(s.vacuum(0L) == 0L, "clean bucket swaps leave nothing to vacuum")
   }
+
+  test("vacuum job 4: dead job-staging debris inside the live version dir is swept, live appends are guarded") {
+    // a crashed in-place append leaves its committer staging —
+    // `_temporary` and a per-job-UUID `.spark-staging-*` dir — INSIDE
+    // the current version dir. Hidden-segment filters keep it invisible
+    // to reads and metadata, but the bytes are reclaimed by nothing
+    // (later jobs use fresh staging names), so vacuum owns the sweep.
+    // Found by the cross-JVM lifecycle fuzz's halt-on-delete arm, which
+    // dies exactly at the committer's staging cleanup.
+    val dir = freshDir()
+    val (fs, base) = hfs(dir)
+    val s = Store.open(spark, dir, versioned = true)
+    s.write("MSFT", bars(50))
+    val before = s("MSFT").collect().map(_.toSeq).toSet
+    val cur = s.versionsOf("MSFT").find(_.current).get.id
+    val vDir = java.nio.file.Paths.get(dir, "items", "MSFT", cur)
+    val staging = vDir.resolve(".spark-staging-dead-job-uuid").resolve("DATE_BUCKET=2022-01")
+    val temporary = vDir.resolve("_temporary").resolve("0").resolve("task-3")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.createDirectories(temporary)
+    java.nio.file.Files.write(staging.resolve("part-00000-dead.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(temporary.resolve("part-00001-dead.snappy.parquet"),
+      Array[Byte](4, 5, 6))
+    // age guard: a conservative sweep leaves fresh debris (a writer in
+    // another JVM may own it) — both dirs are seconds old
+    assert(s.vacuum() == 0L, "fresh debris must survive the aged sweep")
+    // same-JVM in-flight guard: a registered in-place append blocks
+    // even the force sweep for ITS item
+    val tag = Store.inPlaceTag(s.base, "MSFT") // s.base is fs-qualified
+    Store.activeInPlaceWrites.add(tag)
+    try assert(s.vacuum(0L) == 0L, "in-flight append's staging must survive vacuum(0)")
+    finally Store.activeInPlaceWrites.remove(tag)
+    // dead writer: the force sweep reclaims both debris dirs
+    assert(s.vacuum(0L) == 2L, "both debris dirs swept once the writer is provably dead")
+    assert(!java.nio.file.Files.exists(vDir.resolve(".spark-staging-dead-job-uuid")))
+    assert(!java.nio.file.Files.exists(vDir.resolve("_temporary")))
+    assert(s("MSFT").collect().map(_.toSeq).toSet == before, "data untouched")
+    assert(s.describe("MSFT").rows == 50L)
+    assert(s.vacuum(0L) == 0L, "sweep converges")
+  }
 }

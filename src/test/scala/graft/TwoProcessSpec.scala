@@ -274,11 +274,12 @@ class TwoProcessSpec extends AnyFunSuite {
     // Composition of StoreProps' randomized lifecycle fuzz with this
     // spec's real-process-death machinery (r16 verdict task #7): a
     // forked JVM drives a SEEDED random op sequence (appendNewOnly /
-    // append / compact) over a shared versioned objstore://, arming
-    // halt=true crash points inside rename copy/delete phases and at
-    // the `_current` pointer create — so the writer dies at random
-    // protocol offsets like a preempted executor, with no finally
-    // blocks and no shared JVM state. This process concurrently probes
+    // append / compact / vacuum) over a shared versioned objstore://,
+    // arming halt=true crash points inside rename copy/delete phases,
+    // at the `_current` pointer create, and at version-dir deletes
+    // (mid-sweep, after 0-1 matches pass) — so the writer dies at
+    // random protocol offsets like a preempted executor, with no
+    // finally blocks and no shared JVM state. This process concurrently probes
     // the reader/metadata surface (the class the round-16 walkFiles
     // race lived in), then recovers with ONE vacuum(0) and checks the
     // final store against a model replayed from the child's
@@ -287,7 +288,8 @@ class TwoProcessSpec extends AnyFunSuite {
     //     completed is ever lost by recovery),
     //   - extra rows beyond the model can only come from the ONE
     //     in-flight op, and only if that op was an append form (a
-    //     compact is a pointer swap: all or nothing),
+    //     compact is a pointer swap: all or nothing; a vacuum touches
+    //     only non-current versions and staging, never rows),
     //   - footer row count == content count (no duplicate incarnation,
     //     no torn file contributing phantom rows),
     //   - vacuum converges (second pass sweeps 0), staging drains, and
@@ -333,7 +335,9 @@ class TwoProcessSpec extends AnyFunSuite {
         assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
           s"child hung; log:\n${tail(log)}")
         val exit = proc.exitValue()
-        assert(Set(0, 42, 43).contains(exit),
+        // 42 = rename-phase crash, 43 = halt-on-create, 44 = halt-on-
+        // delete (mid-sweep), 0 = all ops completed before any arm fired
+        assert(Set(0, 42, 43, 44).contains(exit),
           s"child died outside its halt points (exit $exit); log:\n${tail(log)}")
         val lines = new String(
           java.nio.file.Files.readAllBytes(log.toPath), "UTF-8").linesIterator.toVector
@@ -344,8 +348,8 @@ class TwoProcessSpec extends AnyFunSuite {
         assert(exit != 0 || (nOk == starts.size && lines.contains("FUZZLIFE_DONE")),
           s"clean exit but incomplete log; log:\n${tail(log)}")
         // model = initial batch + every CONFIRMED op's rows (compact
-        // adds nothing); the one started-but-unconfirmed op bounds the
-        // permitted extras
+        // and vacuum add nothing); the one started-but-unconfirmed op
+        // bounds the permitted extras
         val model = scala.collection.mutable.Set.empty[Double] ++ ks(0, 0)
         starts.take(nOk).foreach {
           case ("appendNewOnly", b) => model ++= ks(seed.toInt, b.toInt)
@@ -380,6 +384,15 @@ class TwoProcessSpec extends AnyFunSuite {
         val staging = new HPath(base, ".staging")
         assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
           s"seed=$seed: staging not drained")
+        // vacuum job 4: a writer that died mid-append leaves committer
+        // staging (`_temporary` / `.spark-staging-*`) inside the live
+        // version dir; the recovery vacuum must have reclaimed it
+        val curDir = new HPath(
+          new HPath(new HPath(base, "items"), "K"), versions.head.id)
+        val debris = fs.listStatus(curDir).map(_.getPath.getName)
+          .filter(n => n == "_temporary" || n.startsWith(".spark-staging"))
+        assert(debris.isEmpty,
+          s"seed=$seed: dead job-staging debris survived recovery: ${debris.toSeq}")
         assert(probeOk > 0, s"seed=$seed: vacuous probe loop ($probes probes, 0 ok)")
         System.err.println(
           s"[xjvm-fuzz] seed=$seed exit=$exit confirmed=$nOk/" +
