@@ -248,6 +248,19 @@ object Bench {
     System.err.println(
       f"[bench] probe start: cpu=$probeCpuStart%.0fms scan=$probeScanStart%.0fms " +
         f"(nominal $probeCpuNominalMs%.0f/$probeScanNominalMs%.0f)")
+    // SPARK_GRAFT_BENCH_REQUIRE_CALM: refuse to spend a ~10-min run on
+    // a window the start probe already reads as degraded — exit 3
+    // immediately so an unattended retry loop can wait for calm instead
+    // of producing an artifact that only exists to be discarded. The
+    // driver never sets this; official runs always measure and stamp.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_REQUIRE_CALM") &&
+        (probeCpuStart > probeCpuNominalMs * probeCpuDegradedAt ||
+          (probeScanStart > 0 &&
+            probeScanStart > probeScanNominalMs * probeScanDegradedAt))) {
+      System.err.println("[bench] REQUIRE_CALM: start probe degraded, refusing the window")
+      spark.stop()
+      sys.exit(3)
+    }
 
     // best-of-3 per query: one timing sample on a shared box is noisy
     // (background load, first-touch codegen); min-of-3 records the
