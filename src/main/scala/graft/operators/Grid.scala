@@ -49,22 +49,27 @@ object Grid {
     * ("Out of Range"), so neither engine has usable native semantics —
     * the pinned behavior is that non-finite carries no magnitude and
     * is absent (NULL), which both engines then treat identically.
+    *
+    * Same single-predicate form as [[gridLong]] (r17 A/B receipt):
+    * `abs(c) <= Double.MaxValue` is false for NaN (Spark orders NaN
+    * greatest) and both infinities, and NULL stays NULL (abs(NULL) <= x
+    * is NULL, and a no-else CaseWhen yields NULL) — one comparison where
+    * the round-16 form paid isnan plus two equality branches on every
+    * row of every moment pass.
     */
   def finiteD(c: Column): Column =
-    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
-      lit(null).cast("double"))
-      .otherwise(c)
+    when(abs(c) <= Double.MaxValue, c)
 
   /** DuckDB fragment of [[finiteD]]. */
   def finiteSql(expr: String): String =
     s"(CASE WHEN isnan($expr) OR isinf($expr) THEN NULL ELSE $expr END)"
 
-  /** Spark-SQL fragment of [[finiteD]] for `expr(...)` strings — Spark
-    * has no isinf(); ±Inf is matched by absolute-value equality.
+  /** Spark-SQL fragment of [[finiteD]] for `expr(...)` strings — the
+    * same single `abs(x) <= Double.MaxValue` predicate (false for NaN
+    * and ±Inf, NULL-preserving via the no-else CASE).
     */
   def finiteSparkSql(expr: String): String =
-    s"(CASE WHEN isnan($expr) OR abs($expr) = CAST('Infinity' AS DOUBLE) " +
-      s"THEN NULL ELSE $expr END)"
+    s"(CASE WHEN abs($expr) <= 1.7976931348623157E308 THEN $expr END)"
 
   /** A float/double vector with ANY non-finite component is treated as
     * a NULL vector (absent): component-wise NULL would poison distance

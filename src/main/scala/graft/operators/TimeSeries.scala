@@ -464,13 +464,19 @@ object TimeSeries {
           val hist = df.filter(col(v).isNotNull)
             .groupBy(col("event_type"), col(v))
             .agg(count(lit(1)).as("cnt"))
-          val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+          // group total as a WHOLE-PARTITION window sum over the same
+          // partitioning the cumulative rank already forces (the
+          // agg_stats shape): the older separate `n` aggregate +
+          // broadcast join re-derived the corpus-sized hist pipeline a
+          // second time — one histogram pass instead of two, same
+          // groups (n came from hist itself, so presence is identical)
           val wCum = Window.partitionBy("event_type").orderBy(v)
             .rowsBetween(Window.unboundedPreceding, 0)
+          val wAll = Window.partitionBy("event_type")
           val inRank = (r: org.apache.spark.sql.Column) =>
             r.between(col("cum") - col("cnt"), col("cum") - 1)
           hist
-            .join(broadcast(n), "event_type")
+            .withColumn("n", sum(col("cnt")).over(wAll))
             .withColumn("cum", sum(col("cnt")).over(wCum))
             .groupBy("event_type")
             .agg(
@@ -488,7 +494,15 @@ object TimeSeries {
         val base = events(s, d)
           .filter(col("event_type").isNotNull)
           .select(col("event_type"), Grid.gridLong(col("value"), 100).as("c"))
-        val med = histMedian(base, "c", "med")
+        // med is GROUP-sized (one row per event_type) but referenced
+        // through `dev` by BOTH the MAD histogram and the final
+        // aggregate — uncached, Catalyst copies its corpus-sized
+        // pipeline into each reference (the round-17 plan counted 9
+        // parquet scans for this query). Caching the tiny frame
+        // computes it once; the cache holds ~|event_type| rows and is
+        // rebuilt from parquet on every invocation (intra-query reuse,
+        // not cross-run state).
+        val med = histMedian(base, "c", "med").cache()
         // deviations on the half-cent grid: med is integer or exact .5,
         // so 2·|c − med| is integral and the MAD histogram stays BIGINT.
         // LEFT joins throughout: a group whose values are all NULL has no
