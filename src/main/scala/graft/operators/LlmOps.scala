@@ -3368,8 +3368,17 @@ s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embedd
             )
             .crossJoin(broadcast(nz))
             .drop("__nz")
+            // the Gram is DIMENSION-sized (64 rows) but referenced by
+            // every power step — uncached, Catalyst copies its whole
+            // corpus-sized pipeline into each of the nine references
+            // (the round-17 plan counted 42 parquet scans for this
+            // query). One cached compute; rebuilt from parquet on every
+            // invocation (intra-query reuse, not cross-run state).
+            .cache()
         }
         def step(vRow: DataFrame): DataFrame = {
+          // w is 64 rows, referenced twice (its own max-abs scalar and
+          // the renormalize join) — cache for the same reason as grow
           val w = grow
             .crossJoin(broadcast(vRow))
             .select(
@@ -3380,6 +3389,7 @@ s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embedd
                 (acc, x) => acc + x
               ).as("w")
             )
+            .cache()
           val wm = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("wm"))
           w.crossJoin(broadcast(wm))
             .withColumn(
