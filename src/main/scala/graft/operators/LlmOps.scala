@@ -292,16 +292,22 @@ object LlmOps {
   private[graft] def ivfCandidates(
       s: SparkSession, e0: DataFrame, centroids: Int, probes: Int): DataFrame = {
     val e = e0.withColumn("emb", toDouble(col("embedding")))
+    // cents (k rows) and probe (one row) are each referenced by two
+    // downstream consumers; uncached, every reference re-derives its
+    // corpus-sized scan (hash-ranked sample / probe filter). Caching
+    // the constant-size frames computes each once per invocation —
+    // intra-query reuse, never cross-run state.
     val cents = e
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(centroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .cache()
     val assigned = e
       .crossJoin(broadcast(cents))
       .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
       .groupBy("vec_id")
       .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
-    val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe"))
+    val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe")).cache()
     val probeClusters = cents
       .crossJoin(broadcast(probe))
       .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
@@ -472,17 +478,22 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val e = e0.withColumn("emb", toDouble(col("embedding")))
     val corpus = e.filter(col("vec_id") =!= 0)
-    // IVF coarse layer — identical sampling/probing to ivfCandidates
+    // IVF coarse layer — identical sampling/probing to ivfCandidates.
+    // cents/probe/cb1 are constant-size model frames referenced by
+    // several consumers each; uncached, every reference re-derived a
+    // corpus-sized pipeline (the round-17 plan counted 13 parquet
+    // scans). Cached = computed once per invocation, intra-query only.
     val cents = e
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(centroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .cache()
     val assigned = corpus
       .crossJoin(broadcast(cents))
       .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
       .groupBy("vec_id")
       .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
-    val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe"))
+    val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe")).cache()
     val probeClusters = cents
       .crossJoin(broadcast(probe))
       .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
@@ -532,6 +543,8 @@ object LlmOps {
           x => x.getField("avg")
         ).as("c")
       )
+      // m·k = 16 rows, referenced by the encode pass AND the query LUT
+      .cache()
     val codes = assignPq(cb1).select(col("vec_id"), col("sub"), col("cell"))
     // query lookup table: per (sub, cell) the query-subvector dot and
     // the codebook entry's squared norm — m·k rows, broadcast
