@@ -673,6 +673,13 @@ object TimeSeries {
           .groupBy("tsu")
           .agg(sum(col("d")).as("delta"))
           .withColumn("cell", intDiv(col("tsu"), lit(cellUs)))
+        // NOT persisted although byTs feeds both the per-cell bases and
+        // the final join: a round-17 A/B measured persist() at 1.88 s
+        // vs 1.55 s un-persisted (calm window, min-of-5) — the
+        // materialization barrier serializes stages that otherwise
+        // overlap, and the boundary table is cheap to recompute
+        // relative to caching it. Revisit only if the sessionize
+        // pipeline above ever grows another corpus pass.
         // exclusive prefix of per-cell totals: the ordered window runs
         // over ~one row per active hour, not over change points
         val wCell = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
