@@ -2968,7 +2968,17 @@ class Store private[sources] (
       n.contains(".swap-") && e.getModificationTime <= cutoff && !inFlight(n)
     }
     val recovered = scala.collection.mutable.Set[String]()
+    // Per-marker vanish-tolerance (both recovery loops): `inFlight` is
+    // checked at FILTER time over a listing taken once, so a concurrent
+    // same-store maintenance op can COMPLETE its swap/delete — removing
+    // its staging id and then its marker — between that check and this
+    // loop reaching the marker. A FileNotFoundException on the marker
+    // family here therefore means "the owner finished; nothing left to
+    // recover for this id" (owners delete their markers last), the same
+    // principle as walkFiles' vanished-mid-walk tolerance. Every other
+    // failure still propagates: a half-recovered swap must fail loudly.
     swapMarkers.foreach { m =>
+      try {
       val n = m.getPath.getName
       val i = n.indexOf(".swap-")
       val k = n.substring(0, i)
@@ -3073,6 +3083,7 @@ class Store private[sources] (
       }
       fs.delete(m.getPath, false)
       recovered ++= Seq(tmp.getName, trash.getName, mid.getName)
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     // job 1b: finish interrupted deletes (drop / prune). The del marker
     // records the doomed path and its manifest; recovery deletes
@@ -3085,6 +3096,7 @@ class Store private[sources] (
       n.contains(".del-") && e.getModificationTime <= cutoff && !inFlight(n)
     }
     delMarkers.foreach { m =>
+      try {
       val n = m.getPath.getName
       val i = n.indexOf(".del-")
       val k = n.substring(0, i)
@@ -3103,6 +3115,7 @@ class Store private[sources] (
       if (fs.delete(trash, true)) removed += 1
       fs.delete(m.getPath, false)
       recovered += trash.getName
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     // job 2: age-based orphan sweep of unclaimed tmp/old dirs
     entries.foreach { e =>
