@@ -690,12 +690,25 @@ object Bench {
     // with per-query timings follows for humans and deep tooling.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","extended_total":$extTotal,$calmJsonShort$anchorJsonShort,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extended":$ext,"extended_total":$extTotal,"spread":$spreads,"spread_warm":$warmSpreads,$calmJson$anchorJson,"sf":"$sfDir"}"""
-    // summary printed both before AND after the detail line: whichever
-    // end of the stream the capture keeps, a parseable total survives
-    // (both carry the same value, so last-wins / first-wins both work)
+    // compact per-query line, printed LAST (r17 verdict task #1): the
+    // driver keeps only the final ~2000 chars of stdout, the detail
+    // line overflows that window (BENCH_r07–r17 all recorded
+    // parsed:null), and the short summary that did survive carries no
+    // "queries" map, so the driver has had no per-query signal for ten
+    // rounds. This line is the same queries/extended maps at 2-decimal
+    // precision with none of the spread/skeleton/anchor detail
+    // (~1.8 KB: fits the tail window ahead of sbt's [success] line).
+    def compactMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${compactMap(results ++ storeResults)},"extended":${compactMap(extResults ++ scanPathResults)},"extended_total":$extTotal,"sf":"$sfDir"}"""
+    // summary first (always-survives total), detail line for humans and
+    // deep tooling, compact LAST so the tail capture's final parseable
+    // line carries the per-query map
     println(summary)
     println(line)
-    println(summary)
+    println(compact)
     // self-contained artifact: the stdout capture has repeatedly
     // truncated the detail line (BENCH_r07–r09 recorded parsed:null),
     // so the full result also lands as a file next to the repo root —
@@ -721,7 +734,7 @@ object Bench {
     // regular file would O_TRUNC the log that stdout already wrote
     try {
       val fd = new java.io.FileOutputStream("/dev/stdout", true)
-      fd.write((summary + "\n" + line + "\n" + summary + "\n").getBytes("UTF-8")); fd.flush()
+      fd.write((summary + "\n" + line + "\n" + compact + "\n").getBytes("UTF-8")); fd.flush()
     } catch { case _: Throwable => () }
     spark.stop()
   }
