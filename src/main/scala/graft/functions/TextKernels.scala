@@ -51,6 +51,36 @@ object TextKernels {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Positional word-`k`-grams: `(pos, tokens[pos..pos+k-1] joined by
+    * one space)` for every pos in `[0, n_tokens − k]` — the exact rows
+    * of the SQL pipeline `posexplode(split(text,' ')) → lead×(k−1)
+    * over (doc, pos) → filter(last lead non-null) → concat_ws(' ')`,
+    * WITHOUT the hash exchange + sort that windowed leads force on the
+    * whole corpus (empty tokens from repeated spaces are kept, exactly
+    * like split's limit −1 and concat_ws over non-null args).
+    */
+  def posGrams(text: String, k: Int): Iterator[(Int, String)] = {
+    val toks = wsTokens(text)
+    if (toks.length < k) Iterator.empty
+    else new Iterator[(Int, String)] {
+      private var i = 0
+      private val sb = new java.lang.StringBuilder
+      override def hasNext: Boolean = i + k <= toks.length
+      override def next(): (Int, String) = {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val out = (i, sb.toString)
+        i += 1
+        out
+      }
+    }
+  }
+
   /** SQL `xxhash64(stringCol)`: XXH64 over the UTF-8 bytes, seed 42. */
   def hashString(s: String): Long =
     XXH64.hashUTF8String(UTF8String.fromString(s), HashSeed)

@@ -1118,20 +1118,29 @@ object LlmOps {
       "dedup_substring",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val sp = s
+        import sp.implicits._
         val k = 5
-        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        // positional grams in ONE narrow kernel pass
+        // (TextKernels.posGrams — row-identical to the former
+        // posexplode + 4 lead-windows + concat_ws pipeline, asserted by
+        // TextKernelsSpec): the windowed leads forced a full-corpus
+        // hash exchange + sort on (doc_id, pos) — per CONSUMER, so
+        // twice (the occurrence-count branch and the join probe both
+        // re-derive grams). The kernel needs no ordering, so the only
+        // doc_id exchange left in the plan moves BELOW the dup-gram
+        // join, where it carries the surviving hit rows (a vanishing
+        // duplicated fraction on a real corpus), not every token of
+        // the corpus. null text emits no grams on both engines (the
+        // scan filter here; len(string_split(NULL)) IS NULL there).
         val grams = documents(s, d)
-          .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t1", lead("tok", 1).over(byPos))
-          .withColumn("t2", lead("tok", 2).over(byPos))
-          .withColumn("t3", lead("tok", 3).over(byPos))
-          .withColumn("t4", lead("tok", 4).over(byPos))
-          .filter(col("t4").isNotNull)
-          .select(
-            col("doc_id"),
-            col("pos"),
-            concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("gram")
-          )
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            TextKernels.posGrams(text, k).map { case (p, g) => (id, p, g) }
+          }
+          .toDF("doc_id", "pos", "gram")
         // corpus-wide occurrence count as a two-phase
         // groupBy(gram).count() + df>=2 join-back. A COUNT OVER
         // (PARTITION BY gram) window would be one shuffle cheaper at
@@ -2948,15 +2957,27 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
           .limit(k)
           .withColumn("cell", row_number().over(Window.orderBy("h", "vec_id")))
           .select(col("cell").cast("long").as("cell"), col("q").as("c"))
-        def assign(cents: DataFrame): DataFrame =
+        // shuffle-free assignment (the embed_pq_encode / annIvfPq
+        // pattern, applied here in round 18): the k-row centroid table
+        // packs into ONE broadcast row and the argmin folds inside the
+        // row via the codegen'd PqArgmin kernel — same BIGINT
+        // accumulation order (dim 0..63) and the same ORDER BY d2,
+        // cell tie-break as the min(struct(d2, cell)) it replaces.
+        // The former crossJoin(k rows) + groupBy(vec_id) shape carried
+        // first(q) through the aggregate, whose array-typed buffer
+        // forces SortAggregate: each of the 3 assign passes paid a
+        // k-fold row explosion, TWO corpus sorts and a corpus-wide
+        // hashpartitioning(vec_id) exchange. Now assign is a narrow
+        // projection — zero exchanges, zero sorts at any corpus size.
+        def assign(cents: DataFrame): DataFrame = {
+          val packed =
+            cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cbs"))
           vecs
-            .crossJoin(broadcast(cents))
-            // native codegen'd BIGINT Σ(x−y)² — identical accumulation
-            // to the HOF fold it replaces (VectorKernels)
-            .withColumn("d2", VectorKernels.l2sq(col("q"), col("c")))
-            .groupBy("vec_id")
-            .agg(min(struct(col("d2"), col("cell"))).as("m"), first(col("q")).as("q"))
-            .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"), col("q"))
+            .crossJoin(broadcast(packed))
+            .withColumn("best", VectorKernels.pqArgmin(col("q"), col("cbs")))
+            .select(
+              col("vec_id"), col("best.cell").as("cell"), col("best.d2").as("d2"), col("q"))
+        }
         def update(assigned: DataFrame): DataFrame =
           assigned
             .select(col("cell"), posexplode(col("q")).as(Seq("dim", "v")))

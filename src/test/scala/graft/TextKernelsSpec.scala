@@ -36,6 +36,40 @@ class TextKernelsSpec extends AnyFunSuite {
       .dropDuplicates("doc_id", "shingle")
   }
 
+  test("posGrams matches the SQL posexplode+lead+concat_ws pipeline exactly") {
+    val sp = spark
+    import sp.implicits._
+    val k = K
+    // the former dedup_substring gram derivation, verbatim (positional:
+    // no dropDuplicates — every occurrence with its token position)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks =
+      docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val withLeads = toks.select(
+      (col("doc_id") +: col("pos") +: col("tok") +:
+        (1 until k).map(i => lead(col("tok"), i).over(w).as(s"l$i"))): _*
+    )
+    val parts = col("tok") +: (1 until k).map(i => col(s"l$i"))
+    val sqlGrams = withLeads
+      .filter(col(s"l${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("gram"))
+    val kernel = docs
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextKernels.posGrams(t, k).map { case (p, g) => (id, p, g) }
+      }
+      .toDF("doc_id", "pos", "gram")
+    assert(kernel.exceptAll(sqlGrams).count() == 0)
+    assert(sqlGrams.exceptAll(kernel).count() == 0)
+    // multi-space/empty-token edge: split keeps empties, concat_ws
+    // joins them — "a  b c d e" tokenizes to ["a","","b","c","d"] ++
+    // and grams carry the double space
+    val edge = TextKernels.posGrams("a  b c d e", 5).toSeq
+    assert(edge == Seq((0, "a  b c d"), (1, " b c d e")))
+    assert(TextKernels.posGrams("a b c d", 5).isEmpty)
+    assert(TextKernels.posGrams("", 5).isEmpty)
+  }
+
   test("distinctShingles matches the SQL explode+lead+concat_ws pipeline exactly") {
     val sp = spark
     import sp.implicits._
