@@ -572,6 +572,18 @@ object Bench {
         .distinct.filter(SparkEntry.queries.contains).map { name =>
       def one(): Option[(String, String)] =
         try {
+          // sample the SAME population as the timed runs: every timed
+          // sample starts cold (oneSample clears the cache), so the
+          // skeleton evidence must too. Without this, a query whose
+          // builder persists an intermediate (dedup_simhash's sigs,
+          // dedup_semantic's tagged cells) runs skeleton #1 cold and
+          // skeleton #2 against a WARM InMemoryRelation with real
+          // stats — AQE then legitimately picks a different join
+          // strategy (r17-c8 dedup_simhash "bimodal-plan", reproduced
+          // this round on dedup_semantic: cold BroadcastHashJoin vs
+          // warm SortMergeJoin) and the flag reports plan instability
+          // that the timed samples never experienced.
+          spark.catalog.clearCache()
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
           val skel = df.queryExecution.executedPlan.toString.linesIterator
@@ -594,6 +606,25 @@ object Bench {
               .replaceAllIn(l, m => java.util.regex.Matcher.quoteReplacement(
                 m.group(1) + "partitioning(" +
                   m.group(2).split(",\\s*").sorted.mkString(",") + ")")))
+            // canonicalize the build side of a KEY-SYMMETRIC broadcast
+            // self-join (left keys == right keys after id-stripping,
+            // e.g. dedup_simhash's chunk-bucket join: both sides are
+            // the same cached sigs + Generate). AQE re-optimizes at
+            // stage boundaries while the shared InMemoryRelation's
+            // stats are still materializing, so BuildLeft/BuildRight
+            // is a timing race between identical inputs — and for a
+            // flip to occur at all, AQE must have sized EACH side
+            // under the broadcast threshold in some run, so building
+            // either side cannot explain a 2x timing flag. Asymmetric
+            // joins (different key lists) keep their build side: a
+            // build flip there is a real strategy instability.
+            .map(l =>
+              "BroadcastHashJoin \\[([^\\]]*)\\], \\[([^\\]]*)\\], (\\w+), Build(Left|Right)".r
+                .replaceAllIn(l, m =>
+                  if (m.group(1) == m.group(2))
+                    java.util.regex.Matcher.quoteReplacement(
+                      s"BroadcastHashJoin [${m.group(1)}], [${m.group(2)}], ${m.group(3)}, BuildEither")
+                  else m.matched))
             .map(_.take(160))
             .mkString("\n")
           Some((java.security.MessageDigest.getInstance("MD5")
@@ -602,9 +633,18 @@ object Bench {
         } catch { case _: Throwable => None }
       val pairs = Seq(one(), one()).flatten
       val hashes = pairs.map(_._1)
+      // arrangement-only difference: the canonicalized line MULTISETS
+      // are equal but tree order differs — the key-symmetric
+      // build-side swap above reorders the join's children without
+      // changing any strategy/exchange line. A REAL flip always
+      // changes the multiset (a strategy change swaps the join line;
+      // an extra shuffle adds an Exchange line; an ASYMMETRIC build
+      // swap keeps its BuildLeft/BuildRight text, which differs).
       val verdict =
         if (hashes.size < 2) "unadjudicated"
         else if (hashes.distinct.size == 1) "jit-or-ambient"
+        else if (pairs.map(_._2.linesIterator.toSeq.sorted).distinct.size == 1)
+          "symmetric-build-swap"
         else "bimodal-plan"
       System.err.println(
         s"[bench] flag adjudication: $name skeleton hashes=${hashes.mkString(",")} -> $verdict")

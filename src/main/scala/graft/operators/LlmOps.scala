@@ -45,14 +45,6 @@ object LlmOps {
   private[graft] val MinhashPerms = 64
   private[graft] val Bands = 8
   private[graft] val RowsPerBand = 8
-  /** The previous invocation's persisted minhash signature table —
-    * evicted (recompute-safe) when the next invocation persists its
-    * own, bounding cache residency to one table per JVM instead of
-    * leaking one per dedup_minhash call in a long-lived session.
-    */
-  private val lastMinhashSigs =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   private val JaccardThreshold = 0.8
   private val CosineDupThreshold = 0.45 // corpus max pairwise cosine ≈ 0.51
   // dedup_embedding block-pair fan-out: B(B+1)/2 tasks, each holding two
@@ -308,6 +300,7 @@ object LlmOps {
       .groupBy("vec_id")
       .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
     val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe")).cache()
+    CacheTracker.track("ivfCandidates", cents, probe)
     val probeClusters = cents
       .crossJoin(broadcast(probe))
       .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
@@ -365,10 +358,31 @@ object LlmOps {
       .join(e, "vec_id")
       .select(col("cell"), col("vec_id"), col("emb"))
       .persist()
+    // sequence the shared cache build BEFORE AQE plans the self-join:
+    // un-materialized, the join's two sides race to cache the same
+    // partitions (duplicated kernel work, "Block already exists"
+    // warnings) and AQE's stage-boundary re-optimization reads the
+    // stats mid-materialization — the build-side choice, and with it
+    // whether the final groupBy(drop_id) can reuse the streamed side's
+    // vec_id partitioning or must pay a fresh exchange, became a
+    // timing race (r18 skeleton receipt: two cold runs, one plan with
+    // the extra Exchange hashpartitioning(vec_id), one without). One
+    // count() over the cell-tagged table pins accurate equal stats on
+    // both sides, so the plan is the same in every sample. Computed
+    // from parquet inside the timed region on every invocation.
+    CacheTracker.track("semDedup", tagged)
+    tagged.count()
+    // y (the dropped-candidate side, whose vec_id keys the final
+    // aggregate) sits on the LEFT: with equal accurate stats on both
+    // sides the planner's tie-break builds the RIGHT side and STREAMS
+    // the left, so the join output keeps y's hashpartitioning(vec_id)
+    // from tagged's groupBy and the groupBy(drop_id) needs no new
+    // exchange — deterministically the cheaper of the two racing
+    // plans the skeleton receipt caught.
     tagged
-      .as("x")
+      .as("y")
       .join(
-        tagged.as("y"),
+        tagged.as("x"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id")
       )
       .withColumn("cos", CosineSimilarity.cosineSim(col("x.emb"), col("y.emb")))
@@ -545,6 +559,7 @@ object LlmOps {
       )
       // m·k = 16 rows, referenced by the encode pass AND the query LUT
       .cache()
+    CacheTracker.track("annIvfPq", cents, probe, cb1)
     val codes = assignPq(cb1).select(col("vec_id"), col("sub"), col("cell"))
     // query lookup table: per (sub, cell) the query-subvector dot and
     // the codebook entry's squared norm — m·k rows, broadcast
@@ -819,15 +834,7 @@ object LlmOps {
     // were somehow still running), so a long-lived session issuing
     // repeated minhash queries no longer accumulates cached tables.
     val sigs = minhashSigs(s, d).persist()
-    val prev = LlmOps.lastMinhashSigs.getAndSet(sigs)
-    if (prev != null && (prev ne sigs)) {
-      // best-effort: the previous table may belong to an already-STOPPED
-      // session (its cached blocks died with the session's
-      // BlockManager); unpersist through the dead cacheManager throws
-      // rather than no-ops, and must not fail the NEW session's query
-      try prev.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-    }
+    CacheTracker.track("minhashVerifiedPairs", sigs)
     // distinct() after the band join is deliberate: a first-match-only
     // variant (carry the full bkeys array on both sides, keep a pair
     // only at its first matching band) was measured SLOWER at sf0.1
@@ -887,7 +894,7 @@ object LlmOps {
     val sp = s
     import sp.implicits._
     // persist: consumed twice by the chunk self-join
-    documents(s, d)
+    val out = documents(s, d)
       .filter(col("text").isNotNull) // null text: no tokens (both engines)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
@@ -902,6 +909,8 @@ object LlmOps {
       }
       .toDF("doc_id", "sig")
       .persist()
+    CacheTracker.track("simhashSigs", out)
+    out
   }
 
   /** Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jacc_raw ≥ τ)
@@ -919,6 +928,7 @@ object LlmOps {
     // exchanges don't dedupe across a self-join)
     val payload = shinglePayloadOf(s, documents(s, d)).persist()
     val prefix = rarePrefix(hashedInv(payload), JaccardThreshold).persist()
+    CacheTracker.track("ngramPairs", payload, prefix)
     val cand = prefix
       .as("x")
       .join(prefix.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -1314,6 +1324,18 @@ object LlmOps {
       "dedup_simhash",
       (s, d) => {
         val base = simhashSigs(s, d)
+        // NO materialization barrier here (r18 A/B, calm window,
+        // min-of-6 at 32c: base.count() before the join measured
+        // 0.708 s vs 0.625 s without — the duplicated cache build the
+        // barrier removes is hidden by idle cores, the serialization
+        // is not; the ts_concurrency receipt again). The cache-stats
+        // race can still flip the broadcast build SIDE between runs,
+        // but this self-join is key-symmetric — both sides are the
+        // same cached sigs + Generate — so the flip is cost-neutral
+        // and the bench skeleton canonicalizer classifies it as
+        // such (BuildEither) instead of failing calm certification.
+        // semDedup keeps its barrier: there the build side decides
+        // whether the final aggregate pays an extra corpus exchange.
         val chunks = base.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map { c =>
@@ -1388,6 +1410,7 @@ object LlmOps {
         val docs = documents(s, d)
         val pNew = shinglePayloadOf(s, docs.filter(col("doc_id") % 10 === 0)).persist()
         val pOld = shinglePayloadOf(s, docs.filter(col("doc_id") % 10 =!= 0)).persist()
+        CacheTracker.track("dedup_incremental", pNew, pOld)
         val probe = rarePrefix(hashedInv(pNew), JaccardThreshold)
           .select(col("doc_id").as("new_id"), col("h"))
         val cand = probe
@@ -1434,6 +1457,7 @@ object LlmOps {
       "dedup_containment",
       (s, d) => {
         val payload = shinglePayloadOf(s, documents(s, d)).persist()
+        CacheTracker.track("dedup_containment", payload)
         val inv = hashedInv(payload)
         val probe = rarePrefix(inv, ContainmentThreshold)
           .select(col("doc_id").as("p_id"), col("h"))
@@ -1609,9 +1633,7 @@ object LlmOps {
             pmod(col("vec_id"), lit(B.toLong)).cast("int").as("bid"),
             col("vec_id"), col("embedding"))
           .persist()
-        // (cache lifetime: registered until the session clears it —
-        // Verify/Bench clearCache between queries; long-lived sessions
-        // must clearCache after materializing, as with semDedup above)
+        CacheTracker.track("dedup_embedding", tagged)
         // pid encodes the unordered pair {a,b} with a <= b: pid = a*B + b
         val pairTbl = (for { a <- 0 until B; b <- a until B } yield (a * B + b, a, b))
           .toDF("pid", "ba", "bb")
@@ -3410,6 +3432,7 @@ s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embedd
             // invocation (intra-query reuse, not cross-run state).
             .cache()
         }
+        val stepCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
         def step(vRow: DataFrame): DataFrame = {
           // w is 64 rows, referenced twice (its own max-abs scalar and
           // the renormalize join) — cache for the same reason as grow
@@ -3424,6 +3447,7 @@ s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embedd
               ).as("w")
             )
             .cache()
+          stepCaches += w
           val wm = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("wm"))
           w.crossJoin(broadcast(wm))
             .withColumn(
@@ -3442,6 +3466,10 @@ s"""WITH f AS (SELECT ${Grid.finiteVecSql("embedding")} AS embedding FROM embedd
             )
         val v0 = s.range(1).select(array_repeat(lit(VG), EmbedDim).as("varr"))
         val it3 = step(toRow(step(toRow(step(v0)))))
+        // all four dimension-sized caches (Gram + the three power-step
+        // w frames) stay live for THIS plan; the next invocation's
+        // registration evicts them (CacheTracker)
+        CacheTracker.track("embed_pca", (grow +: stepCaches.toSeq): _*)
         it3
           .select(col("i").cast("long").as("dim"), (col("vq") / 1000.0).as("loading"))
           .orderBy("dim")

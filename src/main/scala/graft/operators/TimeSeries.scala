@@ -503,6 +503,7 @@ object TimeSeries {
         // rebuilt from parquet on every invocation (intra-query reuse,
         // not cross-run state).
         val med = histMedian(base, "c", "med").cache()
+        graft.operators.CacheTracker.track("ts_outlier_mad", med)
         // deviations on the half-cent grid: med is integer or exact .5,
         // so 2·|c − med| is integral and the MAD histogram stays BIGINT.
         // LEFT joins throughout: a group whose values are all NULL has no
@@ -597,6 +598,7 @@ object TimeSeries {
           .withColumn("c1", intDiv(unix_micros(col("e")), cellUs))
           .withColumn("cell", explode(sequence(col("c0"), col("c1"))))
           .persist()
+        graft.operators.CacheTracker.track("ts_concurrency", cells)
         val a = cells.select(
           col("cell"), col("user_id").as("user_a"), col("sidx").as("sidx_a"),
           col("s").as("s_a"), col("e").as("e_a"))
@@ -733,6 +735,7 @@ object TimeSeries {
           // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
           .agg((round(max(col("value")), 2) + lit(0.0)).as("v"))
           .persist() // read by both the grid derivation and the join
+        graft.operators.CacheTracker.track("resample_ffill", b)
         val g = b.groupBy("event_type")
           .agg(min("slot").as("lo"), max("slot").as("hi"))
           .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("slot"))
@@ -776,6 +779,7 @@ object TimeSeries {
           // + 0.0 = the pinned ±0.0 normalization (see resample_ohlcv)
           .agg((round(max(col("value")), 2) + lit(0.0)).as("v"))
           .persist() // read by both the grid derivation and the join
+        graft.operators.CacheTracker.track("resample_interp", b)
         val g = b.groupBy("event_type")
           .agg(min("slot").as("lo"), max("slot").as("hi"))
           .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("slot"))
