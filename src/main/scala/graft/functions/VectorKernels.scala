@@ -319,6 +319,183 @@ object VectorKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /** IVF assignment kernel: given a vector and a packed centroid table
+    * (array of struct(cid: long, cemb: array<float|double>) rows, any
+    * order), returns the cid of the HIGHEST-cosine entry — replicating
+    * `max(struct(cosine_sim(emb, cemb), cid)).getField("cid")` ordering
+    * bit for bit: per-entry cosine uses [[CosineSimilarity]]'s exact
+    * accumulation (double, dims left-to-right, zero-norm pinned 0.0),
+    * doubles compare like Spark's struct ordering (java.lang.Double
+    * .compare: NaN greatest, −0.0 < +0.0), a NULL cosine (length
+    * mismatch / null element) ranks below every non-null one, and
+    * ties take the LARGER cid. Replaces the crossJoin(k centroids) +
+    * groupBy(vec_id) argmax whose struct-typed buffer forces
+    * SortAggregate — a k-fold row explosion, two corpus sorts and a
+    * corpus-wide exchange per assignment pass. Null on null input or
+    * an empty/null-element centroid table (a k-row model table with a
+    * null row is constructed, never data).
+    */
+  case class CosArgmaxCid(left: Expression, right: Expression) extends BinaryExpression {
+    override def prettyName: String = "cos_argmax_cid"
+
+    private def elem: DataType = elemKind(left.dataType).getOrElse(NullType)
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okL = elem == DoubleType || elem == FloatType
+      val okR = right.dataType match {
+        case ArrayType(StructType(Array(f0, f1)), _) =>
+          f0.dataType == LongType &&
+            (elemKind(f1.dataType).contains(DoubleType) ||
+              elemKind(f1.dataType).contains(FloatType))
+        case _ => false
+      }
+      if (okL && okR) TypeCheckResult.TypeCheckSuccess
+      else
+        TypeCheckResult.TypeCheckFailure(
+          s"cos_argmax_cid expects (array<float|double>, array<struct<long, array<float|double>>>), got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+    private def centElem: DataType = right.dataType match {
+      case ArrayType(StructType(Array(_, f1)), _) => elemKind(f1.dataType).getOrElse(NullType)
+      case _ => NullType
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val q = a.asInstanceOf[ArrayData]
+      val cbs = b.asInstanceOf[ArrayData]
+      val k = cbs.numElements()
+      if (k == 0) return null
+      val n = q.numElements()
+      val qf = elem == FloatType
+      val cf = centElem == FloatType
+      var found = false
+      var bestNull = true
+      var bestSim = 0.0
+      var bestCid = 0L
+      var j = 0
+      while (j < k) {
+        if (cbs.isNullAt(j)) return null
+        val e = cbs.getStruct(j, 2)
+        if (e.isNullAt(0)) return null
+        val cid = e.getLong(0)
+        // csim of this entry under CosineSimilarity's exact rules;
+        // simNull stands for the SQL NULL the expression would return
+        var simNull = e.isNullAt(1)
+        var sim = 0.0
+        if (!simNull) {
+          val c = e.getArray(1)
+          if (c.numElements() != n) simNull = true
+          else {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < n && !simNull) {
+              if (q.isNullAt(i) || c.isNullAt(i)) simNull = true
+              else {
+                val xv = if (qf) q.getFloat(i).toDouble else q.getDouble(i)
+                val yv = if (cf) c.getFloat(i).toDouble else c.getDouble(i)
+                dot += xv * yv; na += xv * xv; nb += yv * yv
+              }
+              i += 1
+            }
+            if (!simNull) {
+              val denom = math.sqrt(na) * math.sqrt(nb)
+              sim = if (denom == 0.0) 0.0 else dot / denom
+            }
+          }
+        }
+        val better =
+          if (!found) true
+          else if (simNull != bestNull) bestNull // non-null beats null
+          else if (simNull) cid > bestCid
+          else {
+            val cmp = java.lang.Double.compare(sim, bestSim)
+            cmp > 0 || (cmp == 0 && cid > bestCid)
+          }
+        if (better) { found = true; bestNull = simNull; bestSim = sim; bestCid = cid }
+        j += 1
+      }
+      bestCid
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val e = ctx.freshName("entry")
+        val c = ctx.freshName("cvec")
+        val cid = ctx.freshName("cid")
+        val sim = ctx.freshName("sim")
+        val simNull = ctx.freshName("simNull")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val denom = ctx.freshName("denom")
+        val cmp = ctx.freshName("cmp")
+        val better = ctx.freshName("better")
+        val found = ctx.freshName("found")
+        val bestNull = ctx.freshName("bestNull")
+        val bestSim = ctx.freshName("bestSim")
+        val bestCid = ctx.freshName("bestCid")
+        val qGet = if (elem == FloatType) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+        val cGet = if (centElem == FloatType) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+        s"""
+           |int $n = $x.numElements();
+           |int $k = $y.numElements();
+           |if ($k == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $found = false;
+           |  boolean $bestNull = true;
+           |  double $bestSim = 0.0;
+           |  long $bestCid = 0L;
+           |  for (int $j = 0; $j < $k && !${ev.isNull}; $j++) {
+           |    if ($y.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    org.apache.spark.sql.catalyst.InternalRow $e = $y.getStruct($j, 2);
+           |    if ($e.isNullAt(0)) { ${ev.isNull} = true; break; }
+           |    long $cid = $e.getLong(0);
+           |    boolean $simNull = $e.isNullAt(1);
+           |    double $sim = 0.0;
+           |    if (!$simNull) {
+           |      org.apache.spark.sql.catalyst.util.ArrayData $c = $e.getArray(1);
+           |      if ($c.numElements() != $n) { $simNull = true; } else {
+           |        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |        for (int $i = 0; $i < $n && !$simNull; $i++) {
+           |          if ($x.isNullAt($i) || $c.isNullAt($i)) { $simNull = true; break; }
+           |          double ${dot}x = $qGet;
+           |          double ${dot}y = $cGet;
+           |          $dot += ${dot}x * ${dot}y; $na += ${dot}x * ${dot}x; $nb += ${dot}y * ${dot}y;
+           |        }
+           |        if (!$simNull) {
+           |          double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |          $sim = $denom == 0.0 ? 0.0 : $dot / $denom;
+           |        }
+           |      }
+           |    }
+           |    boolean $better;
+           |    if (!$found) { $better = true; }
+           |    else if ($simNull != $bestNull) { $better = $bestNull; }
+           |    else if ($simNull) { $better = $cid > $bestCid; }
+           |    else {
+           |      int $cmp = java.lang.Double.compare($sim, $bestSim);
+           |      $better = $cmp > 0 || ($cmp == 0 && $cid > $bestCid);
+           |    }
+           |    if ($better) { $found = true; $bestNull = $simNull; $bestSim = $sim; $bestCid = $cid; }
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $bestCid; }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(L2Squared(Bridge.expression(a), Bridge.expression(b)))
 
@@ -327,4 +504,7 @@ object VectorKernels {
 
   def pqArgmin(sq: Column, cbs: Column): Column =
     Bridge.column(PqArgmin(Bridge.expression(sq), Bridge.expression(cbs)))
+
+  def cosArgmaxCid(emb: Column, cbs: Column): Column =
+    Bridge.column(CosArgmaxCid(Bridge.expression(emb), Bridge.expression(cbs)))
 }

@@ -294,19 +294,25 @@ object LlmOps {
       .limit(centroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       .cache()
-    val assigned = e
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
     val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe")).cache()
     CacheTracker.track("ivfCandidates", cents, probe)
+    // shuffle-free assignment (r18, the embed_pq_encode pattern): the
+    // k-row centroid table packs into ONE broadcast row and the argmax
+    // folds inside the row via the codegen'd CosArgmaxCid kernel —
+    // same per-pair cosine accumulation and the same (csim, cid)
+    // struct-max tie-break as the crossJoin + groupBy(vec_id) it
+    // replaces, whose struct-typed buffer forced SortAggregate (k-fold
+    // row explosion, two corpus sorts, a corpus-wide exchange) and
+    // whose join-back re-keyed the corpus a second time.
+    val packed = cents.agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cbs"))
     val probeClusters = cents
       .crossJoin(broadcast(probe))
       .orderBy(CosineSimilarity.cosineSim(col("cemb"), col("probe")).desc, col("cid"))
       .limit(probes)
       .select(col("cid").as("cluster"))
-    e.join(assigned, "vec_id")
+    e.crossJoin(broadcast(packed))
+      .withColumn("cluster", VectorKernels.cosArgmaxCid(col("emb"), col("cbs")))
+      .drop("cbs")
       .join(broadcast(probeClusters), "cluster")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
@@ -350,35 +356,35 @@ object LlmOps {
     // here. Verify/Bench clearCache between queries; a long-lived
     // session embedding this op should spark.catalog.clearCache() (or
     // df.unpersist the consumed plan) once the result is materialized.
+    // shuffle-free assignment (r18, the embed_pq_encode pattern — see
+    // ivfCandidates): cell = CosArgmaxCid over the packed centroid
+    // row, replacing crossJoin + SortAggregate + a corpus exchange +
+    // the join-back with a narrow projection
+    val packed = cents.agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cbs"))
     val tagged = e
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cell"))
-      .join(e, "vec_id")
-      .select(col("cell"), col("vec_id"), col("emb"))
+      .crossJoin(broadcast(packed))
+      .select(
+        VectorKernels.cosArgmaxCid(col("emb"), col("cbs")).as("cell"),
+        col("vec_id"), col("emb"))
       .persist()
     // sequence the shared cache build BEFORE AQE plans the self-join:
     // un-materialized, the join's two sides race to cache the same
     // partitions (duplicated kernel work, "Block already exists"
     // warnings) and AQE's stage-boundary re-optimization reads the
-    // stats mid-materialization — the build-side choice, and with it
-    // whether the final groupBy(drop_id) can reuse the streamed side's
-    // vec_id partitioning or must pay a fresh exchange, became a
-    // timing race (r18 skeleton receipt: two cold runs, one plan with
-    // the extra Exchange hashpartitioning(vec_id), one without). One
-    // count() over the cell-tagged table pins accurate equal stats on
-    // both sides, so the plan is the same in every sample. Computed
-    // from parquet inside the timed region on every invocation.
+    // stats mid-materialization, so the broadcast build side — and the
+    // AQE-final plan skeleton with it — became a timing race (r18
+    // receipt: two cold runs, two different skeletons; in the
+    // pre-CosArgmaxCid shape the flip even decided whether the final
+    // groupBy(drop_id) paid an extra corpus exchange). One count()
+    // over the cell-tagged table pins accurate equal stats on both
+    // sides, so every sample runs the same plan. Computed from parquet
+    // inside the timed region on every invocation. The drop-candidate
+    // side y sits on the LEFT: with equal stats the planner's
+    // tie-break builds RIGHT and streams left, keeping the dropped-row
+    // stream (whose vec_id keys the final aggregate) out of the hash
+    // table.
     CacheTracker.track("semDedup", tagged)
     tagged.count()
-    // y (the dropped-candidate side, whose vec_id keys the final
-    // aggregate) sits on the LEFT: with equal accurate stats on both
-    // sides the planner's tie-break builds the RIGHT side and STREAMS
-    // the left, so the join output keeps y's hashpartitioning(vec_id)
-    // from tagged's groupBy and the groupBy(drop_id) needs no new
-    // exchange — deterministically the cheaper of the two racing
-    // plans the skeleton receipt caught.
     tagged
       .as("y")
       .join(
@@ -409,16 +415,20 @@ object LlmOps {
   private[graft] def ivfBatchCandidates(
       s: SparkSession, e0: DataFrame, centroids: Int, probes: Int): DataFrame = {
     val e = e0.withColumn("emb", toDouble(col("embedding")))
+    // cents feeds both the packed assignment row and the per-query
+    // probe selection — cache the k-row frame (the ivfCandidates
+    // discipline) instead of re-deriving its corpus-sized sample scan
     val cents = e
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(centroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .cache()
+    CacheTracker.track("ivfBatchCandidates", cents)
     val corpus = e.filter(col("vec_id") % 100 =!= 0)
-    val assigned = corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
+    // shuffle-free assignment via CosArgmaxCid (see ivfCandidates) —
+    // the corpus is tagged in a narrow projection, no SortAggregate,
+    // no corpus exchange, no join-back
+    val packed = cents.agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cbs"))
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("qv"))
     val probeC = queries
@@ -435,7 +445,9 @@ object LlmOps {
       .select(col("q_id"), explode(col("ps")).as("p"))
       .select(col("q_id"), col("p.cid").as("cluster"))
     corpus
-      .join(assigned, "vec_id")
+      .crossJoin(broadcast(packed))
+      .withColumn("cluster", VectorKernels.cosArgmaxCid(col("emb"), col("cbs")))
+      .drop("cbs")
       .join(broadcast(probeC), "cluster")
       .join(broadcast(queries), "q_id")
   }
@@ -502,11 +514,15 @@ object LlmOps {
       .limit(centroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       .cache()
+    // shuffle-free coarse assignment via CosArgmaxCid (see
+    // ivfCandidates): narrow projection instead of crossJoin +
+    // SortAggregate + corpus exchange
+    val packedIvf =
+      cents.agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cbs"))
     val assigned = corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", CosineSimilarity.cosineSim(col("emb"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
+      .crossJoin(broadcast(packedIvf))
+      .withColumn("cluster", VectorKernels.cosArgmaxCid(col("emb"), col("cbs")))
+      .select(col("vec_id"), col("cluster"))
     val probe = e.filter(col("vec_id") === 0).select(col("emb").as("probe")).cache()
     val probeClusters = cents
       .crossJoin(broadcast(probe))

@@ -81,6 +81,58 @@ class VectorKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosArgmaxCid equals max(struct(cosine_sim, cid)) incl. ties, zero vectors, NaN") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val k = 8
+    // coarse components force exact cosine ties between distinct
+    // centroids (e.g. colinear vectors), exercising the max-cid
+    // tie-break; a zero centroid exercises the 0.0 pin; a NaN
+    // component exercises Spark's NaN-greatest double ordering
+    def vec(): Array[Double] = Array.fill(6)(rnd.nextInt(3).toDouble - 1.0)
+    val cents = Seq.tabulate(k) { c =>
+      val v = if (c == 3) Array.fill(6)(0.0) else vec()
+      ((c + 1).toLong, v)
+    }
+    val rows = Seq.tabulate(400) { i =>
+      val v = vec()
+      if (i == 7) v(0) = Double.NaN // NaN emb: csim NaN vs every centroid
+      (i.toLong, v)
+    }
+    val centsDf = cents.toDF("cid", "cemb")
+    // reference: the former crossJoin + max(struct(csim, cid)) plan
+    val expect = rows.toDF("vec_id", "emb")
+      .crossJoin(broadcast(centsDf))
+      .withColumn("csim",
+        graft.functions.CosineSimilarity.cosineSim(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cluster"))
+      .as[(Long, Long)].collect().toMap
+    val packed = centsDf
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cbs"))
+    val gotDf = rows.toDF("vec_id", "emb")
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        VectorKernels.cosArgmaxCid(col("emb"), col("cbs")).as("cluster"))
+    val got = gotDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // must run inside whole-stage codegen, not as a fallback (read the
+    // AQE-FINAL plan, after execution)
+    val plan = gotDf.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*cos_argmax_cid""".r.findFirstIn(plan).isDefined, plan)
+    assert(got.size == expect.size)
+    expect.foreach { case (id, cl) =>
+      assert(got(id) == cl, s"vec $id: kernel ${got(id)} vs struct-max $cl")
+    }
+    // empty centroid table -> NULL, matching "no assignment"
+    val empty = rows.take(1).toDF("vec_id", "emb")
+      .select(VectorKernels.cosArgmaxCid(
+        col("emb"),
+        array().cast("array<struct<cid:bigint,cemb:array<double>>>")).as("c"))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("null and mismatch edges return null, never a wrong value") {
     val sp = spark
     import sp.implicits._
