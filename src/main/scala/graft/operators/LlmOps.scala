@@ -2443,12 +2443,17 @@ s"""WITH f AS (SELECT vec_id, ${Grid.finiteVecSql("embedding")} AS embedding FRO
           }
         }
         LlmOps.lastBpeRecounts.set(recounts)
-        vds.unpersist()
+        // keep the vocab cache ALIVE for the final plan (r18): the
+        // encode side previously re-derived vocab from the corpus
+        // (scan + explode + exchange + distinct-agg) although the
+        // recount phase had just built it — reading the cached (word,
+        // freq) table instead removes one of the final plan's two
+        // corpus passes. Residency bounded by CacheTracker (the next
+        // invocation evicts it); rebuilt from parquet every invocation.
+        CacheTracker.track("text_bpe_encode", vds.toDF())
         val bc = s.sparkContext.broadcast(merges.toMap)
-        val enc = vocab
-          .select("w")
-          .as[String]
-          .map(w => (w, TextKernels.bpeTokenCount(w, bc.value).toLong))
+        val enc = vds
+          .map { case (w, _) => (w, TextKernels.bpeTokenCount(w, bc.value).toLong) }
           .toDF("w", "n_tok")
         words
           .join(enc, "w")
