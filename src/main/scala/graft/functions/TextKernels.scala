@@ -183,6 +183,51 @@ object TextKernels {
     n
   }
 
+  /** PPJoin rare-prefix selection: the `sz − ⌈τ·sz⌉ + 1` smallest
+    * shingles of one document under the global (df, h) total order,
+    * given the doc's sorted hash set `shs` and the (h, df) pairs of
+    * just its REPEATED shingles (global df ≥ 2; aligned arrays, any
+    * order — null/empty when the doc has none).
+    *
+    * Replicates the former relational pipeline literally —
+    * `slice(array_sort(collect_list(struct(coalesce(df,1), h))), 1, k)`
+    * with `k = sz − ceil(sz·τ) + 1` — without collecting the full
+    * per-doc shingle list: every df=1 shingle sorts before every
+    * repeated one, and within df=1 the order is `h` ascending, i.e.
+    * exactly the order of `shs` minus the repeated set. So the prefix
+    * is the first k such singles, topped up from the repeated pairs
+    * sorted by (df, h) only when the singles run out. `k` uses the
+    * same double `ceil` the SQL expression evaluates (one IEEE
+    * multiply + ceil), so the cut index is bit-identical.
+    * (TextKernelsSpec asserts equality against the verbatim former
+    * plan, repeated-heavy corpora included.)
+    */
+  def prefixSelect(
+      shs: Array[Long], repH: Array[Long], repDf: Array[Long], tau: Double): Array[Long] = {
+    val sz = shs.length
+    val k0 = (sz.toLong - math.ceil(sz * tau).toLong + 1L).toInt
+    val k = math.min(math.max(k0, 0), sz)
+    if (k == 0) return Array.emptyLongArray
+    val nRep = if (repH == null) 0 else repH.length
+    val byH = Array.range(0, nRep).sortBy(repH(_))
+    val out = new Array[Long](k)
+    var n = 0
+    var i = 0
+    var j = 0
+    while (i < sz && n < k) {
+      while (j < nRep && repH(byH(j)) < shs(i)) j += 1
+      if (j < nRep && repH(byH(j)) == shs(i)) j += 1 // repeated: not a single
+      else { out(n) = shs(i); n += 1 }
+      i += 1
+    }
+    if (n < k) {
+      val byDfH = Array.range(0, nRep).sortBy(x => (repDf(x), repH(x)))
+      var t = 0
+      while (n < k && t < nRep) { out(n) = repH(byDfH(t)); n += 1; t += 1 }
+    }
+    if (n == k) out else java.util.Arrays.copyOf(out, n)
+  }
+
   /** Positions where two equal-length signatures agree. */
   def sigAgreement(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var n = 0

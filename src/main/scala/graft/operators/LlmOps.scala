@@ -739,33 +739,42 @@ object LlmOps {
     * order of the shingle universe, and rarity keeps the candidate join
     * bounded.
     *
-    * Shuffle shape (the round-5 hot spot): document frequencies reach
-    * the index through the df ≥ 2 table only — most shingles are
-    * globally unique, so that table is a small fraction of the
-    * distinct-shingle set and AQE turns the join into a broadcast at
-    * bench scale (the index itself is never shuffled on shingle),
-    * degrading to a plain shuffled equi-join at extreme scale. The
-    * per-doc selection is a bounded min-k aggregate (collect_list →
-    * array_sort → slice) in one ObjectHashAggregate pass — no
-    * full-index ranking window, no sort of the index.
+    * Shuffle shape (the round-5 hot spot, retightened round 18):
+    * document frequencies reach the selection through the df ≥ 2 table
+    * only — most shingles are globally unique, so that table is a
+    * small fraction of the distinct-shingle set and AQE turns its
+    * joins into broadcasts at bench scale, degrading to plain shuffled
+    * equi-joins at extreme scale. The former shape then collected and
+    * sorted EVERY (df, h) struct per doc (an ObjectHashAggregate over
+    * the full index, behind a corpus-sized (doc_id, sz) exchange — the
+    * cached payload sits under an AdaptiveSparkPlan, whose partitioning
+    * downstream consumers cannot reuse). But df=1 shingles sort before
+    * all repeated ones and, among themselves, exactly in the order of
+    * the doc's sorted `shs` array — so only the REPEATED occurrences
+    * (index ⋈ df≥2, inner) need aggregating per doc, and
+    * [[TextKernels.prefixSelect]] merges them with `shs` into the
+    * identical k-smallest-(df, h) prefix (spec: literal equality vs
+    * the former plan). Shuffled bytes drop from the full 4-column
+    * index to the repeated fraction; the full-index collect, its
+    * exchange and the per-doc array_sort disappear.
     */
-  private def rarePrefix(inv: DataFrame, tau: Double): DataFrame = {
+  private def rarePrefix(payload: DataFrame, tau: Double): DataFrame = {
+    val s = payload.sparkSession
+    import s.implicits._
+    val inv = hashedInv(payload)
     val repeated = inv.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-    inv
-      .join(repeated, Seq("h"), "left")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"), col("h"))).as("ps"))
-      .select(
-        col("doc_id"),
-        explode(
-          slice(
-            array_sort(col("ps")),
-            lit(1),
-            (col("sz") - ceil(col("sz") * tau) + lit(1)).cast("int")
-          )
-        ).as("p")
-      )
-      .select(col("doc_id"), col("p.h").as("h"))
+    val docRep = inv
+      .join(repeated, Seq("h"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("h"), col("df"))).as("reps"))
+    payload
+      .join(docRep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("shs"), col("reps.h").as("rh"), col("reps.df").as("rdf"))
+      .as[(Long, Array[Long], Array[Long], Array[Long])]
+      .flatMap { case (id, shs, rh, rdf) =>
+        TextKernels.prefixSelect(shs, rh, rdf, tau).iterator.map(h => (id, h))
+      }
+      .toDF("doc_id", "h")
   }
 
   /** Exact intersection stats for candidate pairs: join each pair to
@@ -873,7 +882,7 @@ object LlmOps {
     val cand =
       if (!completeForTau) bandCand.distinct()
       else {
-        val prefix = rarePrefix(hashedInv(sigs.select(col("doc_id"), col("shs"))), thr)
+        val prefix = rarePrefix(sigs.select(col("doc_id"), col("shs")), thr)
         val prefCand = prefix
           .as("x")
           .join(
@@ -943,7 +952,7 @@ object LlmOps {
     // prefix itself, which the candidate self-join reads twice (alias
     // exchanges don't dedupe across a self-join)
     val payload = shinglePayloadOf(s, documents(s, d)).persist()
-    val prefix = rarePrefix(hashedInv(payload), JaccardThreshold).persist()
+    val prefix = rarePrefix(payload, JaccardThreshold).persist()
     CacheTracker.track("ngramPairs", payload, prefix)
     val cand = prefix
       .as("x")
@@ -1427,7 +1436,7 @@ object LlmOps {
         val pNew = shinglePayloadOf(s, docs.filter(col("doc_id") % 10 === 0)).persist()
         val pOld = shinglePayloadOf(s, docs.filter(col("doc_id") % 10 =!= 0)).persist()
         CacheTracker.track("dedup_incremental", pNew, pOld)
-        val probe = rarePrefix(hashedInv(pNew), JaccardThreshold)
+        val probe = rarePrefix(pNew, JaccardThreshold)
           .select(col("doc_id").as("new_id"), col("h"))
         val cand = probe
           .join(hashedInv(pOld).select(col("doc_id").as("old_id"), col("h")), "h")
@@ -1475,7 +1484,7 @@ object LlmOps {
         val payload = shinglePayloadOf(s, documents(s, d)).persist()
         CacheTracker.track("dedup_containment", payload)
         val inv = hashedInv(payload)
-        val probe = rarePrefix(inv, ContainmentThreshold)
+        val probe = rarePrefix(payload, ContainmentThreshold)
           .select(col("doc_id").as("p_id"), col("h"))
         val cand = probe
           .join(inv.select(col("doc_id").as("i_id"), col("h")), "h")

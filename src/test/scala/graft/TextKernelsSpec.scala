@@ -195,6 +195,95 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSelect matches the SQL collect_list+array_sort+slice prefix exactly") {
+    val sp = spark
+    import sp.implicits._
+    val k = K
+    for (tau <- Seq(0.8, 0.9)) {
+      // payload exactly as production builds it
+      val payload = docs
+        .filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val shs = TextKernels.shingleHashes(t, k)
+          if (shs.isEmpty) Iterator.empty else Iterator.single((id, shs))
+        }
+        .toDF("doc_id", "shs")
+        .persist()
+      val inv = payload
+        .select(col("doc_id"), size(col("shs")).as("sz"), explode(col("shs")).as("h"))
+      val repeated = inv.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      // the former rarePrefix pipeline, verbatim
+      val sqlPrefix = inv
+        .join(repeated, Seq("h"), "left")
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"), col("h"))).as("ps"))
+        .select(
+          col("doc_id"),
+          explode(
+            slice(
+              array_sort(col("ps")),
+              lit(1),
+              (col("sz") - ceil(col("sz") * tau) + lit(1)).cast("int")
+            )
+          ).as("p")
+        )
+        .select(col("doc_id"), col("p.h").as("h"))
+      // the kernel shape, as rarePrefix now builds it
+      val docRep = inv
+        .join(repeated, Seq("h"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("h"), col("df"))).as("reps"))
+      val kernel = payload
+        .join(docRep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("shs"), col("reps.h").as("rh"), col("reps.df").as("rdf"))
+        .as[(Long, Array[Long], Array[Long], Array[Long])]
+        .flatMap { case (id, shs, rh, rdf) =>
+          TextKernels.prefixSelect(shs, rh, rdf, tau).iterator.map(h => (id, h))
+        }
+        .toDF("doc_id", "h")
+      assert(kernel.exceptAll(sqlPrefix).count() == 0, s"tau=$tau: kernel minus sql")
+      assert(sqlPrefix.exceptAll(kernel).count() == 0, s"tau=$tau: sql minus kernel")
+      payload.unpersist()
+    }
+  }
+
+  test("prefixSelect equals the naive sort-everything reference, repeated-heavy corpora included") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 300) {
+      // corpus of up to 6 docs over a small hash universe so shingles
+      // repeat across docs often — including docs whose singles run
+      // out (prefix spills into the repeated tail)
+      val nDocs = 1 + rnd.nextInt(6)
+      val universe = (1 to (4 + rnd.nextInt(12))).map(_ => rnd.nextLong()).distinct.toArray
+      val corpus = Vector.fill(nDocs) {
+        val sz = 1 + rnd.nextInt(universe.length)
+        rnd.shuffle(universe.toVector).take(sz).sorted.toArray
+      }
+      val df = corpus.flatten.groupBy(identity).map { case (h, o) => h -> o.size.toLong }
+      val tau = Seq(0.8, 0.9, 0.5)(rnd.nextInt(3))
+      corpus.foreach { shs =>
+        val sz = shs.length
+        val k = math.max(0, math.min(sz, (sz - math.ceil(sz * tau).toLong + 1L).toInt))
+        val naive = shs
+          .map(h => (df(h).max(1L), h))
+          .sorted
+          .take(k)
+          .map(_._2)
+        val reps = shs.filter(h => df(h) >= 2)
+        val repH = rnd.shuffle(reps.toVector).toArray // collect_list order is arbitrary
+        val repDf = repH.map(df)
+        val got = TextKernels.prefixSelect(shs, repH, repDf, tau)
+        assert(got.toSeq == naive.toSeq, s"trial=$trial tau=$tau shs=${shs.toSeq}")
+      }
+    }
+    // explicit edges: no repeated shingles (null arrays), all repeated
+    assert(TextKernels.prefixSelect(Array(3L, 9L), null, null, 0.9).toSeq == Seq(3L))
+    assert(
+      TextKernels.prefixSelect(Array(-5L, 2L), Array(2L, -5L), Array(3L, 2L), 0.5).toSeq
+        == Seq(-5L, 2L)) // k=2 > 0 singles: both from repeated, by (df, h)
+  }
+
   test("qualityScore is exact on a ~600 kB document (the x2e6 scaling step used to overflow LONG)") {
     val sp = spark
     import sp.implicits._
