@@ -87,12 +87,67 @@ object TextKernels {
 
   /** Sorted distinct shingle hashes of a document (sorted so pairwise
     * intersection is a linear merge).
+    *
+    * Allocation-free form of `distinctShingles(text, k).map(hashString)`:
+    * `split(" ", -1)` splits on every single space, so the original
+    * text IS its tokens joined by one space, and a k-token shingle's
+    * UTF-8 bytes are EXACTLY a slice of the document's UTF-8 bytes —
+    * hash the slice (XXH64 over the same bytes ⇒ the same value) and
+    * never build the shingle string. A space byte (0x20) is always the
+    * character ' ' in UTF-8 (continuation bytes are ≥ 0x80), so token
+    * boundaries come from one byte scan. Dedup is by BYTE equality
+    * (open addressing on the hash, slices compared on hash match), so
+    * even two distinct shingles colliding at 64 bits keep both hash
+    * copies — the literal multiset `distinctShingles → hash` produced.
+    * (TextKernelsSpec: equality vs the string path on random
+    * unicode/multi-space docs, and vs the SQL pipeline on the corpus.)
     */
   def shingleHashes(text: String, k: Int): Array[Long] = {
-    val sh = distinctShingles(text, k)
-    val out = new Array[Long](sh.length)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nBytes = bytes.length
+    // token start offsets (token i spans [starts(i), starts(i+1) - 1))
+    var nToks = 1
+    var p = 0
+    while (p < nBytes) { if (bytes(p) == 0x20) nToks += 1; p += 1 }
+    if (nToks < k) return Array.emptyLongArray
+    val starts = new Array[Int](nToks + 1)
+    var t = 1
+    p = 0
+    while (p < nBytes) { if (bytes(p) == 0x20) { starts(t) = p + 1; t += 1 }; p += 1 }
+    starts(nToks) = nBytes + 1 // sentinel: end(last) = starts(nToks) - 1
+    val n = nToks - k + 1
+    // open-addressed dedup table over kept-shingle indices
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val table = new Array[Int](cap)
+    java.util.Arrays.fill(table, -1)
+    val mask = cap - 1
+    val outH = new Array[Long](n)
+    val outS = new Array[Int](n)
+    val outE = new Array[Int](n)
+    var outN = 0
     var i = 0
-    while (i < sh.length) { out(i) = hashString(sh(i)); i += 1 }
+    while (i < n) {
+      val s = starts(i)
+      val e = starts(i + k) - 1
+      val h = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, e - s, HashSeed)
+      var slot = (java.lang.Long.hashCode(h) & Int.MaxValue) & mask
+      var dup = false
+      var o = table(slot)
+      while (o != -1 && !dup) {
+        if (outH(o) == h && java.util.Arrays.equals(bytes, outS(o), outE(o), bytes, s, e))
+          dup = true
+        else { slot = (slot + 1) & mask; o = table(slot) }
+      }
+      if (!dup) {
+        table(slot) = outN
+        outH(outN) = h; outS(outN) = s; outE(outN) = e
+        outN += 1
+      }
+      i += 1
+    }
+    val out = if (outN == n) outH else java.util.Arrays.copyOf(outH, outN)
     java.util.Arrays.sort(out)
     out
   }

@@ -195,6 +195,24 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes byte-slice path equals hash-of-distinctShingles on adversarial docs") {
+    def reference(text: String, k: Int): Seq[Long] =
+      TextKernels.distinctShingles(text, k).map(TextKernels.hashString).sorted.toSeq
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "bb", "", "héllo", "日本語", "x" * 40, "é", "🙂z")
+    (1 to 300).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val toks = Vector.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val text = toks.mkString(" ")
+      assert(TextKernels.shingleHashes(text, k).toSeq == reference(text, k), s"k=$k text='$text'")
+    }
+    // explicit edges: empty text, consecutive/leading/trailing spaces,
+    // repeated shingles (dedup), single token
+    for (t <- Seq("", " ", "  ", "a  b c d e f", " a b c d e ", "a a a a a a a a",
+        "a b c d e a b c d e", "solo"); k <- Seq(1, 2, 5))
+      assert(TextKernels.shingleHashes(t, k).toSeq == reference(t, k), s"k=$k text='$t'")
+  }
+
   test("prefixSelect matches the SQL collect_list+array_sort+slice prefix exactly") {
     val sp = spark
     import sp.implicits._
